@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7.0 + the builder prompt.
+  *
+  * `queries` aggregates the per-module operator maps; each name is one
+  * operator from SURVEY.md §2's inventory. `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL for every query whose semantics are
+  * SQL-expressible; the driver hash-compares both result sets at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7.1): the reference's price-style metric
+    * (round(avg(price),2), NB cells 18/19) transplanted onto the TPC-H Q1
+    * aggregation shape — filter → partial+final hash agg → ordered.
+    * Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_quantity") > 0)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.queries
+
+  /** DuckDB-runnable ANSI SQL per query (same parquet tables, registered
+    * under their bare table names). Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracles
 }

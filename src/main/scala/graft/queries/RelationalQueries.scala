@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface: scans, projections, filters, sorts,
+  * limits, set ops, aggregates (SURVEY.md §2.1, §2.2, §2.4, §2.6, §2.7).
+  *
+  * Every query is a declarative DataFrame plan — Catalyst pushes the
+  * filters/projections into the Parquet scan (PushedFilters/ReadSchema),
+  * runs two-phase hash aggregation (partial map-side combine before the
+  * shuffle), and plans top-k as TakeOrderedAndProject. Results are
+  * deterministically ordered (every oracle-compared query sorts on its
+  * output columns) and float aggregates are rounded for DuckDB parity.
+  *
+  * Scale notes (100 TB design rules):
+  *  - no collect(); everything stays distributed until the sink.
+  *  - global sorts only where the query semantics demand order; they are
+  *    range-partitioned (sampled boundaries), not single-reducer.
+  *  - distinct-counting offers both exact (shuffle) and HLL sketch
+  *    (approx_count_distinct, no shuffle of raw values) variants.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S2 full-table scan (reference db_queries.py:26-29 `SELECT * FROM
+    * air_b`). Ordered by key for a deterministic dump. */
+  private val scanFull: Q = (s, d) =>
+    Tables.customer(s, d).orderBy("c_custkey")
+
+  /** P1 column-subset projection (reference NB cell 31). Column pruning
+    * reaches the scan: ReadSchema carries only the three columns. */
+  private val project: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_quantity", "l_extendedprice")
+
+  /** P3 equality-predicate filter (reference NB cell 41's row deletion,
+    * re-expressed as a kept-rows filter). Pushed to Parquet row groups. */
+  private val filterEq: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4 predicated update (reference NB cell 16 bool→0/1): CASE WHEN as a
+    * codegen'd expression, not a per-row driver loop. */
+  private val filterWhen: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("is_return"),
+        when(col("l_quantity") >= 25, lit("high")).otherwise(lit("low")).as("qty_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P5 dropna (reference NB cell 15): na.drop("any") over all columns. */
+  private val dropna: Q = (s, d) =>
+    Tables.orders(s, d).na.drop("any")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** P6/A7 null accounting (reference NB cell 14 `df.isnull().sum()`):
+    * per-column null counts + grand total in one aggregation pass. */
+  private val nullCount: Q = (s, d) => {
+    val df = Tables.orders(s, d)
+    val perCol = df.columns.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    val total = df.columns.map(c => sum(col(c).isNull.cast("long"))).reduce(_ + _).as("nulls_total")
+    df.agg(perCol.head, (perCol.tail :+ total): _*)
+  }
+
+  /** P7 high-cardinality-column detection (reference NB cell 29: string
+    * cols with nunique > 100). One distributed pass computes every
+    * distinct count; the schema walk is metadata-only driver work. */
+  private val hccDetect: Q = (s, d) => {
+    val df = Tables.part(s, d)
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).sorted
+    val agg = df.agg(
+      countDistinct(col(strCols.head)).as(strCols.head),
+      strCols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+    val stackExpr = strCols.map(c => s"'$c', $c").mkString(", ")
+    agg.selectExpr(s"stack(${strCols.length}, $stackExpr) as (col_name, n_distinct)")
+      .withColumn("is_hcc", when(col("n_distinct") > 100, 1).otherwise(0))
+      .orderBy("col_name")
+  }
+
+  /** O1 full sort (reference NB cell 12 sort_values): range-partitioned
+    * distributed sort, not a single-reducer order-by. */
+  private val sort: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select("c_mktsegment", "c_acctbal", "c_custkey")
+      .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+
+  /** O3 limit (reference head()); keyed ORDER BY for determinism. */
+  private val limitQ: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").limit(10)
+
+  /** O5 top-k (reference NB cell 21 sorted corr head): planner emits
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  private val topk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(25)
+
+  /** U1 union-all (reference NB cell 6 pd.concat train+test): unionByName
+    * keeps duplicates, exactly concat semantics. */
+  private val unionAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") >= 100000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val b = o.filter(col("o_totalprice") < 50000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    a.unionByName(b).orderBy("o_orderkey")
+  }
+
+  /** U2 intersect (set semantics, like SQL INTERSECT). */
+  private val intersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** U2 except (set difference): orders with no returned lineitem. */
+  private val exceptQ: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_orderkey").as("orderkey"))
+      .except(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("orderkey")))
+      .orderBy("orderkey")
+
+  /** A4 distinct values (reference NB cell 37 unique()). */
+  private val distinctQ: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1 global average (reference NB cell 19 df.price.mean()). */
+  private val aggAvg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(round(avg("l_extendedprice"), 2).as("avg_price"))
+
+  /** A2 row count (reference NB cell 7 sanity count). */
+  private val aggCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  /** A3 exact distinct counts (reference NB cell 10 df.nunique()). */
+  private val aggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_orderkey")).as("n_orderkeys"),
+      countDistinct(col("l_partkey")).as("n_partkeys"),
+      countDistinct(col("l_returnflag")).as("n_flags"))
+
+  /** A3 sketch variant: HyperLogLog++ distinct estimate — the 100 TB path
+    * where exact countDistinct's shuffle is unaffordable. No oracle
+    * (estimate); driver records rows>0. */
+  private val aggApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orderkeys"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_partkeys"))
+
+  /** A5 summary statistics (reference NB cell 20 df.describe). */
+  private val aggStats: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"),
+      round(avg("l_extendedprice"), 2).as("avg_price"),
+      round(stddev("l_extendedprice"), 4).as("std_price"))
+
+  /** A6 Pearson correlation (reference NB cell 21 df.corr()['price']). */
+  private val aggCorr: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      round(corr("l_discount", "l_extendedprice"), 6).as("corr_disc_price"))
+
+  /** A8 grouped aggregation, TPC-H Q1 shape (SURVEY.md §7.1): partial
+    * (map-side) + final hash agg; only the 4-group keyspace shuffles. */
+  private val groupBy: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A9 rollup: hierarchical subtotals (engine extension, absent in the
+    * reference). Nulls-first ordering matches the oracle's NULLS FIRST. */
+  private val rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** A9 cube: all grouping-set combinations. */
+  private val cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** E6 exact quantiles (reference NB cell 22 probplot): SQL `percentile`
+    * with linear interpolation — matches DuckDB quantile_cont. The
+    * at-scale variant is approx_percentile (t-digest sketch). */
+  private val quantiles: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+      round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+      round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_full" -> scanFull,
+    "q_project" -> project,
+    "q_filter_eq" -> filterEq,
+    "q_filter_when" -> filterWhen,
+    "q_dropna" -> dropna,
+    "q_null_count" -> nullCount,
+    "q_hcc_detect" -> hccDetect,
+    "q_sort" -> sort,
+    "q_limit" -> limitQ,
+    "q_topk" -> topk,
+    "q_union_all" -> unionAll,
+    "q_intersect" -> intersect,
+    "q_except" -> exceptQ,
+    "q_distinct" -> distinctQ,
+    "q_agg_avg" -> aggAvg,
+    "q_agg_count" -> aggCount,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_stats" -> aggStats,
+    "q_agg_corr" -> aggCorr,
+    "q_groupby" -> groupBy,
+    "q_rollup" -> rollup,
+    "q_cube" -> cube,
+    "q_quantiles" -> quantiles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_full" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "q_project" ->
+      """SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_quantity, l_extendedprice""",
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem WHERE l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_when" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return,
+                CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS qty_band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_dropna" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+           AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+           AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+         ORDER BY o_orderkey""",
+    "q_null_count" ->
+      """SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderstatus,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderdate,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderpriority,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_total
+         FROM orders""",
+    "q_hcc_detect" ->
+      """SELECT col_name, n_distinct,
+                CASE WHEN n_distinct > 100 THEN 1 ELSE 0 END AS is_hcc
+         FROM (
+           SELECT 'p_brand' AS col_name, count(DISTINCT p_brand) AS n_distinct FROM part
+           UNION ALL
+           SELECT 'p_name', count(DISTINCT p_name) FROM part
+           UNION ALL
+           SELECT 'p_type', count(DISTINCT p_type) FROM part)
+         ORDER BY col_name""",
+    "q_sort" ->
+      """SELECT c_mktsegment, c_acctbal, c_custkey FROM customer
+         ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
+    "q_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 10""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    "q_union_all" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_totalprice >= 100000.0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_totalprice < 50000.0)
+         ORDER BY o_orderkey""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q_except" ->
+      """SELECT o_orderkey AS orderkey FROM orders
+         EXCEPT
+         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         ORDER BY orderkey""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_avg" ->
+      "SELECT round(avg(l_extendedprice), 2) AS avg_price FROM lineitem",
+    "q_agg_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q_agg_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orderkeys,
+                count(DISTINCT l_partkey) AS n_partkeys,
+                count(DISTINCT l_returnflag) AS n_flags
+         FROM lineitem""",
+    "q_agg_stats" ->
+      """SELECT count(*) AS n,
+                round(min(l_extendedprice), 2) AS min_price,
+                round(max(l_extendedprice), 2) AS max_price,
+                round(avg(l_extendedprice), 2) AS avg_price,
+                round(stddev_samp(l_extendedprice), 4) AS std_price
+         FROM lineitem""",
+    "q_agg_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+         FROM lineitem""",
+    "q_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem""",
+  )
+}

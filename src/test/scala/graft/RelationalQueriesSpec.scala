@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.RelationalQueries
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    RelationalQueries.queries(name)(spark, sf)
+
+  test("every relational query executes and returns rows") {
+    RelationalQueries.queries.keys.foreach { name =>
+      val df = run(name)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = RelationalQueries.oracles.keySet -- RelationalQueries.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q_agg_count equals table count") {
+    val n = run("q_agg_count").collect()(0).getLong(0)
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_union_all count is sum of branch counts") {
+    val o = Tables.orders(spark, sf)
+    val expect = o.filter(col("o_totalprice") >= 100000.0).count() +
+      o.filter(col("o_totalprice") < 50000.0).count()
+    assert(run("q_union_all").count() == expect)
+  }
+
+  test("q_groupby group keys cover the table") {
+    val got = run("q_groupby").select("l_returnflag", "l_linestatus").collect().toSet
+    val all = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().collect().toSet
+    assert(got == all)
+  }
+
+  test("q_rollup includes the grand-total row") {
+    val rows = run("q_rollup").collect()
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length == 1)
+    assert(total(0).getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_filter_eq keeps only R rows") {
+    val flags = run("q_filter_eq").select("l_returnflag").distinct().collect()
+    assert(flags.map(_.getString(0)).toSeq == Seq("R"))
+  }
+
+  test("q_topk is ordered descending") {
+    val vals = run("q_topk").select("o_totalprice").collect().map(_.getDouble(0))
+    assert(vals.sameElements(vals.sorted(Ordering[Double].reverse)))
+  }
+
+  test("projection prunes columns at the parquet scan") {
+    val plan = run("q_project").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
+      "scan must not read unprojected columns")
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val plan = run("q_filter_eq").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"))
+  }
+}
