@@ -28,10 +28,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.JoinQueries.queries ++
+      graft.queries.WindowQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** DuckDB-runnable ANSI SQL per query (same parquet tables, registered
     * under their bare table names). Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.FunctionQueries.oracles ++
+      graft.queries.JoinQueries.oracles ++
+      graft.queries.WindowQueries.oracles ++
+      graft.queries.StreamQueries.oracles
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.8) + the UDF surface (§2.12).
+  *
+  * The reference's two real "UDFs" — `clean_data` (zipcode regex clean,
+  * NB cell 40) and `datetime_to_UTC_days` (NB cell 86) — are implemented
+  * twice: as native codegen'd expression chains (the idiomatic, Catalyst-
+  * optimizable form used everywhere) and once as a registered Scala UDF
+  * (`q_udf_clean`) to exercise the UDF registration path against the same
+  * oracle. Native wins at scale: the expression participates in
+  * whole-stage codegen and predicate pushdown; the UDF is an opaque
+  * black box to the optimizer.
+  */
+object FunctionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F4 `clean_data` semantics as a composable Column: strip everything
+    * outside [, a-zA-Z0-9] to spaces, take the first space-token
+    * (reference NB cell 40, ipynb:L1437). */
+  def cleanData(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(regexp_replace(c, "[^, a-zA-Z0-9]", " "), " ").getItem(0)
+
+  /** F1/F2/F3 math: exp (inverts log_price, NB cell 18), round, abs. */
+  private val fnMath: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(exp(col("l_discount")), 6).as("exp_disc"),
+      // scale by 2 (binary-exact): price has 2 decimals, so doubling
+      // introduces no new decimal digits and no .xx5 rounding boundary
+      // where Spark (BigDecimal.valueOf) and DuckDB (raw binary double)
+      // would round differently.
+      round(col("l_extendedprice") * 2.0, 2).as("price_double"),
+      abs(-col("l_quantity")).as("abs_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F4 regex clean + first-token extract, native expression form. */
+  private val fnRegex: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderpriority"),
+      cleanData(col("o_orderpriority")).as("prio_token"))
+      .orderBy("o_orderkey")
+
+  /** F5 array ops: split + size + element access (amenities token count,
+    * NB cells 25-26). */
+  private val fnArray: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      size(split(col("p_name"), " ")).as("n_tokens"),
+      split(col("p_name"), " ").getItem(0).as("first_token"))
+      .orderBy("p_partkey")
+
+  /** F6 casts (astype int / str, NB cells 44/78). */
+  private val fnCast: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("int").as("qty_int"),
+      col("l_orderkey").cast("string").as("key_str"),
+      col("l_linenumber").cast("double").as("line_dbl"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F7 `datetime_to_UTC_days`: date → UTC epoch days (NB cell 86), plus
+    * calendar parts (F8's to_timestamp surface). */
+  private val fnDate: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("epoch_days"),
+      year(col("o_orderdate")).cast("int").as("yr"),
+      month(col("o_orderdate")).cast("int").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("int").as("dom"))
+      .orderBy("o_orderkey")
+
+  /** F9 JSON extraction on events.props ({"k": N}). */
+  private val fnJson: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  /** §2.12(2): the same clean_data as a registered Scala UDF — same
+    * oracle as q_fn_regex proves semantic equivalence. Kept off the hot
+    * path in real pipelines (opaque to Catalyst). */
+  private val udfClean: Q = (s, d) => {
+    val clean = udf { v: String =>
+      if (v == null) null
+      else v.replaceAll("[^, a-zA-Z0-9]", " ").split(" ", -1)(0)
+    }
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderpriority"),
+      clean(col("o_orderpriority")).as("prio_token"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F10 map functions after from_json to MapType (engine extension). */
+  private val fnMap: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(
+        col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_math" -> fnMath,
+    "q_fn_regex" -> fnRegex,
+    "q_fn_array" -> fnArray,
+    "q_fn_cast" -> fnCast,
+    "q_fn_date" -> fnDate,
+    "q_fn_json" -> fnJson,
+    "q_fn_map" -> fnMap,
+    "q_udf_clean" -> udfClean,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(exp(l_discount), 6) AS exp_disc,
+                round(l_extendedprice * 2.0, 2) AS price_double,
+                abs(-l_quantity) AS abs_qty
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_fn_regex" ->
+      """SELECT o_orderkey, o_orderpriority,
+                split_part(regexp_replace(o_orderpriority, '[^, a-zA-Z0-9]', ' ', 'g'), ' ', 1) AS prio_token
+         FROM orders ORDER BY o_orderkey""",
+    "q_fn_array" ->
+      """SELECT p_partkey,
+                CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tokens,
+                string_split(p_name, ' ')[1] AS first_token
+         FROM part ORDER BY p_partkey""",
+    "q_fn_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS INTEGER) AS qty_int,
+                CAST(l_orderkey AS VARCHAR) AS key_str,
+                CAST(l_linenumber AS DOUBLE) AS line_dbl
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_days,
+                CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(month(o_orderdate) AS INTEGER) AS mo,
+                CAST(day(o_orderdate) AS INTEGER) AS dom
+         FROM orders ORDER BY o_orderkey""",
+    "q_fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_fn_map" ->
+      """SELECT event_id, 'k' AS keys,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_udf_clean" ->
+      """SELECT o_orderkey, o_orderpriority,
+                split_part(regexp_replace(o_orderpriority, '[^, a-zA-Z0-9]', ' ', 'g'), ' ', 1) AS prio_token
+         FROM orders ORDER BY o_orderkey""",
+  )
+}

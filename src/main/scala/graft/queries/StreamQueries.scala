@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-window operators over the events table (SURVEY.md §2.10).
+  *
+  * These are the batch-equivalent forms of the Structured Streaming
+  * queries in graft.streaming.EventStreams — same window()/
+  * session_window() expressions, so the streaming plans are verified
+  * against DuckDB through their batch twins. Window starts are emitted
+  * as epoch seconds (BIGINT) to sidestep parquet timestamp-unit
+  * ambiguity between engines.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour window per event_type. */
+  private val windowTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Sliding 1-hour window every 30 minutes: each event lands in 2
+    * windows (window start grid = 30 min). */
+  private val windowSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Session windows: per-user sessions closed by a 30-minute gap.
+    * Uses the native session_window operator; the oracle reconstructs
+    * sessions with the classic lag-gap / running-flag-sum islands SQL. */
+  private val sessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start_us")
+
+  /** Sessionization expressed with lag-gap detection (W2 composition) —
+    * the same islands the session_window operator finds, computed with
+    * plain windows; demonstrates both forms agree with one oracle
+    * shape. */
+  private val sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // session_window semantics: an event joins the open session iff
+      // its gap is strictly under 30 min, so >= 30 min opens a new one;
+      // compare in microseconds to avoid truncation drift.
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        unix_micros(min("ts")).as("s_start_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s_start_us"), col("n_events"))
+      .orderBy("user_id", "s_start_us")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_tumbling" -> windowTumbling,
+    "q_window_sliding" -> windowSliding,
+    "q_session_window" -> sessionWindow,
+    "q_sessionize" -> sessionize,
+  )
+
+  private val islandsSql =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sessions AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, epoch_us(min(ts)) AS s_start_us, %s
+       FROM sessions GROUP BY user_id, session_id
+       ORDER BY user_id, s_start_us"""
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_window_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (
+           SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) AS w_start,
+                  event_type, value FROM events
+           UNION ALL
+           SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) - 1800,
+                  event_type, value FROM events)
+         GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_session_window" ->
+      islandsSql.format("count(*) AS n_events, round(sum(value), 2) AS sum_value"),
+    "q_sessionize" ->
+      islandsSql.format("count(*) AS n_events"),
+  )
+}

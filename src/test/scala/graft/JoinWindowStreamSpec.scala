@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{JoinQueries, StreamQueries, WindowQueries}
+
+class JoinWindowStreamSpec extends SparkSpec {
+
+  test("all join/window/stream queries execute and return rows") {
+    (JoinQueries.queries ++ WindowQueries.queries ++ StreamQueries.queries)
+      .foreach { case (name, fn) =>
+        assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+      }
+  }
+
+  test("semi + anti partition orders") {
+    val total = Tables.orders(spark, sf).count()
+    val semi = JoinQueries.queries("q_join_semi")(spark, sf).count()
+    val anti = JoinQueries.queries("q_join_anti")(spark, sf).count()
+    assert(semi + anti == total)
+  }
+
+  test("as-of join matches brute force for sampled users") {
+    val asof = JoinQueries.queries("q_join_asof")(spark, sf)
+      .select("event_id", "purchase_us").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+    val purchases = e.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(1))
+      .map { case (u, rs) => u -> rs.map(_.getLong(3)).sorted.toSeq }
+    e.filter(_.getString(2) == "click").take(200).foreach { r =>
+      val expect = purchases.getOrElse(r.getLong(1), Seq.empty)
+        .takeWhile(_ <= r.getLong(3)).lastOption
+      assert(asof(r.getLong(0)) == expect, s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("session_window operator agrees with lag-gap sessionization") {
+    val a = StreamQueries.queries("q_session_window")(spark, sf)
+      .select("user_id", "s_start_us", "n_events").collect().map(_.toSeq).toSet
+    val b = StreamQueries.queries("q_sessionize")(spark, sf)
+      .select("user_id", "s_start_us", "n_events").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("sliding windows hold each event exactly twice") {
+    val n = Tables.events(spark, sf).count()
+    val windowed = StreamQueries.queries("q_window_sliding")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(windowed == 2 * n)
+  }
+
+  test("label encode is a bijection in sorted value order") {
+    val rows = WindowQueries.queries("q_label_encode")(spark, sf)
+      .select("c_mktsegment", "segment_code").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).sortBy(_._1)
+    assert(rows.map(_._2).sameElements(rows.indices))
+  }
+
+  test("broadcast join plan actually broadcasts the dim side") {
+    val plan = JoinQueries.queries("q_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("rank columns are consistent within a partition") {
+    val rows = WindowQueries.queries("q_win_rank")(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("rn", "rnk", "drnk").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getInt(1) <= r.getInt(0) && r.getInt(2) <= r.getInt(1))
+    }
+  }
+}
