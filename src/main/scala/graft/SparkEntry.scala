@@ -32,7 +32,9 @@ object SparkEntry {
       graft.queries.FunctionQueries.queries ++
       graft.queries.JoinQueries.queries ++
       graft.queries.WindowQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** DuckDB-runnable ANSI SQL per query (same parquet tables, registered
     * under their bare table names). Omitted keys get a rows-only check. */
@@ -41,5 +43,7 @@ object SparkEntry {
       graft.queries.FunctionQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
       graft.queries.WindowQueries.oracles ++
-      graft.queries.StreamQueries.oracles
+      graft.queries.StreamQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

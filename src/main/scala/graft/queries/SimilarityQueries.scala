@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHashAgg
+
+/** Similarity search + hash-based near-dedup over the embeddings and
+  * documents tables (SURVEY.md §2.13).
+  *
+  * Scale design:
+  *  - q_knn_exact is the correctness baseline: the (single) query vector
+  *    is broadcast against the corpus, cosine computed with codegen'd
+  *    higher-order functions in double precision, top-k planned as
+  *    TakeOrderedAndProject (per-partition heaps). At 100 TB the same
+  *    plan shape serves "score corpus against a small probe set".
+  *  - q_knn_lsh (random-hyperplane LSH) is the scale path: vectors are
+  *    bucketed by sign-bit sketches, candidates meet in a bucket
+  *    equi-join — shuffle on bucket id, never a cross join.
+  *  - q_dedup_minhash mirrors MinHashLSH: per-doc shingle min-hashes,
+  *    banded into bucket keys, candidate pairs from a bucket join, then
+  *    exact Jaccard verification on the candidates only.
+  *  - q_dedup_simhash: 64-bit SimHash via a typed Aggregator (partial
+  *    agg across the shuffle), then banded Hamming search (pigeonhole:
+  *    4 bands of 16 bits — Hamming distance <= 3 implies at least one
+  *    identical band).
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision via codegen'd HOFs (no UDF). */
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force exact cosine top-k against query vector vec_id=0. */
+  private val knnExact: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-label centroids, element-wise: posexplode → (label, pos) mean.
+    * Distributed in both dimensions — no vector ever assembled on the
+    * driver. */
+  private val centroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
+      .orderBy("label", "pos")
+
+  /** Random-hyperplane LSH, multi-table banding: L=8 hash tables of
+    * 8 sign bits each. A vector lands in one bucket per table;
+    * candidates meet the query in any table's bucket, then exact cosine
+    * ranks them. Hyperplanes are hash-derived (deterministic across
+    * executors — no driver randomness, no broadcast side table).
+    * Candidate generation is an equi-join on (table, bucket): shuffle
+    * scales with corpus size, never O(n²). No oracle (approximate);
+    * unit-tested for recall against q_knn_exact. */
+  private val knnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val nTables = 8
+    val bitsPerTable = 8
+    // hyperplane component for (table t, bit b, dim i) in [-1, 1):
+    // derived from a hash so bucketing is reproducible everywhere.
+    def signBit(t: Int, b: Int) =
+      when(aggregate(
+        zip_with(
+          col("embedding"),
+          expr(s"transform(sequence(0, size(embedding) - 1), i -> " +
+            s"(pmod(hash(i * 131 + ${t * bitsPerTable + b}), 1000) - 500) / 500.0)"),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
+    val buckets = e.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until nTables).map { t =>
+        (0 until bitsPerTable).map(b => signBit(t, b) * lit(1L << b)).reduce(_ + _)
+      }: _*)).as(Seq("tbl", "bucket")))
+    val q = buckets.filter(col("vec_id") === 0)
+      .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
+        col("embedding").as("q_emb"))
+    buckets
+      .join(broadcast(q),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("embedding"), col("q_emb")).distinct()
+      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** MinHash near-dedup: k=32 permutation min-hashes over word-3-gram
+    * shingles, banded 8×4; same-band collision → candidate pair →
+    * exact shingle-Jaccard verification (integer threshold 0.8). */
+  private val dedupMinhash: Q = (s, d) => {
+    val shingles = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w) - 3),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array() END""")).as("shingle"))
+      .distinct()
+    // 32 min-hashes per doc: min over xxhash64(shingle, seed)
+    val k = 32
+    val minhashes = shingles
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        array((0 until k).map(i => min(xxhash64(col("shingle"), lit(i)))): _*).as("mh"))
+    // band 8 bands × 4 rows: bucket key = hash of the band slice
+    val bands = minhashes.select(
+      col("doc_id"), col("n_sh"),
+      posexplode(expr("transform(sequence(0, 7), b -> hash(slice(mh, b * 4 + 1, 4), b))"))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .distinct()
+    // exact verification on candidates only
+    val inter = cand
+      .join(shingles.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingle", "sh1"), "d1")
+      .join(shingles.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingle", "sh2"), "d2")
+      .filter(col("sh1") === col("sh2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select("d1", "d2", "n_inter", "n_union")
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dedup: 64-bit simhash per doc from word hashes via
+    * the SimHashAgg Aggregator, banded Hamming-<=3 candidate join,
+    * exact popcount verification. */
+  private val dedupSimhash: Q = (s, d) => {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("wh"))
+    val sim = words
+      .select(col("doc_id").as("_1"), col("wh").as("_2")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(SimHashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS LONG))"))
+        .as(Seq("band", "chunk")))
+    val maxHamming = 3
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_exact" -> knnExact,
+    "q_knn_centroids" -> centroids,
+    "q_knn_lsh" -> knnLsh,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // cast to DOUBLE[] so DuckDB does the same double-precision math
+    "q_knn_exact" ->
+      """SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_knn_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
+         FROM embeddings, range(1, 65) t(i)
+         GROUP BY label, pos ORDER BY label, pos""",
+  )
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fingerprint64.fingerprint64
+
+/** Text-analysis + deduplication operators over the documents table —
+  * the LLM-training-data-pipeline surface (SURVEY.md §2.13).
+  *
+  * Scale notes:
+  *  - exact dedup is a hash groupBy on the text key (or its 64-bit
+  *    fingerprint at scale, so the shuffle carries 8 bytes not whole
+  *    documents);
+  *  - n-gram Jaccard near-dedup uses the shingle-equi-join pattern:
+  *    explode distinct shingles, self-join on the shingle, count — a
+  *    pure shuffle join, no O(n²) pairwise pass. Thresholding is done
+  *    in exact integer arithmetic (no float boundary).
+  *  - everything emits counts/IDs, never re-shipped full texts.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+
+  /** Per (lang, source) corpus statistics. */
+  private val textStats: Q = (s, d) =>
+    withWords(Tables.documents(s, d))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        max(length(col("text"))).as("max_chars"),
+        round(avg(size(col("w"))), 4).as("avg_words"))
+      .orderBy("lang", "source")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letters | digits | single punctuation). */
+  private val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Language ID by stopword-marker voting: deterministic argmax over
+    * per-language marker-word hit counts (n-gram-profile heuristic
+    * reduced to its SQL-expressible core so DuckDB can oracle it). */
+  private val langId: Q = (s, d) =>
+    withWords(Tables.documents(s, d))
+      .withColumn("score_en",
+        size(filter(col("w"), w => w.isin("the", "a", "of"))))
+      .withColumn("score_es",
+        size(filter(col("w"), w => w.isin("el", "la", "de"))))
+      .withColumn("score_de",
+        size(filter(col("w"), w => w.isin("der", "und", "die"))))
+      .withColumn("pred_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") && col("score_en") > 0, "en")
+          .when(col("score_es") >= col("score_de") && col("score_es") > 0, "es")
+          .when(col("score_de") > 0, "de")
+          .otherwise("und"))
+      .select("doc_id", "lang", "score_en", "score_es", "score_de", "pred_lang")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length band, punctuation density, stopword
+    * presence — integer score 0-3 (no float-rounding ambiguity). */
+  private val qualityScore: Q = (s, d) =>
+    withWords(Tables.documents(s, d))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))))
+      .withColumn("n_stop",
+        size(filter(col("w"), w => w.isin("the", "a", "of", "and", "to"))))
+      .withColumn("quality",
+        when(col("n_words").between(10, 10000), 1).otherwise(0)
+          + when(col("n_punct") * 10 < col("n_chars"), 1).otherwise(0)
+          + when(col("n_stop") * 2 <= col("n_words"), 1).otherwise(0))
+      .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
+      .orderBy("doc_id")
+
+  /** Exact dedup: one row per distinct text, keeping the smallest
+    * doc_id (deterministic, unlike dropDuplicates) + duplicate count. */
+  private val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Near-dedup by word-3-gram Jaccard >= 0.8 via the shingle join.
+    * Threshold in integer arithmetic: inter*5 >= union*4. */
+  private val dedupNgram: Q = (s, d) => {
+    val shingles = withWords(Tables.documents(s, d))
+      // guard: sequence(0, n) errors for n < 0 (docs under 3 words)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w) - 3),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array() END"""))
+        .as("shingle"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shingles.as("a")
+      .join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select("d1", "d2", "n_inter", "n_union")
+      .orderBy("d1", "d2")
+  }
+
+  /** Document fingerprints via the custom codegen Fingerprint64
+    * expression (no DuckDB equivalent → rows-only check + unit tests). */
+  private val docFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats,
+    "q_token_count" -> tokenCount,
+    "q_lang_id" -> langId,
+    "q_quality_score" -> qualityScore,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_ngram" -> dedupNgram,
+    "q_doc_fingerprint" -> docFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(max(length(text)) AS INTEGER) AS max_chars,
+                round(avg(len(string_split(text, ' '))), 4) AS avg_words
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS n_chars2,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS INTEGER) AS score_en,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS INTEGER) AS score_es,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','und','die'))) AS INTEGER) AS score_de
+           FROM documents)
+         SELECT doc_id, lang, score_en, score_es, score_de,
+                CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0 THEN 'en'
+                     WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+                     WHEN score_de > 0 THEN 'de'
+                     ELSE 'und' END AS pred_lang
+         FROM scored ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH f AS (
+           SELECT doc_id, n_chars,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to'))) AS INTEGER) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_words, n_punct, n_stop,
+                (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+                 + CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END
+                 + CASE WHEN n_stop * 2 <= n_words THEN 1 ELSE 0 END) AS quality
+         FROM f ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
+         ORDER BY d1, d2""",
+  )
+}

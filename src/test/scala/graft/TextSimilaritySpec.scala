@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fingerprint64
+import graft.queries.{SimilarityQueries, TextQueries}
+
+class TextSimilaritySpec extends SparkSpec {
+
+  test("all text/similarity queries execute and return rows") {
+    (TextQueries.queries ++ SimilarityQueries.queries).foreach {
+      case (name, fn) => assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("fingerprint64 expression matches the reference scala implementation") {
+    val rows = TextQueries.queries("q_doc_fingerprint")(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("text", "fp64").limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == Fingerprint64.hash(r.getString(0).getBytes("UTF-8")))
+    }
+  }
+
+  test("fingerprint64 distinguishes distinct texts and is stable on equal ones") {
+    val fps = TextQueries.queries("q_doc_fingerprint")(spark, sf).collect()
+    assert(fps.map(_.getLong(1)).distinct.length == fps.length) // all docs distinct at sf0.001
+    val twice = TextQueries.queries("q_doc_fingerprint")(spark, sf).collect()
+    assert(fps.map(_.getLong(1)).toSeq == twice.map(_.getLong(1)).toSeq)
+  }
+
+  test("fingerprint64 participates in whole-stage codegen") {
+    val plan = Tables.documents(spark, sf)
+      .select(Fingerprint64.fingerprint64(col("text")))
+      .queryExecution.executedPlan
+    val inCodegen = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(inCodegen, s"expected a WholeStageCodegen stage, got:\n$plan")
+  }
+
+  test("minhash dedup finds every exact-ngram-jaccard pair (candidate superset)") {
+    val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SimilarityQueries.queries("q_dedup_minhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash verifies candidates exactly, so found pairs must be a
+    // subset of the true pairs; recall should be near-total here.
+    assert(mh.subsetOf(exact))
+    assert(mh.size >= exact.size * 8 / 10, s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
+    val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = SimilarityQueries.queries("q_dedup_simhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty)
+    assert((sh intersect exact).size >= sh.size / 2,
+      s"simhash pairs mostly disagree with jaccard pairs: ${(sh intersect exact).size}/${sh.size}")
+  }
+
+  test("lsh knn includes the query vector and overlaps exact top-10") {
+    val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = SimilarityQueries.queries("q_knn_lsh")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.contains(0L), "query vector must match itself")
+    assert((lsh intersect exact).size >= 2, s"lsh found ${lsh intersect exact} of exact top-10")
+  }
+
+  test("exact knn is ordered by similarity with the query first") {
+    val rows = SimilarityQueries.queries("q_knn_exact")(spark, sf).collect()
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(2) == 1.0)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("dedup_exact keeps one row per distinct text") {
+    val n = TextQueries.queries("q_dedup_exact")(spark, sf).count()
+    val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(n == distinctTexts)
+  }
+}
