@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's ETL entry point (pipeline.py) re-expressed as a bulk
+  * distributed job.
+  *
+  * pipeline.py reads Final_EDA.csv into pandas (pipeline.py:8), appends
+  * it to SQLite via to_sql (pipeline.py:14), then copies every row
+  * one-at-a-time into PostgreSQL with string-formatted INSERTs
+  * (pipeline.py:48-74) after a full fetchall() onto the client
+  * (pipeline.py:36). Those are the three anti-patterns this job
+  * removes: executors read/write in parallel, nothing materializes on
+  * the driver, and the sink is an atomic bulk write.
+  */
+object EtlJob {
+
+  /** CSV scan of a clean listings export (S1: header + declared schema;
+    * set inferSchema=true to demonstrate the inference path instead). */
+  def readCleanCsv(spark: SparkSession, path: String,
+      inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.option("header", "true")
+    if (inferSchema) r.option("inferSchema", "true").csv(path)
+    else r.schema(Listings.cleanSchema).csv(path)
+  }
+
+  /** Bulk append into a parquet "table" (S3's to_sql analogue).
+    * Partitioned by the low-cardinality city code so downstream
+    * city-filtered queries prune partitions at 100 TB. */
+  def writeTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("city").parquet(path)
+
+  /** JDBC sink — the literal PostgreSQL analogue (S5 replaced by the
+    * parallel DataFrameWriter: one bulk transaction per partition, no
+    * per-row client round-trip, no SQL string formatting). Exercised
+    * only when a jdbcUrl is supplied (no database in the test env). */
+  def writeJdbc(df: DataFrame, jdbcUrl: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
+
+  /** End-to-end: CSV in, partitioned parquet table out. */
+  def run(spark: SparkSession, inCsv: String, outTable: String): Unit =
+    writeTable(readCleanCsv(spark, inCsv), outTable)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{CleanPipeline, EtlJob, Listings}
+
+class EtlJobSpec extends SparkSpec {
+
+  test("etl: clean csv → partitioned parquet table round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl")
+    val csvDir = s"$tmp/clean_csv"
+    val tableDir = s"$tmp/air_table"
+    val (train, test) = ListingsFixture.trainTest(spark)
+    val clean = CleanPipeline.run(train, test)
+    clean.write.option("header", "true").csv(csvDir)
+
+    EtlJob.run(spark, csvDir, tableDir)
+
+    val back = spark.read.parquet(tableDir)
+    assert(back.count() == clean.count())
+    // partitionBy(city) must produce city=N directories (partition pruning)
+    val dirs = new java.io.File(tableDir).listFiles().map(_.getName).filter(_.startsWith("city="))
+    assert(dirs.nonEmpty, "expected city= partition directories")
+    // append semantics like to_sql(if_exists='append'): second run doubles
+    EtlJob.run(spark, csvDir, tableDir)
+    assert(spark.read.parquet(tableDir).count() == 2 * clean.count())
+    // city-filtered read prunes partitions
+    val pruned = spark.read.parquet(tableDir).filter(col("city") === 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(city"), s"no partition pruning in:\n$plan")
+  }
+
+  test("declared-schema csv read matches the clean schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl2")
+    val csvDir = s"$tmp/clean_csv"
+    val (train, test) = ListingsFixture.trainTest(spark)
+    CleanPipeline.run(train, test).write.option("header", "true").csv(csvDir)
+    val df = EtlJob.readCleanCsv(spark, csvDir)
+    // CSV sources mark everything nullable; compare names + types
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Listings.cleanSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(df.count() > 0)
+  }
+}

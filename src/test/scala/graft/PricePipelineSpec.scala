@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.ml.tuning.TrainValidationSplitModel
+import graft.ml.{BayesianSearch, PricePipeline}
+import graft.pipeline.{CleanPipeline, Listings}
+
+class PricePipelineSpec extends SparkSpec {
+
+  private lazy val clean = {
+    val (train, test) = ListingsFixture.trainTest(spark)
+    CleanPipeline.run(train, test).cache()
+  }
+  private val features = Listings.featureCols
+
+  test("gbt pipeline trains and beats the naive-mean baseline") {
+    val Array(tr, va) = clean.randomSplit(Array(0.8, 0.2), 42L)
+    val model = PricePipeline.pipeline(features, "gbt").fit(tr)
+    val mae = PricePipeline.evaluator("mae").evaluate(model.transform(va))
+    val baseline = PricePipeline.baselineMae(va)
+    assert(mae.isFinite && mae > 0)
+    assert(mae < baseline, s"model mae $mae should beat baseline $baseline")
+  }
+
+  test("linear baseline trains and evaluates with mae/rmse/mse") {
+    val model = PricePipeline.pipeline(features, "linear").fit(clean)
+    val pred = model.transform(clean)
+    Seq("mae", "rmse", "mse").foreach { m =>
+      val v = PricePipeline.evaluator(m).evaluate(pred)
+      assert(v.isFinite && v >= 0, s"$m = $v")
+    }
+  }
+
+  test("grid search evaluates the full grid and picks the best map (M5)") {
+    // ParamGridBuilder emits the grid in Param-hash order, which varies
+    // per estimator instance — so compare params→metric as a map, not
+    // positionally.
+    def metricByParams(m: TrainValidationSplitModel): Map[String, Double] =
+      m.getEstimatorParamMaps.zip(m.validationMetrics).map { case (pm, v) =>
+        pm.toSeq.map(p => s"${p.param.name}=${p.value}").sorted.mkString(";") -> v
+      }.toMap
+    val m1 = metricByParams(PricePipeline.gridSearch(clean, features))
+    val m2 = metricByParams(PricePipeline.gridSearch(clean, features))
+    assert(m1.size == 8) // 2 depths × 2 iters × 2 steps
+    assert(m1.values.forall(m => m.isFinite && m > 0))
+    assert(m1 == m2, "same seed must reproduce the same grid evaluation")
+    assert(m1.minBy(_._2)._1 == m2.minBy(_._2)._1)
+  }
+
+  test("bayesian-style search improves over its own warmup (M4)") {
+    val trials = BayesianSearch.search(clean, features, n = 6, nWarmup = 3)
+    assert(trials.length == 6)
+    val best = trials.head.mae
+    assert(trials.forall(_.mae >= best))
+    // deterministic under fixed seed
+    val again = BayesianSearch.search(clean, features, n = 6, nWarmup = 3)
+    assert(again.map(_.params) == trials.map(_.params))
+  }
+
+  test("model save/load round-trips predictions (M7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val model = PricePipeline.pipeline(features, "gbt").fit(clean)
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(clean).select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(clean).select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+}
