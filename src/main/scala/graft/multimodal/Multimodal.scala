@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY.md §2.13): image/audio/video payloads as
+  * opaque BinaryType columns with typed metadata structs.
+  *
+  * The decode step is STUBBED — the container has no image/audio
+  * codecs — behind `decodeStub`, a deterministic fake that parses the
+  * 16-byte graft header instead of real pixels. Everything around it is
+  * the real Spark plumbing this pipeline needs at 100 TB: binary
+  * columns round-tripping through parquet, metadata as a pruned-able
+  * struct, per-partition batch processing (mapPartitions — the Scala
+  * analogue of mapInPandas' batch shape), and byte-level feature
+  * extraction as codegen'd expressions where possible.
+  *
+  * Payload layout (fake but parseable): bytes 0-3 magic "GRFT", 4 kind
+  * (0=image,1=audio,2=video), 5-8 width/rate, 9-12 height/frames,
+  * 13-15 reserved; then `len` content bytes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  private val kinds = Seq("image", "audio", "video")
+
+  /** Deterministic synthetic media table: payload bytes derive from
+    * media_id only (xorshift), so any executor regenerates identical
+    * data — no fixture files needed. */
+  def synthesize(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = spark.sparkContext.range(0L, n.toLong, numSlices = partitions).map { id =>
+      val kind = kinds((id % 3).toInt)
+      val w = 16 + (id % 64).toInt
+      val h = 16 + (id % 48).toInt
+      val rate = 8000 + (id % 4).toInt * 8000
+      val frames = 1 + (id % 30).toInt
+      val contentLen = 64 + (id % 192).toInt
+      val buf = java.nio.ByteBuffer.allocate(16 + contentLen)
+      buf.put("GRFT".getBytes); buf.put((id % 3).toByte)
+      buf.putInt(if (kind == "audio") rate else w)
+      buf.putInt(if (kind == "video") frames else h)
+      buf.put(Array[Byte](0, 0, 0))
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      (0 until contentLen).foreach { _ =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        buf.put((x & 0xff).toByte)
+      }
+      Row(id, kind, buf.array(),
+        Row(if (kind == "image") w else 0, if (kind == "image") h else 0,
+          if (kind == "audio") rate else 0, if (kind == "video") frames else 0))
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  case class Decoded(media_id: Long, kind: String, dim_a: Int, dim_b: Int,
+      content_bytes: Int, checksum: Long)
+
+  /** STUB decode (the real codec is ??? in this environment): parses
+    * the graft header + checksums the content — per-partition batches,
+    * the exact seam where a JNI/codec call would sit. */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition init (decoder handle would be created here once)
+        batch.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic) == "GRFT", s"bad magic for media $id")
+          val kind = kinds(bb.get().toInt)
+          val a = bb.getInt; val b = bb.getInt
+          bb.get(new Array[Byte](3))
+          var sum = 0L
+          while (bb.hasRemaining) sum = sum * 31 + (bb.get() & 0xff)
+          Decoded(id, kind, a, b, payload.length - 16, sum)
+        }
+      }.toDF()
+  }
+
+  /** Nibble-histogram features without leaving codegen land: payload →
+    * hex → 16-bin histogram of content nibbles, all with built-in HOFs
+    * (no UDF, no mapPartitions — fuses into whole-stage codegen). */
+  def byteHistogram(media: DataFrame): DataFrame =
+    media
+      .withColumn("hx", hex(col("payload")))
+      .select(
+        col("media_id"),
+        expr("""
+          transform(sequence(0, 15), bin ->
+            size(filter(split(substr(hx, 33), ''),
+                 c -> c != '' AND conv(c, 16, 10) = cast(bin AS STRING))))
+        """).as("hist16"))
+      .drop("hx")
+
+  /** Frame sampling for video payloads: every k-th frame index, pure
+    * metadata arithmetic (the real pipeline would slice the payload at
+    * frame boundaries here). */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        col("meta.n_frames").as("n_frames"),
+        expr(s"filter(sequence(0, meta.n_frames - 1), i -> i % $everyK = 0)")
+          .as("sampled_frames"))
+}

@@ -214,7 +214,31 @@ object RelationalQueries {
       round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
+  /** §2.12.3 custom-UDAF surface: per-group variance/stddev through the
+    * MomentsAgg Aggregator (one-pass Welford, mergeable partials),
+    * checked against DuckDB's var_samp/stddev_samp. */
+  private val aggMoments: Q = (s, d) => {
+    import s.implicits._
+    val grouped = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("_1"), col("l_extendedprice").as("_2"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MomentsAgg.toColumn.name("m"))
+    grouped.toDF("l_returnflag", "m")
+      .select(
+        col("l_returnflag"),
+        col("m.n").as("n"),
+        round(col("m.mean"), 4).as("mean_price"),
+        // raw variance (~1e9) would flip rounding boundaries on the
+        // ~1e-3 accumulation difference vs the oracle; stddev's
+        // relative error survives 4 decimals.
+        round(sqrt(col("m.m2") / (col("m.n") - 1)), 4).as("std_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_moments" -> aggMoments,
     "q_scan_full" -> scanFull,
     "q_project" -> project,
     "q_filter_eq" -> filterEq,
@@ -242,6 +266,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(avg(l_extendedprice), 4) AS mean_price,
+                round(stddev_samp(l_extendedprice), 4) AS std_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_scan_full" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "q_project" ->

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.10).
+  *
+  * The reference is batch-only; this is the engine extension: the same
+  * window expressions as queries.StreamQueries' batch twins, driven by
+  * a file stream with event-time watermarks. Batch/stream parity is
+  * asserted in tests (the batch query is the oracle for the stream).
+  *
+  * Scale notes: file-source streaming partitions work by file; state
+  * (windows, sessions, dedup, per-user running state) is keyed and
+  * lives in the state store per shuffle partition — nothing global.
+  * Watermarks bound state: without them a 100 TB backfill would pin
+  * every window open forever.
+  */
+object EventStreams {
+
+  /** The events schema as the file stream must declare it (streaming
+    * sources cannot infer). ts arrives as nanos (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),   // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-hour event-time windows with a 10-minute watermark —
+    * the streaming twin of q_window_tumbling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows — twin of q_window_sliding. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session windows (30-minute gap) — twin of
+    * q_session_window. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermark-bounded exactly-once-ish dedup on event_id. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * event count + value total, emitted on every update. */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserTotal(userId, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Drive any streaming frame to completion against an in-memory
+    * table; returns the materialized result. Used by tests and demos —
+    * production sinks are writeStream.format("parquet"/"kafka"/...). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

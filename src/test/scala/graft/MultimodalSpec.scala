@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.synthesize(spark, 120).cache()
+
+  test("binary payloads round-trip through parquet bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 120)
+    val a = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = back.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a == b)
+  }
+
+  test("decode stub parses headers consistent with the metadata struct") {
+    val decoded = Multimodal.decodeStub(spark, media)
+      .withColumnRenamed("kind", "decoded_kind")
+    assert(decoded.count() == 120)
+    val joined = decoded.join(media, "media_id")
+    // kinds agree between payload header and catalog metadata
+    assert(joined.filter(col("decoded_kind") =!= col("kind")).count() == 0)
+    // image dims in header match meta.width/height
+    val badImages = joined.filter(col("kind") === "image" &&
+      (col("dim_a") =!= col("meta.width") || col("dim_b") =!= col("meta.height")))
+    assert(badImages.count() == 0)
+    // checksums are deterministic across two runs
+    val c1 = Multimodal.decodeStub(spark, media).select("media_id", "checksum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = Multimodal.decodeStub(spark, media).select("media_id", "checksum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == c2)
+  }
+
+  test("metadata struct is prunable: reading meta.width scans only it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media2").toString
+    media.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select("media_id", "meta.width")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"),
+      s"payload must not be scanned for a metadata projection:\n$plan")
+  }
+
+  test("nibble histogram sums to content nibble count") {
+    val h = Multimodal.byteHistogram(media)
+      .select(col("media_id"), expr("aggregate(hist16, 0, (a, b) -> a + b)").as("total"))
+      .join(media.select(col("media_id"),
+        ((octet_length(col("payload")) - 16) * 2).as("expect")), "media_id")
+    assert(h.filter(col("total") =!= col("expect")).count() == 0)
+  }
+
+  test("frame sampling picks every k-th frame of video payloads") {
+    val sampled = Multimodal.sampleFrames(media, 5).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val n = r.getInt(1)
+      val frames = r.getSeq[Int](2)
+      assert(frames == (0 until n).filter(_ % 5 == 0))
+    }
+  }
+}

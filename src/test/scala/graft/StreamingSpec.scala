@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  /** File streams need a directory; stage the events file into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling windows equal the batch twin (complete mode)") {
+    val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream, "t_tumbling", "complete")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.StreamQueries.queries("q_window_tumbling")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("streaming session windows equal the batch twin") {
+    val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream, "t_sessions", "complete")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.StreamQueries.queries("q_session_window")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("sliding windows double-count each event across windows") {
+    val stream = EventStreams.slidingCounts(EventStreams.readEvents(spark, eventsDir))
+    val total = EventStreams.runToMemory(spark, stream, "t_sliding", "complete")
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events") {
+    // stage the same file twice => every event_id arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir.toString))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val got = EventStreams.runToMemory(spark, deduped, "t_dedup", "complete")
+      .agg(sum("n")).head().getLong(0)
+    assert(got == Tables.events(spark, sf).count(),
+      "replayed file must not double-count within the watermark")
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val stream = EventStreams.userRunningTotals(
+      spark, EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream.toDF(), "t_state", "append")
+    // final state per user (last emitted row) must equal the batch agg
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(finalPerUser.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+  }
+}
