@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.SqlQueries.queries
 
   /** DuckDB-runnable ANSI SQL per query (same parquet tables, registered
     * under their bare table names). Omitted keys get a rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.SqlQueries.oracles
 }

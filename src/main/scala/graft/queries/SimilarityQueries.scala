@@ -73,21 +73,27 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
     val nTables = 8
     val bitsPerTable = 8
-    // hyperplane component for (table t, bit b, dim i) in [-1, 1):
-    // derived from a hash so bucketing is reproducible everywhere.
-    def signBit(t: Int, b: Int) =
-      when(aggregate(
-        zip_with(
-          col("embedding"),
-          expr(s"transform(sequence(0, size(embedding) - 1), i -> " +
-            s"(pmod(hash(i * 131 + ${t * bitsPerTable + b}), 1000) - 500) / 500.0)"),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
-    val buckets = e.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array((0 until nTables).map { t =>
-        (0 until bitsPerTable).map(b => signBit(t, b) * lit(1L << b)).reduce(_ + _)
-      }: _*)).as(Seq("tbl", "bucket")))
+    // Hyperplanes as a broadcast literal (seeded, driver-side tiny):
+    // one compact expression computes all 64 sign bits in a single
+    // pass instead of 64 separate aggregate trees (which made codegen
+    // compilation the dominant cost).
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] = Seq.fill(nTables * bitsPerTable)(
+      Seq.fill(64)(rnd.nextGaussian()))
+    val buckets = e
+      .withColumn("planes", typedLit(planes))
+      .withColumn("bits", expr(
+        """transform(planes, p ->
+             CASE WHEN aggregate(zip_with(embedding, p,
+                    (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) >= 0D
+                  THEN 1L ELSE 0L END)"""))
+      .select(
+        col("vec_id"), col("embedding"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nTables - 1}, 1), t ->
+                aggregate(sequence(0, ${bitsPerTable - 1}, 1), 0L,
+                  (acc, b) -> acc + bits[t * $bitsPerTable + b] * shiftleft(1L, b)))"""))
+          .as(Seq("tbl", "bucket")))
     val q = buckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
         col("embedding").as("q_emb"))
@@ -131,11 +137,12 @@ object SimilarityQueries {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .distinct()
-    // exact verification on candidates only
+    // exact verification on candidates only: equi-join both sides on
+    // (doc, shingle) so the intersection materializes directly —
+    // never the |sh(d1)| × |sh(d2)| cross product per pair.
     val inter = cand
-      .join(shingles.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingle", "sh1"), "d1")
-      .join(shingles.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingle", "sh2"), "d2")
-      .filter(col("sh1") === col("sh2"))
+      .join(shingles.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(shingles.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
       .groupBy("d1", "d2", "n1", "n2")
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -177,7 +184,55 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Embedding-cosine near-dup with candidate blocking: pairs are only
+    * compared within the same label block (the IVF-style pruning that
+    * keeps pairwise work at n²/k instead of n² — at 100 TB the block
+    * key would be a coarse cluster id). Exact cosine in double,
+    * integer-free threshold on the raw value. */
+  private val dedupEmbedding: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", cosine(col("e1"), col("e2")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("label"), col("v1"), col("v2"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
+  /** The same MinHash near-dedup through MLlib's LSH surface
+    * (HashingTF shingle vectors → MinHashLSH → approxSimilarityJoin),
+    * SURVEY.md §2.13's named primitives. No oracle (MLlib's hash
+    * family differs from the hand-rolled one); unit-tested against the
+    * exact pairs. */
+  private val dedupMinhashMllib: Q = (s, d) => {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingles = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w) - 3),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array(text) END"""))
+      .select("doc_id", "shingles")
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vectors = tf.transform(shingles).filter(expr("size(shingles) > 0"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = lsh.fit(vectors)
+    model.approxSimilarityJoin(vectors, vectors, 0.2, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
+      .filter(col("d1") < col("d2"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
     "q_knn_centroids" -> centroids,
     "q_knn_lsh" -> knnLsh,
@@ -186,6 +241,14 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+         ORDER BY v1, v2""",
     // cast to DOUBLE[] so DuckDB does the same double-precision math
     "q_knn_exact" ->
       """SELECT e.vec_id, e.label,

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-text entry point (SURVEY.md §3.3): the reference drives SQLite /
+  * PostgreSQL with SQL strings (db_queries.py); here the same text
+  * front-end goes through Spark's parser → analyzer (resolving against
+  * temp views over the parquet tables) → Catalyst → the identical
+  * physical plans the DataFrame API produces. One query per major shape
+  * proves the SQL surface end-to-end; the oracle is literally the same
+  * ANSI text.
+  */
+object SqlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sql(text: String): Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(text)
+  }
+
+  private val revenueByNation =
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       ORDER BY n_name"""
+
+  private val scalarSubquery =
+    """SELECT o_orderkey, o_totalprice
+       FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+       ORDER BY o_orderkey"""
+
+  private val correlatedExists =
+    """SELECT c_custkey, c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 150000)
+       ORDER BY c_custkey"""
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_join_agg" -> sql(revenueByNation),
+    "q_sql_subquery" -> sql(scalarSubquery),
+    "q_sql_exists" -> sql(correlatedExists),
+  )
+
+  /** Identical text runs on DuckDB. */
+  val oracles: Map[String, String] = Map(
+    "q_sql_join_agg" -> revenueByNation,
+    "q_sql_subquery" -> scalarSubquery,
+    "q_sql_exists" -> correlatedExists,
+  )
+}

@@ -48,6 +48,21 @@ class TextSimilaritySpec extends SparkSpec {
     assert(mh.size >= exact.size * 8 / 10, s"minhash recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("mllib MinHashLSH finds the same near-dup pairs as the native path") {
+    val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllib = SimilarityQueries.queries("q_dedup_minhash_mllib")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact diff mllib).size <= exact.size / 5,
+      s"mllib lsh missed too many: ${(exact diff mllib).size}/${exact.size}")
+  }
+
+  test("embedding near-dup pairs stay within label blocks") {
+    val rows = SimilarityQueries.queries("q_dedup_embedding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.35))
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
     val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
