@@ -64,4 +64,8 @@ object Fingerprint64 {
   /** Column-level entry point: `fingerprint64($"text")`. */
   def fingerprint64(c: Column): Column =
     graftshim.toColumn(Fingerprint64(graftshim.toExpression(c)))
+
+  /** SQL registration: `SELECT fingerprint64(text) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graftshim.registerExpression(spark, "fingerprint64", exprs => Fingerprint64(exprs.head))
 }

@@ -237,8 +237,44 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** O5 grouped: top-3 orders per customer via the bounded-heap TopK
+    * Aggregator (no per-key full sort; k-bounded partials cross the
+    * shuffle). Oracle: ROW_NUMBER window. */
+  private val topkPerKey: Q = (s, d) => {
+    import s.implicits._
+    val agg = new graft.functions.TopKAgg(3)
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("_1"),
+        struct(col("o_totalprice"), col("o_orderkey")).as("_2"))
+      .as[(Long, (Double, Long))]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("t._2").as("o_orderkey"),
+        col("t._1").as("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** E6 at-scale variant: t-digest-style sketch percentiles
+    * (approx_percentile) — the 100 TB path where exact percentile's
+    * full sort is unaffordable. No oracle (approximation); driver
+    * records rows>0, unit test bounds the error vs exact. */
+  private val quantilesApprox: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+      expr("approx_percentile(l_extendedprice, 0.50, 10000)").as("p50"),
+      expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+
   val queries: Map[String, Q] = Map(
     "q_agg_moments" -> aggMoments,
+    "q_topk_per_key" -> topkPerKey,
+    "q_quantiles_approx" -> quantilesApprox,
     "q_scan_full" -> scanFull,
     "q_project" -> project,
     "q_filter_eq" -> filterEq,
@@ -271,6 +307,14 @@ object RelationalQueries {
                 round(avg(l_extendedprice), 4) AS mean_price,
                 round(stddev_samp(l_extendedprice), 4) AS std_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_topk_per_key" ->
+      """SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+               FROM orders)
+         WHERE rnk <= 3
+         ORDER BY o_custkey, rnk""",
     "q_scan_full" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "q_project" ->

@@ -63,6 +63,34 @@ class RelationalQueriesSpec extends SparkSpec {
       "scan must not read unprojected columns")
   }
 
+  test("top-k per key aggregator matches the window-rank result") {
+    val got = run("q_topk_per_key").collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val want = Tables.orders(spark, sf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk")
+      .collect().map(_.toSeq)
+    assert(got.sameElements(want))
+  }
+
+  test("approx quantiles track the exact ones") {
+    val approx = run("q_quantiles_approx").head()
+    val exact = run("q_quantiles").head()
+    (0 until 4).foreach { i =>
+      val a = approx.getDouble(i); val e = exact.getDouble(i)
+      assert(math.abs(a - e) / e < 0.05, s"p$i approx $a vs exact $e")
+    }
+  }
+
+  test("fingerprint64 is callable from SQL after registration") {
+    graft.functions.Fingerprint64.register(spark)
+    val got = spark.sql("SELECT fingerprint64('hello graft')").head().getLong(0)
+    assert(got == graft.functions.Fingerprint64.hash("hello graft".getBytes("UTF-8")))
+  }
+
   test("filter is pushed down to the parquet scan") {
     val plan = run("q_filter_eq").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"))
