@@ -233,7 +233,44 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer assigns every
+    * vector to a centroid cell; a query probes only the nProbe nearest
+    * cells, then exact cosine ranks the candidates. The 100 TB shape:
+    * the corpus is partitioned by cell id (a k-way partition, not a
+    * cross join), centroids are a tiny broadcast table, and recall is
+    * tunable via nProbe. No oracle (depends on the learned quantizer);
+    * unit-tested for recall against q_knn_exact. */
+  private val knnIvf: Q = (s, d) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nCells = 16
+    val nProbe = 4
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+    val model = km.fit(e)
+    val assigned = model.transform(e)
+    // query vector's nProbe nearest cells (centroid distances on the
+    // driver: nCells tiny scalars, not data)
+    val qRow = assigned.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val diff = c.toArray.zip(qRow).map { case (a, b) => a - b }
+        (i, math.sqrt(diff.map(x => x * x).sum))
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_knn_ivf" -> knnIvf,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,

@@ -82,6 +82,16 @@ class TextSimilaritySpec extends SparkSpec {
     assert((lsh intersect exact).size >= 2, s"lsh found ${lsh intersect exact} of exact top-10")
   }
 
+  test("ivf knn recalls most of the exact top-10") {
+    val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.queries("q_knn_ivf")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L))
+    assert((ivf intersect exact).size >= 3,
+      s"ivf recalled only ${(ivf intersect exact).size} of exact top-10")
+  }
+
   test("exact knn is ordered by similarity with the query first") {
     val rows = SimilarityQueries.queries("q_knn_exact")(spark, sf).collect()
     assert(rows.head.getLong(0) == 0L && rows.head.getDouble(2) == 1.0)
