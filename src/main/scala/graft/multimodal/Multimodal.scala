@@ -103,6 +103,30 @@ object Multimodal {
         """).as("hist16"))
       .drop("hx")
 
+  /** STUB resize (the real scaler is ??? here — no image codec in the
+    * container): recomputes target dims preserving aspect ratio and
+    * rewrites the payload header to the new dims, leaving content
+    * untouched. The plumbing — binary in, binary out, per-partition
+    * batches, metadata kept in sync — is the real seam a libvips/
+    * ffmpeg call would fill. */
+  def resizeStub(spark: SparkSession, media: DataFrame, maxSide: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media.filter(col("kind") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload.clone())
+          bb.position(5)
+          val w = bb.getInt(5); val h = bb.getInt(9)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          bb.putInt(5, nw); bb.putInt(9, nh)
+          (id, bb.array(), nw, nh)
+        }
+      }.toDF("media_id", "payload", "new_width", "new_height")
+    resized
+  }
+
   /** Frame sampling for video payloads: every k-th frame index, pure
     * metadata arithmetic (the real pipeline would slice the payload at
     * frame boundaries here). */

@@ -55,6 +55,28 @@ class MultimodalSpec extends SparkSpec {
     assert(h.filter(col("total") =!= col("expect")).count() == 0)
   }
 
+  test("resize stub caps dims preserving aspect ratio and header parses back") {
+    val resized = Multimodal.resizeStub(spark, media, maxSide = 20)
+    assert(resized.count() > 0)
+    resized.collect().foreach { r =>
+      val nw = r.getInt(2); val nh = r.getInt(3)
+      assert(math.max(nw, nh) <= 20 && nw >= 1 && nh >= 1)
+      // the rewritten header must carry the new dims
+      val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+      assert(bb.getInt(5) == nw && bb.getInt(9) == nh)
+    }
+    // aspect ratio preserved within integer rounding for one sample
+    val before = media.filter(col("kind") === "image")
+      .select("media_id", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    resized.collect().foreach { r =>
+      val (w, h) = before(r.getLong(0))
+      val scale = math.min(1.0, 20.0 / math.max(w, h))
+      assert(r.getInt(2) == math.max(1, (w * scale).toInt))
+      assert(r.getInt(3) == math.max(1, (h * scale).toInt))
+    }
+  }
+
   test("frame sampling picks every k-th frame of video payloads") {
     val sampled = Multimodal.sampleFrames(media, 5).collect()
     assert(sampled.nonEmpty)
