@@ -1,0 +1,42 @@
+package graft
+
+/** Scale-hygiene audit over the whole query surface: physical plans
+  * must not contain the operators that stop scaling — an unpartitioned
+  * CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+  * queries that intentionally use one against a tiny (dimension- or
+  * single-row-) side.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  // intentional non-equi / cross / broadcast-probe shapes, all with a
+  // provably small build side (region/nation dims or a 1-row query vec)
+  private val bnlAllowed = Set(
+    "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh", "q_knn_ivf")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only where intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!bnlAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name unexpectedly plans BroadcastNestedLoopJoin:\n$plan")
+      }
+    }
+  }
+
+  test("every oracle query is deterministic: repeated runs hash identically") {
+    // cheap determinism canary on a sample of order-sensitive queries
+    Seq("q_topk", "q_limit", "q_knn_exact", "q_topk_per_key", "q_win_rank").foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name is not deterministic across runs")
+    }
+  }
+}
