@@ -5,12 +5,12 @@ import graft.pipeline.{CleanPipeline, Listings}
 
 class CleanPipelineSpec extends SparkSpec {
 
-  private lazy val (train, test) = ListingsFixture.trainTest(spark)
-  private lazy val clean = CleanPipeline.run(train, test).cache()
+  private lazy val (trainDf, testDf) = ListingsFixture.trainTest(spark)
+  private lazy val clean = CleanPipeline.run(trainDf, testDf).cache()
 
   test("union keeps concat semantics: count = train + test") {
-    val unioned = CleanPipeline.unionTrainTest(train, test)
-    assert(unioned.count() == train.count() + test.count())
+    val unioned = CleanPipeline.unionTrainTest(trainDf, testDf)
+    assert(unioned.count() == trainDf.count() + testDf.count())
   }
 
   test("final schema matches the reference's 17-column clean schema") {
@@ -19,7 +19,7 @@ class CleanPipelineSpec extends SparkSpec {
   }
 
   test("dropna + dirty-row deletion shrink the row count as expected") {
-    val raw = CleanPipeline.unionTrainTest(train, test)
+    val raw = CleanPipeline.unionTrainTest(trainDf, testDf)
     val afterNa = CleanPipeline.dropNulls(raw)
     assert(afterNa.count() < raw.count(), "fixture must contain nulls")
     // dirty zipcodes all survive dropna (they have no nulls) and are
@@ -36,7 +36,7 @@ class CleanPipelineSpec extends SparkSpec {
   }
 
   test("price is round(exp(log_price), 2) — reference cell 18 round-trip") {
-    val raw = CleanPipeline.unionTrainTest(train, test)
+    val raw = CleanPipeline.unionTrainTest(trainDf, testDf)
     val expected = CleanPipeline.dropNulls(raw)
       .filter(!col("zipcode").isin(CleanPipeline.dirtyZipcodes: _*))
       .select(round(exp(col("log_price")), 2).as("p"))
@@ -89,7 +89,7 @@ class CleanPipelineSpec extends SparkSpec {
   }
 
   test("distinct zipcode count shrinks across cleaning (653->559 behavior)") {
-    val raw = CleanPipeline.dropNulls(CleanPipeline.unionTrainTest(train, test))
+    val raw = CleanPipeline.dropNulls(CleanPipeline.unionTrainTest(trainDf, testDf))
       .filter(!col("zipcode").isin(CleanPipeline.dirtyZipcodes: _*))
     val before = raw.select("zipcode").distinct().count()
     val after = clean.select("zipcode").distinct().count()

@@ -30,8 +30,10 @@ object ListingsFixture {
         if (dirty) dirtyRows(i)
         else rnd.nextInt(4) match {
           case 0 => "0210" + rnd.nextInt(10)
-          case 1 => s"9402${rnd.nextInt(10)}-12"   // hyphen form → regex clean
-          case 2 => s"1124${rnd.nextInt(10)}.0"    // decimal form → regex clean
+          // dirty variants share stems with the plain forms, so the
+          // regex clean merges them (the reference's 653→559 behavior)
+          case 1 => s"0210${rnd.nextInt(10)}-12"   // hyphen form → regex clean
+          case 2 => s"6061${rnd.nextInt(10)}.0"    // decimal form → regex clean
           case _ => s"6061${rnd.nextInt(10)}"
         }
       val propertyType = propertyTypes(rnd.nextInt(propertyTypes.length))
