@@ -102,6 +102,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click joins purchases by the
+    * same user within the preceding hour. Both sides carry watermarks
+    * so the join state is bounded — the unbounded-state stream join is
+    * the other classic 100 TB backfill deadlock (alongside missing
+    * watermarks on aggregations). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        round(col("p_value"), 2).as("purchase_value"))
+  }
+
   /** Drive any streaming frame to completion against an in-memory
     * table; returns the materialized result. Used by tests and demos —
     * production sinks are writeStream.format("parquet"/"kafka"/...). */

@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
       "replayed file must not double-count within the watermark")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream, "t_ssjoin", "append")
+      .collect().map(_.toSeq).toSet
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val want = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        round(col("value"), 2).as("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStreams.userRunningTotals(
       spark, EventStreams.readEvents(spark, eventsDir))
