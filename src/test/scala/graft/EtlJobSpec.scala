@@ -29,6 +29,24 @@ class EtlJobSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(city"), s"no partition pruning in:\n$plan")
   }
 
+  test("jdbc sink round-trips through an embedded Derby database") {
+    // the literal pipeline.py PostgreSQL analogue, against the Derby
+    // embedded driver shipped with Spark: bulk partition-parallel
+    // INSERTs instead of the reference's row-at-a-time string-formatted
+    // loop (pipeline.py:48-74)
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val (train, test) = ListingsFixture.trainTest(spark)
+    val clean = CleanPipeline.run(train, test)
+    EtlJob.writeJdbc(clean, url, "air_b")
+    val back = spark.read.jdbc(url, "air_b", new java.util.Properties())
+    assert(back.count() == clean.count())
+    assert(back.columns.map(_.toLowerCase).sorted.sameElements(clean.columns.sorted))
+    // append semantics like to_sql(if_exists='append')
+    EtlJob.writeJdbc(clean, url, "air_b")
+    assert(spark.read.jdbc(url, "air_b", new java.util.Properties()).count()
+      == 2 * clean.count())
+  }
+
   test("declared-schema csv read matches the clean schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-etl2")
     val csvDir = s"$tmp/clean_csv"
