@@ -124,7 +124,33 @@ object TextQueries {
       .select(col("doc_id"), fingerprint64(col("text")).as("fp64"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
+    * hashes of character 8-grams, minimum per sliding window of 4 —
+    * the standard local document fingerprint for plagiarism/near-dup
+    * detection. Pure HOF expression chain (codegen'd); near-dup docs
+    * share most fingerprints (unit-tested), and the selected set is
+    * position-robust unlike head-sampling. Rows-only driver check
+    * (hash family not reproducible in DuckDB). */
+  private val docWinnow: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("grams", expr(
+        """CASE WHEN length(text) >= 8
+             THEN transform(sequence(1, length(text) - 7),
+                            i -> xxhash64(substring(text, i, 8)))
+             ELSE array(xxhash64(text)) END"""))
+      .withColumn("fingerprints", expr(
+        """array_distinct(CASE WHEN size(grams) >= 4
+             THEN transform(sequence(0, size(grams) - 4),
+                            j -> array_min(slice(grams, j + 1, 4)))
+             ELSE array(array_min(grams)) END)"""))
+      .select(
+        col("doc_id"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        expr("aggregate(fingerprints, 0L, (a, f) -> a ^ f)").as("fp_xor"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_doc_winnow" -> docWinnow,
     "q_text_stats" -> textStats,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,

@@ -99,6 +99,29 @@ class TextSimilaritySpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("winnowing fingerprints overlap heavily for near-duplicate docs") {
+    import org.apache.spark.sql.functions._
+    val fps = Tables.documents(spark, sf)
+      .withColumn("grams", expr(
+        """CASE WHEN length(text) >= 8
+             THEN transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))
+             ELSE array(xxhash64(text)) END"""))
+      .withColumn("fingerprints", expr(
+        """array_distinct(CASE WHEN size(grams) >= 4
+             THEN transform(sequence(0, size(grams) - 4), j -> array_min(slice(grams, j + 1, 4)))
+             ELSE array(array_min(grams)) END)"""))
+      .select("doc_id", "fingerprints").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val nearDups = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (a, b) =>
+      val (fa, fb) = (fps(a), fps(b))
+      val jac = (fa intersect fb).size.toDouble / (fa union fb).size
+      assert(jac > 0.5, s"near-dup pair ($a,$b) shares only $jac of fingerprints")
+    }
+  }
+
   test("dedup_exact keeps one row per distinct text") {
     val n = TextQueries.queries("q_dedup_exact")(spark, sf).count()
     val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
