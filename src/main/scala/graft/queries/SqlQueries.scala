@@ -36,6 +36,17 @@ object SqlQueries {
        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
        ORDER BY o_orderkey"""
 
+  /** A9's third form: explicit GROUPING SETS with GROUPING() ids to
+    * disambiguate the null-as-total rows. */
+  private val groupingSets =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+              CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+              sum(l_quantity) AS sum_qty, count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
   private val correlatedExists =
     """SELECT c_custkey, c_name
        FROM customer c
@@ -48,6 +59,7 @@ object SqlQueries {
     "q_sql_join_agg" -> sql(revenueByNation),
     "q_sql_subquery" -> sql(scalarSubquery),
     "q_sql_exists" -> sql(correlatedExists),
+    "q_grouping_sets" -> sql(groupingSets),
   )
 
   /** Identical text runs on DuckDB. */
@@ -55,5 +67,6 @@ object SqlQueries {
     "q_sql_join_agg" -> revenueByNation,
     "q_sql_subquery" -> scalarSubquery,
     "q_sql_exists" -> correlatedExists,
+    "q_grouping_sets" -> groupingSets,
   )
 }
