@@ -24,6 +24,19 @@ object FunctionQueries {
   def cleanData(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     split(regexp_replace(c, "[^, a-zA-Z0-9]", " "), " ").getItem(0)
 
+  /** F9: parse the amenities brace-set string —
+    * `{"Wireless Internet","Air conditioning",Kitchen}` — into a real
+    * ArrayType(StringType) (the reference only sketched this, NB cells
+    * 25-26, then dropped the column at cell 49; the engine completes
+    * it). Strips braces and quotes, splits on commas, trims, drops
+    * empties. */
+  def parseAmenities(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      transform(
+        split(regexp_replace(c, "[{}\"]", ""), ","),
+        a => trim(a)),
+      a => a =!= "")
+
   /** F1/F2/F3 math: exp (inverts log_price, NB cell 18), round, abs. */
   private val fnMath: Q = (s, d) =>
     Tables.lineitem(s, d).select(
