@@ -81,6 +81,38 @@ object EventStreams {
 
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  /** mapGroupsWithState variant: one state row per user per batch
+    * (Update mode), the 1:1 sibling of flatMapGroupsWithState below. */
+  def userTotalsMapGroups(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserTotal(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** foreachBatch sink: apply an arbitrary batch write (here: append
+    * parquet partitioned by event_type) per micro-batch — the
+    * batch-sink escape hatch for sinks without native streaming
+    * support. */
+  def writeViaForeachBatch(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("event_type").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * event count + value total, emitted on every update. */
   def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {

@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
       "replayed file must not double-count within the watermark")
   }
 
+  test("mapGroupsWithState final totals equal the batch aggregation") {
+    val stream = EventStreams.userTotalsMapGroups(
+      spark, EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream.toDF(), "t_mapstate", "update")
+    val finalPerUser = got.groupBy("user_id").agg(max("n_events").as("n_events"))
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(finalPerUser.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+  }
+
+  test("foreachBatch sink lands partitioned parquet per micro-batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fb").toString + "/sink"
+    val events = EventStreams.readEvents(spark, eventsDir)
+      .select("event_id", "event_type", "value")
+    val q = EventStreams.writeViaForeachBatch(events, out)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.events(spark, sf).count())
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("event_type="))
+    assert(dirs.length == 5, s"expected 5 event_type partitions, got ${dirs.toList}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, stream, "t_ssjoin", "append")
