@@ -25,6 +25,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact star-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fact partitioned by priority; tiny dim carries a selective filter
+    Tables.orders(spark, sf)
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+    // the dim must be a real datasource: a LocalRelation's filter gets
+    // constant-folded away by ConvertToLocalRelation, leaving no
+    // selective predicate for the DPP rule to key on
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    spark.createDataFrame(Seq(
+      ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+      ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")))
+      .toDF("prio", "tier").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val joined = fact
+      .join(dim.filter(col("tier") === "hot"), fact("o_orderpriority") === dim("prio"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+    // and the result is correct: only the two hot priorities survive
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority").agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Scale.bucketedWriter(
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
