@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.StreamQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.SqlQueries.queries
+      graft.queries.SqlQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** DuckDB-runnable ANSI SQL per query (same parquet tables, registered
     * under their bare table names). Omitted keys get a rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.StreamQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.SqlQueries.oracles
+      graft.queries.SqlQueries.oracles ++
+      graft.queries.TpchQueries.oracles
 }

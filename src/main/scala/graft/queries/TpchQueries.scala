@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H-shaped analytical workloads (Q3/Q5/Q10 adapted to the driver
+  * schema) — the multi-join benchmark weight class. Expressed with the
+  * DataFrame API; Catalyst/AQE pick broadcast vs sort-merge per side
+  * and reorder the star joins. Dates are emitted as epoch days
+  * (integers) for cross-engine hash parity.
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q3 shipping priority: top unshipped-revenue orders for a segment. */
+  private val q3: Q = (s, d) => {
+    val cutoff = "1998-06-15"
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(to_date(col("o_orderdate")) < lit(cutoff))
+    val li = Tables.lineitem(s, d).filter(to_date(col("l_shipdate")) > lit(cutoff))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("o_date_days"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(20)
+  }
+
+  /** Q5 local supplier volume: revenue by nation within one region,
+    * customer and supplier in the same nation. */
+  private val q5: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")).between("1996-01-01", "1996-12-31"))
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Q10 returned-item reporting: revenue lost to returns per customer. */
+  private val q10: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")).between("1997-01-01", "1997-06-30"))
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_tpch_q3" -> q3,
+    "q_tpch_q5" -> q5,
+    "q_tpch_q10" -> q10,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS o_date_days,
+                o_orderpriority,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+  )
+}
