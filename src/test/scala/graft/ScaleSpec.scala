@@ -55,6 +55,28 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer (CBO surface)") {
+    Tables.customer(spark, sf).write.mode("overwrite").saveAsTable("customer_stats")
+    spark.sql("ANALYZE TABLE customer_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("customer_stats")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(Tables.customer(spark, sf).count())),
+        s"expected exact rowCount stat, got $stats")
+      assert(stats.attributeStats.nonEmpty, "expected per-column stats")
+      // a filter estimate should shrink the row count, not echo the table's
+      val filtered = spark.table("customer_stats")
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.exists(_ < stats.rowCount.get))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+      spark.sql("DROP TABLE customer_stats")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Scale.bucketedWriter(
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
