@@ -91,9 +91,18 @@ object TextQueries {
       .orderBy("keep_id")
 
   /** Near-dedup by word-3-gram Jaccard >= 0.8 via the shingle join.
-    * Threshold in integer arithmetic: inter*5 >= union*4. */
+    * Threshold in integer arithmetic: inter*5 >= union*4.
+    *
+    * Scale guard: shingles appearing in more than maxShingleDf docs
+    * are excluded from the join (but still count toward each doc's
+    * shingle-set size, keeping Jaccard denominators exact). A shingle
+    * shared by m docs contributes m² candidate pairs — at corpus scale
+    * one viral boilerplate trigram would otherwise dominate the whole
+    * shuffle. The cap never binds at test scale (max DF is 25 at
+    * sf0.1), so oracle parity holds with the same cap on both sides. */
+  private val maxShingleDf = 1000
   private val dedupNgram: Q = (s, d) => {
-    val shingles = withWords(Tables.documents(s, d))
+    val allShingles = withWords(Tables.documents(s, d))
       // guard: sequence(0, n) errors for n < 0 (docs under 3 words)
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -102,7 +111,12 @@ object TextQueries {
              ELSE array() END"""))
         .as("shingle"))
       .distinct()
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = allShingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val shingles = allShingles.join(rare, "shingle")
+    val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = shingles.as("a")
       .join(shingles.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -204,11 +218,14 @@ object TextQueries {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
+         sh_all AS (SELECT DISTINCT doc_id,
                   unnest(list_transform(range(1, len(w) - 1),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
                 FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
