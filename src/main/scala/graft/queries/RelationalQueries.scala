@@ -271,10 +271,48 @@ object RelationalQueries {
       expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75"),
       expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
 
+  /** Pivot: long→wide conditional aggregation (engine extension; the
+    * portable relational form is SUM(CASE WHEN ...), which is exactly
+    * what the oracle uses). Pivot values are declared, not discovered,
+    * so no extra distinct-scan job runs. */
+  private val pivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  /** Generator surface (§2.12.4): explode word tokens to rows and
+    * re-aggregate — the UDTF-shaped operator. */
+  private val explodeQ: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy("token")
+
+  /** String-function family (F-surface extension): case, substring,
+    * concatenation, length, edit distance. */
+  private val fnString: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("upper_name"),
+      lower(col("p_brand")).as("lower_brand"),
+      substring(col("p_name"), 1, 4).as("name4"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      levenshtein(col("p_name"), lit("blue bolt")).as("edit_dist"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, Q] = Map(
     "q_agg_moments" -> aggMoments,
     "q_topk_per_key" -> topkPerKey,
     "q_quantiles_approx" -> quantilesApprox,
+    "q_pivot" -> pivot,
+    "q_explode" -> explodeQ,
+    "q_fn_string" -> fnString,
     "q_scan_full" -> scanFull,
     "q_project" -> project,
     "q_filter_eq" -> filterEq,
@@ -315,6 +353,24 @@ object RelationalQueries {
                FROM orders)
          WHERE rnk <= 3
          ORDER BY o_custkey, rnk""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+                sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_explode" ->
+      """SELECT token, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+         FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part)
+         GROUP BY token ORDER BY token""",
+    "q_fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS upper_name,
+                lower(p_brand) AS lower_brand,
+                substring(p_name, 1, 4) AS name4,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                CAST(length(p_name) AS INTEGER) AS name_len,
+                CAST(levenshtein(p_name, 'blue bolt') AS INTEGER) AS edit_dist
+         FROM part ORDER BY p_partkey""",
     "q_scan_full" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "q_project" ->
