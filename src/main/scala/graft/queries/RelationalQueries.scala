@@ -306,7 +306,42 @@ object RelationalQueries {
       levenshtein(col("p_name"), lit("blue bolt")).as("edit_dist"))
       .orderBy("p_partkey")
 
+  /** Unpivot (melt): wide→long, the inverse of q_pivot. */
+  private val unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_discount"), 2).as("disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  /** U2 bag semantics: EXCEPT ALL keeps duplicate multiplicity. */
+  private val exceptAll: Q = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"))
+      .exceptAll(Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_suppkey").as("suppkey")))
+      .groupBy("suppkey").agg(count(lit(1)).as("n"))
+      .orderBy("suppkey")
+
+  /** Null-handling scalar family: nullif / coalesce / greatest / least.
+    * nullif manufactures nulls from real data so coalesce has work. */
+  private val fnNull: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("biggest"),
+      least(col("l_tax"), col("l_discount")).as("smallest"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
+    "q_unpivot" -> unpivot,
+    "q_except_all" -> exceptAll,
+    "q_fn_null" -> fnNull,
     "q_agg_moments" -> aggMoments,
     "q_topk_per_key" -> topkPerKey,
     "q_quantiles_approx" -> quantilesApprox,
@@ -353,6 +388,33 @@ object RelationalQueries {
                FROM orders)
          WHERE rnk <= 3
          ORDER BY o_custkey, rnk""",
+    "q_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  round(sum(l_quantity), 2) AS qty,
+                  round(sum(l_extendedprice), 2) AS price,
+                  round(sum(l_discount), 2) AS disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value
+         FROM (
+           SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'price', price FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'disc', disc FROM wide)
+         ORDER BY l_returnflag, measure""",
+    "q_except_all" ->
+      """SELECT suppkey, count(*) AS n FROM (
+           SELECT l_suppkey AS suppkey FROM lineitem
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY suppkey ORDER BY suppkey""",
+    "q_fn_null" ->
+      """SELECT l_orderkey, l_linenumber,
+                coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+                greatest(l_quantity, l_discount * 100) AS biggest,
+                least(l_tax, l_discount) AS smallest
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_pivot" ->
       """SELECT l_returnflag,
                 sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
