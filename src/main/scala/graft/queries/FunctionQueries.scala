@@ -122,7 +122,35 @@ object FunctionQueries {
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id")
 
+  /** Higher-order array functions over the embedding vectors: the
+    * codegen'd lambda surface (transform/filter/aggregate/exists). */
+  private val fnHof: Q = (s, d) =>
+    graft.Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(filter(col("embedding"), v => v > 0)).as("n_positive"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")), 4).as("sum_sq"),
+      round(array_max(col("embedding")).cast("double"), 6).as("max_v"),
+      exists(col("embedding"), v => v > 3.0).cast("int").as("has_gt3"))
+      .orderBy("vec_id")
+
+  /** Calendar functions beyond F7: month truncation, month arithmetic,
+    * month-end, quarter — emitted as epoch days / ints for parity. */
+  private val fnDate2: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      datediff(to_date(date_trunc("month", col("o_orderdate"))), lit("1970-01-01"))
+        .as("month_start_days"),
+      datediff(add_months(to_date(col("o_orderdate")), 3), lit("1970-01-01"))
+        .as("plus3mo_days"),
+      datediff(last_day(to_date(col("o_orderdate"))), lit("1970-01-01"))
+        .as("month_end_days"),
+      quarter(col("o_orderdate")).cast("int").as("qtr"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "q_fn_hof" -> fnHof,
+    "q_fn_date2" -> fnDate2,
     "q_fn_math" -> fnMath,
     "q_fn_regex" -> fnRegex,
     "q_fn_array" -> fnArray,
@@ -134,6 +162,20 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_hof" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding, v -> v > 0)) AS INTEGER) AS n_positive,
+                round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v), 'sum'), 4) AS sum_sq,
+                round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+                CAST(CASE WHEN len(list_filter(embedding, v -> v > 3.0)) > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_gt3
+         FROM embeddings ORDER BY vec_id""",
+    "q_fn_date2" ->
+      """SELECT o_orderkey,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('month', o_orderdate) AS DATE)) AS INTEGER) AS month_start_days,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)) AS INTEGER) AS plus3mo_days,
+                CAST(date_diff('day', DATE '1970-01-01', last_day(CAST(o_orderdate AS DATE))) AS INTEGER) AS month_end_days,
+                CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_math" ->
       """SELECT l_orderkey, l_linenumber,
                 round(exp(l_discount), 6) AS exp_disc,

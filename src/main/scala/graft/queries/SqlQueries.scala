@@ -55,7 +55,16 @@ object SqlQueries {
                        AND o.o_totalprice > 150000)
        ORDER BY c_custkey"""
 
+  private val cte =
+    """WITH active AS (
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+       )
+       SELECT c_mktsegment, count(*) AS n_active
+       FROM active JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, Q] = Map(
+    "q_sql_cte" -> sql(cte),
     "q_sql_join_agg" -> sql(revenueByNation),
     "q_sql_subquery" -> sql(scalarSubquery),
     "q_sql_exists" -> sql(correlatedExists),
@@ -64,6 +73,7 @@ object SqlQueries {
 
   /** Identical text runs on DuckDB. */
   val oracles: Map[String, String] = Map(
+    "q_sql_cte" -> cte,
     "q_sql_join_agg" -> revenueByNation,
     "q_sql_subquery" -> scalarSubquery,
     "q_sql_exists" -> correlatedExists,
