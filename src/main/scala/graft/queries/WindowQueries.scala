@@ -73,7 +73,36 @@ object WindowQueries {
       .orderBy("c_custkey")
   }
 
+  /** W3 value-range frame: RANGE BETWEEN over numeric order (peers by
+    * value distance, not row offset). */
+  private val winRange: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"))
+      .rangeBetween(-500, 0)
+    Tables.customer(s, d).select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      count(lit(1)).over(w).as("n_within_500"),
+      round(sum("c_acctbal").over(w), 2).as("sum_within_500"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** A-family: argmax/argmin aggregates (max_by/min_by). Ordering key
+    * is a composite scalar (price * 1e6 + orderkey — exact in double
+    * at these magnitudes) because DuckDB's max_by takes scalars only;
+    * the orderkey term makes ties deterministic in both engines. */
+  private val aggMaxBy: Q = (s, d) => {
+    val ord = col("o_totalprice") * 1000000d + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), ord).as("top_order"),
+        min_by(col("o_orderkey"), ord).as("bottom_order"),
+        round(max("o_totalprice"), 2).as("top_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_range" -> winRange,
+    "q_agg_maxby" -> aggMaxBy,
     "q_win_rank" -> winRank,
     "q_win_lag" -> winLag,
     "q_win_frame" -> winFrame,
@@ -81,6 +110,20 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_win_range" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                count(*) OVER w AS n_within_500,
+                round(sum(c_acctbal) OVER w, 2) AS sum_within_500
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+         ORDER BY c_mktsegment, c_custkey""",
+    "q_agg_maxby" ->
+      """SELECT o_orderpriority,
+                max_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS top_order,
+                min_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS bottom_order,
+                round(max(o_totalprice), 2) AS top_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_win_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
                 CAST(row_number() OVER w AS INTEGER) AS rn,
