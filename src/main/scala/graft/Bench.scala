@@ -16,10 +16,16 @@ object Bench {
     // JVM + parquet-footer warmup outside the timed region, so the
     // first timed query doesn't absorb session/codegen start-up cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query reports -1 (never a plausible-looking time-to-
+    // failure) so regressions are visible in the bench record
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,7 +40,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` text queries (the
-    * analogue of the reference's db_queries.py SQL strings) resolve. */
+    * analogue of the reference's db_queries.py SQL strings) resolve.
+    * events goes through events() so the view exposes a converted
+    * TimestampType ts (and so registration works in a fresh session —
+    * a raw read of the NANOS column would throw PARQUET_TYPE_ILLEGAL
+    * before any events-aware query had set the legacy conf). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -46,11 +46,15 @@ object CleanPipeline {
     _.filter(!col("zipcode").isin(dirtyZipcodes: _*))
 
   /** NB cells 41/43/44: clean_data regex + first token, then cast int.
-    * Non-numeric leftovers (e.g. a bare "m") become null under Spark's
-    * try-friendly cast — mirroring what astype(int) would reject. */
-  val cleanZipcodes: Stage = df => df
-    .withColumn("zipcode",
-      graft.queries.FunctionQueries.cleanData(col("zipcode")).cast("int"))
+    * Spark 4 runs ANSI mode by default, where a bare CAST on a
+    * non-numeric leftover (e.g. "m") would abort the job — so the cast
+    * is guarded by a digits-only match and anything else becomes null
+    * (what the reference's astype(int) path would have rejected). */
+  val cleanZipcodes: Stage = df => {
+    val cleaned = graft.queries.FunctionQueries.cleanData(col("zipcode"))
+    df.withColumn("zipcode",
+      when(cleaned.rlike("^[0-9]+$"), cleaned.cast("int")))
+  }
 
   /** NB cell 50: drop the 10 non-features (incl. log_price: leakage). */
   val dropUnusedColumns: Stage = _.drop(
@@ -85,10 +89,11 @@ object CleanPipeline {
       .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("int")))
 
   /** NB cells 87/89: host_since "yyyy-MM-dd" → UTC epoch days
-    * (datetime_to_UTC_days; 2021-06-22 → 18800). */
+    * (datetime_to_UTC_days; 2021-06-22 → 18800). try_to_date so a
+    * malformed date becomes null instead of an ANSI-mode job abort. */
   val hostSinceToEpochDays: Stage = df => df
     .withColumn("host_since",
-      datediff(to_date(col("host_since"), "yyyy-MM-dd"), lit("1970-01-01")))
+      datediff(expr("try_to_date(host_since, 'yyyy-MM-dd')"), lit("1970-01-01")))
 
   /** NB cell 100: the persisted pandas index becomes an explicit
     * row_id. zipWithIndex-free: a window-less monotonic id is fine for

@@ -232,8 +232,10 @@ object RelationalQueries {
         round(col("m.mean"), 4).as("mean_price"),
         // raw variance (~1e9) would flip rounding boundaries on the
         // ~1e-3 accumulation difference vs the oracle; stddev's
-        // relative error survives 4 decimals.
-        round(sqrt(col("m.m2") / (col("m.n") - 1)), 4).as("std_price"))
+        // relative error survives 4 decimals. Singleton groups yield
+        // null (matching stddev_samp), not 0/0 = NaN.
+        when(col("m.n") > 1,
+          round(sqrt(col("m.m2") / (col("m.n") - 1)), 4)).as("std_price"))
       .orderBy("l_returnflag")
   }
 

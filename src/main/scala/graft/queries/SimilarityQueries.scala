@@ -64,8 +64,8 @@ object SimilarityQueries {
   /** Random-hyperplane LSH, multi-table banding: L=8 hash tables of
     * 8 sign bits each. A vector lands in one bucket per table;
     * candidates meet the query in any table's bucket, then exact cosine
-    * ranks them. Hyperplanes are hash-derived (deterministic across
-    * executors — no driver randomness, no broadcast side table).
+    * ranks them. Hyperplanes are a seeded driver-side literal shipped
+    * with the plan (a few KB — broadcast once, identical everywhere).
     * Candidate generation is an equi-join on (table, bucket): shuffle
     * scales with corpus size, never O(n²). No oracle (approximate);
     * unit-tested for recall against q_knn_exact. */
@@ -110,14 +110,7 @@ object SimilarityQueries {
     * shingles, banded 8×4; same-band collision → candidate pair →
     * exact shingle-Jaccard verification (integer threshold 0.8). */
   private val dedupMinhash: Q = (s, d) => {
-    val shingles = Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 3
-             THEN transform(sequence(0, size(w) - 3),
-                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-             ELSE array() END""")).as("shingle"))
-      .distinct()
+    val shingles = TextQueries.shingleRows(s, d)
     // 32 min-hashes per doc: min over xxhash64(shingle, seed)
     val k = 32
     val minhashes = shingles
@@ -209,11 +202,7 @@ object SimilarityQueries {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val shingles = Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(w) >= 3
-             THEN transform(sequence(0, size(w) - 3),
-                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-             ELSE array(text) END"""))
+      .withColumn("shingles", expr(TextQueries.shingleArraySql))
       .select("doc_id", "shingles")
     // 2^16 features / 4 tables: measured identical recall to larger
     // settings on this corpus at ~60% of the runtime; the native

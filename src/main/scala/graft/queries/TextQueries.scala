@@ -24,6 +24,22 @@ object TextQueries {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
+  /** Word-3-gram shingle array from a `w` (split words) column; empty
+    * for sub-3-word docs (guarding sequence(0, n<0), which throws).
+    * Single definition shared by the n-gram, MinHash, and MLlib-LSH
+    * dedup paths so tokenization can never drift between them. */
+  val shingleArraySql: String =
+    """CASE WHEN size(w) >= 3
+         THEN transform(sequence(0, size(w) - 3),
+                        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         ELSE array() END"""
+
+  /** Distinct (doc_id, shingle) rows for the whole documents table. */
+  def shingleRows(s: SparkSession, d: String): DataFrame =
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
+      .distinct()
+
   /** Per (lang, source) corpus statistics. */
   private val textStats: Q = (s, d) =>
     withWords(Tables.documents(s, d))
@@ -102,15 +118,7 @@ object TextQueries {
     * sf0.1), so oracle parity holds with the same cap on both sides. */
   private val maxShingleDf = 1000
   private val dedupNgram: Q = (s, d) => {
-    val allShingles = withWords(Tables.documents(s, d))
-      // guard: sequence(0, n) errors for n < 0 (docs under 3 words)
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 3
-             THEN transform(sequence(0, size(w) - 3),
-                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-             ELSE array() END"""))
-        .as("shingle"))
-      .distinct()
+    val allShingles = shingleRows(s, d)
     val rare = allShingles.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
