@@ -148,7 +148,19 @@ object FunctionQueries {
       quarter(col("o_orderdate")).cast("int").as("qtr"))
       .orderBy("o_orderkey")
 
+  /** Bitwise family over the integer keys. */
+  private val fnBitwise: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_orderkey").bitwiseAND(255).as("and255"),
+      col("l_orderkey").bitwiseOR(col("l_linenumber")).as("or_line"),
+      col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_part"),
+      shiftleft(col("l_linenumber"), 3).cast("int").as("shl3"),
+      shiftright(col("l_orderkey"), 2).as("shr2"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
+    "q_fn_bitwise" -> fnBitwise,
     "q_fn_hof" -> fnHof,
     "q_fn_date2" -> fnDate2,
     "q_fn_math" -> fnMath,
@@ -162,6 +174,14 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_orderkey & 255 AS and255,
+                l_orderkey | l_linenumber AS or_line,
+                xor(l_orderkey, l_partkey) AS xor_part,
+                CAST(l_linenumber << 3 AS INTEGER) AS shl3,
+                l_orderkey >> 2 AS shr2
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_fn_hof" ->
       """SELECT vec_id,
                 CAST(len(list_filter(embedding, v -> v > 0)) AS INTEGER) AS n_positive,
