@@ -215,17 +215,15 @@ object RelationalQueries {
       round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
   /** §2.12.3 custom-UDAF surface: per-group variance/stddev through the
-    * MomentsAgg Aggregator (one-pass Welford, mergeable partials),
-    * checked against DuckDB's var_samp/stddev_samp. */
-  private val aggMoments: Q = (s, d) => {
-    import s.implicits._
-    val grouped = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("_1"), col("l_extendedprice").as("_2"))
-      .as[(String, Double)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.MomentsAgg.toColumn.name("m"))
-    grouped.toDF("l_returnflag", "m")
+    * MomentsDecl DeclarativeAggregate (one-pass Welford, mergeable
+    * partials, stays inside whole-stage codegen), checked against
+    * DuckDB's var_samp/stddev_samp. The typed-Aggregator twin
+    * (MomentsAgg) demonstrates the user-facing API and is
+    * property-tested + parity-tested against this form. */
+  private val aggMoments: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.MomentsDecl.moments(col("l_extendedprice")).as("m"))
       .select(
         col("l_returnflag"),
         col("m.n").as("n"),
@@ -237,30 +235,24 @@ object RelationalQueries {
         when(col("m.n") > 1,
           round(sqrt(col("m.m2") / (col("m.n") - 1)), 4)).as("std_price"))
       .orderBy("l_returnflag")
-  }
 
-  /** O5 grouped: top-3 orders per customer via the bounded-heap TopK
-    * Aggregator (no per-key full sort; k-bounded partials cross the
-    * shuffle). Oracle: ROW_NUMBER window. */
-  private val topkPerKey: Q = (s, d) => {
-    import s.implicits._
-    val agg = new graft.functions.TopKAgg(3)
+  /** O5 grouped: top-3 orders per customer via the bounded-heap TopKDecl
+    * Catalyst aggregate (no per-key full sort; k-bounded partials cross
+    * the shuffle as compact bytes, no typed ser/de). Oracle: ROW_NUMBER
+    * window. The typed-Aggregator twin (TopKAgg) demonstrates the
+    * user-facing API and is property-tested + parity-tested. */
+  private val topkPerKey: Q = (s, d) =>
     Tables.orders(s, d)
-      .select(col("o_custkey").as("_1"),
-        struct(col("o_totalprice"), col("o_orderkey")).as("_2"))
-      .as[(Long, (Double, Long))]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("top"))
-      .toDF("o_custkey", "top")
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKDecl.topk(
+        struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(
         col("o_custkey"),
         (col("pos") + 1).cast("int").as("rnk"),
-        col("t._2").as("o_orderkey"),
-        col("t._1").as("o_totalprice"))
+        col("t.id").as("o_orderkey"),
+        col("t.v").as("o_totalprice"))
       .orderBy("o_custkey", "rnk")
-  }
 
   /** E6 at-scale variant: t-digest-style sketch percentiles
     * (approx_percentile) — the 100 TB path where exact percentile's
