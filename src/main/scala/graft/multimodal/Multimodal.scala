@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns (SURVEY.md §2.13): image/audio/video payloads as
   * opaque BinaryType columns with typed metadata structs.
   *
-  * The decode step is STUBBED — the container has no image/audio
-  * codecs — behind `decodeStub`, a deterministic fake that parses the
-  * 16-byte graft header instead of real pixels. Everything around it is
-  * the real Spark plumbing this pipeline needs at 100 TB: binary
-  * columns round-tripping through parquet, metadata as a pruned-able
-  * struct, per-partition batch processing (mapPartitions — the Scala
-  * analogue of mapInPandas' batch shape), and byte-level feature
-  * extraction as codegen'd expressions where possible.
+  * IMAGE decode/resize are REAL: PNG via the JDK's javax.imageio
+  * (`synthesizeImages`/`decodeImage`/`resizeImage`) — actual pixels,
+  * no external codec. AUDIO/VIDEO decode stays STUBBED (`decodeStub` /
+  * `resizeStub` parse the 16-byte graft header) because the container
+  * has no codecs for those. Everything around both paths is the real
+  * Spark plumbing this pipeline needs at 100 TB: binary columns
+  * round-tripping through parquet, metadata as a pruned-able struct,
+  * per-partition batch processing (mapPartitions — the Scala analogue
+  * of mapInPandas' batch shape), and byte-level feature extraction as
+  * codegen'd expressions where possible.
   *
   * Payload layout (fake but parseable): bytes 0-3 magic "GRFT", 4 kind
   * (0=image,1=audio,2=video), 5-8 width/rate, 9-12 height/frames,
@@ -137,4 +139,106 @@ object Multimodal {
         col("meta.n_frames").as("n_frames"),
         expr(s"filter(sequence(0, meta.n_frames - 1), i -> i % $everyK = 0)")
           .as("sampled_frames"))
+
+  // ------------------------------------------------------------------
+  // REAL image path (VERDICT round-1 item 6): PNG en/decode via the
+  // JDK's javax.imageio — no external codec needed, works headless.
+  // Audio/video decode stays stubbed (the container genuinely has no
+  // codecs for those); the Spark plumbing is identical either way.
+  // ------------------------------------------------------------------
+
+  /** Deterministic synthetic PNG table: real encoded images whose pixel
+    * values derive from media_id only (xorshift), generated inside the
+    * executors — the encode cost distributes like any other map. */
+  def synthesizeImages(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType))))))
+    val rows = spark.sparkContext.range(0L, n.toLong, numSlices = partitions).map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          img.setRGB(px, py, (x & 0xffffff).toInt)
+          px += 1
+        }
+        py += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Row(id, bos.toByteArray, Row(w, h))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** REAL decode: ImageIO parses the PNG bytes per partition and emits
+    * actual pixel statistics (dims from the decoded raster, not a
+    * header field; mean luminance over every pixel). This is the same
+    * mapPartitions seam as decodeStub with the codec filled in. */
+  def decodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for media $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var lum = 0.0
+          var py = 0
+          while (py < h) {
+            var px = 0
+            while (px < w) {
+              val rgb = img.getRGB(px, py)
+              lum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              px += 1
+            }
+            py += 1
+          }
+          (id, w, h, math.round(lum / (w * h) * 10000) / 10000.0)
+        }
+      }.toDF("media_id", "width", "height", "mean_luminance")
+  }
+
+  /** REAL resize: decode → Graphics2D bilinear scale to fit maxSide
+    * (aspect-preserving, never upscale) → re-encode PNG. Binary in,
+    * binary out, per-partition batches — the deployment shape for a
+    * 100 TB image-normalization pass. */
+  def resizeImage(spark: SparkSession, media: DataFrame, maxSide: Int): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for media $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val nw = math.max(1, (w * scale).toInt)
+          val nh = math.max(1, (h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray, nw, nh)
+        }
+      }.toDF("media_id", "payload", "new_width", "new_height")
+  }
 }

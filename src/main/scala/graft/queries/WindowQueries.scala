@@ -85,6 +85,73 @@ object WindowQueries {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** W1 at scale (SURVEY §9 windows caveat, VERDICT round-1 item 5):
+    * q_win_rank partitions by ~5 market segments, so at 1000× one task
+    * sorts a fifth of the table. This variant produces the SAME output
+    * through a skew-proof plan:
+    *
+    *   1. `repartitionByRange(segment asc, acctbal desc, custkey asc)`
+    *      splits every segment across many range partitions that are
+    *      globally ordered — no task ever holds a whole segment.
+    *   2. row_number within each (segment, partition) slice — the sort
+    *      is local to a slice, bounded by partition size.
+    *   3. Merge: per-slice counts (one tiny row per slice) get a
+    *      cumulative-sum window — driver-scale data, segments × slices
+    *      rows — and are broadcast back: rn = local_rn + offset.
+    *   4. ntile(4) is recomputed arithmetically from rn and the
+    *      per-segment total (SQL ntile: the first n%k tiles take
+    *      ceil(n/k) rows) — integer math, no second sort.
+    *
+    * rank/dense_rank: the ordering key (acctbal desc, custkey asc) is
+    * UNIQUE (custkey is a key), so rank = dense_rank = row_number by
+    * definition — same values the unsalted window and the oracle
+    * produce. A non-unique ordering would additionally min/densify over
+    * peer groups in step 3.
+    *
+    * Exactness does not depend on where the range boundaries land
+    * (sampling is seed-free): any split yields the same rn after the
+    * offset merge, so the output is deterministic even though pid
+    * assignment is not. */
+  private val winRankSalted: Q = (s, d) => {
+    val slices = 32
+    val ranged = Tables.customer(s, d)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .repartitionByRange(slices,
+        col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("c_mktsegment", "pid")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val local = ranged.withColumn("local_rn", row_number().over(wLocal))
+    // per-slice counts: segments × slices rows — tiny by construction
+    val wSeg = Window.partitionBy("c_mktsegment").orderBy("pid")
+    val offsets = local.groupBy("c_mktsegment", "pid")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(wSeg.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_seg", sum("cnt").over(
+        Window.partitionBy("c_mktsegment")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("c_mktsegment", "pid", "offset", "n_seg")
+    val k = 4
+    val merged = local.join(broadcast(offsets), Seq("c_mktsegment", "pid"))
+      .withColumn("rn", (col("local_rn") + col("offset")).cast("int"))
+      // SQL ntile(k): big = n%k tiles of size ceil(n/k), then size n/k
+      .withColumn("q_small", (col("n_seg") / k).cast("long"))
+      .withColumn("q_big", col("n_seg") % k)
+      .withColumn("cutoff", col("q_big") * (col("q_small") + 1))
+      .withColumn("quartile",
+        when(col("rn") <= col("cutoff"),
+          ((col("rn") - 1) / (col("q_small") + 1)).cast("int") + 1)
+          .otherwise(
+            (col("q_big") + (col("rn") - col("cutoff") - 1) / col("q_small"))
+              .cast("int") + 1))
+    merged.select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      col("rn"), col("rn").as("rnk"), col("rn").as("drnk"), col("quartile"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
   /** A-family: argmax/argmin aggregates (max_by/min_by). Ordering key
     * is a composite scalar (price * 1e6 + orderkey — exact in double
     * at these magnitudes) because DuckDB's max_by takes scalars only;
@@ -104,6 +171,7 @@ object WindowQueries {
     "q_win_range" -> winRange,
     "q_agg_maxby" -> aggMaxBy,
     "q_win_rank" -> winRank,
+    "q_win_rank_salted" -> winRankSalted,
     "q_win_lag" -> winLag,
     "q_win_frame" -> winFrame,
     "q_label_encode" -> labelEncode,
@@ -125,6 +193,17 @@ object WindowQueries {
                 round(max(o_totalprice), 2) AS top_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_win_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                CAST(row_number() OVER w AS INTEGER) AS rn,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+         ORDER BY c_mktsegment, rn""",
+    // identical oracle to q_win_rank: the salted plan must reproduce the
+    // plain window's output exactly
+    "q_win_rank_salted" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
                 CAST(row_number() OVER w AS INTEGER) AS rn,
                 CAST(rank() OVER w AS INTEGER) AS rnk,

@@ -73,4 +73,31 @@ class JoinWindowStreamSpec extends SparkSpec {
       assert(r.getInt(1) <= r.getInt(0) && r.getInt(2) <= r.getInt(1))
     }
   }
+
+  test("salted rank reproduces the plain window exactly") {
+    val plain = WindowQueries.queries("q_win_rank")(spark, sf)
+      .collect().map(_.toSeq)
+    val salted = WindowQueries.queries("q_win_rank_salted")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s, p) => assert(s == p) }
+  }
+
+  test("salted rank never sorts a whole segment in one task") {
+    import SparkSpec.spark.implicits._
+    // the skew-proof property: every segment is split across >1 range
+    // slice, so no single task's sort covers a full segment
+    val slices = Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .repartitionByRange(32,
+        col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("pid")).as("n_slices"))
+      .collect()
+    slices.foreach { r =>
+      assert(r.getLong(1) > 1,
+        s"segment ${r.getString(0)} landed in a single range slice")
+    }
+  }
 }

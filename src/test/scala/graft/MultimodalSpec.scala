@@ -77,6 +77,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private lazy val images = Multimodal.synthesizeImages(spark, 60).cache()
+
+  test("real PNG decode recovers actual pixel dimensions") {
+    val decoded = Multimodal.decodeImage(spark, images)
+    assert(decoded.count() == 60)
+    val dims = decoded.select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val expect = images.select("media_id", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(dims == expect)
+    // luminance is a real pixel statistic: strictly inside (0, 255) for
+    // xorshift noise, and deterministic across runs
+    val lum1 = Multimodal.decodeImage(spark, images)
+      .select("media_id", "mean_luminance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lum1.values.foreach(l => assert(l > 0.0 && l < 255.0))
+    val lum2 = Multimodal.decodeImage(spark, images)
+      .select("media_id", "mean_luminance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lum1 == lum2)
+  }
+
+  test("real PNG resize re-encodes payloads that decode to the new dims") {
+    val resized = Multimodal.resizeImage(spark, images, maxSide = 12)
+    assert(resized.count() == 60)
+    // every resized payload is a REAL PNG: decode it again and the
+    // raster must carry the capped dimensions
+    val roundTrip = Multimodal.decodeImage(
+      spark, resized.select(col("media_id"), col("payload")))
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val declared = resized.select("media_id", "new_width", "new_height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(roundTrip == declared)
+    val before = images.select("media_id", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    declared.foreach { case (id, (nw, nh)) =>
+      val (w, h) = before(id)
+      assert(math.max(nw, nh) <= 12 && nw >= 1 && nh >= 1)
+      val scale = math.min(1.0, 12.0 / math.max(w, h))
+      assert(nw == math.max(1, (w * scale).toInt))
+      assert(nh == math.max(1, (h * scale).toInt))
+    }
+  }
+
   test("frame sampling picks every k-th frame of video payloads") {
     val sampled = Multimodal.sampleFrames(media, 5).collect()
     assert(sampled.nonEmpty)
