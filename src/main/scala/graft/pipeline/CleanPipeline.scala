@@ -82,7 +82,7 @@ object CleanPipeline {
     }
   }
 
-  /** NB cell 79: cast the 7 numeric features to int. */
+  /** NB cell 79: cast the 8 numeric/boolean-coded features to int. */
   val castFeatureInts: Stage = df =>
     Seq("cleaning_fee", "host_identity_verified", "instant_bookable",
       "bathrooms", "review_scores_rating", "bedrooms", "beds", "accommodates")

@@ -4,9 +4,9 @@ import org.apache.spark.sql.types._
 
 /** Schemas for the listings entity (SURVEY.md §1, FIXTURES.md).
   *
-  * The raw schema transliterates the 30-column Kaggle CSV shape the
+  * The raw schema transliterates the 29-column Kaggle CSV shape the
   * reference reads (EDA Notebook.ipynb cell 4/11); the clean schema is
-  * the 16-column encoded table it persists (cell 100's Final_EDA.csv,
+  * the 17-column encoded table it persists (row_id + 15 features + price, cell 100's Final_EDA.csv,
   * pipeline.py:14's SQLite air_b, db_queries.py:4-23's PostgreSQL DDL).
   * Explicit StructTypes are the declared contract — schema inference
   * (`inferSchema`) stays available through Ingest.readRawCsv but is not
@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   */
 object Listings {
 
-  /** Raw Kaggle listing schema: 30 columns, dtypes per NB cell 11. */
+  /** Raw Kaggle listing schema: 29 columns, dtypes per NB cell 11. */
   val rawSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("log_price", DoubleType),

@@ -30,10 +30,17 @@ object SqlQueries {
        GROUP BY n_name
        ORDER BY n_name"""
 
+  /** The scalar threshold is floor()'d: both engines compute avg() over
+    * the same doubles but may differ by ulps (summation order), and
+    * o_totalprice values sit on exact cents — thresholding the raw avg
+    * would let a 1-ulp difference at a boundary flip row membership
+    * between Spark and the oracle. floor() is exact on doubles in both
+    * engines and only disagrees if avg lands within an ulp of an
+    * integer AND a data point sits exactly there (measure-zero). */
   private val scalarSubquery =
     """SELECT o_orderkey, o_totalprice
        FROM orders
-       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+       WHERE o_totalprice > (SELECT floor(avg(o_totalprice)) FROM orders)
        ORDER BY o_orderkey"""
 
   /** A9's third form: explicit GROUPING SETS with GROUPING() ids to

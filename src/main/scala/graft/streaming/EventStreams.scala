@@ -40,6 +40,33 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Rate source (engine extension): Spark's built-in load generator
+    * mapped onto the events shape — soak/throughput testing of any
+    * downstream streaming operator without a file fixture. Uses the
+    * "rate-micro-batch" variant: a FIXED row count per batch and
+    * deterministic timestamps (batch k ⇒ startTimestamp +
+    * k·advanceMillis for every row in it), so results are reproducible
+    * — the plain "rate" source keys row counts to wall-clock, which is
+    * the right tool for throughput soak but not for tests.
+    * event_id is the generator's monotonically increasing value;
+    * user/type/value are pure functions of it. */
+  def rateEvents(spark: SparkSession, rowsPerBatch: Int = 60,
+      advanceMillisPerBatch: Long = 20L * 60 * 1000): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", advanceMillisPerBatch)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(50L)).as("user_id"),
+        element_at(
+          typedLit(Seq("view", "click", "purchase")),
+          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value") * 37L, lit(1000L)) / lit(10.0)).as("value"))
+
   /** Tumbling 1-hour event-time windows with a 10-minute watermark —
     * the streaming twin of q_window_tumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -34,6 +34,8 @@ class EtlJobSpec extends SparkSpec {
     // embedded driver shipped with Spark: bulk partition-parallel
     // INSERTs instead of the reference's row-at-a-time string-formatted
     // loop (pipeline.py:48-74)
+    // Derby writes derby.log to user.dir by default; send it to target/
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val url = "jdbc:derby:memory:graftdb;create=true"
     val (train, test) = ListingsFixture.trainTest(spark)
     val clean = CleanPipeline.run(train, test)

@@ -99,6 +99,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rate source generates the events shape deterministically") {
+    val q = EventStreams.rateEvents(spark, rowsPerBatch = 50)
+      .writeStream.format("memory").queryName("t_rate").outputMode("append")
+      .start()
+    try {
+      // unbounded source: poll until 3 batches (150 rows) have landed
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("t_rate").count() < 150 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val rows = spark.table("t_rate")
+      .select("event_id", "user_id", "event_type", "value").collect()
+    assert(rows.length >= 150, s"only ${rows.length} rate rows arrived")
+    val kinds = Seq("view", "click", "purchase")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 50)
+      assert(r.getString(2) == kinds((id % 3).toInt))
+      assert(math.abs(r.getDouble(3) - (id * 37 % 1000) / 10.0) < 1e-9)
+    }
+    // the generator's value column is a gap-free sequence from 0
+    val ids = rows.map(_.getLong(0)).sorted
+    assert(ids.zipWithIndex.forall { case (id, i) => id == i.toLong })
+  }
+
+  test("rate-source tumbling windows match the closed-form batch count") {
+    // batch k carries ts = k * 20 min, 60 rows → a 1 h window spans
+    // exactly 3 batches = 180 rows, 60 per event_type; the 10 min
+    // watermark closes window w once a batch with ts >= w+70min lands
+    val stream = EventStreams.tumblingCounts(EventStreams.rateEvents(spark))
+    val q = stream.writeStream.format("memory").queryName("t_rate_tumbling")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("t_rate_tumbling").count() < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val emitted = spark.table("t_rate_tumbling")
+      .select("w_start", "event_type", "n").collect()
+    assert(emitted.length >= 3, "no closed window was emitted")
+    emitted.foreach { r =>
+      assert(r.getLong(0) % 3600 == 0, "window starts must align to the hour")
+      assert(r.getLong(2) == 60L,
+        s"window ${r.getLong(0)} ${r.getString(1)}: ${r.getLong(2)} != 60")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStreams.userRunningTotals(
       spark, EventStreams.readEvents(spark, eventsDir))
