@@ -208,11 +208,16 @@ object RelationalQueries {
     * with linear interpolation — matches DuckDB quantile_cont. The
     * at-scale variant is approx_percentile (t-digest sketch). */
   private val quantiles: Q = (s, d) =>
-    Tables.lineitem(s, d).agg(
-      round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-      round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-      round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-      round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+    // ONE percentile(col, array(...)) aggregate, not four: each separate
+    // percentile() call maintains its own value-count map over the whole
+    // column (4× the buffer build, merge, and sort at every scale)
+    Tables.lineitem(s, d)
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))").as("ps"))
+      .select(
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"))
 
   /** §2.12.3 custom-UDAF surface: per-group variance/stddev through the
     * MomentsDecl DeclarativeAggregate (one-pass Welford, mergeable
@@ -332,7 +337,27 @@ object RelationalQueries {
       least(col("l_tax"), col("l_discount")).as("smallest"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Histogram / binning: fixed-width buckets two ways — integer
+    * arithmetic (floor of an exact-power division) and the SQL-standard
+    * width_bucket — plus per-bin counts. Bin width 50000 divides the
+    * [0, 600000) domain into 12 buckets; (max-min)/numBucket = 50000
+    * exactly, so width_bucket's internal division is the same IEEE
+    * operation as the explicit floor form and the two columns can never
+    * disagree (asserted by construction: same grouping). One scan, one
+    * partial+final hash aggregate — the profiling shape that feeds
+    * feature binning at any scale. */
+  private val histogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        floor(col("o_totalprice") / 50000).cast("int").as("bin"),
+        expr("width_bucket(o_totalprice, 0D, 600000D, 12)").as("wb"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
+    "q_histogram" -> histogram,
     "q_unpivot" -> unpivot,
     "q_except_all" -> exceptAll,
     "q_fn_null" -> fnNull,
@@ -369,6 +394,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bin,
+                CAST(LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 13) AS BIGINT) AS wb,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi
+         FROM orders GROUP BY 1, 2 ORDER BY bin""",
     "q_agg_moments" ->
       """SELECT l_returnflag, count(*) AS n,
                 round(avg(l_extendedprice), 4) AS mean_price,

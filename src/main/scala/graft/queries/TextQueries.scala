@@ -139,6 +139,101 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Duplicate-cluster canonicalization: connected components over the
+    * near-dup pair graph (the q_dedup_ngram edges), labeling every doc
+    * with the smallest doc_id reachable through dup pairs — the step a
+    * real training-data pipeline runs AFTER pair generation, since near-
+    * dup is not transitive and keep-one-per-pair under-deletes (A~B,
+    * B~C must collapse to ONE kept doc even when A!~C).
+    *
+    * Iterative min-label propagation: each iteration is one shuffle
+    * join (edges × labels) + a min-aggregate, lineage cut by
+    * localCheckpoint. Near-dup clusters are near-cliques, so diameter
+    * — and the iteration count — stays tiny (2-3) regardless of corpus
+    * size; at 100 TB the same join pattern runs per iteration, and the
+    * two driver-side scalars per round (the convergence sum) are O(1).
+    * For adversarial long-chain graphs swap in large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014)
+    * — same building blocks, logarithmic rounds. */
+  private val dedupCluster: Q = (s, d) => {
+    val pairs = dedupNgram(s, d).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    // labels only ever decrease, so sum(label) is a monotone potential:
+    // unchanged sum == fixpoint (no per-row diff join needed)
+    def labelSum(): Long = labels.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(prop).groupBy("node")
+        .agg(min("label").as("label")).localCheckpoint()
+      val s2 = labelSum()
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash sampling + train/val/test split assignment:
+    * membership is a pure function of md5(doc_id), so the sample is
+    * reproducible across runs, partitionings, and engines — unlike
+    * rand(seed)-based sampling, whose draw order follows partition
+    * layout. This is the scale-correct way to subsample a corpus or
+    * pin a holdout: ~80/10/10 split on the first hex byte
+    * (00-cb / cc-e5 / e6-ff = 204/26/26 of 256), ~10% flat sample
+    * (first byte < 0x1a = 26/256). */
+  private val sampleHash: Q = (s, d) => {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      h2.as("h2"),
+      when(h2 < "cc", "train").when(h2 < "e6", "val")
+        .otherwise("test").as("split"),
+      (h2 < "1a").as("in_sample"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-filter composition — the flagship training-data
+    * materialization: keep docs that are (a) the canonical copy of
+    * their exact-dup group, (b) predicted English, and (c) quality
+    * >= 2 on the 0-3 integer score. One scan + one groupBy-join;
+    * every predicate is codegen'd expression work. */
+  private val corpusFilter: Q = (s, d) => {
+    val docs = withWords(Tables.documents(s, d))
+    val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, "doc_id")
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))))
+      .withColumn("n_stop",
+        size(filter(col("w"), w => w.isin("the", "a", "of", "and", "to"))))
+      .withColumn("score_en",
+        size(filter(col("w"), w => w.isin("the", "a", "of"))))
+      .withColumn("score_es",
+        size(filter(col("w"), w => w.isin("el", "la", "de"))))
+      .withColumn("score_de",
+        size(filter(col("w"), w => w.isin("der", "und", "die"))))
+      .withColumn("quality",
+        when(col("n_words").between(10, 10000), 1).otherwise(0)
+          + when(col("n_punct") * 10 < col("n_chars"), 1).otherwise(0)
+          + when(col("n_stop") * 2 <= col("n_words"), 1).otherwise(0))
+      .filter(col("quality") >= 2 &&
+        col("score_en") >= col("score_es") &&
+        col("score_en") >= col("score_de") && col("score_en") > 0)
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints via the custom codegen Fingerprint64
     * expression (no DuckDB equivalent → rows-only check + unit tests). */
   private val docFingerprint: Q = (s, d) =>
@@ -161,9 +256,12 @@ object TextQueries {
                             i -> xxhash64(substring(text, i, 8)))
              ELSE array(xxhash64(text)) END"""))
       .withColumn("fingerprints", expr(
+        // direct 4-way least() instead of array_min(slice(...)): slice
+        // allocates a fresh array per character position, which at
+        // corpus scale is the dominant GC cost of the whole query
         """array_distinct(CASE WHEN size(grams) >= 4
              THEN transform(sequence(0, size(grams) - 4),
-                            j -> array_min(slice(grams, j + 1, 4)))
+                            j -> least(grams[j], grams[j+1], grams[j+2], grams[j+3]))
              ELSE array(array_min(grams)) END)"""))
       .select(
         col("doc_id"),
@@ -179,6 +277,9 @@ object TextQueries {
     "q_quality_score" -> qualityScore,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_cluster" -> dedupCluster,
+    "q_sample_hash" -> sampleHash,
+    "q_corpus_filter" -> corpusFilter,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -243,5 +344,63 @@ object TextQueries {
          JOIN sizes sb ON sb.doc_id = d2
          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
          ORDER BY d1, d2""",
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh_all AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks),
+         rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+                   JOIN sizes sa ON sa.doc_id = d1
+                   JOIN sizes sb ON sb.doc_id = d2
+                   WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4),
+         edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         cc(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
+         SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         FROM cc GROUP BY node ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT doc_id,
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split,
+                (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a') AS in_sample
+         FROM documents ORDER BY doc_id""",
+    "q_corpus_filter" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         f AS (SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_words,
+                 CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+                 CAST(len(list_filter(string_split(d.text, ' '),
+                      w -> w IN ('the','a','of','and','to'))) AS INTEGER) AS n_stop,
+                 CAST(len(list_filter(string_split(d.text, ' '),
+                      w -> w IN ('the','a','of'))) AS INTEGER) AS score_en,
+                 CAST(len(list_filter(string_split(d.text, ' '),
+                      w -> w IN ('el','la','de'))) AS INTEGER) AS score_es,
+                 CAST(len(list_filter(string_split(d.text, ' '),
+                      w -> w IN ('der','und','die'))) AS INTEGER) AS score_de,
+                 d.n_chars
+               FROM documents d JOIN keep USING (doc_id)),
+         g AS (SELECT doc_id, n_words, score_en, score_es, score_de,
+                 (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+                  + CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END
+                  + CASE WHEN n_stop * 2 <= n_words THEN 1 ELSE 0 END) AS quality
+               FROM f)
+         SELECT doc_id, n_words, quality FROM g
+         WHERE quality >= 2 AND score_en >= score_es
+           AND score_en >= score_de AND score_en > 0
+         ORDER BY doc_id""",
   )
 }

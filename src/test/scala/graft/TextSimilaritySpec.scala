@@ -110,8 +110,18 @@ class TextSimilaritySpec extends SparkSpec {
         """array_distinct(CASE WHEN size(grams) >= 4
              THEN transform(sequence(0, size(grams) - 4), j -> array_min(slice(grams, j + 1, 4)))
              ELSE array(array_min(grams)) END)"""))
+      // NOTE: intentionally keeps the slice()-based formulation — it is
+      // the independent reference the optimized least()-chain in
+      // TextQueries must continue to match
       .select("doc_id", "fingerprints").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // exact parity: the shipped query's (n_fingerprints, fp_xor) must
+    // equal this independent slice()-based computation per document
+    TextQueries.queries("q_doc_winnow")(spark, sf).collect().foreach { r =>
+      val ref = fps(r.getLong(0))
+      assert(r.getInt(1) == ref.size, s"doc ${r.getLong(0)} n_fingerprints")
+      assert(r.getLong(2) == ref.foldLeft(0L)(_ ^ _), s"doc ${r.getLong(0)} fp_xor")
+    }
     val nearDups = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDups.nonEmpty)
@@ -126,5 +136,67 @@ class TextSimilaritySpec extends SparkSpec {
     val n = TextQueries.queries("q_dedup_exact")(spark, sf).count()
     val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
     assert(n == distinctTexts)
+  }
+
+  test("dedup_cluster matches a driver-side union-find over the ngram pairs") {
+    val pairs = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find computed independently of the Spark algorithm
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = TextQueries.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allDocs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(got.keySet == allDocs.toSet, "cluster output must cover every doc")
+    allDocs.foreach { id =>
+      assert(got(id) == find(id), s"doc $id: cluster ${got(id)} != union-find ${find(id)}")
+    }
+    // every near-dup pair collapsed into one cluster
+    pairs.foreach { case (a, b) => assert(got(a) == got(b)) }
+  }
+
+  test("sample_hash split is deterministic, total, and near the 80/10/10 design") {
+    val rows = TextQueries.queries("q_sample_hash")(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.documents(spark, sf).count())
+    val bySplit = rows.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 500 docs: binomial 3-sigma bands around 79.7% / 10.2% / 10.2%
+    assert(bySplit("train") > n * 7 / 10 && bySplit("train") < n * 9 / 10, bySplit.toString)
+    // split/in_sample are pure functions of doc_id: recompute via jdk md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val hex = md.digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      assert(r.getString(1) == hex)
+      val expect =
+        if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+      assert(r.getString(2) == expect)
+      assert(r.getBoolean(3) == hex < "1a")
+    }
+  }
+
+  test("corpus_filter equals the composition of its three constituent queries") {
+    val keepIds = TextQueries.queries("q_dedup_exact")(spark, sf)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    val english = TextQueries.queries("q_lang_id")(spark, sf)
+      .filter(col("pred_lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quality = TextQueries.queries("q_quality_score")(spark, sf)
+      .filter(col("quality") >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = keepIds intersect english intersect quality
+    val got = TextQueries.queries("q_corpus_filter")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"corpus filter drift: extra=${got diff want} missing=${want diff got}")
   }
 }
