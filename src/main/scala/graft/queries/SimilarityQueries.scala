@@ -51,6 +51,28 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Embedding normalization + int8 quantization — the storage-side
+    * prep step of a vector index build (IVF/PQ pipelines store unit
+    * vectors as int8 at 4× compression; recall cost is negligible at
+    * 64-128 dims). Pure per-row codegen'd HOF work, zero shuffle: L2
+    * norm by fold, each component scaled to [-127, 127] and rounded.
+    * The driver-checked columns are scalar digests (norm, sum/min/max
+    * of the quantized vector) so the oracle compares ints, not arrays. */
+  private val embedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(aggregate(
+        col("embedding"),
+        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") / col("norm") * 127).cast("int")))
+      .select(
+        col("vec_id"),
+        round(col("norm"), 6).as("norm6"),
+        aggregate(col("q"), lit(0), (a, x) => a + x).as("sum_q"),
+        array_min(col("q")).as("min_q"),
+        array_max(col("q")).as("max_q"))
+      .orderBy("vec_id")
+
   /** Per-label centroids, element-wise: posexplode → (label, pos) mean.
     * Distributed in both dimensions — no vector ever assembled on the
     * driver. */
@@ -279,6 +301,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
@@ -290,6 +313,20 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // int digests compare exactly because each quantized component is
+    // round() of a bit-identical double quotient in both engines
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+               FROM e),
+         q AS (SELECT vec_id, norm,
+                      list_transform(v, x -> CAST(round(x / norm * 127) AS INTEGER)) AS qv
+               FROM n)
+         SELECT vec_id, round(norm, 6) AS norm6,
+                CAST(list_sum(qv) AS INTEGER) AS sum_q,
+                list_min(qv) AS min_q, list_max(qv) AS max_q
+         FROM q ORDER BY vec_id""",
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings)

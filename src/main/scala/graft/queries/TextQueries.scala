@@ -139,6 +139,46 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** TF-IDF term weighting — the classic corpus statistic behind
+    * keyword extraction, quality heuristics, and sparse retrieval.
+    * Shape: explode words → (doc, word) counts [one shuffle on
+    * (doc, word)] → document frequency [shuffle on word] → join tf×df
+    * on word [co-partitioned with the df agg] → broadcast the 1-row
+    * corpus size. Smoothed idf = ln((N+1)/(df+1)); both engines do the
+    * long/long division as exact double division, ln on identical
+    * inputs, and round(.,4) absorbs libm ulp differences. */
+  private val tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 4).as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** Top-k n-grams (bigrams) by corpus frequency — boilerplate and
+    * contamination detection. Partial aggregation absorbs the heavy
+    * hitters map-side, so the shuffle carries one row per distinct
+    * bigram per partition, never one per occurrence; the final top-20
+    * is TakeOrderedAndProject (per-partition heaps, no full sort).
+    * Count-desc with bigram tiebreak keeps the cut deterministic. */
+  private val topNgrams: Q = (s, d) =>
+    withWords(Tables.documents(s, d))
+      .select(explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(0, size(w) - 2),
+                            i -> concat_ws(' ', w[i], w[i+1]))
+             ELSE array() END""")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
   /** Duplicate-cluster canonicalization: connected components over the
     * near-dup pair graph (the q_dedup_ngram edges), labeling every doc
     * with the smallest doc_id reachable through dup pairs — the step a
@@ -280,6 +320,8 @@ object TextQueries {
     "q_dedup_cluster" -> dedupCluster,
     "q_sample_hash" -> sampleHash,
     "q_corpus_filter" -> corpusFilter,
+    "q_tfidf" -> tfidf,
+    "q_top_ngrams" -> topNgrams,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -370,6 +412,24 @@ object TextQueries {
            SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
          SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          FROM cc GROUP BY node ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                        FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 4) AS tfidf
+         FROM tf JOIN df USING (word) CROSS JOIN n
+         ORDER BY doc_id, word""",
+    "q_top_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bi AS (SELECT unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM toks WHERE len(w) >= 2)
+         SELECT bigram, count(*) AS n FROM bi
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "q_sample_hash" ->
       """SELECT doc_id,
                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,

@@ -185,6 +185,59 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tfidf matches a driver-side recomputation") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = texts.size
+    val tfRef = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, g) => (id, w) -> g.length.toLong }
+    }
+    // group the (doc, word) KEYS by word — mapping keys to words first
+    // would pass through a Set and collapse every df to 1
+    val dfRef = tfRef.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val rows = TextQueries.queries("q_tfidf")(spark, sf).collect()
+    assert(rows.length == tfRef.size)
+    rows.foreach { r =>
+      val (id, w, tf, df) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(tf == tfRef((id, w)), s"tf($id,$w)")
+      assert(df == dfRef(w), s"df($w)")
+      val want = BigDecimal(tf * math.log((n + 1.0) / (df + 1.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == want, s"tfidf($id,$w): ${r.getDouble(4)} != $want")
+    }
+  }
+
+  test("top_ngrams equals the driver-side bigram frequency top-20") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).map(_.mkString(" ")) else Iterator.empty
+    }.groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+    val want = counts.toSeq.sortBy { case (b, c) => (-c, b) }.take(20)
+    val got = TextQueries.queries("q_top_ngrams")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+  }
+
+  test("embed_quantize digests match a driver-side recomputation") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val rows = SimilarityQueries.queries("q_embed_quantize")(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      // HALF_UP (away from zero), matching Spark/DuckDB round() — NOT
+      // Math.round, which is floor(x+0.5) and differs on negative .5s
+      val q = v.map(x => BigDecimal(x / norm * 127)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+      assert(math.abs(r.getDouble(1) - norm) < 1e-6)
+      assert(r.getInt(2) == q.sum, s"vec ${r.getLong(0)} sum_q")
+      assert(r.getInt(3) == q.min && r.getInt(4) == q.max)
+      assert(q.forall(x => x >= -127 && x <= 127))
+    }
+  }
+
   test("corpus_filter equals the composition of its three constituent queries") {
     val keepIds = TextQueries.queries("q_dedup_exact")(spark, sf)
       .select("keep_id").collect().map(_.getLong(0)).toSet
