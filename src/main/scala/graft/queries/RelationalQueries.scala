@@ -219,6 +219,21 @@ object RelationalQueries {
         round(element_at(col("ps"), 3), 4).as("p75"),
         round(element_at(col("ps"), 4), 4).as("p95"))
 
+  /** E6 grouped form: exact per-group quantiles — the profiling query a
+    * feature store runs per segment. Same single-array-percentile
+    * aggregate as q_quantiles, keyed by group; partials merge across
+    * the shuffle, so parallelism follows the grouping key. */
+  private val quantilesByGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"))
+      .orderBy("l_returnflag")
+
   /** §2.12.3 custom-UDAF surface: per-group variance/stddev through the
     * MomentsDecl DeclarativeAggregate (one-pass Welford, mergeable
     * partials, stays inside whole-stage codegen), checked against
@@ -391,6 +406,7 @@ object RelationalQueries {
     "q_rollup" -> rollup,
     "q_cube" -> cube,
     "q_quantiles" -> quantiles,
+    "q_quantiles_grouped" -> quantilesByGroup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,6 +590,12 @@ object RelationalQueries {
                 sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_quantiles_grouped" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_quantiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,

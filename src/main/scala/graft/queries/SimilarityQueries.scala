@@ -206,11 +206,25 @@ object SimilarityQueries {
     * threshold is applied to the ROUNDED value so a 1-ulp accumulation
     * difference between engines can't flip membership at the boundary. */
   private val dedupEmbedding: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    // norms are hoisted BELOW the join: computed once per vector, not
+    // once per pair — inside an m-row block each vector would otherwise
+    // re-derive its own sqrt(dot(v,v)) m-1 times. The arithmetic is the
+    // identical expression tree (dot / (sqrt(dot)·sqrt(dot))), so the
+    // rounded values — and oracle hashes — are bit-for-bit unchanged.
+    val e = Tables.embeddings(s, d).withColumn("nrm",
+      sqrt(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+    val a = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dot = aggregate(
+      zip_with(col("e1"), col("e2"), (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
     a.join(b, Seq("label")).filter(col("v1") < col("v2"))
-      .withColumn("cos_sim", round(cosine(col("e1"), col("e2")), 6))
+      .withColumn("cos_sim", round(dot / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= 0.35)
       .select(col("label"), col("v1"), col("v2"), col("cos_sim"))
       .orderBy("v1", "v2")

@@ -9,9 +9,11 @@ package graft
 class PlanHygieneSpec extends SparkSpec {
 
   // intentional non-equi / cross / broadcast-probe shapes, all with a
-  // provably small build side (region/nation dims or a 1-row query vec)
+  // provably small build side (region/nation dims, a 1-row query vec,
+  // or q_tfidf's 1-row corpus-size aggregate)
   private val bnlAllowed = Set(
-    "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh", "q_knn_ivf")
+    "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh", "q_knn_ivf",
+    "q_tfidf")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
