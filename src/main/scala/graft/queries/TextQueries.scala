@@ -199,9 +199,12 @@ object TextQueries {
     val pairs = dedupNgram(s, d).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id").as("node"), col("doc_id").as("label"))
-      .localCheckpoint()
+    // the iterative state carries ONLY nodes that appear in a dup pair
+    // — at corpus scale that's a small fraction of all docs, so each
+    // round's join + min-agg shuffles the dup subgraph, not the corpus;
+    // singleton docs rejoin as their own cluster in the final project
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
     // labels only ever decrease, so sum(label) is a monotone potential:
     // unchanged sum == fixpoint (no per-row diff join needed)
     def labelSum(): Long = labels.agg(sum("label")).head().getLong(0)
@@ -219,7 +222,10 @@ object TextQueries {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 
