@@ -77,7 +77,34 @@ object StreamQueries {
       .orderBy("user_id", "s_start_us")
   }
 
+  /** Behavioral funnel: view → click (≤24 h later) → purchase (≤24 h
+    * after the click) per user, reported as per-step user counts — the
+    * standard conversion query of event analytics. Each step is one
+    * groupBy + one equi-join on user_id, co-partitioned with the
+    * previous step's aggregate, so the whole funnel is a chain of
+    * shuffles on the same key (AQE coalesces them); timestamps are
+    * compared as integer epoch-micros so engine timestamp-unit
+    * differences can't shift a boundary. The three 1-row step counts
+    * meet in broadcast cross joins (intentional BNL, whitelisted). */
+  private val funnel: Q = (s, d) => {
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + dayUs)
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + dayUs)
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindow,
@@ -103,6 +130,19 @@ object StreamQueries {
        ORDER BY user_id, s_start_us"""
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         v AS (SELECT user_id, min(tus) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT ev.user_id, min(tus) AS t2 FROM ev JOIN v USING (user_id)
+               WHERE event_type = 'click'
+                 AND tus > t1 AND tus <= t1 + 86400000000 GROUP BY 1),
+         p AS (SELECT ev.user_id, min(tus) AS t3 FROM ev JOIN c USING (user_id)
+               WHERE event_type = 'purchase'
+                 AND tus > t2 AND tus <= t2 + 86400000000 GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_view_click,
+                (SELECT count(*) FROM p) AS n_full_funnel""",
     "q_window_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
                 event_type, count(*) AS n, round(sum(value), 2) AS sum_value

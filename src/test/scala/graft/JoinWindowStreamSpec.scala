@@ -36,6 +36,29 @@ class JoinWindowStreamSpec extends SparkSpec {
     }
   }
 
+  test("funnel counts match a driver-side recomputation") {
+    val day = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var (nV, nC, nP) = (0L, 0L, 0L)
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      t1.foreach { t1v =>
+        nV += 1
+        val t2 = es.filter(e => e._2 == "click" && e._3 > t1v && e._3 <= t1v + day)
+          .map(_._3).minOption
+        t2.foreach { t2v =>
+          nC += 1
+          if (es.exists(e => e._2 == "purchase" && e._3 > t2v && e._3 <= t2v + day))
+            nP += 1
+        }
+      }
+    }
+    val r = StreamQueries.queries("q_funnel")(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((nV, nC, nP)))
+  }
+
   test("session_window operator agrees with lag-gap sessionization") {
     val a = StreamQueries.queries("q_session_window")(spark, sf)
       .select("user_id", "s_start_us", "n_events").collect().map(_.toSeq).toSet

@@ -13,7 +13,7 @@ class PlanHygieneSpec extends SparkSpec {
   // or q_tfidf's 1-row corpus-size aggregate)
   private val bnlAllowed = Set(
     "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh", "q_knn_ivf",
-    "q_tfidf")
+    "q_tfidf", "q_funnel")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
