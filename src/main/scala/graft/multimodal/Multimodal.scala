@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resize are REAL: PNG via the JDK's javax.imageio
   * (`synthesizeImages`/`decodeImage`/`resizeImage`) — actual pixels,
-  * no external codec. AUDIO/VIDEO decode stays STUBBED (`decodeStub` /
-  * `resizeStub` parse the 16-byte graft header) because the container
-  * has no codecs for those. Everything around both paths is the real
+  * no external codec. AUDIO decode/resample are REAL too: RIFF/PCM16
+  * WAV via the JDK's javax.sound.sampled (`synthesizeAudio`/
+  * `decodeAudio`/`resampleAudio`) — actual sample frames, pure Java,
+  * headless-safe. VIDEO decode stays STUBBED (`decodeStub`/`resizeStub`
+  * parse the 16-byte graft header) because the container has no video
+  * codec. Everything around both paths is the real
   * Spark plumbing this pipeline needs at 100 TB: binary columns
   * round-tripping through parquet, metadata as a pruned-able struct,
   * per-partition batch processing (mapPartitions — the Scala analogue
@@ -240,5 +243,109 @@ object Multimodal {
           (id, bos.toByteArray, nw, nh)
         }
       }.toDF("media_id", "payload", "new_width", "new_height")
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio path: RIFF/PCM16 WAV via javax.sound.sampled — the
+  // JDK's built-in WAV reader/writer (pure Java, headless-safe).
+  // ------------------------------------------------------------------
+
+  /** Deterministic synthetic WAV table: real PCM16 mono files whose
+    * samples are a per-id sine tone plus xorshift dither, encoded with
+    * AudioSystem inside the executors. */
+  def synthesizeAudio(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", IntegerType))))))
+    val rows = spark.sparkContext.range(0L, n.toLong, numSlices = partitions).map { id =>
+      val rate = 8000
+      val nSamples = 800 + (id % 800).toInt
+      val freq = 220.0 + (id % 10) * 110.0
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      val pcm = java.nio.ByteBuffer.allocate(nSamples * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until nSamples).foreach { i =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        val dither = (x % 64).toInt
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt + dither
+        pcm.putShort(s.toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Row(id, bos.toByteArray, Row(rate, nSamples))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** REAL audio decode: AudioSystem parses the WAV container and format
+    * chunk; rate and frame count come from the DECODED stream, and RMS
+    * amplitude is computed over every PCM16 frame — the feature-extract
+    * seam of an audio-corpus pipeline, per-partition like decodeImage. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength.toInt
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0.0
+          (0 until frames).foreach { _ =>
+            val s = bb.getShort.toDouble
+            sumSq += s * s
+          }
+          val rms = math.sqrt(sumSq / math.max(1, frames))
+          (id, fmt.getSampleRate.toInt, frames,
+            math.round(rms * 100) / 100.0)
+        }
+      }.toDF("media_id", "sample_rate", "n_frames", "rms")
+  }
+
+  /** REAL audio resample (integer decimation): keep every k-th PCM
+    * frame, re-encode WAV at rate/k. Binary in, binary out — the
+    * normalization pass an audio corpus runs before feature extraction
+    * (a production pipeline would low-pass first; decimation keeps the
+    * example dependency-free). */
+  def resampleAudio(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val in = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nIn = bytes.length / 2
+          val nOut = (nIn + factor - 1) / factor
+          val out = java.nio.ByteBuffer.allocate(nOut * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until nIn).foreach { i =>
+            val s = in.getShort
+            if (i % factor == 0) out.putShort(s)
+          }
+          val newRate = fmt.getSampleRate / factor
+          val newFmt = new javax.sound.sampled.AudioFormat(newRate, 16, 1, true, false)
+          val outAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out.array()), newFmt, nOut.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            outAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray, newRate.toInt, nOut)
+        }
+      }.toDF("media_id", "payload", "new_rate", "n_frames")
   }
 }

@@ -161,6 +161,47 @@ object EventStreams {
       }
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Stateful per-user funnel — the streaming twin of StreamQueries'
+    * q_funnel (view → click ≤24 h → purchase ≤24 h): a keyed state
+    * machine in flatMapGroupsWithState that folds each user's events in
+    * event-time order and emits the user's current stage (0-3) whenever
+    * the group is touched. Timestamps fold as integer epoch-micros,
+    * matching the batch query exactly. Stage transitions are monotone
+    * (first view, then first qualifying click, then first qualifying
+    * purchase), so per-batch event-time sorting + keyed state equals the
+    * batch result whenever each user's events arrive in event-time order
+    * across triggers; the parity test drives it from the single-file
+    * fixture where that holds. State is 3 longs per user — bounded. */
+  def funnelStages(spark: SparkSession, events: DataFrame): Dataset[FunnelStage] = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, t) =>
+            typ match {
+              case "view" if s.t1 < 0 => s = s.copy(t1 = t)
+              case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                t > s.t1 && t <= s.t1 + dayUs => s = s.copy(t2 = t)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                t > s.t2 && t <= s.t2 + dayUs => s = s.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          Iterator(FunnelStage(userId, Seq(s.t1, s.t2, s.t3).count(_ >= 0)))
+      }
+  }
+
   /** Stream-stream interval join: each click joins purchases by the
     * same user within the preceding hour. Both sides carry watermarks
     * so the join state is bounded — the unbounded-state stream join is

@@ -122,6 +122,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private lazy val audio = Multimodal.synthesizeAudio(spark, 60).cache()
+
+  test("real WAV decode recovers rate, frame count, and a sane RMS") {
+    val decoded = Multimodal.decodeAudio(spark, audio)
+    assert(decoded.count() == 60)
+    val got = decoded.select("media_id", "sample_rate", "n_frames", "rms")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val meta = audio.select("media_id", "meta.sample_rate", "meta.n_samples")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    got.foreach { case (id, (rate, frames, rms)) =>
+      assert((rate, frames) == meta(id), s"audio $id header/meta drift")
+      // a 12000-amplitude sine has RMS ≈ 12000/√2 ≈ 8485; dither is ±64
+      assert(rms > 7000 && rms < 10000, s"audio $id rms $rms out of band")
+    }
+    // deterministic across runs
+    val again = Multimodal.decodeAudio(spark, audio)
+      .select("media_id", "rms").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.map { case (k, v) => k -> v._3 } == again)
+  }
+
+  test("real WAV resample decimates frames and re-encodes a decodable file") {
+    val resampled = Multimodal.resampleAudio(spark, audio, factor = 2)
+    assert(resampled.count() == 60)
+    // every resampled payload is a REAL WAV: decode again, rates and
+    // frame counts must match the declared decimation
+    val roundTrip = Multimodal.decodeAudio(
+      spark, resampled.select(col("media_id"), col("payload")))
+      .select("media_id", "sample_rate", "n_frames").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val before = audio.select("media_id", "meta.n_samples").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    roundTrip.foreach { case (id, (rate, frames)) =>
+      assert(rate == 4000, s"audio $id rate $rate != 4000")
+      assert(frames == (before(id) + 1) / 2, s"audio $id frame count")
+    }
+  }
+
   test("frame sampling picks every k-th frame of video payloads") {
     val sampled = Multimodal.sampleFrames(media, 5).collect()
     assert(sampled.nonEmpty)

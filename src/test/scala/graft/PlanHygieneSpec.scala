@@ -33,6 +33,24 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("new operators prune their parquet scans to referenced columns") {
+    val hist = SparkEntry.queries("q_histogram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hist.contains("o_totalprice") && !hist.contains("o_custkey"),
+      s"q_histogram must scan only o_totalprice:\n$hist")
+    val sample = SparkEntry.queries("q_sample_hash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the md5 split is a pure function of doc_id — text must not be read
+    assert(sample.contains("doc_id") && !sample.contains("text"),
+      s"q_sample_hash must scan only doc_id:\n$sample")
+    val quant = SparkEntry.queries("q_embed_quantize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // per-row work: the ONLY exchange allowed is the final output sort
+    val exchanges = "(?<!AQEShuffleRead)Exchange".r.findAllIn(quant).size
+    assert(exchanges <= 1,
+      s"q_embed_quantize is per-row work and must not shuffle beyond the output sort:\n$quant")
+  }
+
   test("every oracle query is deterministic: repeated runs hash identically") {
     // cheap determinism canary on a sample of order-sensitive queries
     Seq("q_topk", "q_limit", "q_knn_exact", "q_topk_per_key", "q_win_rank").foreach { name =>

@@ -146,6 +146,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful streaming funnel reaches the batch q_funnel step counts") {
+    val stream = EventStreams.funnelStages(
+      spark, EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream.toDF(), "t_funnel", "update")
+    // stages are monotone, so each user's final stage = max emitted
+    val stages = got.groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.queries.StreamQueries.queries("q_funnel")(spark, sf)
+      .collect().head
+    assert(stages.values.count(_ >= 1).toLong == batch.getLong(0), "n_view")
+    assert(stages.values.count(_ >= 2).toLong == batch.getLong(1), "n_view_click")
+    assert(stages.values.count(_ >= 3).toLong == batch.getLong(2), "n_full_funnel")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStreams.userRunningTotals(
       spark, EventStreams.readEvents(spark, eventsDir))
