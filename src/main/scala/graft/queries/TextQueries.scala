@@ -139,6 +139,48 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Compression-ratio quality signal — the classic repetitiveness
+    * heuristic of large-corpus curation (template/boilerplate text
+    * deflates far better than natural prose; extreme ratios flag
+    * low-quality docs). One Deflater per PARTITION, reset per row —
+    * codec-handle reuse is the batch pattern every compression/codec
+    * pass needs at scale, and the same mapPartitions seam as the
+    * multimodal decoders. zlib isn't available in the oracle engine →
+    * rows-only driver check; the spec recomputes ratios with the same
+    * JDK Deflater and pins monotonicity vs repetition. */
+  private val compressionRatio: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length, out,
+            math.round(out.toDouble / math.max(1, in.length) * 10000) / 10000.0)
+        }
+      }.toDF("doc_id", "raw_bytes", "gz_bytes", "ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition ratio (the shingle-level Gopher-style
+    * filter): distinct vs total word-3-grams per doc. Pure codegen'd
+    * array expressions, integer counts so the oracle compares exactly. */
+  private val repetitionRatio: Q = (s, d) =>
+    withWords(Tables.documents(s, d))
+      .withColumn("sh", expr(shingleArraySql))
+      .select(
+        col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"))
+      .filter(col("n_shingles") > 0)
+      .orderBy("doc_id")
+
   /** TF-IDF term weighting — the classic corpus statistic behind
     * keyword extraction, quality heuristics, and sparse retrieval.
     * Shape: explode words → (doc, word) counts [one shuffle on
@@ -328,6 +370,8 @@ object TextQueries {
     "q_corpus_filter" -> corpusFilter,
     "q_tfidf" -> tfidf,
     "q_top_ngrams" -> topNgrams,
+    "q_compression_ratio" -> compressionRatio,
+    "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -418,6 +462,15 @@ object TextQueries {
            SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
          SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          FROM cc GROUP BY node ORDER BY doc_id""",
+    "q_repetition_ratio" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+                FROM toks WHERE len(w) >= 3)
+         SELECT doc_id, CAST(len(s) AS INTEGER) AS n_shingles,
+                CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct
+         FROM sh WHERE len(s) > 0 ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                         FROM documents),

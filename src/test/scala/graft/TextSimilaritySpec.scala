@@ -238,6 +238,49 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compression ratio matches a driver-side deflate and orders by repetitiveness") {
+    val rows = TextQueries.queries("q_compression_ratio")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def deflatedLen(s: String): Int = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      assert(r.getInt(1) == t.getBytes("UTF-8").length)
+      assert(r.getInt(2) == deflatedLen(t), s"doc ${r.getLong(0)} deflate drift")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.2)
+    }
+    // the signal separates repetition: a pure-repeat string must
+    // compress far better than the corpus median
+    val repeat = deflatedLen("lorem ipsum " * 200).toDouble / ("lorem ipsum " * 200).length
+    val median = rows.map(_.getDouble(3)).sorted.apply(rows.length / 2)
+    assert(repeat < median / 2, s"repeat $repeat vs median $median")
+  }
+
+  test("repetition ratio: duplicated text halves the distinct-shingle share") {
+    val rows = TextQueries.queries("q_repetition_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= r.getInt(1),
+        s"doc ${r.getLong(0)}: distinct ${r.getInt(2)} vs total ${r.getInt(1)}")
+    }
+    // independent recompute for a sample
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(25).foreach { r =>
+      val w = texts(r.getLong(0)).split(" ", -1)
+      val sh = w.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getInt(1) == sh.length && r.getInt(2) == sh.distinct.length)
+    }
+  }
+
   test("corpus_filter equals the composition of its three constituent queries") {
     val keepIds = TextQueries.queries("q_dedup_exact")(spark, sf)
       .select("keep_id").collect().map(_.getLong(0)).toSet
