@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression}
-import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.sql.DataFrame
 
 /** The reference's modeling surface (SURVEY.md §2.11) on MLlib.
@@ -69,6 +69,29 @@ object PricePipeline {
       .setEvaluator(evaluator("mae"))
       .setEstimatorParamMaps(grid)
       .setTrainRatio(0.8)
+      .setSeed(seed)
+      .setParallelism(4)
+      .fit(df)
+  }
+
+  /** M5 companion: k-fold cross-validation over the same grid — the
+    * variance-reducing form of model selection TrainValidationSplit
+    * approximates with one split. Folds train in parallel
+    * (setParallelism); avgMetrics exposes the per-candidate CV mean the
+    * way the reference's grid search logged per-config scores. */
+  def crossValidate(df: DataFrame, featureCols: Seq[String],
+      numFolds: Int = 3, seed: Long = 42L): CrossValidatorModel = {
+    val pipe = pipeline(featureCols, "linear", seed)
+    val lr = pipe.getStages(2).asInstanceOf[LinearRegression]
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.1, 1.0))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(evaluator("mae"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
       .setSeed(seed)
       .setParallelism(4)
       .fit(df)

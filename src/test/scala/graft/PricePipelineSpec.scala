@@ -46,6 +46,19 @@ class PricePipelineSpec extends SparkSpec {
     assert(m1.minBy(_._2)._1 == m2.minBy(_._2)._1)
   }
 
+  test("k-fold cross-validation scores every candidate and beats baseline") {
+    val cv = PricePipeline.crossValidate(clean, features, numFolds = 3)
+    // 3x2 grid -> 6 candidates, each with a finite CV-mean mae
+    assert(cv.avgMetrics.length == 6)
+    cv.avgMetrics.foreach(m => assert(m.isFinite && m > 0))
+    // the selected model is the argmin (mae: smaller is better)
+    val best = cv.avgMetrics.min
+    val mae = PricePipeline.evaluator("mae").evaluate(cv.transform(clean))
+    assert(mae <= best * 1.05, s"refit mae $mae should track best CV mean $best")
+    assert(best < PricePipeline.baselineMae(clean),
+      "best CV candidate must beat the naive-mean baseline")
+  }
+
   test("bayesian-style search improves over its own warmup (M4)") {
     val trials = BayesianSearch.search(clean, features, n = 6, nWarmup = 3)
     assert(trials.length == 6)
