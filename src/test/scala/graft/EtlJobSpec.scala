@@ -29,6 +29,29 @@ class EtlJobSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(city"), s"no partition pruning in:\n$plan")
   }
 
+  test("dynamic partition overwrite upserts only the incoming partitions") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val (train, test) = ListingsFixture.trainTest(spark)
+    val clean = CleanPipeline.run(train, test).cache()
+    EtlJob.writeTable(clean, tableDir)
+    val before = spark.read.parquet(tableDir)
+      .groupBy("city").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before.size > 1, "need multiple city partitions for the test")
+    // refresh batch: only city 0, with doubled rows (self-union)
+    val refresh = clean.filter(col("city") === 0)
+    EtlJob.upsertPartitions(refresh.union(refresh), tableDir)
+    val after = spark.read.parquet(tableDir)
+      .groupBy("city").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // city 0 replaced with the new (doubled) content...
+    assert(after(0) == 2 * refresh.count())
+    // ...and every other partition untouched
+    before.filter(_._1 != 0).foreach { case (city, n) =>
+      assert(after(city) == n, s"partition city=$city must be untouched")
+    }
+  }
+
   test("jdbc sink round-trips through an embedded Derby database") {
     // the literal pipeline.py PostgreSQL analogue, against the Derby
     // embedded driver shipped with Spark: bulk partition-parallel
