@@ -21,23 +21,31 @@ object Bench {
     // JVM/codegen + parquet-footer warmup OUTSIDE the timed region,
     // against the SAME sfDir being benched (a warmup on another scale
     // factor leaves the benched dataset's footers/IO cold).
-    try {
-      materialize(SparkEntry.entry(spark))
-      // one noop-sink write AGAINST sfDir so the alphabetically-first
-      // timed query doesn't absorb the sink/codegen cold start
-      materialize(Tables.lineitem(spark, sfDir)
-        .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n")))
+    // each warmup step fails INDEPENDENTLY and loudly: one shared catch
+    // would let an early failure (e.g. the flagship's fixed sf0.001 dir
+    // being absent) silently skip the IVF index build and put the
+    // quantizer fit back inside q_knn_ivf's timed number
+    def warm(what: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup '$what' failed: ${e.getMessage}")
+      }
+    warm("flagship entry")(materialize(SparkEntry.entry(spark)))
+    // one noop-sink write AGAINST sfDir so the alphabetically-first
+    // timed query doesn't absorb the sink/codegen cold start
+    warm("noop sink")(materialize(Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))))
+    warm("table footers") {
       Tables.lineitem(spark, sfDir).count()
       Tables.documents(spark, sfDir).count()
       Tables.embeddings(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
       Tables.orders(spark, sfDir).count()
       Tables.customer(spark, sfDir).count()
-      // IVF index build is an OFFLINE step in a real deployment; build
-      // it here so q_knn_ivf times the query path, not the quantizer fit.
-      graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir)
-    } catch { case _: Throwable => () }
+    }
+    // IVF index build is an OFFLINE step in a real deployment; build
+    // it here so q_knn_ivf times the query path, not the quantizer fit.
+    warm("ivf index")(graft.queries.SimilarityQueries.buildIvfIndex(spark, sfDir))
     // a failed query reports -1 (never a plausible-looking time-to-
     // failure) so regressions are visible in the bench record; untimed
     // compat demos (SparkEntry.untimed) stay in Verify but not here

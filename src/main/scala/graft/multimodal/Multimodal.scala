@@ -167,16 +167,14 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var x = id * 6364136223846793005L + 1442695040888963407L
-      var py = 0
-      while (py < h) {
-        var px = 0
-        while (px < w) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-          img.setRGB(px, py, (x & 0xffffff).toInt)
-          px += 1
-        }
-        py += 1
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        px(i) = (x & 0xffffff).toInt
+        i += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w) // one bulk write, not w×h calls
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       Row(id, bos.toByteArray, Row(w, h))
@@ -197,17 +195,17 @@ object Multimodal {
             new java.io.ByteArrayInputStream(payload))
           require(img != null, s"undecodable image payload for media $id")
           val (w, h) = (img.getWidth, img.getHeight)
+          // ONE bulk getRGB per image: the per-pixel getRGB(x, y) path
+          // re-runs bounds checks + ColorModel conversion per call —
+          // severalfold slower across a whole decode pass
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var lum = 0.0
-          var py = 0
-          while (py < h) {
-            var px = 0
-            while (px < w) {
-              val rgb = img.getRGB(px, py)
-              lum += 0.299 * ((rgb >> 16) & 0xff) +
-                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-              px += 1
-            }
-            py += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            lum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            i += 1
           }
           (id, w, h, math.round(lum / (w * h) * 10000) / 10000.0)
         }
@@ -297,6 +295,12 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val fmt = ais.getFormat
+          // the sample loop below assumes 16-bit mono little-endian PCM;
+          // anything else (stereo interleave, 8-bit, big-endian) would
+          // yield silently wrong statistics instead of an error
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+            !fmt.isBigEndian,
+            s"media $id: unsupported WAV format $fmt (need PCM16 mono LE)")
           val frames = ais.getFrameLength.toInt
           val bytes = ais.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -326,6 +330,9 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val fmt = ais.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+            !fmt.isBigEndian,
+            s"media $id: unsupported WAV format $fmt (need PCM16 mono LE)")
           val bytes = ais.readAllBytes()
           val in = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)

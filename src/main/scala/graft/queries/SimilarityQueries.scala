@@ -277,10 +277,20 @@ object SimilarityQueries {
     * (and the bench warmup) can do it explicitly, mirroring M7's model
     * save/load surface. */
   private val ivfIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** The cache key carries the source file's (mtime, size) alongside
+    * the dir: a dataset regenerated in place gets a FRESH quantizer
+    * instead of stale centroids, exactly as a real index build would be
+    * invalidated by a new data version. Entries are one small model per
+    * dataset version — a handful in any JVM. */
+  private def ivfKey(d: String): (String, Long, Long) = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    (d, f.lastModified(), f.length())
+  }
 
   def buildIvfIndex(s: SparkSession, d: String): org.apache.spark.ml.clustering.KMeansModel =
-    ivfIndex.computeIfAbsent(d, _ => {
+    ivfIndex.computeIfAbsent(ivfKey(d), _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, d)

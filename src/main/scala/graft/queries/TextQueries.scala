@@ -62,30 +62,29 @@ object TextQueries {
         .as("bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Language ID by stopword-marker voting: deterministic argmax over
-    * per-language marker-word hit counts (n-gram-profile heuristic
-    * reduced to its SQL-expressible core so DuckDB can oracle it). */
-  private val langId: Q = (s, d) =>
-    withWords(Tables.documents(s, d))
-      .withColumn("score_en",
+  /** Shared column builders: the language marker scores, the predicted
+    * language, and the 0-3 integer quality score are defined ONCE so
+    * q_lang_id, q_quality_score, and q_corpus_filter can never drift
+    * apart (the composition test would only catch drift on one side).
+    * All expect the `w` (split words) column from withWords. */
+  private def withLangScores(df: DataFrame): DataFrame =
+    df.withColumn("score_en",
         size(filter(col("w"), w => w.isin("the", "a", "of"))))
       .withColumn("score_es",
         size(filter(col("w"), w => w.isin("el", "la", "de"))))
       .withColumn("score_de",
         size(filter(col("w"), w => w.isin("der", "und", "die"))))
-      .withColumn("pred_lang",
-        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") && col("score_en") > 0, "en")
-          .when(col("score_es") >= col("score_de") && col("score_es") > 0, "es")
-          .when(col("score_de") > 0, "de")
-          .otherwise("und"))
-      .select("doc_id", "lang", "score_en", "score_es", "score_de", "pred_lang")
-      .orderBy("doc_id")
 
-  /** Quality scoring: length band, punctuation density, stopword
-    * presence — integer score 0-3 (no float-rounding ambiguity). */
-  private val qualityScore: Q = (s, d) =>
-    withWords(Tables.documents(s, d))
-      .withColumn("n_words", size(col("w")))
+  /** Deterministic argmax over the marker scores; expects withLangScores. */
+  private def predLangCol =
+    when(col("score_en") >= col("score_es") &&
+      col("score_en") >= col("score_de") && col("score_en") > 0, "en")
+      .when(col("score_es") >= col("score_de") && col("score_es") > 0, "es")
+      .when(col("score_de") > 0, "de")
+      .otherwise("und")
+
+  private def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("n_words", size(col("w")))
       .withColumn("n_punct",
         size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))))
       .withColumn("n_stop",
@@ -94,6 +93,20 @@ object TextQueries {
         when(col("n_words").between(10, 10000), 1).otherwise(0)
           + when(col("n_punct") * 10 < col("n_chars"), 1).otherwise(0)
           + when(col("n_stop") * 2 <= col("n_words"), 1).otherwise(0))
+
+  /** Language ID by stopword-marker voting: deterministic argmax over
+    * per-language marker-word hit counts (n-gram-profile heuristic
+    * reduced to its SQL-expressible core so DuckDB can oracle it). */
+  private val langId: Q = (s, d) =>
+    withLangScores(withWords(Tables.documents(s, d)))
+      .withColumn("pred_lang", predLangCol)
+      .select("doc_id", "lang", "score_en", "score_es", "score_de", "pred_lang")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length band, punctuation density, stopword
+    * presence — integer score 0-3 (no float-rounding ambiguity). */
+  private val qualityScore: Q = (s, d) =>
+    withQualityCols(withWords(Tables.documents(s, d)))
       .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
       .orderBy("doc_id")
 
@@ -153,6 +166,12 @@ object TextQueries {
     Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native zlib handle on task COMPLETION (not just
+        // iterator exhaustion): a limit/take or task failure can stop
+        // the iterator mid-partition, and an iterator-tail cleanup
+        // would then never run
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val in = text.getBytes("UTF-8")
@@ -163,11 +182,6 @@ object TextQueries {
           while (!deflater.finished()) out += deflater.deflate(buf)
           (id, in.length, out,
             math.round(out.toDouble / math.max(1, in.length) * 10000) / 10000.0)
-        } ++ {
-          // release the native zlib handle when the partition drains —
-          // at fleet scale unfreed handles outlive their task's GC
-          deflater.end()
-          Iterator.empty
         }
       }.toDF("doc_id", "raw_bytes", "gz_bytes", "ratio")
       .orderBy("doc_id")
@@ -273,7 +287,8 @@ object TextQueries {
     var prevSum = labelSum()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 50
+    while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       labels = labels.union(prop).groupBy("node")
@@ -284,6 +299,15 @@ object TextQueries {
       iter += 1
     }
     edges.unpersist()
+    // min-label propagation advances one hop per round, so an
+    // unconverged exit means a component with diameter > maxIter —
+    // returning partial labels would split true clusters SILENTLY and
+    // under-delete downstream. Fail loudly; a graph like that needs the
+    // large-star/small-star formulation (log-diameter rounds).
+    if (!converged) throw new IllegalStateException(
+      s"dedup clustering did not converge in $maxIter rounds — " +
+        "dup-graph diameter exceeds the simple-propagation budget; " +
+        "switch to large-star/small-star for chain-shaped dup families")
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -319,25 +343,8 @@ object TextQueries {
     val docs = withWords(Tables.documents(s, d))
     val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    docs.join(keep, "doc_id")
-      .withColumn("n_words", size(col("w")))
-      .withColumn("n_punct",
-        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))))
-      .withColumn("n_stop",
-        size(filter(col("w"), w => w.isin("the", "a", "of", "and", "to"))))
-      .withColumn("score_en",
-        size(filter(col("w"), w => w.isin("the", "a", "of"))))
-      .withColumn("score_es",
-        size(filter(col("w"), w => w.isin("el", "la", "de"))))
-      .withColumn("score_de",
-        size(filter(col("w"), w => w.isin("der", "und", "die"))))
-      .withColumn("quality",
-        when(col("n_words").between(10, 10000), 1).otherwise(0)
-          + when(col("n_punct") * 10 < col("n_chars"), 1).otherwise(0)
-          + when(col("n_stop") * 2 <= col("n_words"), 1).otherwise(0))
-      .filter(col("quality") >= 2 &&
-        col("score_en") >= col("score_es") &&
-        col("score_en") >= col("score_de") && col("score_en") > 0)
+    withQualityCols(withLangScores(docs.join(keep, "doc_id")))
+      .filter(col("quality") >= 2 && predLangCol === "en")
       .select("doc_id", "n_words", "quality")
       .orderBy("doc_id")
   }

@@ -108,10 +108,14 @@ object WindowQueries {
     * produce. A non-unique ordering would additionally min/densify over
     * peer groups in step 3.
     *
-    * Exactness does not depend on where the range boundaries land
-    * (sampling is seed-free): any split yields the same rn after the
-    * offset merge, so the output is deterministic even though pid
-    * assignment is not. */
+    * Exactness does not depend on where the range boundaries land: any
+    * split yields the same rn after the offset merge. It DOES require
+    * that the offsets branch and the join's probe branch observe the
+    * SAME boundaries — range sampling is seeded per RDD instantiation,
+    * so two independent executions of the exchange could split
+    * differently. `local` is therefore cache()d: both branches read one
+    * materialized pid assignment, with no reliance on the exchange-reuse
+    * optimization being enabled (regression-tested with reuse off). */
   private val winRankSalted: Q = (s, d) => {
     val slices = 32
     val ranged = Tables.customer(s, d)
@@ -121,7 +125,7 @@ object WindowQueries {
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("c_mktsegment", "pid")
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
-    val local = ranged.withColumn("local_rn", row_number().over(wLocal))
+    val local = ranged.withColumn("local_rn", row_number().over(wLocal)).cache()
     // per-slice counts: segments × slices rows — tiny by construction
     val wSeg = Window.partitionBy("c_mktsegment").orderBy("pid")
     val offsets = local.groupBy("c_mktsegment", "pid")

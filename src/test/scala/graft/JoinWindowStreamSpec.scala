@@ -106,6 +106,21 @@ class JoinWindowStreamSpec extends SparkSpec {
     salted.zip(plain).foreach { case (s, p) => assert(s == p) }
   }
 
+  test("salted rank stays exact with exchange reuse disabled") {
+    // the offsets branch and the probe branch must see ONE pid
+    // assignment even when the optimizer cannot dedup the range
+    // exchange — guards the cache() that pins a single instantiation
+    spark.conf.set("spark.sql.exchangeReuse.enabled", "false")
+    try {
+      val plain = WindowQueries.queries("q_win_rank")(spark, sf)
+        .collect().map(_.toSeq)
+      val salted = WindowQueries.queries("q_win_rank_salted")(spark, sf)
+        .collect().map(_.toSeq)
+      assert(salted.length == plain.length)
+      salted.zip(plain).foreach { case (s, p) => assert(s == p) }
+    } finally spark.conf.set("spark.sql.exchangeReuse.enabled", "true")
+  }
+
   test("salted rank never sorts a whole segment in one task") {
     import SparkSpec.spark.implicits._
     // the skew-proof property: every segment is split across >1 range
