@@ -255,6 +255,43 @@ object TextQueries {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
 
+  /** Incremental near-dedup — the production shape for a continuously
+    * ingesting corpus: a NEW batch (here the deterministic 20% slice
+    * doc_id % 5 = 4, so the split is SF-invariant) is checked against
+    * the EXISTING corpus and against itself, but old-vs-old pairs are
+    * never recomputed. The candidate join keys new-batch shingles
+    * against all shingles, so shuffle volume scales with the BATCH,
+    * not the corpus — at 100 TB the corpus side is a pre-built shingle
+    * index that the daily batch probes. Same integer Jaccard >= 0.8
+    * and document-frequency hot-key cap as q_dedup_ngram; emitted pairs
+    * always carry the new doc on d2. */
+  private val dedupIncremental: Q = (s, d) => {
+    val allShingles = shingleRows(s, d)
+    val rare = allShingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val shingles = allShingles.join(rare, "shingle")
+    val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val newSide = shingles.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val inter = shingles.as("a")
+      .join(newSide.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          // new-vs-new ordered once; old docs always on the a side
+          (pmod(col("a.doc_id"), lit(5)) =!= 4 ||
+            col("a.doc_id") < col("b.doc_id")) &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select("d1", "d2", "n_inter", "n_union")
+      .orderBy("d1", "d2")
+  }
+
   /** Duplicate-cluster canonicalization: connected components over the
     * near-dup pair graph (the q_dedup_ngram edges), labeling every doc
     * with the smallest doc_id reachable through dup pairs — the step a
@@ -392,6 +429,7 @@ object TextQueries {
     "q_quality_score" -> qualityScore,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster" -> dedupCluster,
     "q_sample_hash" -> sampleHash,
     "q_corpus_filter" -> corpusFilter,
@@ -456,6 +494,28 @@ object TextQueries {
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
+         ORDER BY d1, d2""",
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh_all AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks),
+         rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
+         newsh AS (SELECT * FROM sh WHERE doc_id % 5 = 4),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+                   FROM sh a JOIN newsh b ON a.shingle = b.shingle
+                     AND (a.doc_id % 5 != 4 OR a.doc_id < b.doc_id)
+                     AND a.doc_id != b.doc_id
                    GROUP BY 1, 2)
          SELECT d1, d2, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union
          FROM inter

@@ -138,6 +138,23 @@ class TextSimilaritySpec extends SparkSpec {
     assert(n == distinctTexts)
   }
 
+  test("incremental dedup equals full-ngram pairs restricted to the new batch") {
+    // full pairs have d1 < d2; incremental carries the new doc on d2
+    // and never emits old-old pairs — normalize both to unordered sets
+    val full = TextQueries.queries("q_dedup_ngram")(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 5 == 4 || b % 5 == 4 }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val inc = TextQueries.queries("q_dedup_incremental")(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    inc.foreach { case (_, d2) => assert(d2 % 5 == 4, "d2 must be a new-batch doc") }
+    val incNorm = inc.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(incNorm == full,
+      s"extra=${incNorm diff full} missing=${full diff incNorm}")
+  }
+
   test("dedup_cluster matches a driver-side union-find over the ngram pairs") {
     val pairs = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
