@@ -234,6 +234,26 @@ object RelationalQueries {
         round(element_at(col("ps"), 3), 4).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Per-group z-score outlier filter — the standard feature-pipeline
+    * guard: group stats (one partial+final aggregate over ~3 groups)
+    * broadcast back onto the fact table, rows kept where the ROUNDED
+    * |z| exceeds the threshold. Rounding before comparing means a
+    * 1-ulp mean/stddev difference between engines cannot flip row
+    * membership at the cut. */
+  private val zscoreOutliers: Q = (s, d) => {
+    val stats = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(avg("l_extendedprice").as("m"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+    Tables.lineitem(s, d)
+      .join(broadcast(stats), "l_returnflag")
+      .withColumn("z",
+        round((col("l_extendedprice") - col("m")) / col("sd"), 4))
+      .filter(abs(col("z")) > 1.5)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "z")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** §2.12.3 custom-UDAF surface: per-group variance/stddev through the
     * MomentsDecl DeclarativeAggregate (one-pass Welford, mergeable
     * partials, stays inside whole-stage codegen), checked against
@@ -407,6 +427,7 @@ object RelationalQueries {
     "q_cube" -> cube,
     "q_quantiles" -> quantiles,
     "q_quantiles_grouped" -> quantilesByGroup,
+    "q_zscore_outliers" -> zscoreOutliers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +611,15 @@ object RelationalQueries {
                 sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_zscore_outliers" ->
+      """WITH stats AS (SELECT l_returnflag, avg(l_extendedprice) AS m,
+                               stddev_samp(l_extendedprice) AS sd
+                        FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+                round((l_extendedprice - m) / sd, 4) AS z
+         FROM lineitem JOIN stats USING (l_returnflag)
+         WHERE abs(round((l_extendedprice - m) / sd, 4)) > 1.5
+         ORDER BY l_orderkey, l_linenumber""",
     "q_quantiles_grouped" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

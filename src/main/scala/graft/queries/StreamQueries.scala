@@ -103,7 +103,32 @@ object StreamQueries {
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
   }
 
+  /** Day-over-day retention — the cohort query of product analytics:
+    * for each activity day, how many users return the NEXT day. The
+    * distinct (user, day) set is one aggregate; retention is a self
+    * equi-join on (user_id, day+1) — hash/sort-merge joinable, no
+    * range scan — and days compare as integer epoch-days so engine
+    * timestamp units can't shift a cohort boundary. */
+  private val retention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val act = days.groupBy("day").agg(count(lit(1)).as("active"))
+    val ret = days.withColumn("next_day", col("day") + 1).as("a")
+      .join(days.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.next_day") === col("b.day"))
+      .groupBy(col("a.day").as("rday"))
+      .agg(count(lit(1)).as("retained"))
+    act.join(ret, act("day") === ret("rday"), "left")
+      .select(act("day"), col("active"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_retention" -> retention,
     "q_funnel" -> funnel,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
@@ -130,6 +155,18 @@ object StreamQueries {
        ORDER BY user_id, s_start_us"""
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+         ret AS (SELECT a.day, count(*) AS retained
+                 FROM days a JOIN days b
+                   ON a.user_id = b.user_id AND b.day = a.day + 1
+                 GROUP BY 1),
+         act AS (SELECT day, count(*) AS active FROM days GROUP BY 1)
+         SELECT act.day, act.active,
+                coalesce(ret.retained, 0) AS retained
+         FROM act LEFT JOIN ret ON act.day = ret.day
+         ORDER BY act.day""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
          v AS (SELECT user_id, min(tus) AS t1 FROM ev

@@ -36,6 +36,21 @@ class JoinWindowStreamSpec extends SparkSpec {
     }
   }
 
+  test("retention equals a driver-side cohort recomputation") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byDay = days.groupBy(_._2)
+    val want = byDay.keys.toSeq.sorted.map { day =>
+      val users = byDay(day).map(_._1).toSet
+      val next = byDay.getOrElse(day + 1, Array.empty[(Long, Long)]).map(_._1).toSet
+      (day, users.size.toLong, (users intersect next).size.toLong)
+    }
+    val got = graft.queries.StreamQueries.queries("q_retention")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("funnel counts match a driver-side recomputation") {
     val day = 86400000000L
     val evs = Tables.events(spark, sf)

@@ -76,6 +76,26 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("z-score outliers all exceed the threshold and match a recompute") {
+    val rows = RelationalQueries.queries("q_zscore_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 1.5))
+    // per-group recompute of mean/stddev and the filtered key set
+    val data = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val want = data.groupBy(_._3).toSeq.flatMap { case (_, g) =>
+      val xs = g.map(_._4)
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      g.filter { case (_, _, _, x) =>
+        math.abs(BigDecimal((x - m) / sd)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) > 1.5
+      }.map(t => (t._1, t._2))
+    }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet == want)
+  }
+
   test("approx quantiles track the exact ones") {
     val approx = run("q_quantiles_approx").head()
     val exact = run("q_quantiles").head()
