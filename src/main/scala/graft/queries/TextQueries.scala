@@ -130,7 +130,12 @@ object TextQueries {
     * shuffle. The cap never binds at test scale (max DF is 25 at
     * sf0.1), so oracle parity holds with the same cap on both sides. */
   private val maxShingleDf = 1000
-  private val dedupNgram: Q = (s, d) => {
+
+  /** The near-dup pair computation WITHOUT the presentation sort:
+    * shared by q_dedup_ngram (which orders for its deterministic dump)
+    * and by the clustering path (where a sort feeding a join would be
+    * wasted work). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val allShingles = shingleRows(s, d)
     val rare = allShingles.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
@@ -149,8 +154,10 @@ object TextQueries {
       .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
       .filter(col("n_inter") * 5 >= col("n_union") * 4)
       .select("d1", "d2", "n_inter", "n_union")
-      .orderBy("d1", "d2")
   }
+
+  private val dedupNgram: Q = (s, d) =>
+    ngramPairs(s, d).orderBy("d1", "d2")
 
   /** Compression-ratio quality signal — the classic repetitiveness
     * heuristic of large-corpus curation (template/boilerplate text
@@ -309,7 +316,7 @@ object TextQueries {
     * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014)
     * — same building blocks, logarithmic rounds. */
   private val dedupCluster: Q = (s, d) => {
-    val pairs = dedupNgram(s, d).select(col("d1"), col("d2"))
+    val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
     // the iterative state carries ONLY nodes that appear in a dup pair
