@@ -326,8 +326,11 @@ object TextQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     // labels only ever decrease, so sum(label) is a monotone potential:
-    // unchanged sum == fixpoint (no per-row diff join needed)
-    def labelSum(): Long = labels.agg(sum("label")).head().getLong(0)
+    // unchanged sum == fixpoint (no per-row diff join needed).
+    // coalesce: sum over an EMPTY label set (a corpus with no dup pairs
+    // at all) is NULL, and getLong on it would throw
+    def labelSum(): Long =
+      labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var prevSum = labelSum()
     var converged = false
     var iter = 0

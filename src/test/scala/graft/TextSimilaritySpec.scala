@@ -155,6 +155,27 @@ class TextSimilaritySpec extends SparkSpec {
       s"extra=${incNorm diff full} missing=${full diff incNorm}")
   }
 
+  test("dedup_cluster on a corpus with no duplicates yields singleton clusters") {
+    // regression: sum() over the empty dup subgraph is NULL — the
+    // convergence probe must not NPE when no pair exists at all
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodups").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(1L, "alpha beta gamma delta epsilon", "en", "t", 30L),
+      Row(2L, "one two three four five six", "en", "t", 27L),
+      Row(3L, "red green blue yellow purple", "en", "t", 28L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q_dedup_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("dedup_cluster matches a driver-side union-find over the ngram pairs") {
     val pairs = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
