@@ -222,6 +222,27 @@ object TextQueries {
           .cast("int").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** Sequence packing — the step after dedup/filtering in a pretraining
+    * pipeline: documents are assigned to fixed-budget training packs by
+    * greedy sequential fill (a doc goes to the pack its running-total
+    * START falls in, so a pack can overflow by at most one document —
+    * the standard concat-and-chunk semantics). Expressed as a windowed
+    * cumulative sum PARTITIONED BY lang: packing is per-language (as
+    * real pipelines shard it), so no window ever sees the whole corpus
+    * in one task. Integer arithmetic only. */
+  private val docPack: Q = (s, d) => {
+    val packBudget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        expr(s"(cum - tok) DIV $packBudget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF term weighting — the classic corpus statistic behind
     * keyword extraction, quality heuristics, and sparse retrieval.
     * Shape: explode words → (doc, word) counts [one shuffle on
@@ -445,6 +466,7 @@ object TextQueries {
     "q_corpus_filter" -> corpusFilter,
     "q_tfidf" -> tfidf,
     "q_top_ngrams" -> topNgrams,
+    "q_doc_pack" -> docPack,
     "q_compression_ratio" -> compressionRatio,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
@@ -559,6 +581,16 @@ object TextQueries {
            SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
          SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          FROM cc GROUP BY node ORDER BY doc_id""",
+    "q_doc_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+              FROM documents),
+         c AS (SELECT doc_id, lang, tok,
+                sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+              FROM t)
+         SELECT doc_id, lang, tok,
+                CAST((cum - tok) // 512 AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
     "q_repetition_ratio" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

@@ -223,6 +223,27 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("doc packing matches greedy sequential fill per language") {
+    val rows = TextQueries.queries("q_doc_pack")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // driver recompute: running token total per lang in doc_id order
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, tok, pack) =>
+        assert(pack == cum / 512, s"doc $id: pack $pack != ${cum / 512}")
+        cum += tok
+      }
+    }
+    // a pack never overflows by more than its last (straddling) doc
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((lang, pack), docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(total < 512 + maxDoc, s"pack ($lang,$pack) total $total")
+    }
+  }
+
   test("tfidf matches a driver-side recomputation") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
