@@ -96,6 +96,22 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet == want)
   }
 
+  test("HLL distinct estimates stay within the declared error bound") {
+    val approx = RelationalQueries.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().head
+    val exactOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    val exactParts = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    // rsd = 0.01 declared; allow 5 sigma for the small-cardinality regime
+    def within(est: Long, exact: Long): Boolean =
+      math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong)
+    assert(within(approx.getLong(0), exactOrders),
+      s"orderkeys: est ${approx.getLong(0)} vs exact $exactOrders")
+    assert(within(approx.getLong(1), exactParts),
+      s"partkeys: est ${approx.getLong(1)} vs exact $exactParts")
+  }
+
   test("approx quantiles track the exact ones") {
     val approx = run("q_quantiles_approx").head()
     val exact = run("q_quantiles").head()
