@@ -51,6 +51,21 @@ class PlanHygieneSpec extends SparkSpec {
       s"q_embed_quantize is per-row work and must not shuffle beyond the output sort:\n$quant")
   }
 
+  test("PlanAudit flags the scale-hostile shapes and passes clean plans") {
+    import graft.scale.PlanAudit
+    // a healthy equi-join query audits clean
+    assert(PlanAudit.findings(SparkEntry.queries("q_join_inner")(spark, sf)).isEmpty)
+    // a deliberate cross join is flagged...
+    val cross = Tables.region(spark, sf).crossJoin(Tables.nation(spark, sf))
+    val fs = PlanAudit.findings(cross)
+    assert(fs.exists(f => f.kind == "bnl" || f.kind == "cartesian"), fs.toString)
+    // ...and the allow-list accepts a reviewed exception
+    assert(PlanAudit.findings(cross, allow = Set("bnl", "cartesian")).isEmpty)
+    // the gate form throws with the findings in the message
+    val ex = intercept[IllegalStateException](PlanAudit.require(cross))
+    assert(ex.getMessage.contains("plan audit failed"))
+  }
+
   test("every oracle query is deterministic: repeated runs hash identically") {
     // cheap determinism canary on a sample of order-sensitive queries
     Seq("q_topk", "q_limit", "q_knn_exact", "q_topk_per_key", "q_win_rank").foreach { name =>
