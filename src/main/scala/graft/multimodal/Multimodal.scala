@@ -71,9 +71,11 @@ object Multimodal {
   case class Decoded(media_id: Long, kind: String, dim_a: Int, dim_b: Int,
       content_bytes: Int, checksum: Long)
 
-  /** STUB decode (the real codec is ??? in this environment): parses
-    * the graft header + checksums the content — per-partition batches,
-    * the exact seam where a JNI/codec call would sit. */
+  /** Format-agnostic decode over the synthetic GRFT container: parses
+    * the header + checksums the content in per-partition batches. The
+    * REAL codecs live below — [[decodeImage]] (PNG via javax.imageio)
+    * and [[decodeAudio]] (WAV PCM16 via javax.sound); only video has no
+    * in-container codec and keeps this header-only path. */
   def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
@@ -108,12 +110,11 @@ object Multimodal {
         """).as("hist16"))
       .drop("hx")
 
-  /** STUB resize (the real scaler is ??? here — no image codec in the
-    * container): recomputes target dims preserving aspect ratio and
-    * rewrites the payload header to the new dims, leaving content
-    * untouched. The plumbing — binary in, binary out, per-partition
-    * batches, metadata kept in sync — is the real seam a libvips/
-    * ffmpeg call would fill. */
+  /** Header-only resize over the synthetic GRFT container: recomputes
+    * target dims preserving aspect ratio and rewrites the payload
+    * header, leaving content untouched. The REAL pixel scaler is
+    * [[resizeImage]] below (javax.imageio + Graphics2D bilinear); this
+    * path remains for kinds with no in-container codec (video). */
   def resizeStub(spark: SparkSession, media: DataFrame, maxSide: Int): DataFrame = {
     import spark.implicits._
     val resized = media.filter(col("kind") === "image")

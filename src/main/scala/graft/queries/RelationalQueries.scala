@@ -154,11 +154,16 @@ object RelationalQueries {
 
   /** A3 sketch variant: HyperLogLog++ distinct estimate — the 100 TB path
     * where exact countDistinct's shuffle is unaffordable. No oracle
-    * (estimate); driver records rows>0. */
+    * (estimate); driver records rows>0.
+    * rsd = 0.025: at 0.01 the sketch sits near HLL's max register count
+    * and its per-row update cost EXCEEDED the exact variant's at sf0.1
+    * (3.2 s vs 0.95 s, round-2 verdict) — inverting the point of an
+    * approximate operator. 2.5% relative error keeps the estimate tight
+    * while the merge-able partials stay cheaper than an exact shuffle. */
   private val aggApproxDistinct: Q = (s, d) =>
     Tables.lineitem(s, d).agg(
-      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orderkeys"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_partkeys"))
+      approx_count_distinct(col("l_orderkey"), 0.025).as("approx_orderkeys"),
+      approx_count_distinct(col("l_partkey"), 0.025).as("approx_partkeys"))
 
   /** A5 summary statistics (reference NB cell 20 df.describe). */
   private val aggStats: Q = (s, d) =>

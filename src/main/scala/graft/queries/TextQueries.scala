@@ -333,9 +333,9 @@ object TextQueries {
     * — and the iteration count — stays tiny (2-3) regardless of corpus
     * size; at 100 TB the same join pattern runs per iteration, and the
     * two driver-side scalars per round (the convergence sum) are O(1).
-    * For adversarial long-chain graphs swap in large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014)
-    * — same building blocks, logarithmic rounds. */
+    * Adversarial long-chain graphs (diameter > the round budget) degrade
+    * automatically to [[ConnectedComponents.labels]] — large-star/
+    * small-star (Kiveris et al., SoCC 2014), logarithmic rounds. */
   private val dedupCluster: Q = (s, d) => {
     val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
@@ -366,16 +366,30 @@ object TextQueries {
       prevSum = s2
       iter += 1
     }
-    edges.unpersist()
     // min-label propagation advances one hop per round, so an
-    // unconverged exit means a component with diameter > maxIter —
-    // returning partial labels would split true clusters SILENTLY and
-    // under-delete downstream. Fail loudly; a graph like that needs the
-    // large-star/small-star formulation (log-diameter rounds).
-    if (!converged) throw new IllegalStateException(
-      s"dedup clustering did not converge in $maxIter rounds — " +
-        "dup-graph diameter exceeds the simple-propagation budget; " +
-        "switch to large-star/small-star for chain-shaped dup families")
+    // unconverged exit means a component with diameter > maxIter (a
+    // chain-shaped dup family: serial near-identical revisions).
+    // Returning partial labels would split true clusters SILENTLY and
+    // under-delete downstream; instead degrade to the large-star/
+    // small-star formulation (log-diameter rounds) on the same edges.
+    if (!converged) labels = ConnectedComponents.labels(s, edges)
+    edges.unpersist()
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster canonicalization via large-star/small-star
+    * (Kiveris et al., SoCC 2014) over the same near-dup pair graph as
+    * q_dedup_cluster — the diameter-proof variant a pipeline runs when
+    * the dup family shape is unknown. Identical output contract
+    * (doc_id → min reachable doc_id); converges in O(log² n) rounds even
+    * on chain graphs where one-hop propagation needs diameter rounds. */
+  private val dedupClusterLs: Q = (s, d) => {
+    val pairs = ngramPairs(s, d).select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = ConnectedComponents.labels(s, pairs)
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -462,6 +476,7 @@ object TextQueries {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_cluster_ls" -> dedupClusterLs,
     "q_sample_hash" -> sampleHash,
     "q_corpus_filter" -> corpusFilter,
     "q_tfidf" -> tfidf,
@@ -555,7 +570,15 @@ object TextQueries {
          JOIN sizes sb ON sb.doc_id = d2
          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
          ORDER BY d1, d2""",
-    "q_dedup_cluster" ->
+    "q_dedup_cluster" -> dedupClusterOracleSql,
+    // LS/SS variant computes the same fixpoint — identical oracle
+    "q_dedup_cluster_ls" -> dedupClusterOracleSql,
+  ) ++ oraclesTail
+
+  /** Shared by q_dedup_cluster and q_dedup_cluster_ls: both label every
+    * doc with the min doc_id reachable through near-dup pairs.
+    * (lazy: declared after `oracles`, which references it at init.) */
+  private lazy val dedupClusterOracleSql: String =
       """WITH RECURSIVE
          toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh_all AS (SELECT DISTINCT doc_id,
@@ -580,7 +603,9 @@ object TextQueries {
            UNION
            SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
          SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-         FROM cc GROUP BY node ORDER BY doc_id""",
+         FROM cc GROUP BY node ORDER BY doc_id"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q_doc_pack" ->
       """WITH t AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

@@ -103,9 +103,9 @@ class RelationalQueriesSpec extends SparkSpec {
       .select("l_orderkey").distinct().count()
     val exactParts = Tables.lineitem(spark, sf)
       .select("l_partkey").distinct().count()
-    // rsd = 0.01 declared; allow 5 sigma for the small-cardinality regime
+    // rsd = 0.025 declared; allow ~5 sigma for the small-cardinality regime
     def within(est: Long, exact: Long): Boolean =
-      math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong)
+      math.abs(est - exact) <= math.max(1L, (exact * 0.125).toLong)
     assert(within(approx.getLong(0), exactOrders),
       s"orderkeys: est ${approx.getLong(0)} vs exact $exactOrders")
     assert(within(approx.getLong(1), exactParts),
