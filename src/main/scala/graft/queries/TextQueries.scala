@@ -134,12 +134,15 @@ object TextQueries {
   /** The near-dup pair computation WITHOUT the presentation sort:
     * shared by q_dedup_ngram (which orders for its deterministic dump)
     * and by the clustering path (where a sort feeding a join would be
-    * wasted work). */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    * wasted work). `maxDf` is injectable so SkewSpec can prove the cap
+    * binds on a viral-boilerplate corpus; every query entry uses the
+    * default. */
+  private[graft] def ngramPairs(s: SparkSession, d: String,
+      maxDf: Int = maxShingleDf): DataFrame = {
     val allShingles = shingleRows(s, d)
     val rare = allShingles.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
+      .filter(col("df") <= maxDf)
       .select("shingle")
     val shingles = allShingles.join(rare, "shingle")
     val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
