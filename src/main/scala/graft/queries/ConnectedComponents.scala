@@ -65,17 +65,26 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Rounds actually run by the last `labels` call (test observability). */
-  @volatile private[graft] var lastRounds: Int = 0
-
   /** Labels every node of `edges` (long columns `src`, `dst`) with the
     * minimum node id of its connected component. Returns (node, label);
-    * nodes appearing in no edge are absent (callers re-join singletons).
+    * nodes appearing in no edge are absent (callers re-join singletons). */
+  def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 60): DataFrame =
+    labelsWithRounds(spark, edges, maxRounds)._1
+
+  /** [[labels]] plus the number of LS/SS rounds actually run — returned
+    * in the result (not shared state) so concurrent queries and parallel
+    * tests cannot race on it.
     *
-    * Fail-loud cap: LS/SS provably converges in O(log² n) rounds; 60
-    * alternations cover components far beyond any real corpus (2^60
-    * nodes), so hitting the cap means a logic bug, not a big graph. */
-  def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+    * `maxRounds` is a round BUDGET, not a correctness bound: LS/SS
+    * converges in O(log² n) alternations, but the constant is graph-
+    * shape-dependent (chains measure ~1.7·log₂ n in this suite), so 60
+    * rounds covers any corpus this engine will meet — while a legal but
+    * astronomically deep input could in principle exceed it. Exceeding
+    * the budget therefore fails loud as an OVERSIZED INPUT, never
+    * silently returns partial labels (which would split true dup
+    * clusters downstream). */
+  def labelsWithRounds(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 60): (DataFrame, Int) = {
     // convergence signature: edge count + two independent hash XORs —
     // equal signatures on consecutive rounds mean the edge set is a
     // fixpoint (stars are fixpoints of both ops); O(1) to the driver.
@@ -103,14 +112,16 @@ object ConnectedComponents {
       sig = s2
       round += 1
     }
-    lastRounds = round
     if (!converged) throw new IllegalStateException(
-      s"large-star/small-star did not converge in $maxRounds rounds — " +
-        "this exceeds the proven O(log² n) bound for any feasible graph " +
-        "and indicates a logic error, not an oversized input")
+      s"large-star/small-star did not converge within the $maxRounds-round " +
+        "budget — the component structure is deeper than this budget covers " +
+        "(LS/SS needs O(log² n) rounds, so this is an extraordinarily large " +
+        "or adversarial graph); raise maxRounds rather than accept partial " +
+        "labels, which would silently split true components")
     // converged edges form stars: every non-root node has exactly one
     // outgoing edge to its component min; roots appear only as dst
-    nodes.join(cur.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("dst"), col("node")).as("label"))
+    (nodes.join(cur.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("dst"), col("node")).as("label")),
+      round)
   }
 }

@@ -21,6 +21,8 @@ import graft.functions.Fingerprint64.fingerprint64
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
@@ -339,7 +341,18 @@ object TextQueries {
     * Adversarial long-chain graphs (diameter > the round budget) degrade
     * automatically to [[ConnectedComponents.labels]] — large-star/
     * small-star (Kiveris et al., SoCC 2014), logarithmic rounds. */
-  private val dedupCluster: Q = (s, d) => {
+  private val dedupCluster: Q = (s, d) => dedupClusterImpl(s, d)
+
+  /** `maxIter` is the one-hop propagation budget BEFORE degrading to
+    * LS/SS, kept deliberately small: near-dup clusters are near-cliques
+    * (diameter 2-3, +1 round to detect the unchanged fixpoint), so 8
+    * rounds is already ~2× the expected worst case — burning 50 shuffle
+    * joins before admitting the graph is chain-shaped would pay the
+    * whole budget for nothing. Injectable so the fallback branch is
+    * testable (ConnectedComponentsSpec drives a chain corpus through it
+    * with maxIter=2); every queries() entry uses the default. */
+  private[graft] def dedupClusterImpl(s: SparkSession, d: String,
+      maxIter: Int = 8): DataFrame = {
     val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
@@ -358,7 +371,6 @@ object TextQueries {
     var prevSum = labelSum()
     var converged = false
     var iter = 0
-    val maxIter = 50
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
@@ -374,8 +386,15 @@ object TextQueries {
     // chain-shaped dup family: serial near-identical revisions).
     // Returning partial labels would split true clusters SILENTLY and
     // under-delete downstream; instead degrade to the large-star/
-    // small-star formulation (log-diameter rounds) on the same edges.
-    if (!converged) labels = ConnectedComponents.labels(s, edges)
+    // small-star formulation (log-diameter rounds) on the same edges —
+    // loudly, so operators learn their dup-graph shape blew the
+    // propagation budget and can route straight to q_dedup_cluster_ls
+    if (!converged) {
+      logger.warn(s"q_dedup_cluster: min-label propagation did not converge " +
+        s"within $maxIter rounds (dup graph has diameter > $maxIter, e.g. " +
+        "a chain of serial revisions); degrading to large-star/small-star")
+      labels = ConnectedComponents.labels(s, edges)
+    }
     edges.unpersist()
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

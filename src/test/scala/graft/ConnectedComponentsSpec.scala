@@ -15,13 +15,14 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("adversarial 120-node chain converges in log rounds, not diameter rounds") {
     // diameter 119 — one-hop propagation needs 119 rounds and would blow
-    // the 50-round budget that used to hard-fail q_dedup_cluster
+    // the propagation budget that used to hard-fail q_dedup_cluster
     val chain = (0L until 119L).map(i => (i, i + 1))
-    val labels = labelMap(chain)
+    val (labelDf, rounds) = ConnectedComponents.labelsWithRounds(
+      spark, chain.toDF("src", "dst"))
+    val labels = labelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 120)
     assert(labels.values.forall(_ == 0L), "every chain node joins component 0")
-    assert(ConnectedComponents.lastRounds <= 12,
-      s"expected O(log n) rounds, took ${ConnectedComponents.lastRounds}")
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
   }
 
   test("matches a union-find ground truth on a multi-component graph") {
@@ -66,5 +67,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelMap(star).values.forall(_ == 0L))
     val clique = for (i <- 0L to 9L; j <- (i + 1) to 9L) yield (i + 100, j + 100)
     assert(labelMap(clique).values.forall(_ == 100L))
+  }
+
+  test("q_dedup_cluster's LS/SS fallback branch labels a chain corpus correctly") {
+    // A chain-shaped dup family driven through dedupCluster ITSELF (not
+    // just ConnectedComponents.labels): doc i shares 11 of 12 shingles
+    // with doc i+1 (Jaccard 11/13 >= 0.8) but only 10 with doc i+2
+    // (10/14 < 0.8), so the near-dup graph is a 12-node path of
+    // diameter 11. With maxIter=2, one-hop propagation cannot converge
+    // and the fallback at the end of the loop is the ONLY path to these
+    // labels — this covers the rejoin/column wiring the unit tests on
+    // labels() alone cannot reach.
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val docs = (0L until 12L).map { i =>
+      (i, (i until i + 14).map(w => s"c$w").mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: the pair graph really is the 11-edge path
+    val pairs = TextQueries.ngramPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 11L).map(i => (i, i + 1)).toSet)
+    val clustered = TextQueries.dedupClusterImpl(spark, dir, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.size == 12)
+    assert(clustered.values.forall(_ == 0L),
+      s"all chain docs must collapse to cluster 0 via the LS/SS fallback, got $clustered")
   }
 }
