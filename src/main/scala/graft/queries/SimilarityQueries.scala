@@ -270,34 +270,61 @@ object SimilarityQueries {
   private val nProbe = 4
 
   /** The coarse quantizer is an INDEX: in a real IVF deployment it is
-    * trained once offline (or incrementally) and persisted — never
-    * refit inside the query path. This cache is the single-JVM stand-in
-    * for that index build: one KMeans fit per (dataset dir), then every
-    * query reuses it. `buildIvfIndex` exposes the build step so callers
-    * (and the bench warmup) can do it explicitly, mirroring M7's model
-    * save/load surface. */
+    * trained once offline (or incrementally) and PERSISTED — never
+    * refit inside the query path. Build order on a miss:
+    *
+    *   in-memory cache → saved index on disk → KMeans fit (then save).
+    *
+    * A fresh session therefore LOADS the index artifact instead of
+    * re-running KMeans — the cold-start path a real deployment runs.
+    * Artifacts live under `spark.graft.ivf.indexDir` (default: a
+    * `graft-ivf-index` dir under java.io.tmpdir), one directory per
+    * dataset VERSION: the key folds in the source file's (mtime, size),
+    * so a dataset regenerated in place gets a fresh quantizer rather
+    * than stale centroids — the same invalidation a production index
+    * build keys on a data-version id. */
   private val ivfIndex =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.ml.clustering.KMeansModel]()
 
-  /** The cache key carries the source file's (mtime, size) alongside
-    * the dir: a dataset regenerated in place gets a FRESH quantizer
-    * instead of stale centroids, exactly as a real index build would be
-    * invalidated by a new data version. Entries are one small model per
-    * dataset version — a handful in any JVM. */
   private def ivfKey(d: String): (String, Long, Long) = {
     val f = new java.io.File(s"$d/embeddings.parquet")
     (d, f.lastModified(), f.length())
   }
 
+  /** Test seam: forget fitted quantizers so the next build must go
+    * through the disk artifact (or refit). */
+  private[graft] def clearIvfMemoryCache(): Unit = ivfIndex.clear()
+
+  private def ivfIndexPath(s: SparkSession, key: (String, Long, Long)): String = {
+    val root = s.conf.getOption("spark.graft.ivf.indexDir").getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ivf-index").toString)
+    // dir identity via hash (paths contain separators); version via
+    // (mtime, size) in the clear so stale artifacts are inspectable
+    val dirHash = Integer.toHexString(key._1.hashCode)
+    s"$root/ivf-k$nCells-$dirHash-${key._2}-${key._3}"
+  }
+
   def buildIvfIndex(s: SparkSession, d: String): org.apache.spark.ml.clustering.KMeansModel =
-    ivfIndex.computeIfAbsent(ivfKey(d), _ => {
-      import org.apache.spark.ml.clustering.KMeans
+    ivfIndex.computeIfAbsent(ivfKey(d), key => {
+      import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
       import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables.embeddings(s, d)
-        .withColumn("vec", array_to_vector(col("embedding")))
-      new KMeans().setK(nCells).setSeed(42)
-        .setFeaturesCol("vec").setPredictionCol("cell")
-        .fit(e)
+      val path = ivfIndexPath(s, key)
+      val loaded =
+        if (new java.io.File(path).exists())
+          try Some(KMeansModel.load(path))
+          catch { case scala.util.control.NonFatal(_) =>
+            None // half-written artifact (e.g. a crashed save): refit below
+          }
+        else None
+      loaded.getOrElse {
+        val e = Tables.embeddings(s, d)
+          .withColumn("vec", array_to_vector(col("embedding")))
+        val m = new KMeans().setK(nCells).setSeed(42)
+          .setFeaturesCol("vec").setPredictionCol("cell")
+          .fit(e)
+        m.write.overwrite().save(path)
+        m
+      }
     })
 
   private val knnIvf: Q = (s, d) => {

@@ -92,6 +92,47 @@ class TextSimilaritySpec extends SparkSpec {
       s"ivf recalled only ${(ivf intersect exact).size} of exact top-10")
   }
 
+  test("ivf index persists to disk; a cold session loads it and knn output is unchanged") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val prev = spark.conf.getOption("spark.graft.ivf.indexDir")
+    try {
+      spark.conf.set("spark.graft.ivf.indexDir", idxDir)
+      SimilarityQueries.clearIvfMemoryCache()
+      // first query fits the quantizer AND writes the index artifact
+      val before = SimilarityQueries.queries("q_knn_ivf")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val builtUid = SimilarityQueries.buildIvfIndex(spark, sf).uid
+      val artifacts = new java.io.File(idxDir).listFiles()
+      assert(artifacts != null && artifacts.nonEmpty, "index artifact must be on disk")
+      // cold session stand-in: drop the in-memory cache; the rebuild must
+      // come from the DISK artifact — proven by the restored uid (a refit
+      // would mint a fresh random uid) — and produce identical knn rows
+      SimilarityQueries.clearIvfMemoryCache()
+      assert(SimilarityQueries.buildIvfIndex(spark, sf).uid == builtUid,
+        "expected the quantizer to load from the saved index, not refit")
+      val after = SimilarityQueries.queries("q_knn_ivf")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before)
+
+      // a dataset regenerated in place must invalidate: same dir, new
+      // (mtime, size) -> fresh fit under a new artifact path
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-ivf-data").toString
+      Tables.embeddings(spark, sf).write.parquet(s"$dataDir/embeddings.parquet")
+      val uid1 = SimilarityQueries.buildIvfIndex(spark, dataDir).uid
+      val pq = new java.io.File(s"$dataDir/embeddings.parquet")
+      assert(pq.setLastModified(pq.lastModified() + 60000))
+      SimilarityQueries.clearIvfMemoryCache()
+      val uid2 = SimilarityQueries.buildIvfIndex(spark, dataDir).uid
+      assert(uid2 != uid1, "a new data version must get a fresh quantizer, not stale centroids")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.ivf.indexDir", v)
+        case None    => spark.conf.unset("spark.graft.ivf.indexDir")
+      }
+      SimilarityQueries.clearIvfMemoryCache()
+    }
+  }
+
   test("exact knn is ordered by similarity with the query first") {
     val rows = SimilarityQueries.queries("q_knn_exact")(spark, sf).collect()
     assert(rows.head.getLong(0) == 0L && rows.head.getDouble(2) == 1.0)
