@@ -181,6 +181,68 @@ class StreamingSpec extends SparkSpec {
     assert(stages.values.count(_ >= 3).toLong == batch.getLong(2))
   }
 
+  test("funnel state survives a checkpoint stop/restart and does not reprocess") {
+    // the property a production stream actually depends on: kill the
+    // query after the EARLY half of the data, restart from the same
+    // checkpoint once the LATE half has landed, and require that
+    //  (a) the restarted query does not reprocess the early file, and
+    //  (b) per-user funnel state crossed the restart — a user whose
+    //      view sits in file a and click in file b reaches stage 2 only
+    //      if the state store recovered t1 from the checkpoint.
+    val base = java.nio.file.Files.createTempDirectory("graft-recover")
+    val inDir = java.nio.file.Files.createDirectory(base.resolve("in")).toString
+    val outDir = s"$base/out"
+    val cpDir = s"$base/cp"
+    // time-split the raw events (same premise as the multi-trigger test)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet").cache()
+    val cut = raw.stat.approxQuantile("event_id", Array(0.5), 0.0).head.toLong
+    val lo = raw.filter(col("event_id") <= cut)
+    val hi = raw.filter(col("event_id") > cut)
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    assume(lo.agg(fmax("ts")).head().getLong(0) <=
+      hi.agg(fmin("ts")).head().getLong(0), "fixture not time-split; skip")
+    val nUsersLo = lo.select("user_id").distinct().count()
+    val nUsersHi = hi.select("user_id").distinct().count()
+
+    def runOnce(): Unit = {
+      val stream = EventStreams.funnelStages(
+        spark, EventStreams.readEvents(spark, s"$inDir/*.parquet")).toDF()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", cpDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+
+    lo.coalesce(1).write.parquet(s"$inDir/a.parquet")
+    runOnce() // phase 1: early half only, then a clean kill
+    val afterPhase1 = spark.read.parquet(outDir).count()
+    assert(afterPhase1 == nUsersLo,
+      "phase 1 must emit one funnel row per user seen in the early half")
+
+    hi.coalesce(1).write.parquet(s"$inDir/b.parquet")
+    runOnce() // phase 2: restart from the checkpoint with the late half landed
+    val out = spark.read.parquet(outDir).cache()
+    assert(out.count() == nUsersLo + nUsersHi,
+      "the restart must process ONLY the late file (no re-emission for file a)")
+
+    // state continuity: final per-user stages equal the batch q_funnel
+    val stages = out.groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.queries.StreamQueries.queries("q_funnel")(spark, sf)
+      .collect().head
+    assert(stages.values.count(_ >= 1).toLong == batch.getLong(0), "n_view")
+    assert(stages.values.count(_ >= 2).toLong == batch.getLong(1), "n_view_click")
+    assert(stages.values.count(_ >= 3).toLong == batch.getLong(2), "n_full_funnel")
+    raw.unpersist(); out.unpersist()
+  }
+
   test("stateful streaming funnel reaches the batch q_funnel step counts") {
     val stream = EventStreams.funnelStages(
       spark, EventStreams.readEvents(spark, eventsDir))
