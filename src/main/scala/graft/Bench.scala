@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Pre-flight race check: fraction of machine CPU busy over a short
+    * window sampled BEFORE Spark starts, while this process is idle —
+    * any significant busy share belongs to ANOTHER process (the classic
+    * contamination: benching right after a test suite whose JVM is
+    * still unwinding reads ~20% high with the big joins up to 3× off).
+    * Returns (busyFraction, load1); (-1, -1) where /proc is absent. */
+  private def preflightRace(sampleMs: Long = 500): (Double, Double) =
+    try {
+      def sample(): (Long, Long) = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val cpu = try src.getLines().next() finally src.close()
+        val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, f(3) + f(4)) // total, idle+iowait
+      }
+      val (t1, i1) = sample(); Thread.sleep(sampleMs); val (t2, i2) = sample()
+      val dt = (t2 - t1).toDouble
+      val busy = if (dt <= 0) 0.0 else 1.0 - (i2 - i1) / dt
+      val lsrc = scala.io.Source.fromFile("/proc/loadavg")
+      val load1 = try lsrc.getLines().next().split("\\s+")(0).toDouble
+        finally lsrc.close()
+      (math.max(0.0, busy), load1)
+    } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // measured before the SparkSession exists so our own executors can't
+    // count against it; >10% busy machine means the recording will race
+    val (busyCpu, load1) = preflightRace()
+    val contended = busyCpu > 0.10
+    if (contended) System.err.println(
+      f"[bench] WARNING: machine is ${busyCpu * 100}%.0f%% busy before Spark " +
+        "started — another JVM is racing this recording; timings will read " +
+        "high (re-run solo for a citable artifact)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,7 +97,8 @@ object Bench {
     // SHRINK it and mask regressions); failures get their own field.
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val race = s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1,"contended":$contended}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,$race,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
