@@ -8,7 +8,7 @@ object Bench {
     * contamination: benching right after a test suite whose JVM is
     * still unwinding reads ~20% high with the big joins up to 3× off).
     * Returns (busyFraction, load1); (-1, -1) where /proc is absent. */
-  private def preflightRace(sampleMs: Long = 500): (Double, Double) =
+  private[graft] def preflightRace(sampleMs: Long = 500): (Double, Double) =
     try {
       def sample(): (Long, Long) = {
         val src = scala.io.Source.fromFile("/proc/stat")

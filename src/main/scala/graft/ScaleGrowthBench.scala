@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-growth bench for the dedup family: times each documents-based
+  * dedup query at the base SF and on a synthesized FACTOR× corpus, and
+  * reports per-query growth. The 100 TB claim for these operators is
+  * "shuffle scales with the data, not with data²"; this makes the
+  * growth exponent a measurement (expect ≈ linear: growth ≲ 1.5×FACTOR
+  * once fixed per-query overheads are amortized).
+  *
+  * Corpus synthesis preserves the dup structure instead of inflating
+  * it: copy c of doc i suffixes EVERY word with "~c", so
+  *  - within a copy, all shingle/Jaccard relations are exactly the
+  *    base corpus's (same sizes, same pairs, shifted ids);
+  *  - across copies, shingle sets are disjoint — no cross-copy pairs.
+  * Total rows and total dup pairs both grow exactly FACTOR×, the
+  * honest ground truth for a linear-growth check. (Naively replicating
+  * the text unchanged would instead multiply every dup GROUP by the
+  * factor and pair counts by its square — superlinear by construction,
+  * measuring the fixture, not the engine.) doc_id offsets are multiples
+  * of 5×10⁶ so the incremental query's doc_id%5 batch split is
+  * preserved per copy.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base sf dir> SPARK_GRAFT_CPUS=32
+  *        SPARK_GRAFT_GROWTH_FACTOR=10
+  *        sbt "runMain graft.ScaleGrowthBench"
+  * Prints one JSON line; results are recorded in BASELINE.md.
+  */
+object ScaleGrowthBench {
+  private val dedupFamily = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FACTOR", "10").toInt
+    val (busyCpu, load1) = Bench.preflightRace()
+    if (busyCpu > 0.10) System.err.println(
+      f"[growth] WARNING: machine ${busyCpu * 100}%.0f%% busy — recording will race")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // synthesize the FACTOR× corpus (copy 0 is the base corpus verbatim)
+    val bigDir = java.nio.file.Files.createTempDirectory("graft-growth").toString
+    val base = Tables.documents(spark, baseDir)
+    val copies = (0 until factor).map { c =>
+      if (c == 0) base
+      else base.select(
+        (col("doc_id") + lit(c * 5000000L)).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(w, lit(s"~$c"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ unionByName _).coalesce(cpus.toInt.min(16))
+      .write.parquet(s"$bigDir/documents.parquet")
+    val nBase = base.count()
+    val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeQuery(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm footers + sink/codegen on both dirs, outside the timed region
+    Seq(baseDir, bigDir).foreach { d =>
+      Tables.documents(spark, d).count()
+      materialize(Tables.documents(spark, d)
+        .groupBy("lang").agg(count(lit(1)).as("n")))
+    }
+    val rows = dedupFamily.map { q =>
+      val tBase = timeQuery(q, baseDir)
+      val tBig = timeQuery(q, bigDir)
+      val growth = tBig / tBase
+      System.err.println(f"[growth] $q%-22s base=$tBase%6.2fs ${factor}x=$tBig%7.2fs growth=$growth%5.2f")
+      (q, tBase, tBig, growth)
+    }
+    val qs = rows.map { case (q, tb, tg, g) =>
+      s""""$q":{"base_sec":$tb,"big_sec":$tg,"growth":$g}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"growth","factor":$factor,"rows_base":$nBase,"rows_big":$nBig,""" +
+      s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1},"queries":$qs,"sf":"$baseDir"}""")
+    spark.stop()
+  }
+}
