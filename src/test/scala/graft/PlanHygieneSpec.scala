@@ -66,6 +66,29 @@ class PlanHygieneSpec extends SparkSpec {
     assert(ex.getMessage.contains("plan audit failed"))
   }
 
+  test("heavy queries' RUNTIME plans stay clean (post-execution audit)") {
+    import graft.scale.PlanAudit
+    // the initial-plan tests above can't see what AQE decides at runtime
+    // (skew splits, join re-plans, broadcast demotions); materialize the
+    // heavy shuffle pipelines and audit the finalized plans too
+    val checks: Seq[(String, Set[String])] = Seq(
+      // reviewed: at test scale Catalyst estimates the exploded shingle
+      // side broadcastable and AQE demotes the shingle self-join to SMJ
+      // at runtime — the decision a static plan makes from real stats at
+      // corpus scale anyway; the audit surfacing it is the feature
+      "q_dedup_ngram" -> Set("demotion"),
+      "q_dedup_minhash" -> Set.empty,
+      "q_dedup_simhash" -> Set.empty,
+      "q_dedup_incremental" -> Set.empty,
+      "q_win_rank_salted" -> Set.empty,
+      "q_tfidf" -> Set("bnl"), // reviewed 1-row corpus-size broadcast
+      "q_tpch_q5" -> Set.empty)
+    checks.foreach { case (name, allow) =>
+      val fs = PlanAudit.finalFindings(SparkEntry.queries(name)(spark, sf), allow)
+      assert(fs.isEmpty, s"$name runtime-plan findings: $fs")
+    }
+  }
+
   test("every oracle query is deterministic: repeated runs hash identically") {
     // cheap determinism canary on a sample of order-sensitive queries
     Seq("q_topk", "q_limit", "q_knn_exact", "q_topk_per_key", "q_win_rank").foreach { name =>
