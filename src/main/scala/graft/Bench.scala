@@ -14,7 +14,11 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/stat")
         val cpu = try src.getLines().next() finally src.close()
         val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, f(3) + f(4)) // total, idle+iowait
+        // total over user..steal only (guest/guest_nice are already
+        // folded into user/nice and would deflate the fraction); idle
+        // is STRICTLY idle — iowait counts as busy, because a disk-
+        // bound racer shows up almost entirely as iowait
+        (f.take(8).sum, f(3))
       }
       val (t1, i1) = sample(); Thread.sleep(sampleMs); val (t2, i2) = sample()
       val dt = (t2 - t1).toDouble
@@ -97,7 +101,10 @@ object Bench {
     // SHRINK it and mask regressions); failures get their own field.
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
-    val race = s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1,"contended":$contended}"""
+    // a failed probe (busy_cpu -1, e.g. no /proc) must not claim a
+    // verified-clean recording: contended becomes null, not false
+    val contendedJson = if (busyCpu < 0) "null" else contended.toString
+    val race = s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1,"contended":$contendedJson}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,$race,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   *  - within a copy, all shingle/Jaccard relations are exactly the
   *    base corpus's (same sizes, same pairs, shifted ids);
   *  - across copies, shingle sets are disjoint — no cross-copy pairs.
-  * Total rows and total dup pairs both grow exactly FACTOR×, the
-  * honest ground truth for a linear-growth check. (Naively replicating
-  * the text unchanged would instead multiply every dup GROUP by the
-  * factor and pair counts by its square — superlinear by construction,
-  * measuring the fixture, not the engine.) doc_id offsets are multiples
-  * of 5×10⁶ so the incremental query's doc_id%5 batch split is
-  * preserved per copy.
+  * Total rows and TRUE dup pairs both grow exactly FACTOR×, the honest
+  * ground truth for a linear-growth check. (Naively replicating the
+  * text unchanged would instead multiply every dup GROUP by the factor
+  * and pair counts by its square — superlinear by construction,
+  * measuring the fixture, not the engine.) One caveat is inherent to
+  * banded sketches, not this fixture: minhash/simhash CHANCE band
+  * collisions between unrelated docs grow ~quadratically with corpus
+  * size (they are a tiny constant fraction of bucket pairs); their
+  * verification stage rejects them, and at these scales they stay
+  * negligible next to the linear work. The copy offset is computed
+  * from the base corpus's max doc_id (rounded up to a multiple of 5,
+  * preserving the incremental query's doc_id%5 batch split), so copies
+  * can never collide whatever the base SF.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<base sf dir> SPARK_GRAFT_CPUS=32
   *        SPARK_GRAFT_GROWTH_FACTOR=10
@@ -52,10 +58,17 @@ object ScaleGrowthBench {
     // synthesize the FACTOR× corpus (copy 0 is the base corpus verbatim)
     val bigDir = java.nio.file.Files.createTempDirectory("graft-growth").toString
     val base = Tables.documents(spark, baseDir)
+    // copy stride from the actual id range — a fixed constant would
+    // silently overlap copies (two texts per doc_id, corrupted Jaccard
+    // denominators) on a base corpus bigger than the constant
+    val stride = {
+      val maxId = base.agg(max("doc_id")).head().getLong(0)
+      (maxId / 5 + 1) * 5 // multiple of 5 keeps doc_id%5 per copy
+    }
     val copies = (0 until factor).map { c =>
       if (c == 0) base
       else base.select(
-        (col("doc_id") + lit(c * 5000000L)).as("doc_id"),
+        (col("doc_id") + lit(c * stride)).as("doc_id"),
         concat_ws(" ",
           transform(split(col("text"), " "), w => concat(w, lit(s"~$c"))))
           .as("text"),
@@ -65,6 +78,8 @@ object ScaleGrowthBench {
       .write.parquet(s"$bigDir/documents.parquet")
     val nBase = base.count()
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    require(nBig == factor * nBase,
+      s"synthesized corpus has $nBig rows, expected ${factor * nBase} — id collision?")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -79,18 +94,31 @@ object ScaleGrowthBench {
       materialize(Tables.documents(spark, d)
         .groupBy("lang").agg(count(lit(1)).as("n")))
     }
+    // per-query failure isolation (same -1 sentinel as Bench): one
+    // blown query must not discard every timing already measured
     val rows = dedupFamily.map { q =>
-      val tBase = timeQuery(q, baseDir)
-      val tBig = timeQuery(q, bigDir)
-      val growth = tBig / tBase
+      def timed(dir: String): Double =
+        try timeQuery(q, dir) catch { case e: Throwable =>
+          System.err.println(s"[growth] $q failed on $dir: ${e.getMessage}")
+          -1.0
+        }
+      val tBase = timed(baseDir)
+      val tBig = if (tBase >= 0) timed(bigDir) else -1.0
+      val growth = if (tBase > 0 && tBig >= 0) tBig / tBase else -1.0
       System.err.println(f"[growth] $q%-22s base=$tBase%6.2fs ${factor}x=$tBig%7.2fs growth=$growth%5.2f")
       (q, tBase, tBig, growth)
     }
     val qs = rows.map { case (q, tb, tg, g) =>
       s""""$q":{"base_sec":$tb,"big_sec":$tg,"growth":$g}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"growth","factor":$factor,"rows_base":$nBase,"rows_big":$nBig,""" +
+    val nFailed = rows.count(_._4 < 0)
+    println(s"""{"metric":"growth","factor":$factor,"rows_base":$nBase,"rows_big":$nBig,"n_failed":$nFailed,""" +
       s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1},"queries":$qs,"sf":"$baseDir"}""")
     spark.stop()
+    // the synthesized corpus is FACTOR× the base — don't leak it in /tmp
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(bigDir)).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
   }
 }

@@ -298,9 +298,13 @@ object SimilarityQueries {
   private def ivfIndexPath(s: SparkSession, key: (String, Long, Long)): String = {
     val root = s.conf.getOption("spark.graft.ivf.indexDir").getOrElse(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ivf-index").toString)
-    // dir identity via hash (paths contain separators); version via
-    // (mtime, size) in the clear so stale artifacts are inspectable
-    val dirHash = Integer.toHexString(key._1.hashCode)
+    // dir identity via sha-256 (paths contain separators; a 32-bit
+    // hashCode collision would silently cold-load ANOTHER dataset's
+    // centroids — worse than a refit); version via (mtime, size) in
+    // the clear so stale artifacts are inspectable
+    val dirHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key._1.getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
     s"$root/ivf-k$nCells-$dirHash-${key._2}-${key._3}"
   }
 
