@@ -488,7 +488,70 @@ object TextQueries {
         expr("aggregate(fingerprints, 0L, (a, f) -> a ^ f)").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** PII patterns shared by the detection counts and the redaction
+    * rewrite, applied in this exact order (SSN before PHONE so the
+    * 3-2-4 digit shape is never half-eaten by the 3-3-4 one; PHONE
+    * before IP so `123.456.7890` reads as a dotted phone, not a quad).
+    * The patterns stay inside the regex subset where Java's engine
+    * (Spark) and RE2 (DuckDB) agree — character classes, bounded
+    * repetition, `\b`, non-capturing groups — which is what lets the
+    * oracle replay the redaction byte-for-byte. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    ("""\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "<PHONE>"),
+    ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+  )
+
+  /** PII detection + redaction — the scrub every training corpus runs
+    * before anything else sees the text. Per-row codegen'd regex work
+    * (regexp_count + chained regexp_replace), zero shuffle, so it
+    * scales embarrassingly: 100 TB is just more tasks. Counts are
+    * computed on the ORIGINAL text (before any replacement shifts
+    * offsets); the rewrite then applies the same patterns in the same
+    * order. The driver corpus is PII-free by construction, so the
+    * oracle proves the machinery agrees across engines on clean text;
+    * PiiRedactSpec drives synthetic emails/SSNs/phones/IPs through the
+    * same column builders and asserts the redacted output. */
+  private[graft] def piiColumns(df: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (re, tag) =>
+      val name = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      regexp_count(col("text"), lit(re)).as(name)
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    df.select(col("doc_id") +: counts :+ redacted.as("clean_text"): _*)
+  }
+
+  private val piiRedact: Q = (s, d) =>
+    piiColumns(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Per-source document cap — Common-Crawl-style downsampling so no
+    * domain dominates the training mix: keep at most `cap` docs per
+    * source, chosen by md5(doc_id) so the survivor set is a pure
+    * function of the data (reproducible across runs, partitionings,
+    * and engines — same rationale as [[sampleHash]]). The row_number
+    * window sorts one partition per source; for a pathologically hot
+    * source the salted-rank pattern (WindowQueries q_win_rank_salted)
+    * applies unchanged, and when an approximate cap suffices the
+    * hash-threshold filter (md5 < cap/count) avoids the sort entirely. */
+  private[graft] def sourceCapImpl(s: SparkSession, d: String,
+      cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy("doc_id")
+  }
+  private val sourceCap: Q = (s, d) => sourceCapImpl(s, d)
+
   val queries: Map[String, Q] = Map(
+    "q_pii_redact" -> piiRedact,
+    "q_source_cap" -> sourceCap,
     "q_doc_winnow" -> docWinnow,
     "q_text_stats" -> textStats,
     "q_token_count" -> tokenCount,
@@ -510,6 +573,25 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+                CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+                CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean_text
+         FROM documents ORDER BY doc_id""",
+    "q_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.queries.TextQueries
+
+/** The driver corpus is PII-free, so the oracle for q_pii_redact proves
+  * cross-engine agreement on clean text; these tests drive synthetic
+  * PII through the same column builders to prove the scrub itself. */
+class PiiRedactSpec extends SparkSpec {
+
+  private def redact(texts: String*) = {
+    val s = spark
+    import s.implicits._
+    TextQueries.piiColumns(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+  }
+
+  test("emails, SSNs, phones and IPs are counted and redacted") {
+    val rows = redact(
+      "contact bob.smith+spam@example.co.uk or alice@test.org today",
+      "ssn 123-45-6789 phone 555-123-4567 alt 555.987.6543",
+      "server at 192.168.0.1 and 10.0.0.255 responded",
+      "no pii here at all")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+
+    assert(byId(0L).getInt(1) == 2) // n_email
+    assert(byId(0L).getString(5) ==
+      "contact <EMAIL> or <EMAIL> today")
+
+    assert(byId(1L).getInt(2) == 1) // n_ssn
+    assert(byId(1L).getInt(3) == 2) // n_phone
+    assert(byId(1L).getString(5) == "ssn <SSN> phone <PHONE> alt <PHONE>")
+
+    assert(byId(2L).getInt(4) == 2) // n_ip
+    assert(byId(2L).getString(5) == "server at <IP> and <IP> responded")
+
+    assert(byId(3L).getString(5) == "no pii here at all")
+    assert((1 to 4).forall(c => byId(3L).getInt(c) == 0))
+  }
+
+  test("pattern order: SSN shape is not half-eaten by the phone pattern") {
+    val rows = redact("id 123-45-6789 tel 123-456-7890")
+    assert(rows(0).getString(5) == "id <SSN> tel <PHONE>")
+  }
+
+  test("dotted 3-3-4 digits read as a phone, not a truncated IP") {
+    val rows = redact("call 123.456.7890 now")
+    assert(rows(0).getString(5) == "call <PHONE> now")
+    assert(rows(0).getInt(4) == 0) // n_ip
+  }
+
+  test("q_pii_redact leaves the PII-free driver corpus unchanged") {
+    val out = TextQueries.queries("q_pii_redact")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    import org.apache.spark.sql.functions._
+    val changed = out.join(docs, "doc_id")
+      .filter(col("clean_text") =!= col("text")).count()
+    assert(changed == 0L)
+  }
+
+  test("q_source_cap keeps at most the cap per source, deterministically") {
+    import org.apache.spark.sql.functions._
+    val out = TextQueries.queries("q_source_cap")(spark, sf)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 10))
+    assert(out.agg(max("rn")).head().getInt(0) <= 10)
+    // pure function of the data: a rerun selects the identical survivor set
+    val again = TextQueries.queries("q_source_cap")(spark, sf)
+    assert(out.collect().toSeq == again.collect().toSeq)
+    // capped sources keep exactly `cap` rows
+    val counts = Tables.documents(spark, sf).groupBy("source").count()
+      .withColumnRenamed("count", "n_docs")
+    val joined = perSource.map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.collect().foreach { r =>
+      val expected = math.min(10L, r.getLong(1))
+      assert(joined(r.getString(0)) == expected,
+        s"source ${r.getString(0)}: kept ${joined(r.getString(0))}, expected $expected")
+    }
+  }
+}
