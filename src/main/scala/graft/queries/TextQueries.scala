@@ -36,10 +36,23 @@ object TextQueries {
                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
          ELSE array() END"""
 
-  /** Distinct (doc_id, shingle) rows for the whole documents table. */
+  /** Distinct (doc_id, shingle) rows for the whole documents table.
+    *
+    * Shingle IDENTITY is its xxhash64 — the string never leaves the
+    * scan stage, so the distinct, the document-frequency count, and
+    * the candidate self-join all shuffle 8-byte longs instead of
+    * ~20-byte strings (the dedup family's dominant shuffle, roughly
+    * halved). Equality on the hash is equality on the shingle up to a
+    * 64-bit collision: P ≈ n²/2⁶⁵ distinct-shingle pairs colliding —
+    * ~10⁻⁸ at 10⁶ shingles — and a collision's worst case is ±1 on one
+    * pair's n_inter, inside the tolerance any candidate-generation +
+    * integer-threshold near-dup detector already accepts (MinHash
+    * banding is orders of magnitude noisier). */
   def shingleRows(s: SparkSession, d: String): DataFrame =
     withWords(Tables.documents(s, d))
-      .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
+      .select(col("doc_id"),
+        explode(expr(shingleArraySql)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
       .distinct()
 
   /** Per (lang, source) corpus statistics. */
@@ -463,11 +476,27 @@ object TextQueries {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
     * hashes of character 8-grams, minimum per sliding window of 4 —
     * the standard local document fingerprint for plagiarism/near-dup
-    * detection. Pure HOF expression chain (codegen'd); near-dup docs
-    * share most fingerprints (unit-tested), and the selected set is
-    * position-robust unlike head-sampling. Rows-only driver check
-    * (hash family not reproducible in DuckDB). */
+    * detection. Near-dup docs share most fingerprints (unit-tested),
+    * and the selected set is position-robust unlike head-sampling.
+    * Computed by the native [[graft.functions.WinnowStats]] codegen
+    * expression (one compiled pass per row); [[docWinnowHof]] keeps
+    * the original higher-order-function formulation as the semantic
+    * ground truth WinnowSpec pins the expression against. Rows-only
+    * driver check (hash family not reproducible in DuckDB). */
   private val docWinnow: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", graft.functions.Winnow.winnowStats(col("text")))
+      .select(
+        col("doc_id"),
+        col("ws.n_fingerprints").as("n_fingerprints"),
+        col("ws.fp_xor").as("fp_xor"))
+      .orderBy("doc_id")
+
+  /** The original HOF chain — interpreted per array element, so ~2
+    * Catalyst tree evaluations + a substring allocation per character;
+    * kept (out of `queries`) as the reference implementation the
+    * codegen expression is tested against. */
+  private[graft] def docWinnowHof(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("grams", expr(
         """CASE WHEN length(text) >= 8
