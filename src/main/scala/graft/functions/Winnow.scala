@@ -124,4 +124,9 @@ object Winnow {
   /** Column-level entry point: `winnowStats($"text")`. */
   def winnowStats(c: Column, gram: Int = 8, window: Int = 4): Column =
     graftshim.toColumn(WinnowStats(graftshim.toExpression(c), gram, window))
+
+  /** SQL registration: `SELECT winnow_stats(text) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graftshim.registerExpression(spark, "winnow_stats",
+      exprs => WinnowStats(exprs.head, 8, 4))
 }

@@ -61,6 +61,19 @@ class WinnowSpec extends SparkSpec {
     assert(r.getInt(0) == 1)
   }
 
+  test("winnow_stats is callable from SQL after registration") {
+    Winnow.register(spark)
+    val r = spark.sql(
+      "SELECT ws.n_fingerprints, ws.fp_xor FROM " +
+        "(SELECT winnow_stats('the quick brown fox jumps over the lazy dog') AS ws)").head()
+    val s = spark
+    import s.implicits._
+    val viaCol = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(Winnow.winnowStats(col("text")).as("ws"))
+      .select(col("ws.n_fingerprints"), col("ws.fp_xor")).head()
+    assert(r.getInt(0) == viaCol.getInt(0) && r.getLong(1) == viaCol.getLong(1))
+  }
+
   test("winnow expression participates in whole-stage codegen") {
     val plan = Tables.documents(spark, sf)
       .select(Winnow.winnowStats(col("text")))
