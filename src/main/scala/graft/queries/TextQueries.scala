@@ -578,9 +578,33 @@ object TextQueries {
   }
   private val sourceCap: Q = (s, d) => sourceCapImpl(s, d)
 
+  /** Decontamination — the eval-leak scan every training corpus runs
+    * before a benchmark means anything: flag TRAIN docs sharing any
+    * word-3-gram shingle with the EVAL set (here the deterministic
+    * doc_id%5=4 slice, the same SF-invariant split q_dedup_incremental
+    * uses), with the shared-shingle count as the contamination
+    * strength. Shape is the scale-correct one: the eval side collapses
+    * to its distinct shingle set first (eval sets are tiny next to the
+    * corpus — this is the broadcast-able side at 100 TB), then one
+    * equi-join probes it with train shingles; shuffle scales with the
+    * corpus's shingle count, never corpus × eval. Hash-identity
+    * shingles as everywhere ([[shingleRows]]); the oracle replays with
+    * string shingles — identical up to 64-bit collisions. */
+  private val decontaminate: Q = (s, d) => {
+    val sh = shingleRows(s, d)
+    val evalSh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select("shingle").distinct()
+    sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(evalSh, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // rows are distinct per (doc, shingle)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_redact" -> piiRedact,
     "q_source_cap" -> sourceCap,
+    "q_decontaminate" -> decontaminate,
     "q_doc_winnow" -> docWinnow,
     "q_text_stats" -> textStats,
     "q_token_count" -> tokenCount,
@@ -621,6 +645,18 @@ object TextQueries {
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks WHERE len(w) >= 3),
+         dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 5 = 4)
+         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM dsh d JOIN ev USING (shingle)
+         WHERE d.doc_id % 5 <> 4
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

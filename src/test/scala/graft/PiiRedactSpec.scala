@@ -60,6 +60,28 @@ class PiiRedactSpec extends SparkSpec {
     assert(changed == 0L)
   }
 
+  test("decontamination flags exactly the train docs overlapping the eval slice") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    // ids 4 and 9 land in the eval slice (doc_id % 5 == 4); train doc 0
+    // copies eval doc 4's text, train doc 6 shares a 3-word window with
+    // eval doc 9, train doc 1 is clean
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five"),
+      (6L, "prefix six seven eight suffix"),
+      (4L, "alpha beta gamma delta epsilon"),
+      (9L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: all 3 shingles of the copied 5-word text; doc 6: the one
+    // "six seven eight" window; doc 1 absent (no eval overlap)
+    assert(got == Map(0L -> 3L, 6L -> 1L), s"got $got")
+  }
+
   test("q_source_cap keeps at most the cap per source, deterministically") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.queries("q_source_cap")(spark, sf)
