@@ -85,4 +85,38 @@ object PropertySpec extends Properties("graft") {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       math.abs(recovered - p) <= 0.01 + 1e-9
     }
+
+  // independent re-derivation of the winnowing semantics the WinnowStats
+  // codegen expression implements: code-point substrings (what Spark's
+  // char-counted length/substring see), xxhash64 seed 42, 4-window
+  // minima, first-occurrence distinct
+  private def winnowExpected(str: String, gram: Int, window: Int): (Int, Long) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def xxh(s: String): Long =
+      XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+    val cps = str.codePoints.toArray
+    val grams: Seq[Long] =
+      if (cps.length >= gram)
+        (0 to cps.length - gram).map(i => xxh(new String(cps, i, gram)))
+      else Seq(xxh(str))
+    val minima: Seq[Long] =
+      if (grams.length >= window)
+        (0 to grams.length - window).map(j => grams.slice(j, j + window).min)
+      else Seq(grams.min)
+    val distinct = minima.distinct
+    (distinct.length, distinct.foldLeft(0L)(_ ^ _))
+  }
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'ü', '日', '語', '—', ' ')))
+      .map(_.mkString))
+
+  property("winnow expression kernel matches an independent re-derivation") =
+    forAll(textGen) { s =>
+      val row = graft.functions.Winnow.stats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, 4)
+      (row.getInt(0), row.getLong(1)) == winnowExpected(s, 8, 4)
+    }
 }
