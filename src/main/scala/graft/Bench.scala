@@ -86,14 +86,25 @@ object Bench {
     // failure) so regressions are visible in the bench record; untimed
     // compat demos (SparkEntry.untimed) stay in Verify but not here
     val timed = SparkEntry.queries -- SparkEntry.untimed
+    // SPARK_GRAFT_BENCH_REPS > 1 times each query N times and records
+    // the per-query MIN — the standard defense against the transient
+    // interference windows this host shows (one contiguous run of
+    // queries reading 4-6× high with a clean pre-flight; see
+    // BASELINE.md). Default 1 keeps the recorded methodology unchanged;
+    // the reps count is stamped in the artifact either way.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
     val results = timed.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { materialize(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // any failed rep marks the query failed (never a flattering min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -105,7 +116,7 @@ object Bench {
     // verified-clean recording: contended becomes null, not false
     val contendedJson = if (busyCpu < 0) "null" else contended.toString
     val race = s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1,"contended":$contendedJson}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,$race,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"reps":$reps,$race,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line; results are recorded in BASELINE.md.
   */
 object ScaleGrowthBench {
+  // q_decontaminate rides along: the copy offset preserves the doc_id%5
+  // eval split, and its train-probes-eval-shingles join is the same
+  // should-be-linear shape as q_dedup_incremental
   private val dedupFamily = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental")
+    "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental",
+    "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
