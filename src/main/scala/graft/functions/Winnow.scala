@@ -110,12 +110,14 @@ object Winnow {
         Array(m)
       }
 
-    val seen = new java.util.HashSet[java.lang.Long](minima.length * 2)
+    // count + xor are order-independent, so distinct via a primitive
+    // sort — no boxed HashSet allocation on the per-row hot path
+    java.util.Arrays.sort(minima)
     var xor = 0L
     var n = 0
     var j = 0
     while (j < minima.length) {
-      if (seen.add(minima(j))) { xor ^= minima(j); n += 1 }
+      if (j == 0 || minima(j) != minima(j - 1)) { xor ^= minima(j); n += 1 }
       j += 1
     }
     InternalRow(n, xor)

@@ -10,8 +10,8 @@ import graft.functions.SimHashAgg
   *
   * Scale design:
   *  - q_knn_exact is the correctness baseline: the (single) query vector
-  *    is broadcast against the corpus, cosine computed with codegen'd
-  *    higher-order functions in double precision, top-k planned as
+  *    is broadcast against the corpus, cosine computed by the native
+  *    DotF codegen expression in double precision, top-k planned as
   *    TakeOrderedAndProject (per-partition heaps). At 100 TB the same
   *    plan shape serves "score corpus against a small probe set".
   *  - q_knn_lsh (random-hyperplane LSH) is the scale path: vectors are
@@ -29,12 +29,13 @@ object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Cosine similarity between two float-array columns, computed in
-    * double precision via codegen'd HOFs (no UDF). */
+    * double precision by the native [[graft.functions.DotF]] codegen
+    * expression — same per-index double arithmetic as the HOF
+    * formulation it replaced (Spark HOF lambdas evaluate interpreted
+    * per element, and the pairwise dedup paths run this per candidate
+    * pair), one compiled loop per row. */
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.DotF.dotF _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -54,15 +55,15 @@ object SimilarityQueries {
   /** Embedding normalization + int8 quantization — the storage-side
     * prep step of a vector index build (IVF/PQ pipelines store unit
     * vectors as int8 at 4× compression; recall cost is negligible at
-    * 64-128 dims). Pure per-row codegen'd HOF work, zero shuffle: L2
-    * norm by fold, each component scaled to [-127, 127] and rounded.
+    * 64-128 dims). Pure per-row expression work, zero shuffle: L2 norm
+    * via the native DotF codegen expression, each component scaled to
+    * [-127, 127] and rounded.
     * The driver-checked columns are scalar digests (norm, sum/min/max
     * of the quantized vector) so the oracle compares ints, not arrays. */
   private val embedQuantize: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .withColumn("norm", sqrt(aggregate(
-        col("embedding"),
-        lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("norm",
+        sqrt(graft.functions.DotF.dotF(col("embedding"), col("embedding"))))
       .withColumn("q", transform(col("embedding"),
         x => round(x.cast("double") / col("norm") * 127).cast("int")))
       .select(
@@ -212,17 +213,12 @@ object SimilarityQueries {
     // identical expression tree (dot / (sqrt(dot)·sqrt(dot))), so the
     // rounded values — and oracle hashes — are bit-for-bit unchanged.
     val e = Tables.embeddings(s, d).withColumn("nrm",
-      sqrt(aggregate(
-        zip_with(col("embedding"), col("embedding"),
-          (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)))
+      sqrt(graft.functions.DotF.dotF(col("embedding"), col("embedding"))))
     val a = e.select(col("label"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = e.select(col("label"), col("vec_id").as("v2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    val dot = aggregate(
-      zip_with(col("e1"), col("e2"), (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.DotF.dotF(col("e1"), col("e2"))
     a.join(b, Seq("label")).filter(col("v1") < col("v2"))
       .withColumn("cos_sim", round(dot / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= 0.35)
@@ -248,9 +244,7 @@ object SimilarityQueries {
     val bucketCol = (0 until signBits).map(i =>
       when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
         .otherwise(lit(0L))).reduce(_ + _)
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.DotF.dotF _
     // norms hoisted below the join, same as dedupEmbedding
     val e = Tables.embeddings(s, d)
       .withColumn("bucket", bucketCol)
@@ -259,9 +253,7 @@ object SimilarityQueries {
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = e.select(col("bucket"), col("vec_id").as("v2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    val dotAB = aggregate(
-      zip_with(col("e1"), col("e2"), (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    val dotAB = graft.functions.DotF.dotF(col("e1"), col("e2"))
     a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
       .withColumn("cos_sim", round(dotAB / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= 0.35)
