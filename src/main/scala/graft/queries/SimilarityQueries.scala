@@ -103,20 +103,14 @@ object SimilarityQueries {
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] = Seq.fill(nTables * bitsPerTable)(
       Seq.fill(64)(rnd.nextGaussian()))
-    val buckets = e
-      .withColumn("planes", typedLit(planes))
-      .withColumn("bits", expr(
-        """transform(planes, p ->
-             CASE WHEN aggregate(zip_with(embedding, p,
-                    (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) >= 0D
-                  THEN 1L ELSE 0L END)"""))
-      .select(
-        col("vec_id"), col("embedding"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${nTables - 1}, 1), t ->
-                aggregate(sequence(0, ${bitsPerTable - 1}, 1), 0L,
-                  (acc, b) -> acc + bits[t * $bitsPerTable + b] * shiftleft(1L, b)))"""))
-          .as(Seq("tbl", "bucket")))
+    // all 64 projections + bit packing in one compiled loop per row
+    // (LshBuckets codegen expression — bucket ids bit-identical to the
+    // HOF formulation it replaced, LshBucketsSpec pins the parity)
+    val buckets = e.select(
+      col("vec_id"), col("embedding"),
+      posexplode(graft.functions.LshBuckets.lshBuckets(
+        col("embedding"), planes.flatten.toIndexedSeq, nTables, bitsPerTable))
+        .as(Seq("tbl", "bucket")))
     val q = buckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
         col("embedding").as("q_emb"))
