@@ -578,6 +578,48 @@ object TextQueries {
   }
   private val sourceCap: Q = (s, d) => sourceCapImpl(s, d)
 
+  /** Token-budget truncation — the context-length clip every example
+    * passes through before batching: keep the first `budget` whitespace
+    * tokens, re-joined, with the kept count and a truncation flag (the
+    * flag feeds curation stats: a corpus where most docs truncate wants
+    * a bigger budget or sequence packing — [[docPack]] — instead).
+    * Pure per-row expression work, zero shuffle. */
+  private val docTruncate: Q = (s, d) => {
+    val budget = 64
+    val w = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat_ws(" ", slice(w, 1, budget)).as("clipped"),
+      least(size(w), lit(budget)).as("n_tokens_kept"),
+      (size(w) > budget).as("truncated"))
+      .orderBy("doc_id")
+  }
+
+  /** Language rebalancing — mixture equalization for a multilingual
+    * corpus: every language is downsampled to the SMALLEST language's
+    * doc count, survivors chosen by md5(doc_id) (deterministic,
+    * partition-invariant — same rationale as [[sampleHash]]). The
+    * data-derived-cap twin of [[sourceCapImpl]]'s fixed cap: target
+    * sizes come from the corpus itself (a per-lang aggregate joined
+    * back broadcast), the shape real data-mixing configs generalize
+    * (replace `min(n)` with any target-weights table). */
+  private val langBalance: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val caps = Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("cap", min("n_lang").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("lang", "cap")
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(caps), "lang")
+      .filter(col("rn") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination — the eval-leak scan every training corpus runs
     * before a benchmark means anything: flag TRAIN docs sharing any
     * word-3-gram shingle with the EVAL set (here the deterministic
@@ -605,6 +647,8 @@ object TextQueries {
     "q_pii_redact" -> piiRedact,
     "q_source_cap" -> sourceCap,
     "q_decontaminate" -> decontaminate,
+    "q_doc_truncate" -> docTruncate,
+    "q_lang_balance" -> langBalance,
     "q_doc_winnow" -> docWinnow,
     "q_text_stats" -> textStats,
     "q_token_count" -> tokenCount,
@@ -645,6 +689,21 @@ object TextQueries {
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+    "q_doc_truncate" ->
+      """SELECT doc_id,
+                array_to_string(list_slice(string_split(text, ' '), 1, 64), ' ') AS clipped,
+                CAST(least(len(string_split(text, ' ')), 64) AS INTEGER) AS n_tokens_kept,
+                (len(string_split(text, ' ')) > 64) AS truncated
+         FROM documents ORDER BY doc_id""",
+    "q_lang_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         m AS (SELECT min(n_lang) AS cap FROM c),
+         r AS (SELECT doc_id, lang,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+               FROM documents)
+         SELECT doc_id, lang, rn FROM r CROSS JOIN m
+         WHERE rn <= m.cap ORDER BY doc_id""",
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

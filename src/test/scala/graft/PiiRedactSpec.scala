@@ -82,6 +82,34 @@ class PiiRedactSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 6L -> 1L), s"got $got")
   }
 
+  test("q_doc_truncate clips to the token budget and flags truncation") {
+    import org.apache.spark.sql.functions._
+    val out = TextQueries.queries("q_doc_truncate")(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.agg(max("n_tokens_kept")).head().getInt(0) <= 64)
+    // clipped text token count equals n_tokens_kept, and untruncated
+    // docs keep their text verbatim
+    val bad = out.join(Tables.documents(spark, sf), "doc_id")
+      .filter(
+        size(split(col("clipped"), " ")) =!= col("n_tokens_kept") ||
+          (!col("truncated") && col("clipped") =!= col("text")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("q_lang_balance equalizes every language to the smallest count") {
+    val out = TextQueries.queries("q_lang_balance")(spark, sf)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCount = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(_.getLong(1)).min
+    assert(perLang.nonEmpty && perLang.values.forall(_ == minCount),
+      s"expected all langs at $minCount, got $perLang")
+    // deterministic survivor set
+    assert(out.collect().toSeq ==
+      TextQueries.queries("q_lang_balance")(spark, sf).collect().toSeq)
+  }
+
   test("q_source_cap keeps at most the cap per source, deterministically") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.queries("q_source_cap")(spark, sf)
