@@ -84,6 +84,9 @@ class PlanHygieneSpec extends SparkSpec {
       // at test scale Catalyst estimates the probe side broadcastable
       // and AQE demotes it to a shuffle join once true sizes are known
       "q_dedup_incremental" -> Set("demotion"),
+      "q_decontaminate" -> Set("demotion"), // same hashed-shingle estimate case
+      "q_lang_balance" -> Set.empty,
+      "q_source_cap" -> Set.empty,
       "q_win_rank_salted" -> Set.empty,
       "q_tfidf" -> Set("bnl"), // reviewed 1-row corpus-size broadcast
       "q_tpch_q5" -> Set.empty)
