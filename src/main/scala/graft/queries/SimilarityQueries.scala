@@ -380,7 +380,33 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Diversity-preserving downsampling — the embedding-space analogue
+    * of per-source capping: assign every vector to its IVF cell (the
+    * SAME persisted coarse quantizer the ANN path uses — index reuse,
+    * no extra clustering pass), keep at most `cap` per cell, survivors
+    * chosen by md5(vec_id) so the sample is deterministic. Caps in
+    * embedding space preserve coverage of the distribution's modes
+    * where a uniform sample would mirror its density. KMeans cells are
+    * not oracle-expressible → rows-only driver check + invariant tests
+    * (per-cell caps, determinism, survivor subset). */
+  private val clusterCap: Q = (s, d) => {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cap = 10
+    val model = buildIvfIndex(s, d)
+    val assigned = model.transform(
+      Tables.embeddings(s, d).withColumn("vec", array_to_vector(col("embedding"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cell"), col("rn"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_cap" -> clusterCap,
     "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
     "q_dedup_embedding" -> dedupEmbedding,

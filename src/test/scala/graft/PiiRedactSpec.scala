@@ -110,6 +110,22 @@ class PiiRedactSpec extends SparkSpec {
       TextQueries.queries("q_lang_balance")(spark, sf).collect().toSeq)
   }
 
+  test("q_cluster_cap caps every IVF cell and reuses the persisted quantizer") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.SimilarityQueries.queries("q_cluster_cap")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per-cell counts never exceed the cap; survivors are real vec_ids
+    val perCell = rows.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 10), s"cell overflow: ${perCell.toMap}")
+    val ids = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => ids(r.getLong(0))))
+    // deterministic survivor set across reruns
+    val again = graft.queries.SimilarityQueries.queries("q_cluster_cap")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q_source_cap keeps at most the cap per source, deterministically") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.queries("q_source_cap")(spark, sf)
