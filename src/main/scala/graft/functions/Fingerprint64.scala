@@ -67,5 +67,6 @@ object Fingerprint64 {
 
   /** SQL registration: `SELECT fingerprint64(text) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    graftshim.registerExpression(spark, "fingerprint64", exprs => Fingerprint64(exprs.head))
+    graftshim.registerExpression(spark, "fingerprint64", 1,
+      exprs => Fingerprint64(exprs.head))
 }

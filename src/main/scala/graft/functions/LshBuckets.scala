@@ -55,7 +55,15 @@ object LshBuckets {
   def buckets(emb: ArrayData, planes: Array[Double], nTables: Int,
       bitsPerTable: Int): ArrayData = {
     val dims = planes.length / (nTables * bitsPerTable)
-    val n = math.min(emb.numElements(), dims)
+    // fail loudly on a short/long embedding rather than silently
+    // projecting a truncated prefix: a truncated projection yields a
+    // PLAUSIBLE but wrong bucket id, which would quietly break recall;
+    // the HOF formulation this replaced degraded differently (null-
+    // poisoned aggregate → all sign bits 0), so there is no silent
+    // behavior worth preserving — corrupt input is an error.
+    val n = emb.numElements()
+    if (n != dims) throw new IllegalArgumentException(
+      s"lsh_buckets: embedding has $n dims, hyperplanes expect $dims")
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {

@@ -127,8 +127,24 @@ object Winnow {
   def winnowStats(c: Column, gram: Int = 8, window: Int = 4): Column =
     graftshim.toColumn(WinnowStats(graftshim.toExpression(c), gram, window))
 
-  /** SQL registration: `SELECT winnow_stats(text) FROM ...`. */
+  /** SQL registration: `winnow_stats(text[, gram, window])` — the 1-arg
+    * form uses the q_doc_winnow defaults (gram=8, window=4); the 3-arg
+    * form takes integer literals for both. Any other arity is an
+    * analysis-time error (extras used to be silently ignored). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    graftshim.registerExpression(spark, "winnow_stats",
-      exprs => WinnowStats(exprs.head, 8, 4))
+    graftshim.registerExpression(spark, "winnow_stats", exprs => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"winnow_stats: $what must be an integer literal, got $other")
+      }
+      exprs match {
+        case Seq(text) => WinnowStats(text, 8, 4)
+        case Seq(text, g, w) =>
+          WinnowStats(text, intLit(g, "gram"), intLit(w, "window"))
+        case _ => throw new IllegalArgumentException(
+          "Invalid number of arguments for function winnow_stats: " +
+            s"expected 1 or 3, got ${exprs.length}")
+      }
+    })
 }

@@ -538,10 +538,20 @@ object TextQueries {
     * scales embarrassingly: 100 TB is just more tasks. Counts are
     * computed on the ORIGINAL text (before any replacement shifts
     * offsets); the rewrite then applies the same patterns in the same
-    * order. The driver corpus is PII-free by construction, so the
-    * oracle proves the machinery agrees across engines on clean text;
-    * PiiRedactSpec drives synthetic emails/SSNs/phones/IPs through the
-    * same column builders and asserts the redacted output. */
+    * order. OVERLAP SEMANTICS: because counts see the original text but
+    * replacements apply sequentially, overlapping matches make counts
+    * exceed emitted tags — e.g. `1.2.3.4@example.com` counts n_ip=1,
+    * yet the earlier <EMAIL> replacement consumes the quad so no <IP>
+    * tag appears in clean_text. Counts answer "how many of each shape
+    * appeared in the raw text" (the curation-stats question); the tag
+    * census of clean_text is a different, smaller number whenever
+    * shapes nest. The oracle mirrors the same order on the same raw
+    * text, so both engines agree on both artifacts. The driver corpus
+    * is PII-free by construction, so the oracle proves the machinery
+    * agrees across engines on clean text; PiiRedactSpec drives
+    * synthetic emails/SSNs/phones/IPs (including an overlapping
+    * email-eats-IP case pinning the semantics above) through the same
+    * column builders and asserts the redacted output. */
   private[graft] def piiColumns(df: DataFrame): DataFrame = {
     val counts = piiPatterns.map { case (re, tag) =>
       val name = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase

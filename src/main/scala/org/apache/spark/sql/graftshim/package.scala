@@ -21,4 +21,18 @@ package object graftshim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Like [[registerExpression]] but arity-checked: a SQL call with the
+    * wrong argument count raises a clear analysis-time error instead of
+    * silently ignoring extras (or an IndexOutOfBounds from the builder). */
+  def registerExpression(spark: SparkSession, name: String, arity: Int,
+      builder: Seq[Expression] => Expression): Unit =
+    registerExpression(spark, name, exprs => {
+      // builders run during analysis, so this surfaces as an analysis
+      // failure with the function name and both counts in the message
+      if (exprs.length != arity) throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: " +
+          s"expected $arity, got ${exprs.length}")
+      builder(exprs)
+    })
 }

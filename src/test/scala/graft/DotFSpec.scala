@@ -35,6 +35,34 @@ class DotFSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("dot_f yields NULL on length mismatch and null elements, like the HOF") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(Option(1f), Option(2f)), Seq(Option(3f))),             // short right
+      (Seq(Option(1f), None),       Seq(Option(3f), Option(4f))), // null element
+      (Seq(Option(1f), Option(2f)), Seq(Option(3f), Option(4f)))) // clean
+      .toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      DotF.dotF(col("a"), col("b")).as("fast"), hof.as("slow")).collect()
+    rows.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1),
+      s"fast/HOF null disagreement: $r"))
+    assert(rows(0).isNullAt(0), "length mismatch must yield NULL")
+    assert(rows(1).isNullAt(0), "null element must yield NULL")
+    assert(rows(2).getDouble(0) == 11.0)
+  }
+
+  test("dot_f SQL arity is validated at analysis time") {
+    DotF.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_f(array(CAST(1 AS FLOAT)))").collect())
+    assert(e.getMessage.contains("dot_f"), e.getMessage)
+  }
+
   test("dot_f is callable from SQL and participates in codegen") {
     DotF.register(spark)
     val got = spark.sql(

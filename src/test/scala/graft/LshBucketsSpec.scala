@@ -37,6 +37,20 @@ class LshBucketsSpec extends SparkSpec {
     }
   }
 
+  test("lsh buckets fail loudly on a dimension-mismatched embedding") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Array(1f, 2f))).toDF("emb")
+    val e = intercept[Throwable] {
+      df.select(LshBuckets.lshBuckets(col("emb"),
+        IndexedSeq.fill(64 * 64)(0.5), 8, 8)).collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("lsh_buckets"),
+      s"expected a loud lsh_buckets dims error, got:\n$messages")
+  }
+
   test("lsh buckets expression participates in whole-stage codegen") {
     val plan = Tables.embeddings(spark, sf)
       .select(LshBuckets.lshBuckets(col("embedding"),

@@ -50,6 +50,16 @@ class PiiRedactSpec extends SparkSpec {
     assert(rows(0).getInt(4) == 0) // n_ip
   }
 
+  test("overlap: counts see the raw text, tags reflect sequential redaction") {
+    // the documented semantics (piiColumns scaladoc): an IP embedded in
+    // an email local part is COUNTED (raw-text census) but the earlier
+    // <EMAIL> replacement consumes it, so no <IP> tag is emitted
+    val rows = redact("ping 1.2.3.4@example.com now")
+    assert(rows(0).getInt(1) == 1, "n_email")
+    assert(rows(0).getInt(4) == 1, "n_ip counted on the raw text")
+    assert(rows(0).getString(5) == "ping <EMAIL> now")
+  }
+
   test("q_pii_redact leaves the PII-free driver corpus unchanged") {
     val out = TextQueries.queries("q_pii_redact")(spark, sf)
     val docs = Tables.documents(spark, sf)

@@ -74,6 +74,33 @@ class WinnowSpec extends SparkSpec {
     assert(r.getInt(0) == viaCol.getInt(0) && r.getLong(1) == viaCol.getLong(1))
   }
 
+  test("winnow_stats SQL honors gram/window args and rejects bad arity") {
+    Winnow.register(spark)
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    // 3-arg SQL form == explicit Column form with the same params
+    val viaSql = spark.sql(
+      s"SELECT ws.n_fingerprints, ws.fp_xor FROM " +
+        s"(SELECT winnow_stats('$text', 4, 2) AS ws)").head()
+    val viaCol = Seq(text).toDF("text")
+      .select(Winnow.winnowStats(col("text"), gram = 4, window = 2).as("ws"))
+      .select(col("ws.n_fingerprints"), col("ws.fp_xor")).head()
+    assert(viaSql.getInt(0) == viaCol.getInt(0) &&
+      viaSql.getLong(1) == viaCol.getLong(1))
+    // and the non-default params actually change the answer
+    val default = spark.sql(
+      s"SELECT winnow_stats('$text').n_fingerprints").head().getInt(0)
+    assert(viaSql.getInt(0) != default)
+    // 2-arg and 4-arg calls fail at analysis time, not silently
+    val e = intercept[Exception](
+      spark.sql("SELECT winnow_stats('abc', 4)").collect())
+    assert(e.getMessage.contains("winnow_stats"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT winnow_stats('abc', 4, 2, 1)").collect())
+    assert(e2.getMessage.contains("winnow_stats"), e2.getMessage)
+  }
+
   test("winnow expression participates in whole-stage codegen") {
     val plan = Tables.documents(spark, sf)
       .select(Winnow.winnowStats(col("text")))
