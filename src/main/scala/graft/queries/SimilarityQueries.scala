@@ -234,14 +234,28 @@ object SimilarityQueries {
     * A hot bucket (correlated embeddings) is the LSH analogue of the
     * viral shingle; at corpus scale the same DF-cap defense applies. */
   private val signBits = 8
-  private val dedupEmbeddingLsh: Q = (s, d) => {
-    val bucketCol = (0 until signBits).map(i =>
+
+  /** The deterministic axis-aligned LSH block key: packed sign bits of
+    * the first [[signBits]] embedding components. A pure function of
+    * the float data both engines compute identically — shared by the
+    * embedding-LSH dedup and the batch-KNN serving path, and replayed
+    * verbatim by their DuckDB oracles. */
+  private def signBucketCol: org.apache.spark.sql.Column =
+    (0 until signBits).map(i =>
       when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
         .otherwise(lit(0L))).reduce(_ + _)
+
+  /** The bucket CASE expression the oracles share, in DuckDB SQL. */
+  private val signBucketSql: String =
+    "CAST(" + (0 until signBits).map(i =>
+      s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ") + " AS BIGINT)"
+
+  private val dedupEmbeddingLsh: Q = (s, d) => {
     val dot = graft.functions.DotF.dotF _
     // norms hoisted below the join, same as dedupEmbedding
     val e = Tables.embeddings(s, d)
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", signBucketCol)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = e.select(col("bucket"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
@@ -253,6 +267,48 @@ object SimilarityQueries {
       .filter(col("cos_sim") >= 0.35)
       .select(col("bucket"), col("v1"), col("v2"), col("cos_sim"))
       .orderBy("v1", "v2")
+  }
+
+  /** Batch-probe KNN — the 100 TB serving shape: score a probe SET
+    * against the corpus in one pass, top-k per probe. The single-vector
+    * queries (q_knn_exact/lsh/ivf) gesture at this; real vector serving
+    * always batches. Plan shape, built for scale:
+    *
+    *  - probes = the deterministic `vec_id % 50 = 0` slice (an eval or
+    *    request batch in production) — tiny next to the corpus, so the
+    *    probe side BROADCASTS: candidate generation is a broadcast hash
+    *    join on the deterministic sign-bit bucket ([[signBucketCol]],
+    *    same key as q_dedup_embedding_lsh), zero shuffle of corpus rows.
+    *  - per-probe top-k via the bounded-heap [[graft.functions.TopKDecl]]
+    *    aggregate: at most k pairs per probe cross the shuffle as
+    *    map-side partials — no per-probe full sort, state O(k·probes).
+    *
+    * Fully oracle-checkable (unlike random-hyperplane LSH): bucket
+    * assignment AND exact cosine are pure functions of the data, so
+    * DuckDB replays candidate blocks and a ROW_NUMBER() window agrees
+    * with the heap's (v desc, id asc) ordering. Self-matches excluded. */
+  private val knnBatch: Q = (s, d) => {
+    val dot = graft.functions.DotF.dotF _
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", signBucketCol)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("bucket"), col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("p_emb")) / (col("nrm") * col("p_nrm")), 6))
+      .groupBy("probe_id")
+      .agg(graft.functions.TopKDecl.topk(
+        struct(col("cos_sim"), col("vec_id")), 10).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("probe_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("t.id").as("vec_id"),
+        col("t.v").as("cos_sim"))
+      .orderBy("probe_id", "rnk")
   }
 
   /** The same MinHash near-dedup through MLlib's LSH surface
@@ -413,6 +469,7 @@ object SimilarityQueries {
     "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
+    "q_knn_batch" -> knnBatch,
     "q_knn_centroids" -> centroids,
     "q_knn_lsh" -> knnLsh,
     "q_dedup_minhash" -> dedupMinhash,
@@ -462,6 +519,24 @@ object SimilarityQueries {
          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
          ORDER BY v1, v2""",
+    // candidate blocks replay via the same sign-bit bucket expression;
+    // the ROW_NUMBER window (cos_sim DESC, vec_id ASC) mirrors the
+    // bounded-heap aggregate's ordering exactly
+    "q_knn_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 $signBucketSql AS bucket
+               FROM embeddings),
+         cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                         round(list_cosine_similarity(c.v, p.v), 6) AS cos_sim
+                  FROM e c JOIN e p ON c.bucket = p.bucket
+                  WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cos_sim
+         FROM (SELECT probe_id, vec_id, cos_sim,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+               FROM cand)
+         WHERE rnk <= 10
+         ORDER BY probe_id, rnk""",
     // cast to DOUBLE[] so DuckDB does the same double-precision math
     "q_knn_exact" ->
       """SELECT e.vec_id, e.label,

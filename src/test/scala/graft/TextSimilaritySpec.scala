@@ -92,6 +92,53 @@ class TextSimilaritySpec extends SparkSpec {
       s"ivf recalled only ${(ivf intersect exact).size} of exact top-10")
   }
 
+  test("batch knn: per-probe top-k over sign-bit blocks, probe side broadcast") {
+    import org.apache.spark.sql.functions._
+    val df = SimilarityQueries.queries("q_knn_batch")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every probe is a vec_id % 50 == 0 vector; no self-matches; k <= 10
+    assert(rows.forall(r => r.getLong(0) % 50 == 0))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val perProbe = rows.groupBy(_.getLong(0))
+    assert(perProbe.values.forall(_.length <= 10))
+    // within a probe, rnk is 1..n and cos_sim is non-increasing
+    perProbe.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"probe $p ranks not contiguous")
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $p cos_sim not monotone")
+    }
+    // a probe's top-1 within its own bucket agrees with a driver-side
+    // recompute restricted to that bucket (spot-check on one probe)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]): Long =
+      (0 until 8).map(i => if (v(i) >= 0f) 1L << i else 0L).sum
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probe = rows.head.getLong(0)
+    val want = emb.toSeq
+      .filter { case (id, v) => id != probe && bucket(v) == bucket(emb(probe)) }
+      .map { case (id, v) => (cos6(v, emb(probe)), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(10)
+    val got = perProbe(probe).sortBy(_.getInt(1))
+      .map(r => (r.getDouble(3), r.getLong(2))).toSeq
+    assert(got == want, s"probe $probe: got $got, want $want")
+    // scale shape: the candidate join must broadcast the probe side
+    // (string-probe the AQE-finalized tree — after the collect above
+    // the adaptive plan is final and renders its runtime join choice)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join for the probe side:\n$planStr")
+  }
+
   test("embedding LSH dedup equals a driver-side recompute of the bucketed semantics") {
     val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
