@@ -466,6 +466,87 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus materialization — the flagship composition a
+    * training-data pipeline actually ships, as ONE lineage:
+    *
+    *   pii_redact → exact-dedup canonical → decontaminate →
+    *   lang_balance → doc_pack
+    *
+    * (the reference's clean→encode→materialize chain, pipeline.py:1-87
+    * + NB cells 40-100, transplanted to the corpus domain). Each stage
+    * reuses the exact column semantics of its standalone query —
+    * [[piiPatterns]], min-doc_id canonicalization, [[shingleArraySql]]
+    * shingles, md5 survivor choice, greedy pack fill — so the stages
+    * can never drift from their individually-verified twins. Composing
+    * in one lineage is the scale-relevant part: Catalyst sees the whole
+    * chain, so the corpus is scanned ONCE, the per-row stages (redact,
+    * tokenize) pipeline inside one codegen stage, and shuffles happen
+    * only where an operator genuinely re-keys (dedup groupBy, shingle
+    * join, the two windows) — a driver orchestrating 5 separate jobs
+    * would rescan and rematerialize between every pair. */
+  private val corpusPipeline: Q = (s, d) => {
+    // 1. redact (q_pii_redact's sequential rewrite)
+    val redacted = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      piiPatterns.foldLeft(col("text")) {
+        case (c, (re, tag)) => regexp_replace(c, re, tag)
+      }.as("clean_text"))
+    // 2. one canonical copy per distinct redacted text (q_dedup_exact):
+    //    smallest doc_id wins and carries its lang (min_by)
+    val canonical = redacted
+      .groupBy("clean_text")
+      .agg(min("doc_id").as("doc_id"),
+        expr("min_by(lang, doc_id)").as("lang"))
+      .withColumn("w", split(col("clean_text"), " "))
+    // 3. decontaminate (q_decontaminate on the canonical redacted text):
+    //    the doc_id%5=4 slice is the eval set; drop train docs whose
+    //    contamination strength (shared word-3-gram shingles) reaches
+    //    the cutoff. q_decontaminate EMITS the strength and leaves the
+    //    policy to the consumer; the pipeline IS a consumer, and on a
+    //    corpus with heavy natural shingle overlap an any-overlap rule
+    //    would empty the corpus (it flags 394/400 train docs at sf0.01,
+    //    median strength 9) — the cutoff keeps incidental 1-2-shingle
+    //    overlaps and drops genuine leakage. Eval shingle set stays the
+    //    broadcast-able side, exactly as in the standalone query.
+    val contaminationMin = 5
+    val sh = canonical
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
+      .distinct()
+    val evalSh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select("shingle").distinct()
+    val contaminated = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(evalSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= contaminationMin)
+      .select("doc_id")
+    val cleanTrain = canonical
+      .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. language rebalancing (q_lang_balance on the survivors): every
+    //    lang down to the smallest surviving lang's count
+    val caps = cleanTrain.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("cap", min("n_lang").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("lang", "cap")
+    val wBal = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val balanced = cleanTrain
+      .withColumn("rn", row_number().over(wBal))
+      .join(broadcast(caps), "lang")
+      .filter(col("rn") <= col("cap"))
+    // 5. sequence packing (q_doc_pack's greedy fill, budget 512)
+    val wPack = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    balanced
+      .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(wPack))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        expr("(cum - tok) DIV 512").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints via the custom codegen Fingerprint64
     * expression (no DuckDB equivalent → rows-only check + unit tests). */
   private val docFingerprint: Q = (s, d) =>
@@ -671,6 +752,7 @@ object TextQueries {
     "q_dedup_cluster_ls" -> dedupClusterLs,
     "q_sample_hash" -> sampleHash,
     "q_corpus_filter" -> corpusFilter,
+    "q_corpus_pipeline" -> corpusPipeline,
     "q_tfidf" -> tfidf,
     "q_top_ngrams" -> topNgrams,
     "q_doc_pack" -> docPack,
@@ -844,6 +926,50 @@ object TextQueries {
          FROM cc GROUP BY node ORDER BY doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    // the full pipeline replayed stage by stage: same regex rewrite,
+    // arg_min canonicalization, string shingles (hash-identity on the
+    // Spark side — identical up to 64-bit collisions), md5 survivor
+    // ranking, and greedy pack fill as the standalone stage oracles
+    "q_corpus_pipeline" ->
+      """WITH red AS (
+           SELECT doc_id, lang,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean_text
+           FROM documents),
+         canon AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+                          clean_text
+                   FROM red GROUP BY clean_text),
+         toks AS (SELECT doc_id, lang, string_split(clean_text, ' ') AS w
+                  FROM canon),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                  FROM toks WHERE len(w) >= 3)),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 4),
+         bad AS (SELECT doc_id FROM (
+                   SELECT d.doc_id, count(*) AS n_shared
+                   FROM sh d JOIN ev USING (shingle)
+                   WHERE d.doc_id % 5 <> 4 GROUP BY d.doc_id)
+                 WHERE n_shared >= 5),
+         clean_train AS (SELECT t.doc_id, t.lang, t.w FROM toks t
+                         WHERE t.doc_id % 5 <> 4
+                           AND t.doc_id NOT IN (SELECT doc_id FROM bad)),
+         cap AS (SELECT min(n) AS cap FROM
+                   (SELECT count(*) AS n FROM clean_train GROUP BY lang)),
+         ranked AS (SELECT doc_id, lang, w,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM clean_train),
+         bal AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS tok
+                 FROM ranked CROSS JOIN cap WHERE rn <= cap.cap),
+         packed AS (SELECT doc_id, lang, tok,
+                      sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+                    FROM bal)
+         SELECT doc_id, lang, tok, CAST((cum - tok) // 512 AS BIGINT) AS pack_id
+         FROM packed ORDER BY doc_id""",
     "q_doc_pack" ->
       """WITH t AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

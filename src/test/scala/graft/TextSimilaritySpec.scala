@@ -358,6 +358,38 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("corpus_pipeline composes its five stages in one clean lineage") {
+    import org.apache.spark.sql.functions._
+    val df = TextQueries.queries("q_corpus_pipeline")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    // survivors are never from the eval slice (decontaminate stage)
+    assert(ids.forall(_ % 5 != 4))
+    // survivors are canonical exact-dedup keepers of the REDACTED text
+    val redacted = TextQueries.queries("q_pii_redact")(spark, sf)
+      .select("doc_id", "clean_text")
+    val keepers = redacted.groupBy("clean_text")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepers), s"non-canonical ids: ${ids -- keepers}")
+    // language rebalancing: every surviving lang has the same count
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.values.toSet.size == 1,
+      s"langs not balanced after the pipeline: $perLang")
+    // greedy pack fill: within a lang, pack_id = (running start) DIV 512
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / 512, s"$lang doc ${r.getLong(0)}")
+        cum += r.getLong(2)
+      }
+    }
+    // one lineage, audited clean on the AQE-finalized plan
+    assert(graft.scale.PlanAudit.finalFindings(df).isEmpty,
+      graft.scale.PlanAudit.finalFindings(df).mkString("; "))
+  }
+
   test("tfidf matches a driver-side recomputation") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
