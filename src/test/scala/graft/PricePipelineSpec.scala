@@ -69,6 +69,52 @@ class PricePipelineSpec extends SparkSpec {
     assert(again.map(_.params) == trials.map(_.params))
   }
 
+  private lazy val mlpPrep = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    val Array(tr, va) = clean.randomSplit(Array(0.8, 0.2), 42L)
+    val prep = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(features.toArray)
+        .setOutputCol("features_raw"),
+      new StandardScaler().setInputCol("features_raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true))).fit(tr)
+    (prep.transform(tr).cache(), prep.transform(va).cache())
+  }
+  private lazy val mlpModel = {
+    val (tr, _) = mlpPrep
+    graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 200, lr = 0.02)
+  }
+
+  test("distributed MLP beats the naive-mean baseline (M1/M2 literal form)") {
+    val (_, va) = mlpPrep
+    val mae = PricePipeline.evaluator("mae").evaluate(mlpModel.transform(va))
+    val baseline = PricePipeline.baselineMae(va)
+    assert(mae.isFinite && mae > 0)
+    assert(mae < baseline, s"mlp mae $mae should beat baseline $baseline")
+  }
+
+  test("MLP training is deterministic under a fixed seed") {
+    val (tr, _) = mlpPrep
+    val again = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 200, lr = 0.02)
+    assert(again.weights.sameElements(mlpModel.weights))
+  }
+
+  test("MLP save/load round-trips predictions exactly") {
+    import org.apache.spark.ml.linalg.Vector
+    val (_, va) = mlpPrep
+    val path = java.nio.file.Files.createTempDirectory("graft-mlp")
+      .resolve("mlp.txt").toString
+    mlpModel.save(path)
+    val loaded = graft.ml.MlpModel.load(path)
+    assert(loaded.layers.sameElements(mlpModel.layers))
+    va.select("features").limit(50).collect().foreach { r =>
+      val x = r.getAs[Vector](0).toArray
+      assert(loaded.predict(x) == mlpModel.predict(x))
+    }
+  }
+
   test("model save/load round-trips predictions (M7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val model = PricePipeline.pipeline(features, "gbt").fit(clean)
