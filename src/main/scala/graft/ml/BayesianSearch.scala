@@ -9,12 +9,16 @@ import scala.util.Random
   * an FCFF architecture; tuner artifacts absent from the repo — only
   * the winning SavedModel remains).
   *
-  * MLlib ships no Bayesian optimizer, so this is a small sequential
-  * model-based search in plain Scala (SURVEY.md §7.3): seeded random
-  * exploration, then exploitation by Gaussian perturbation around the
-  * incumbent — the explore/exploit skeleton of SMBO without a surrogate
-  * model. Each trial is a full distributed MLlib fit; only scalar
-  * params and scores live on the driver.
+  * This is real sequential model-based optimization, not just
+  * explore/exploit: after `nWarmup` seeded random trials, a Gaussian-
+  * process surrogate (RBF kernel over the unit-normalized params,
+  * observations standardized) is fit to every completed trial, and the
+  * next point maximizes EXPECTED IMPROVEMENT over a seeded candidate
+  * pool — keras-tuner's own acquisition. All surrogate math is tiny
+  * driver-side linear algebra (|trials| ≤ tens: an n×n solve per
+  * round); each TRIAL is a full distributed MLlib fit, so the cluster
+  * does the expensive part and the driver only holds scalars.
+  * Deterministic under a fixed seed.
   */
 object BayesianSearch {
 
@@ -30,10 +34,166 @@ object BayesianSearch {
     iterRange(rnd.nextInt(iterRange.length)),
     stepRange._1 + rnd.nextDouble() * (stepRange._2 - stepRange._1))
 
+  /** Unit-cube embedding of the search space — the GP's input scale. */
+  private def toUnit(p: Params): Array[Double] = Array(
+    (p.maxDepth - depthRange.head).toDouble / (depthRange.last - depthRange.head),
+    (p.maxIter - iterRange.head).toDouble / (iterRange.last - iterRange.head),
+    (p.stepSize - stepRange._1) / (stepRange._2 - stepRange._1))
+
+  // ---- tiny GP-with-RBF surrogate (driver-side, n = #trials) ----
+
+  private val lengthScale = 0.3
+  private val noise = 1e-6
+
+  private def rbf(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.exp(-s / (2 * lengthScale * lengthScale))
+  }
+
+  /** Gaussian elimination with partial pivoting; n is tiny. */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    var col = 0
+    while (col < n) {
+      var p = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
+      val t = a(col); a(col) = a(p); a(p) = t
+      val tb = b(col); b(col) = b(p); b(p) = tb
+      val piv = a(col)(col)
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / piv
+        if (f != 0.0) {
+          var c = col
+          while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+          b(r) -= f * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var r = n - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c = r + 1
+      while (c < n) { s -= a(r)(c) * x(c); c += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
+
+  /** GP posterior (mean, std) at x given observations (xs, ys). */
+  private def gpPosterior(xs: Array[Array[Double]], ys: Array[Double],
+      alpha: Array[Double], kInv: Array[Array[Double]],
+      x: Array[Double]): (Double, Double) = {
+    val n = xs.length
+    val k = xs.map(rbf(_, x))
+    var mu = 0.0
+    var i = 0
+    while (i < n) { mu += k(i) * alpha(i); i += 1 }
+    // var = k(x,x) - kᵀ K⁻¹ k
+    var quad = 0.0
+    i = 0
+    while (i < n) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += kInv(i)(j) * k(j); j += 1 }
+      quad += k(i) * s
+      i += 1
+    }
+    (mu, math.sqrt(math.max(1e-12, 1.0 + noise - quad)))
+  }
+
+  /** Standard-normal CDF via the Abramowitz–Stegun erf approximation
+    * (max abs error ~1.5e-7 — orders below what acquisition ranking
+    * needs). */
+  private def phiCdf(z: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(z) / math.sqrt(2.0))
+    val erf = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-z * z / 2.0)
+    if (z >= 0) 0.5 * (1 + erf) else 0.5 * (1 - erf)
+  }
+
+  private def phiPdf(z: Double): Double =
+    math.exp(-z * z / 2.0) / math.sqrt(2 * math.Pi)
+
+  /** Expected improvement (minimization): (best-μ)Φ(z) + σφ(z). */
+  private def expectedImprovement(mu: Double, sigma: Double, best: Double): Double = {
+    if (sigma <= 0) return math.max(0.0, best - mu)
+    val z = (best - mu) / sigma
+    (best - mu) * phiCdf(z) + sigma * phiPdf(z)
+  }
+
+  /** Local candidates around a point — the refinement half of the
+    * acquisition pool (a purely random pool almost never contains a
+    * near-optimal point in a 3-d box, so EI could explore but not
+    * polish; keras-tuner's acquisition optimizer does the same local
+    * descent around seeds). */
   private def perturb(p: Params, rnd: Random): Params = Params(
-    math.max(depthRange.head, math.min(depthRange.last, p.maxDepth + rnd.nextInt(3) - 1)),
-    math.max(iterRange.head, math.min(iterRange.last, p.maxIter + rnd.nextInt(7) - 3)),
-    math.max(stepRange._1, math.min(stepRange._2, p.stepSize + rnd.nextGaussian() * 0.05)))
+    math.max(depthRange.head, math.min(depthRange.last,
+      p.maxDepth + rnd.nextInt(3) - 1)),
+    math.max(iterRange.head, math.min(iterRange.last,
+      p.maxIter + rnd.nextInt(7) - 3)),
+    math.max(stepRange._1, math.min(stepRange._2,
+      p.stepSize + rnd.nextGaussian() * 0.05)))
+
+  /** Pick the next params: fit the GP to all trials (ys standardized),
+    * score a seeded candidate pool (half random exploration, half
+    * perturbations of the incumbent) by EI, take the argmax. */
+  private def nextByEi(trials: Seq[Trial], rnd: Random, poolSize: Int = 400): Params = {
+    val xs = trials.map(t => toUnit(t.params)).toArray
+    val raw = trials.map(_.mae).toArray
+    val mean = raw.sum / raw.length
+    val sd0 = math.sqrt(raw.map(y => (y - mean) * (y - mean)).sum / raw.length)
+    val sd = if (sd0 > 0) sd0 else 1.0
+    val ys = raw.map(y => (y - mean) / sd)
+    val n = xs.length
+    val kMat = Array.tabulate(n, n)((i, j) =>
+      rbf(xs(i), xs(j)) + (if (i == j) noise else 0.0))
+    val alpha = solve(kMat, ys)
+    // K⁻¹ column by column (n tiny; clarity over an O(n³)-once factor)
+    val kInv = Array.tabulate(n)(i =>
+      solve(kMat, Array.tabulate(n)(j => if (j == i) 1.0 else 0.0)))
+    // kInv rows as computed are columns of K⁻¹, but K is symmetric
+    val best = ys.min
+    val incumbent = trials.minBy(_.mae).params
+    val pool = Seq.fill(poolSize / 2)(randomParams(rnd)) ++
+      Seq.fill(poolSize / 2)(perturb(incumbent, rnd))
+    pool.maxBy { p =>
+      val (mu, sigma) = gpPosterior(xs, ys, alpha, kInv, toUnit(p))
+      expectedImprovement(mu, sigma, best)
+    }
+  }
+
+  /** Core SMBO loop over an arbitrary objective — the seam the
+    * synthetic-objective optimizer tests drive (no cluster needed).
+    * Returns trials in EVALUATION ORDER. */
+  def searchFn(objective: Params => Double, n: Int = 8, nWarmup: Int = 4,
+      seed: Long = 42L): Seq[Trial] = {
+    val rnd = new Random(seed)
+    val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    (0 until n).foreach { i =>
+      val p =
+        if (i < nWarmup || trials.isEmpty) randomParams(rnd)
+        else nextByEi(trials.toSeq, rnd)
+      trials += Trial(p, objective(p))
+    }
+    trials.toSeq
+  }
+
+  /** Pure random search twin — the baseline the GP must beat. */
+  def randomSearchFn(objective: Params => Double, n: Int,
+      seed: Long = 42L): Seq[Trial] = {
+    val rnd = new Random(seed)
+    Seq.fill(n) { val p = randomParams(rnd); Trial(p, objective(p)) }
+  }
 
   def evalOnce(train: DataFrame, valid: DataFrame, featureCols: Seq[String],
       p: Params, seed: Long): Trial = {
@@ -44,22 +204,16 @@ object BayesianSearch {
     Trial(p, PricePipeline.evaluator("mae").evaluate(model.transform(valid)))
   }
 
-  /** Run nWarmup random trials then (n - nWarmup) exploit trials around
-    * the incumbent; returns all trials, best first. Deterministic under
-    * a fixed seed. */
+  /** Run nWarmup random trials then (n - nWarmup) GP-EI trials, each a
+    * full distributed MLlib fit; returns all trials, best first.
+    * Deterministic under a fixed seed. */
   def search(df: DataFrame, featureCols: Seq[String], n: Int = 8,
       nWarmup: Int = 4, seed: Long = 42L): Seq[Trial] = {
-    val rnd = new Random(seed)
     val Array(train, valid) = df.randomSplit(Array(0.8, 0.2), seed)
     train.cache(); valid.cache()
-    val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    (0 until n).foreach { i =>
-      val p =
-        if (i < nWarmup || trials.isEmpty) randomParams(rnd)
-        else perturb(trials.minBy(_.mae).params, rnd)
-      trials += evalOnce(train, valid, featureCols, p, seed)
-    }
+    val trials = searchFn(
+      p => evalOnce(train, valid, featureCols, p, seed).mae, n, nWarmup, seed)
     train.unpersist(); valid.unpersist()
-    trials.sortBy(_.mae).toSeq
+    trials.sortBy(_.mae)
   }
 }

@@ -59,6 +59,35 @@ class PricePipelineSpec extends SparkSpec {
       "best CV candidate must beat the naive-mean baseline")
   }
 
+  test("GP-EI search beats pure random on a synthetic objective (M4)") {
+    import graft.ml.BayesianSearch.Params
+    // quadratic bowl with its optimum inside the search box at
+    // (depth 4, iter 15, step 0.3) — a known ground truth no MLlib fit
+    // can provide; the cluster-backed `search` wraps the same loop
+    def objective(p: Params): Double =
+      math.pow(p.maxDepth - 4, 2) +
+        math.pow((p.maxIter - 15) / 10.0, 2) +
+        math.pow((p.stepSize - 0.3) * 5, 2)
+    val n = 14
+    val ei = BayesianSearch.searchFn(objective, n = n, nWarmup = 4, seed = 7L)
+    val rnd = BayesianSearch.randomSearchFn(objective, n = n, seed = 7L)
+    assert(ei.length == n && rnd.length == n)
+    val bestEi = ei.map(_.mae).min
+    val bestRnd = rnd.map(_.mae).min
+    assert(bestEi <= bestRnd,
+      s"GP-EI best $bestEi should be <= random best $bestRnd")
+    // the surrogate reaches near-optimum in fewer evaluations
+    val eps = 0.05
+    val eiHit = ei.indexWhere(_.mae <= eps)
+    val rndHit = rnd.indexWhere(_.mae <= eps)
+    assert(eiHit >= 0, s"GP-EI never got within $eps of the optimum: ${ei.map(_.mae)}")
+    assert(rndHit < 0 || eiHit < rndHit,
+      s"GP-EI hit at $eiHit, random at $rndHit")
+    // deterministic under the fixed seed
+    val again = BayesianSearch.searchFn(objective, n = n, nWarmup = 4, seed = 7L)
+    assert(again.map(_.params) == ei.map(_.params))
+  }
+
   test("bayesian-style search improves over its own warmup (M4)") {
     val trials = BayesianSearch.search(clean, features, n = 6, nWarmup = 3)
     assert(trials.length == 6)
