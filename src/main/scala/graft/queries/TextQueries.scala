@@ -647,23 +647,73 @@ object TextQueries {
   private val piiRedact: Q = (s, d) =>
     piiColumns(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Threshold-adaptive per-key capped head: the rows whose
+    * row_number() over (PARTITION BY key ORDER BY md5(doc_id), doc_id)
+    * is <= cap, WITH that rank — the shared core of [[sourceCapImpl]]
+    * and [[langBalanceImpl]].
+    *
+    * A plain ranking window sorts ONE partition per key, so a
+    * pathologically hot key (a mega-source, a 95%-English corpus)
+    * serializes into a single task. When the hottest key exceeds
+    * `hotKeyThreshold`, this switches to the two-phase prune the
+    * SkewSpec-proven q_win_rank_salted pattern uses, specialized for
+    * head-selection (ranks past cap are discarded, so no offset-merge
+    * reconstruction is needed):
+    *
+    *   1. rank within (key, salt) where salt = xxhash64(doc_id) % 32 —
+    *      deterministic, partitioning-independent; the hot key's sort
+    *      splits 32 ways — and keep each group's local top-cap. Any
+    *      global top-cap row is necessarily within its salt group's
+    *      top-cap, so this prunes NOTHING that survives.
+    *   2. the exact window on the <= 32·cap survivors per key — now
+    *      trivially small — yields ranks identical to the unsalted
+    *      plan's (the pruned rows all ranked > cap).
+    *
+    * `hottest` is a driver-side O(1) scalar (count max over keys, one
+    * map-side-combined scan) — at 100 TB a stats-store lookup; the
+    * callers fold it into aggregates they already need where possible. */
+  private[graft] def rankedHeadByKey(df: DataFrame, key: String, cap: Int,
+      hottest: Long, hotKeyThreshold: Long): DataFrame = {
+    val ord = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ord.map(c => c.asc): _*)
+    if (hottest <= hotKeyThreshold)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+    else {
+      logger.info(s"rankedHeadByKey: hottest '$key' has $hottest rows " +
+        s"(> $hotKeyThreshold) — using the salted two-phase prune")
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key), pmod(xxhash64(col("doc_id")), lit(32)))
+        .orderBy(ord.map(c => c.asc): _*)
+      df.withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= cap)
+        .drop("lrn")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+    }
+  }
+
+  /** Default activation point for the salted prune: well past any
+    * per-key count the sf test data reaches (the plain plan stays the
+    * recorded one), far below where a single-task sort would stall. */
+  private[graft] val defaultHotKeyThreshold = 1000000L
+
   /** Per-source document cap — Common-Crawl-style downsampling so no
     * domain dominates the training mix: keep at most `cap` docs per
     * source, chosen by md5(doc_id) so the survivor set is a pure
     * function of the data (reproducible across runs, partitionings,
-    * and engines — same rationale as [[sampleHash]]). The row_number
-    * window sorts one partition per source; for a pathologically hot
-    * source the salted-rank pattern (WindowQueries q_win_rank_salted)
-    * applies unchanged, and when an approximate cap suffices the
-    * hash-threshold filter (md5 < cap/count) avoids the sort entirely. */
+    * and engines — same rationale as [[sampleHash]]). Skew-defended by
+    * [[rankedHeadByKey]]: a mega-source past the threshold switches to
+    * the salted two-phase prune with an identical survivor set. When an
+    * approximate cap suffices the hash-threshold filter
+    * (md5 < cap/count) avoids ranking entirely. */
   private[graft] def sourceCapImpl(s: SparkSession, d: String,
-      cap: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
+      cap: Int = 10,
+      hotKeyThreshold: Long = defaultHotKeyThreshold): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hottest = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    rankedHeadByKey(docs, "source", cap, hottest, hotKeyThreshold)
       .select(col("doc_id"), col("source"), col("rn"))
       .orderBy("doc_id")
   }
@@ -691,25 +741,23 @@ object TextQueries {
     * doc count, survivors chosen by md5(doc_id) (deterministic,
     * partition-invariant — same rationale as [[sampleHash]]). The
     * data-derived-cap twin of [[sourceCapImpl]]'s fixed cap: target
-    * sizes come from the corpus itself (a per-lang aggregate joined
-    * back broadcast), the shape real data-mixing configs generalize
-    * (replace `min(n)` with any target-weights table). */
-  private val langBalance: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val caps = Tables.documents(s, d)
-      .groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      .withColumn("cap", min("n_lang").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select("lang", "cap")
-    Tables.documents(s, d)
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(caps), "lang")
-      .filter(col("rn") <= col("cap"))
+    * sizes come from the corpus itself, the shape real data-mixing
+    * configs generalize (replace `min(n)` with any target-weights
+    * table). One per-lang aggregate yields BOTH the cap (min) and the
+    * skew probe (max) as driver scalars — langs number in the dozens,
+    * so this is O(1) to the driver; the dominant language is exactly
+    * the hot key [[rankedHeadByKey]]'s salted prune defends against. */
+  private[graft] def langBalanceImpl(s: SparkSession, d: String,
+      hotKeyThreshold: Long = defaultHotKeyThreshold): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("cap"), max("n").as("hottest")).head()
+    val (cap, hottest) = (stats.getLong(0).toInt, stats.getLong(1))
+    rankedHeadByKey(docs, "lang", cap, hottest, hotKeyThreshold)
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy("doc_id")
   }
+  private val langBalance: Q = (s, d) => langBalanceImpl(s, d)
 
   /** Decontamination — the eval-leak scan every training corpus runs
     * before a benchmark means anything: flag TRAIN docs sharing any

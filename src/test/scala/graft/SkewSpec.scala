@@ -102,6 +102,46 @@ class SkewSpec extends SparkSpec {
       f"salted ($tSalted%.2fs) must beat the single-task window ($tPlain%.2fs) on skew")
   }
 
+  test("sourceCap/langBalance switch to the salted prune on a 95%-hot key, same survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotsrc").toString
+    // 95% of docs from one mega-source; langs likewise dominated by one
+    spark.range(0, 200000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 < 19, lit("megacrawl"))
+        .otherwise(concat(lit("src"), (col("id") % 5).cast("string")))
+        .as("source"),
+      when(col("id") % 20 < 19, lit("en"))
+        .otherwise(lit("de")).as("lang"),
+      md5(col("id").cast("string")).as("text"),
+      length(md5(col("id").cast("string"))).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // source cap: force the salted path (threshold below the hot count)
+    // vs the plain path (threshold above it) — identical survivor sets
+    val plainSrc = TextQueries.sourceCapImpl(spark, dir, cap = 10,
+      hotKeyThreshold = Long.MaxValue)
+    val saltedSrc = TextQueries.sourceCapImpl(spark, dir, cap = 10,
+      hotKeyThreshold = 1000L)
+    // the salted plan really is the two-phase one (two ranking windows)
+    assert("Window".r.findAllMatchIn(
+      saltedSrc.queryExecution.optimizedPlan.toString).size >
+      "Window".r.findAllMatchIn(
+        plainSrc.queryExecution.optimizedPlan.toString).size,
+      "expected the salted two-phase plan to activate below the threshold")
+    assert(plainSrc.exceptAll(saltedSrc).isEmpty &&
+      saltedSrc.exceptAll(plainSrc).isEmpty,
+      "salted prune must emit the identical (doc_id, source, rn) set")
+
+    // lang balance: same activation + equality through the derived cap
+    val plainLang = TextQueries.langBalanceImpl(spark, dir,
+      hotKeyThreshold = Long.MaxValue)
+    val saltedLang = TextQueries.langBalanceImpl(spark, dir,
+      hotKeyThreshold = 1000L)
+    assert(plainLang.exceptAll(saltedLang).isEmpty &&
+      saltedLang.exceptAll(plainLang).isEmpty,
+      "salted prune must emit the identical (doc_id, lang, rn) set")
+  }
+
   test("maxShingleDf cap kills the viral-boilerplate m² blowup, keeps rare-shingle dups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-viral").toString
     // 1100 docs: identical 12-word boilerplate + one unique tail word →
