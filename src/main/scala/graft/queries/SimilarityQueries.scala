@@ -92,36 +92,84 @@ object SimilarityQueries {
     * Candidate generation is an equi-join on (table, bucket): shuffle
     * scales with corpus size, never O(n²). No oracle (approximate);
     * unit-tested for recall against q_knn_exact. */
-  private val knnLsh: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val nTables = 8
-    val bitsPerTable = 8
-    // Hyperplanes as a broadcast literal (seeded, driver-side tiny):
-    // one compact expression computes all 64 sign bits in a single
-    // pass instead of 64 separate aggregate trees (which made codegen
-    // compilation the dominant cost).
+  private val lshTables = 8
+  private val lshBitsPerTable = 8
+
+  /** Seeded hyperplanes shared by the single- and multi-probe paths —
+    * a driver-side literal (a few KB) shipped with the plan. */
+  private lazy val lshPlanes: IndexedSeq[Double] = {
     val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] = Seq.fill(nTables * bitsPerTable)(
-      Seq.fill(64)(rnd.nextGaussian()))
+    IndexedSeq.fill(lshTables * lshBitsPerTable * 64)(rnd.nextGaussian())
+  }
+
+  /** Candidate generation shared by q_knn_lsh and q_knn_lsh_multi:
+    * distinct (vec_id, embedding, q_emb) rows whose bucket matches any
+    * probed (table, bucket) of the query vector.
+    *
+    * `probeBits` = 0 is classic single-probe (the query's own bucket
+    * per table). `probeBits` = p additionally probes, per table, the
+    * buckets reached by flipping each of the query's p LEAST-CONFIDENT
+    * sign bits (smallest |projection| — the bits most likely to differ
+    * for a true near neighbor), one at a time — multi-probe LSH (Lv et
+    * al., VLDB'07): recall rises at a bounded candidate cost, the knob
+    * you turn INSTEAD of adding whole hash tables (which multiply index
+    * size). Probe selection is driver-side math on the single query
+    * row (the same O(1) head() as q_knn_ivf's centroid probe); the
+    * corpus side is untouched — one bucket equi-join either way. */
+  private[graft] def lshCandidates(s: SparkSession, d: String,
+      probeBits: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
     // all 64 projections + bit packing in one compiled loop per row
     // (LshBuckets codegen expression — bucket ids bit-identical to the
     // HOF formulation it replaced, LshBucketsSpec pins the parity)
     val buckets = e.select(
       col("vec_id"), col("embedding"),
       posexplode(graft.functions.LshBuckets.lshBuckets(
-        col("embedding"), planes.flatten.toIndexedSeq, nTables, bitsPerTable))
+        col("embedding"), lshPlanes, lshTables, lshBitsPerTable))
         .as(Seq("tbl", "bucket")))
-    val q = buckets.filter(col("vec_id") === 0)
-      .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
-        col("embedding").as("q_emb"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val probes: Seq[(Int, Long)] = {
+      val qEmb = q.head().getSeq[Float](0).map(_.toDouble).toArray
+      (0 until lshTables).flatMap { t =>
+        val proj = (0 until lshBitsPerTable).map { b =>
+          val off = (t * lshBitsPerTable + b) * 64
+          (0 until 64).map(i => qEmb(i) * lshPlanes(off + i)).sum
+        }
+        val bucket = proj.zipWithIndex
+          .map { case (p, b) => if (p >= 0) 1L << b else 0L }.sum
+        val flips = proj.zipWithIndex.sortBy { case (p, _) => math.abs(p) }
+          .take(probeBits).map { case (_, b) => bucket ^ (1L << b) }
+        (bucket +: flips).map(t -> _)
+      }
+    }
+    val probeDf = {
+      import s.implicits._
+      probes.toDF("q_tbl", "q_bucket")
+    }
     buckets
-      .join(broadcast(q),
+      .join(broadcast(probeDf),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("embedding"), col("q_emb")).distinct()
-      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .select(col("vec_id"), col("embedding"))
+      .distinct()
+      .crossJoin(broadcast(q))
+  }
+
+  private def rankLshCandidates(cand: DataFrame): DataFrame =
+    cand
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
-  }
+
+  private val knnLsh: Q = (s, d) => rankLshCandidates(lshCandidates(s, d, 0))
+
+  /** Multi-probe twin: per table, also probe the bucket reached by
+    * flipping the query's single least-confident sign bit. Strictly a
+    * candidate SUPERSET of q_knn_lsh at a bounded (<2×) cost — the
+    * recall knob documented on the dedup-LSH path, implemented.
+    * No oracle (approximate); recall-pinned against q_knn_exact and
+    * q_knn_lsh in TextSimilaritySpec. */
+  private val knnLshMulti: Q = (s, d) => rankLshCandidates(lshCandidates(s, d, 1))
 
   /** MinHash near-dedup: k=32 permutation min-hashes over word-3-gram
     * shingles, banded 8×4; same-band collision → candidate pair →
@@ -311,6 +359,40 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Multi-probe twin of [[dedupEmbeddingLsh]]: each vector's probe
+    * side also lands in the [[signBits]] buckets at Hamming distance 1
+    * from its own (axis-aligned sign flips), so near-dup pairs whose
+    * embeddings straddle ONE early-component sign boundary — exactly
+    * the pairs single-bucket blocking misses — now meet in a bucket.
+    * Expanding one join side covers all Hamming-1 pairs; candidates
+    * grow by at most (signBits+1)× before dedup, still Σ bucket² —
+    * never n². Fully deterministic, so the oracle replays it with a
+    * Hamming-distance pair join (bit_count(xor) <= 1) — a formulation
+    * that is fine at oracle scale and proves the probe expansion
+    * equals the mathematical Hamming-1 neighborhood. */
+  private val dedupEmbeddingLshMulti: Q = (s, d) => {
+    val dot = graft.functions.DotF.dotF _
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", signBucketCol)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val flips = array((lit(0L) +: (0 until signBits).map(i => lit(1L << i))): _*)
+    val a = e
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("bucket"), explode(flips).as("flip"))
+      .select(col("v1"), col("e1"), col("n1"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val b = e.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dotAB = graft.functions.DotF.dotF(col("e1"), col("e2"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", round(dotAB / (col("n1") * col("n2")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      // a pair can meet through several probes; cos_sim is identical on
+      // every meeting, so the 3-column distinct collapses them
+      .select(col("v1"), col("v2"), col("cos_sim")).distinct()
+      .orderBy("v1", "v2")
+  }
+
   /** The same MinHash near-dedup through MLlib's LSH surface
     * (HashingTF shingle vectors → MinHashLSH → approxSimilarityJoin),
     * SURVEY.md §2.13's named primitives. No oracle (MLlib's hash
@@ -467,6 +549,8 @@ object SimilarityQueries {
     "q_knn_ivf" -> knnIvf,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "q_dedup_embedding_lsh_multi" -> dedupEmbeddingLshMulti,
+    "q_knn_lsh_multi" -> knnLshMulti,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
     "q_knn_batch" -> knnBatch,
@@ -517,6 +601,20 @@ object SimilarityQueries {
          SELECT a.bucket, a.vec_id AS v1, b.vec_id AS v2,
                 round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+         ORDER BY v1, v2""",
+    // the probe expansion equals the Hamming-1 neighborhood, so the
+    // oracle states it as a bit_count(xor(...)) <= 1 pair join —
+    // mathematically the same candidate set, replayed without explode
+    "q_dedup_embedding_lsh_multi" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 $signBucketSql AS bucket
+               FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         FROM e a JOIN e b
+           ON a.vec_id < b.vec_id
+          AND bit_count(xor(a.bucket, b.bucket)) <= 1
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
          ORDER BY v1, v2""",
     // candidate blocks replay via the same sign-bit bucket expression;

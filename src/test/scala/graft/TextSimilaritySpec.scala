@@ -82,6 +82,34 @@ class TextSimilaritySpec extends SparkSpec {
     assert((lsh intersect exact).size >= 2, s"lsh found ${lsh intersect exact} of exact top-10")
   }
 
+  test("multi-probe lsh strictly beats single-probe recall at <2x candidates") {
+    val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(q: String): Int =
+      (SimilarityQueries.queries(q)(spark, sf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet intersect exact).size
+    val single = recall("q_knn_lsh")
+    val multi = recall("q_knn_lsh_multi")
+    val cSingle = SimilarityQueries.lshCandidates(spark, sf, 0).count()
+    val cMulti = SimilarityQueries.lshCandidates(spark, sf, 1).count()
+    info(s"recall single=$single multi=$multi candidates $cSingle -> $cMulti")
+    assert(multi > single,
+      s"multi-probe recall $multi must strictly beat single-probe $single")
+    assert(cMulti < 2 * cSingle,
+      s"multi-probe candidates $cMulti must stay under 2x single-probe $cSingle")
+  }
+
+  test("multi-probe embedding dedup finds a strict superset incl. boundary pairs") {
+    val single = SimilarityQueries.queries("q_dedup_embedding_lsh")(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SimilarityQueries.queries("q_dedup_embedding_lsh_multi")(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"multi-probe must contain every single-probe pair; missing ${single -- multi}")
+    assert(multi.size > single.size,
+      "multi-probe should recover boundary pairs single-bucket blocking misses")
+  }
+
   test("ivf knn recalls most of the exact top-10") {
     val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
