@@ -210,6 +210,50 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** DuckDB-replayable MinHash twin: identical banding scheme to
+    * [[dedupMinhash]] (k=32 min-hashes, 8 bands × 4 rows, bucket join,
+    * exact integer-Jaccard verify) but the hash family is md5 — the one
+    * 128-bit hash both engines compute byte-identically — so the WHOLE
+    * pipeline (hash → per-doc minima → band keys → candidates → verify)
+    * replays in DuckDB and the driver hash-checks it. Min-hash i of a
+    * doc = lexicographic min over shingles of md5("i:" ++ shingle);
+    * a band's bucket = md5 of its 4 minima joined with '|'. String
+    * minima order identically in both engines (lowercase hex,
+    * bytewise). The xxhash64 family (q_dedup_minhash) stays the scale
+    * path — md5 is ~4× the hash cost and the shingle must travel as a
+    * string — this twin converts the last big test-only dedup operator
+    * into a hash-matched one. */
+  private val dedupMinhashOracle: Q = (s, d) => {
+    val k = 32
+    val shingles = TextQueries.shingleStringRows(s, d)
+    val minhashes = shingles.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      array((0 until k).map(i =>
+        min(md5(concat_ws(":", lit(i.toString), col("shingle"))))): _*).as("mh"))
+    val bands = minhashes.select(
+      col("doc_id"), col("n_sh"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> md5(concat_ws('|', slice(mh, b * 4 + 1, 4))))"))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .distinct()
+    val inter = cand
+      .join(shingles.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(shingles.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select("d1", "d2", "n_inter", "n_union")
+      .orderBy("d1", "d2")
+  }
+
   /** SimHash near-dedup: 64-bit simhash per doc from word hashes via
     * the SimHashAgg Aggregator, banded Hamming-<=3 candidate join,
     * exact popcount verification. */
@@ -557,10 +601,44 @@ object SimilarityQueries {
     "q_knn_centroids" -> centroids,
     "q_knn_lsh" -> knnLsh,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_minhash_oracle" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhash,
   )
 
   val oracles: Map[String, String] = Map(
+    // every stage of the md5-family MinHash replays: same "i:shingle"
+    // hash inputs, same lexicographic minima, same '|'-joined band
+    // buckets, same integer-Jaccard verification
+    "q_dedup_minhash_oracle" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hashes AS (SELECT doc_id, i,
+                      min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                    FROM sh CROSS JOIN range(0, 32) t(i)
+                    GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS bucket
+                   FROM hashes GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+         inter AS (SELECT c.d1, c.d2, count(*) AS n_inter
+                   FROM cand c
+                   JOIN sh s1 ON s1.doc_id = c.d1
+                   JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+                   GROUP BY c.d1, c.d2)
+         SELECT i.d1, i.d2, i.n_inter,
+                z1.n_sh + z2.n_sh - i.n_inter AS n_union
+         FROM inter i
+         JOIN sizes z1 ON z1.doc_id = i.d1
+         JOIN sizes z2 ON z2.doc_id = i.d2
+         WHERE i.n_inter * 5 >= (z1.n_sh + z2.n_sh - i.n_inter) * 4
+         ORDER BY d1, d2""",
     // int digests compare exactly because each quantized component is
     // round() of a bit-identical double quotient in both engines
     "q_embed_quantize" ->

@@ -55,6 +55,15 @@ object TextQueries {
       .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
       .distinct()
 
+  /** Distinct (doc_id, shingle STRING) rows — the form the md5-family
+    * MinHash twin (q_dedup_minhash_oracle) needs: its hash must see
+    * byte-identical input in both engines, so the shingle cannot be
+    * collapsed to the xxhash64 identity [[shingleRows]] ships at scale. */
+  def shingleStringRows(s: SparkSession, d: String): DataFrame =
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
+      .distinct()
+
   /** Per (lang, source) corpus statistics. */
   private val textStats: Q = (s, d) =>
     withWords(Tables.documents(s, d))

@@ -48,6 +48,19 @@ class TextSimilaritySpec extends SparkSpec {
     assert(mh.size >= exact.size * 8 / 10, s"minhash recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("md5-family minhash twin verifies the same pairs as the xxhash64 path") {
+    // different hash families block differently, but both verify exact
+    // integer Jaccard >= 0.8 on their candidates — on this corpus the
+    // verified pair sets must agree (the banding is generous enough
+    // that neither family misses a true pair the other finds)
+    val native = SimilarityQueries.queries("q_dedup_minhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oracleTwin = SimilarityQueries.queries("q_dedup_minhash_oracle")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == oracleTwin,
+      s"families disagree: only-native ${native -- oracleTwin}, only-md5 ${oracleTwin -- native}")
+  }
+
   test("mllib MinHashLSH finds the same near-dup pairs as the native path") {
     val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
