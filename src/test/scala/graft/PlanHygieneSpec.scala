@@ -12,8 +12,8 @@ class PlanHygieneSpec extends SparkSpec {
   // provably small build side (region/nation dims, a 1-row query vec,
   // or q_tfidf's 1-row corpus-size aggregate)
   private val bnlAllowed = Set(
-    "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh", "q_knn_ivf",
-    "q_tfidf", "q_funnel")
+    "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh",
+    "q_knn_lsh_multi", "q_knn_ivf", "q_tfidf", "q_funnel")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
