@@ -487,12 +487,22 @@ object TextQueries {
     * [[piiPatterns]], min-doc_id canonicalization, [[shingleArraySql]]
     * shingles, md5 survivor choice, greedy pack fill — so the stages
     * can never drift from their individually-verified twins. Composing
-    * in one lineage is the scale-relevant part: Catalyst sees the whole
-    * chain, so the corpus is scanned ONCE, the per-row stages (redact,
-    * tokenize) pipeline inside one codegen stage, and shuffles happen
-    * only where an operator genuinely re-keys (dedup groupBy, shingle
-    * join, the two windows) — a driver orchestrating 5 separate jobs
-    * would rescan and rematerialize between every pair. */
+    * in one lineage is the scale-relevant part: the per-row stages
+    * (redact, tokenize) pipeline inside one codegen stage with the scan,
+    * and shuffles happen only where an operator genuinely re-keys
+    * (dedup groupBy, shingle join, the two windows).
+    *
+    * The canonical corpus is a DIAMOND dependency (the shingle branches
+    * and the survivor branch all consume it), and Spark cannot
+    * ReuseExchange across it — column pruning specializes each branch's
+    * subtree, so the scan+redact+groupBy would re-execute per branch
+    * (measured: 6 FileScans without the barrier). `localCheckpoint`
+    * materializes the canonical rows ONCE — exactly the stage boundary
+    * a production pipeline persists anyway (the post-dedup corpus is
+    * THE reusable artifact) — and every downstream branch reads the
+    * checkpointed blocks; projected to the three columns downstream
+    * needs before checkpointing so the stored footprint is minimal.
+    * Same pattern as q_dedup_cluster's fixpoint (TextQueries:~400). */
   private val corpusPipeline: Q = (s, d) => {
     // 1. redact (q_pii_redact's sequential rewrite)
     val redacted = Tables.documents(s, d).select(
@@ -507,6 +517,8 @@ object TextQueries {
       .agg(min("doc_id").as("doc_id"),
         expr("min_by(lang, doc_id)").as("lang"))
       .withColumn("w", split(col("clean_text"), " "))
+      .select("doc_id", "lang", "w")
+      .localCheckpoint()
     // 3. decontaminate (q_decontaminate on the canonical redacted text):
     //    the doc_id%5=4 slice is the eval set; drop train docs whose
     //    contamination strength (shared word-3-gram shingles) reaches
