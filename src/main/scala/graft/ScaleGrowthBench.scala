@@ -37,11 +37,15 @@ import org.apache.spark.sql.functions._
 object ScaleGrowthBench {
   // q_decontaminate rides along: the copy offset preserves the doc_id%5
   // eval split, and its train-probes-eval-shingles join is the same
-  // should-be-linear shape as q_dedup_incremental
+  // should-be-linear shape as q_dedup_incremental. Round 5 adds the
+  // md5-family MinHash twin (same banding, pricier hashes — growth
+  // should match q_dedup_minhash's) and the 5-stage corpus pipeline
+  // flagship (dedup groupBy + shingle join + two windows — the whole
+  // operator mix in one lineage).
   private val dedupFamily = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental",
-    "q_decontaminate")
+    "q_decontaminate", "q_dedup_minhash_oracle", "q_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,13 +103,22 @@ object ScaleGrowthBench {
         .groupBy("lang").agg(count(lit(1)).as("n")))
     }
     // per-query failure isolation (same -1 sentinel as Bench): one
-    // blown query must not discard every timing already measured
+    // blown query must not discard every timing already measured.
+    // Min-of-N per (query, dir) — same transient-interference defense
+    // as Bench's default (BASELINE.md previously took medians across
+    // three whole manual runs; min-of-N inside one run is the same
+    // defense without the manual step).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_GROWTH_REPS", "3").toInt)
     val rows = dedupFamily.map { q =>
-      def timed(dir: String): Double =
-        try timeQuery(q, dir) catch { case e: Throwable =>
-          System.err.println(s"[growth] $q failed on $dir: ${e.getMessage}")
-          -1.0
+      def timed(dir: String): Double = {
+        val ts = (1 to reps).map { _ =>
+          try timeQuery(q, dir) catch { case e: Throwable =>
+            System.err.println(s"[growth] $q failed on $dir: ${e.getMessage}")
+            -1.0
+          }
         }
+        if (ts.exists(_ < 0)) -1.0 else ts.min
+      }
       val tBase = timed(baseDir)
       val tBig = if (tBase >= 0) timed(bigDir) else -1.0
       val growth = if (tBase > 0 && tBig >= 0) tBig / tBase else -1.0
@@ -116,7 +129,7 @@ object ScaleGrowthBench {
       s""""$q":{"base_sec":$tb,"big_sec":$tg,"growth":$g}"""
     }.mkString("{", ",", "}")
     val nFailed = rows.count(_._4 < 0)
-    println(s"""{"metric":"growth","factor":$factor,"rows_base":$nBase,"rows_big":$nBig,"n_failed":$nFailed,""" +
+    println(s"""{"metric":"growth","factor":$factor,"rows_base":$nBase,"rows_big":$nBig,"n_failed":$nFailed,"reps":$reps,""" +
       s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1},"queries":$qs,"sf":"$baseDir"}""")
     spark.stop()
     // the synthesized corpus is FACTOR× the base — don't leak it in /tmp

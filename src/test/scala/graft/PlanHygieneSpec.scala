@@ -89,7 +89,14 @@ class PlanHygieneSpec extends SparkSpec {
       "q_source_cap" -> Set.empty,
       "q_win_rank_salted" -> Set.empty,
       "q_tfidf" -> Set("bnl"), // reviewed 1-row corpus-size broadcast
-      "q_tpch_q5" -> Set.empty)
+      "q_tpch_q5" -> Set.empty,
+      // round-5 heavy additions: md5 MinHash twin shares the banded
+      // self-join shape; the pipeline flagship composes dedup +
+      // shingle join + two windows behind the canonical checkpoint
+      "q_dedup_minhash_oracle" -> Set.empty,
+      "q_corpus_pipeline" -> Set.empty,
+      "q_knn_batch" -> Set.empty,
+      "q_dedup_embedding_lsh_multi" -> Set.empty)
     checks.foreach { case (name, allow) =>
       val fs = PlanAudit.finalFindings(SparkEntry.queries(name)(spark, sf), allow)
       assert(fs.isEmpty, s"$name runtime-plan findings: $fs")
