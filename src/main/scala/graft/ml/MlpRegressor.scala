@@ -41,12 +41,12 @@ object MlpRegressor {
 
   /** Flat weight layout: for each layer l, the (layers(l+1) ×
     * layers(l)) matrix row-major, then the layers(l+1) bias vector. */
-  private[ml] def weightCount(layers: Array[Int]): Int =
+  private[graft] def weightCount(layers: Array[Int]): Int =
     (0 until layers.length - 1).map(l => layers(l + 1) * (layers(l) + 1)).sum
 
   /** Forward pass: ReLU hidden activations, linear output (on the
     * standardized label — see class doc). Returns the raw output. */
-  private[ml] def forward(layers: Array[Int], w: Array[Double],
+  private[graft] def forward(layers: Array[Int], w: Array[Double],
       x: Array[Double]): Double = {
     var a = x
     var off = 0
@@ -74,7 +74,7 @@ object MlpRegressor {
     * place) and returns the squared error. Standard backprop through
     * the ReLU/linear stack; all buffers per-call (rows within a
     * partition reuse nothing, keeping the seqOp associative-safe). */
-  private[ml] def accumulateGradient(layers: Array[Int], w: Array[Double],
+  private[graft] def accumulateGradient(layers: Array[Int], w: Array[Double],
       x: Array[Double], y: Double, grad: Array[Double]): Double = {
     val nLayers = layers.length
     // forward, keeping activations and layer offsets

@@ -270,6 +270,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed-window token chunking with overlap — the step that turns
+    * documents into training examples when packing ([[docPack]]) isn't
+    * wanted: each doc explodes into windows of `window` tokens starting
+    * every `stride` (stride < window ⇒ overlapping context, the
+    * standard LM data prep). Pure per-row explode — zero shuffle, the
+    * output order sort aside; 100 TB is just more tasks. Chunk count
+    * per doc is ceil(n/stride) (every start < n emits, short tail
+    * included), so the explode factor is bounded by doc length —
+    * no skew a hot key could amplify. */
+  private val docChunk: Q = (s, d) => {
+    val window = 32
+    val stride = 24
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $stride)")).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(lit(window), col("n") - col("start")).as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(window))).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Text normalization — the canonical-form pass every corpus runs
+    * before hashing/dedup so that case and whitespace variants collapse:
+    * lowercase, trim, collapse whitespace runs, strip the non-printable
+    * band. Stays in the Java∩RE2 regex subset (like [[piiPatterns]]) so
+    * the oracle replays the rewrite byte-for-byte; zero shuffle. */
+  private val textNormalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[\\x00-\\x1f]", " "),
+          "\\s{2,}", " ")))
+      .select(
+        col("doc_id"),
+        col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
   /** TF-IDF term weighting — the classic corpus statistic behind
     * keyword extraction, quality heuristics, and sparse retrieval.
     * Shape: explode words → (doc, word) counts [one shuffle on
@@ -825,6 +866,8 @@ object TextQueries {
     "q_tfidf" -> tfidf,
     "q_top_ngrams" -> topNgrams,
     "q_doc_pack" -> docPack,
+    "q_doc_chunk" -> docChunk,
+    "q_text_normalize" -> textNormalize,
     "q_compression_ratio" -> compressionRatio,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
@@ -1049,6 +1092,27 @@ object TextQueries {
          SELECT doc_id, lang, tok,
                 CAST((cum - tok) // 512 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+    // range(0, n, 24) = sequence(0, n-1, 24): both exclusive of n,
+    // both emit start=0 for every non-empty token array
+    "q_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, w, len(w) AS n,
+                      unnest(range(0, len(w), 24)) AS start
+               FROM t)
+         SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+                CAST(least(32, n - start) AS INTEGER) AS n_tokens,
+                array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk
+         FROM c ORDER BY doc_id, chunk_id""",
+    // first rewrite maps the control band to spaces, so the \s{2,}
+    // collapse only ever sees spaces — the one spot Java's \s (which
+    // includes \x0B) and RE2's \s (which doesn't) could diverge
+    "q_text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[\x00-\x1f]', ' ', 'g'), '\s{2,}', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, (norm_text <> text) AS changed
+         FROM n ORDER BY doc_id""",
     "q_repetition_ratio" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

@@ -130,6 +130,32 @@ class PricePipelineSpec extends SparkSpec {
     assert(again.weights.sameElements(mlpModel.weights))
   }
 
+  test("MLP backprop agrees with finite-difference gradients") {
+    import graft.ml.MlpRegressor
+    // pure driver math: a tiny net, one (x, y) example, every weight's
+    // analytic gradient vs central finite differences
+    val layers = Array(3, 4, 2, 1)
+    val rnd = new scala.util.Random(3L)
+    val nW = MlpRegressor.weightCount(layers)
+    val w = Array.fill(nW)(rnd.nextGaussian() * 0.5)
+    val x = Array(0.3, -1.2, 0.7)
+    val y = 0.42
+    val grad = new Array[Double](nW)
+    MlpRegressor.accumulateGradient(layers, w, x, y, grad)
+    val eps = 1e-6
+    def loss(wi: Array[Double]): Double = {
+      val out = MlpRegressor.forward(layers, wi, x)
+      (out - y) * (out - y)
+    }
+    (0 until nW).foreach { i =>
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      val numeric = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(grad(i) - numeric) <= 1e-4 * math.max(1.0, math.abs(numeric)),
+        s"weight $i: backprop ${grad(i)} vs numeric $numeric")
+    }
+  }
+
   test("MLP save/load round-trips predictions exactly") {
     import org.apache.spark.ml.linalg.Vector
     val (_, va) = mlpPrep
