@@ -142,6 +142,30 @@ class SkewSpec extends SparkSpec {
       "salted prune must emit the identical (doc_id, lang, rn) set")
   }
 
+  test("salted prune equals the plain window on randomized key distributions") {
+    val s = spark
+    import s.implicits._
+    // seeded-random corpora: uniform, 2-key, and near-degenerate key
+    // mixes with random caps — the two plans must agree on every one,
+    // not just the crafted 95% fixture
+    val rnd = new scala.util.Random(11L)
+    (1 to 4).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val df = (0 until 1500).map { i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}")
+      }.toDF("doc_id", "source")
+      val cap = 1 + rnd.nextInt(25)
+      val plain = TextQueries.rankedHeadByKey(df, "source", cap,
+        hottest = 0L, hotKeyThreshold = 1L)
+      val salted = TextQueries.rankedHeadByKey(df, "source", cap,
+        hottest = 2L, hotKeyThreshold = 1L)
+      val a = plain.select("doc_id", "source", "rn").collect().map(_.toSeq).toSet
+      val b = salted.select("doc_id", "source", "rn").collect().map(_.toSeq).toSet
+      assert(a == b,
+        s"trial $trial (keys=$nKeys cap=$cap): plain-only ${a -- b}, salted-only ${b -- a}")
+    }
+  }
+
   test("maxShingleDf cap kills the viral-boilerplate m² blowup, keeps rare-shingle dups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-viral").toString
     // 1100 docs: identical 12-word boilerplate + one unique tail word →
