@@ -562,6 +562,60 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** IVF batch-probe KNN — [[knnBatch]]'s quantizer-indexed twin and
+    * the closest shape to a production vector DB's query path: a probe
+    * SET is scored against only the `nProbe` nearest IVF cells per
+    * probe, using the SAME persisted coarse quantizer the single-probe
+    * path and the diversity cap reuse (index built offline, never fit
+    * in the query). Everything is distributed — no per-probe driver
+    * math: probe×centroid distances come from a broadcast of the
+    * nCells tiny centroid rows (a crossJoin against 16 rows, not a
+    * collect), cells rank per probe with a window over nCells rows,
+    * corpus candidates meet probes in a broadcast hash join on cell id,
+    * and per-probe top-k is the bounded-heap [[graft.functions.TopKDecl]].
+    * No oracle (learned quantizer); recall-pinned in tests. */
+  private val knnBatchIvf: Q = (s, d) => {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = buildIvfIndex(s, d)
+    val dot = graft.functions.DotF.dotF _
+    val assigned = model.transform(
+      Tables.embeddings(s, d).withColumn("vec", array_to_vector(col("embedding"))))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val centDf = {
+      import s.implicits._
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("cell", "centroid")
+    }
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("dist2"), asc("cell"))
+    val probeCells = assigned.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(centDf))
+      // squared L2 over nCells rows per probe — tiny, HOF cost irrelevant
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(p_emb, centroid, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, (a, v) -> a + v)"))
+      .withColumn("rk", row_number().over(wCells))
+      .filter(col("rk") <= nProbe)
+      .select(col("cell"), col("probe_id"), col("p_emb"), col("p_nrm"))
+    assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("p_emb")) / (col("nrm") * col("p_nrm")), 6))
+      .groupBy("probe_id")
+      .agg(graft.functions.TopKDecl.topk(
+        struct(col("cos_sim"), col("vec_id")), 10).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("probe_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("t.id").as("vec_id"),
+        col("t.v").as("cos_sim"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Diversity-preserving downsampling — the embedding-space analogue
     * of per-source capping: assign every vector to its IVF cell (the
     * SAME persisted coarse quantizer the ANN path uses — index reuse,
@@ -598,6 +652,7 @@ object SimilarityQueries {
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
     "q_knn_batch" -> knnBatch,
+    "q_knn_batch_ivf" -> knnBatchIvf,
     "q_knn_centroids" -> centroids,
     "q_knn_lsh" -> knnLsh,
     "q_dedup_minhash" -> dedupMinhash,

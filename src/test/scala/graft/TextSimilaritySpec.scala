@@ -112,6 +112,31 @@ class TextSimilaritySpec extends SparkSpec {
       s"multi-probe candidates $cMulti must stay under 2x single-probe $cSingle")
   }
 
+  test("ivf batch knn recalls most exact neighbors per probe, all cells probed distributed") {
+    val rows = SimilarityQueries.queries("q_knn_batch_ivf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 50 == 0 && r.getLong(0) != r.getLong(2)))
+    // driver-side exact per-probe top-10 (test-scale corpus) as recall ref
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val got = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = got.map { case (p, ids) =>
+      val exact = emb.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (cos(v, emb(p)), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      (ids intersect exact).size
+    }
+    // nProbe=4 of 16 cells: expect solid average recall of exact top-10
+    val avg = recalls.sum.toDouble / recalls.size
+    assert(avg >= 4.0, s"avg per-probe recall $avg of exact top-10 too low: $recalls")
+  }
+
   test("multi-probe embedding dedup finds a strict superset incl. boundary pairs") {
     val single = SimilarityQueries.queries("q_dedup_embedding_lsh")(spark, sf)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
