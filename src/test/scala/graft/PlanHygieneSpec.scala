@@ -11,9 +11,12 @@ class PlanHygieneSpec extends SparkSpec {
   // intentional non-equi / cross / broadcast-probe shapes, all with a
   // provably small build side (region/nation dims, a 1-row query vec,
   // or q_tfidf's 1-row corpus-size aggregate)
+  // each allowed BNLJ is a reviewed broadcast of a tiny side: the 1-row
+  // query vector (knn family), the 1-row corpus size (tfidf/funnel),
+  // the 16 centroid rows (knn_batch_ivf), or a genuine range/cross join
   private val bnlAllowed = Set(
     "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh",
-    "q_knn_lsh_multi", "q_knn_ivf", "q_tfidf", "q_funnel")
+    "q_knn_lsh_multi", "q_knn_ivf", "q_knn_batch_ivf", "q_tfidf", "q_funnel")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

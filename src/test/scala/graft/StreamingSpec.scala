@@ -14,6 +14,26 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("corpus operators run unchanged on a documents file stream") {
+    // per-row text operators are streaming-compatible by construction —
+    // prove it: the SAME piiColumns builder drives a readStream source
+    // and matches the batch result row-for-row (the incremental-corpus
+    // ingestion shape: scrub-as-you-land)
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(dir.toString)
+    val got = EventStreams.runToMemory(spark,
+      graft.queries.TextQueries.piiColumns(stream), "t_docs_pii")
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.TextQueries.piiColumns(Tables.documents(spark, sf))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming tumbling windows equal the batch twin (complete mode)") {
     val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, stream, "t_tumbling", "complete")
