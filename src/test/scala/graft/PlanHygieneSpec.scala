@@ -46,6 +46,14 @@ class PlanHygieneSpec extends SparkSpec {
     // the md5 split is a pure function of doc_id — text must not be read
     assert(sample.contains("doc_id") && !sample.contains("text"),
       s"q_sample_hash must scan only doc_id:\n$sample")
+    // the round-5 per-row text ops need only (doc_id, text)
+    Seq("q_doc_chunk", "q_text_normalize").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("doc_id") && !plan.contains("source") &&
+        !plan.contains("n_chars"),
+        s"$name must scan only doc_id+text:\n$plan")
+    }
     val quant = SparkEntry.queries("q_embed_quantize")(spark, sf)
       .queryExecution.executedPlan.toString
     // per-row work: the ONLY exchange allowed is the final output sort
