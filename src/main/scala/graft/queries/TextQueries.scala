@@ -294,6 +294,27 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Vocabulary build — the (token → id) dictionary a tokenizer trains
+    * from the corpus: global word counts, a min-count floor, then dense
+    * ids by (count desc, word asc) — deterministic in both engines.
+    * Scale shape: the corpus-sized stage is the word count (partial
+    * aggregation absorbs heavy hitters map-side); the global ORDER BY
+    * that assigns ids runs on the POST-FLOOR vocabulary only, which the
+    * min-count filter collapses to vocab size (≪ corpus — the standard
+    * single-sort every tokenizer build runs; a no-floor build would
+    * instead rank with the salted pattern). */
+  private val vocabBuild: Q = (s, d) => {
+    val minCount = 5
+    withWords(Tables.documents(s, d))
+      .select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), asc("word"))) - 1).cast("long"))
+      .orderBy("token_id")
+  }
+
   /** Text normalization — the canonical-form pass every corpus runs
     * before hashing/dedup so that case and whitespace variants collapse:
     * lowercase, trim, collapse whitespace runs, strip the non-printable
@@ -868,6 +889,7 @@ object TextQueries {
     "q_doc_pack" -> docPack,
     "q_doc_chunk" -> docChunk,
     "q_text_normalize" -> textNormalize,
+    "q_vocab_build" -> vocabBuild,
     "q_compression_ratio" -> compressionRatio,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
@@ -1103,6 +1125,12 @@ object TextQueries {
                 CAST(least(32, n - start) AS INTEGER) AS n_tokens,
                 array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk
          FROM c ORDER BY doc_id, chunk_id""",
+    "q_vocab_build" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         g AS (SELECT word, count(*) AS n FROM c GROUP BY word HAVING count(*) >= 5)
+         SELECT word, n,
+                CAST(row_number() OVER (ORDER BY n DESC, word ASC) - 1 AS BIGINT) AS token_id
+         FROM g ORDER BY token_id""",
     // first rewrite maps the control band to spaces, so the \s{2,}
     // collapse only ever sees spaces — the one spot Java's \s (which
     // includes \x0B) and RE2's \s (which doesn't) could diverge

@@ -107,6 +107,7 @@ class PlanHygieneSpec extends SparkSpec {
       "q_dedup_minhash_oracle" -> Set.empty,
       "q_corpus_pipeline" -> Set.empty,
       "q_knn_batch" -> Set.empty,
+      "q_knn_batch_ivf" -> Set("bnl"), // reviewed 16-row centroid broadcast
       "q_dedup_embedding_lsh_multi" -> Set.empty)
     checks.foreach { case (name, allow) =>
       val fs = PlanAudit.finalFindings(SparkEntry.queries(name)(spark, sf), allow)
