@@ -315,6 +315,27 @@ object TextQueries {
       .orderBy("token_id")
   }
 
+  /** Tokenization against the built vocabulary — the apply side of
+    * [[vocabBuild]]: every (doc, position, word) maps to its token id,
+    * out-of-vocabulary words to -1 (the UNK id). The vocabulary is
+    * broadcast (vocab ≪ corpus, by the same min-count argument as the
+    * build), so the corpus side never shuffles: scan → posexplode →
+    * broadcast hash join, embarrassingly parallel at 100 TB. Emitted as
+    * (doc_id, pos, token_id) rows — the exploded form downstream
+    * packing/batching re-assembles, and the form an oracle can check
+    * without array-ordering pitfalls. */
+  private val tokenize: Q = (s, d) => {
+    val vocab = vocabBuild(s, d).select("word", "token_id")
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Text normalization — the canonical-form pass every corpus runs
     * before hashing/dedup so that case and whitespace variants collapse:
     * lowercase, trim, collapse whitespace runs, strip the non-printable
@@ -890,6 +911,7 @@ object TextQueries {
     "q_doc_chunk" -> docChunk,
     "q_text_normalize" -> textNormalize,
     "q_vocab_build" -> vocabBuild,
+    "q_tokenize" -> tokenize,
     "q_compression_ratio" -> compressionRatio,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
@@ -1131,6 +1153,19 @@ object TextQueries {
          SELECT word, n,
                 CAST(row_number() OVER (ORDER BY n DESC, word ASC) - 1 AS BIGINT) AS token_id
          FROM g ORDER BY token_id""",
+    "q_tokenize" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word
+               FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                     FROM toks)),
+         c AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         g AS (SELECT word, count(*) AS n FROM c GROUP BY word HAVING count(*) >= 5),
+         vocab AS (SELECT word,
+                     CAST(row_number() OVER (ORDER BY n DESC, word ASC) - 1 AS BIGINT) AS token_id
+                   FROM g)
+         SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS token_id
+         FROM p LEFT JOIN vocab v USING (word)
+         ORDER BY doc_id, pos""",
     // first rewrite maps the control band to spaces, so the \s{2,}
     // collapse only ever sees spaces — the one spot Java's \s (which
     // includes \x0B) and RE2's \s (which doesn't) could diverge
