@@ -886,10 +886,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Decontamination through an explicit Bloom-filter semi-join — the
+    * form [[decontaminate]] takes at 100 TB: the eval shingle set
+    * builds a Bloom filter (a few hundred KB for millions of shingles
+    * — a plan literal, vs broadcasting the full set), the corpus side
+    * prunes non-matching shingles AT SCAN SPEED, and only the
+    * survivors (true matches + the fpp tail) reach the exact join that
+    * computes contamination strength. Bloom filters have no false
+    * negatives and the exact join kills false positives, so the output
+    * is bit-identical to [[decontaminate]] — it shares that query's
+    * oracle verbatim. The filter is sized from the eval distinct-count
+    * (one O(1) scalar to the driver; a production pass reads it from
+    * table stats). */
+  private val decontaminateBloom: Q = (s, d) => {
+    val sh = shingleRows(s, d)
+    val evalSh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select("shingle").distinct()
+    val nEval = math.max(1L, evalSh.count())
+    val bloom = evalSh
+      .agg(graft.functions.BloomFilters.bloomAgg(col("shingle"), nEval).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .filter(graft.functions.BloomFilters.mightContain(bloom, col("shingle")))
+      .join(evalSh, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_redact" -> piiRedact,
     "q_source_cap" -> sourceCap,
     "q_decontaminate" -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom,
     "q_doc_truncate" -> docTruncate,
     "q_lang_balance" -> langBalance,
     "q_doc_winnow" -> docWinnow,
@@ -916,6 +945,19 @@ object TextQueries {
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
   )
+
+  private val decontaminateOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              FROM toks WHERE len(w) >= 3),
+       dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 5 = 4)
+       SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM dsh d JOIN ev USING (shingle)
+       WHERE d.doc_id % 5 <> 4
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "q_pii_redact" ->
@@ -952,18 +994,11 @@ object TextQueries {
                FROM documents)
          SELECT doc_id, lang, rn FROM r CROSS JOIN m
          WHERE rn <= m.cap ORDER BY doc_id""",
-    "q_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-                FROM toks WHERE len(w) >= 3),
-         dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-         ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 5 = 4)
-         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         FROM dsh d JOIN ev USING (shingle)
-         WHERE d.doc_id % 5 <> 4
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q_decontaminate" -> decontaminateOracleSql,
+    // the bloom prune has no false negatives and the exact join removes
+    // false positives, so the two-phase plan's OUTPUT is the unpruned
+    // query's — one oracle text serves both
+    "q_decontaminate_bloom" -> decontaminateOracleSql,
     "q_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

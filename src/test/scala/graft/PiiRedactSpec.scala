@@ -92,6 +92,30 @@ class PiiRedactSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 6L -> 1L), s"got $got")
   }
 
+  test("bloom-pruned decontamination equals the exact-join query") {
+    val a = TextQueries.queries("q_decontaminate")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val b = TextQueries.queries("q_decontaminate_bloom")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      s"bloom two-phase must be output-identical: only-exact ${a -- b}, only-bloom ${b -- a}")
+  }
+
+  test("bloom filter: no false negatives, prunes most non-members") {
+    import org.apache.spark.sql.functions._
+    val members = spark.range(0, 1000).select(xxhash64(col("id")).as("h"))
+    val bf = members.agg(
+      graft.functions.BloomFilters.bloomAgg(col("h"), 1000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probes = spark.range(0, 20000).select(xxhash64(col("id")).as("h"))
+    val kept = probes.filter(
+      graft.functions.BloomFilters.mightContain(bf, col("h"))).count()
+    // all 1000 members MUST pass; the 19000 non-members pass only at
+    // the fpp rate (default 3% → expect ~570, assert a loose ceiling)
+    assert(kept >= 1000, s"false negative: only $kept of 1000 members passed")
+    assert(kept <= 1000 + 1900, s"pruning ineffective: $kept of 20000 passed")
+  }
+
   test("q_doc_truncate clips to the token budget and flags truncation") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.queries("q_doc_truncate")(spark, sf)
