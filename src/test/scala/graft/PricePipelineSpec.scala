@@ -130,6 +130,24 @@ class PricePipelineSpec extends SparkSpec {
     assert(again.weights.sameElements(mlpModel.weights))
   }
 
+  test("MLP kernel instantiates the reference's literal architectures") {
+    import graft.ml.MlpRegressor
+    // the two saved models' exact layer stacks over the 15 features:
+    // bayesian_optimization_model/keras_metadata.pb (1450-900-600-300-50-1)
+    // brute_force_grid_search_model/keras_metadata.pb (992-544-288-640-832-1)
+    val rnd = new scala.util.Random(1L)
+    Seq(
+      Array(15, 1450, 900, 600, 300, 50, 1),
+      Array(15, 992, 544, 288, 640, 832, 1)).foreach { layers =>
+      val nW = MlpRegressor.weightCount(layers)
+      assert(nW > 1000000 || layers(1) == 992 && nW > 900000,
+        s"weight count $nW implausibly small for ${layers.mkString("-")}")
+      val w = Array.fill(nW)(rnd.nextGaussian() * 0.01)
+      val out = MlpRegressor.forward(layers, w, Array.fill(15)(0.5))
+      assert(out.isFinite, s"${layers.mkString("-")} forward produced $out")
+    }
+  }
+
   test("MLP backprop agrees with finite-difference gradients") {
     import graft.ml.MlpRegressor
     // pure driver math: a tiny net, one (x, y) example, every weight's
