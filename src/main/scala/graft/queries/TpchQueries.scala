@@ -13,6 +13,45 @@ import graft.Tables
 object TpchQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Q1 pricing summary — the canonical scan-and-aggregate benchmark,
+    * in its full 8-aggregate form (q_groupby carries the shape with
+    * fewer aggregates): one lineitem pass, partial+final hash agg, no
+    * join. All sums round at the boundary for cross-engine parity. */
+  private val q1: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      // ISO-formatted date strings order lexicographically as dates, so
+      // the raw string comparison is pushable to the parquet scan where
+      // to_date(col) <= ... would not be
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6 forecasting revenue change — THE predicate-pushdown benchmark:
+    * every filter (date range, discount band, quantity cap) must reach
+    * the parquet scan; the remainder is one global aggregate. The plan
+    * is asserted pushdown-clean in PlanHygieneSpec. */
+  private val q6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      // all three predicates in pushable form (the date range as an ISO
+      // string comparison) so the scan itself does the filtering
+      .filter(
+        col("l_shipdate").between("1997-01-01", "1997-12-31") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   /** Q3 shipping priority: top unshipped-revenue orders for a segment. */
   private val q3: Q = (s, d) => {
     val cutoff = "1998-06-15"
@@ -70,12 +109,34 @@ object TpchQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_tpch_q1" -> q1,
+    "q_tpch_q6" -> q6,
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
     "q_tpch_q10" -> q10,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 25""",
     "q_tpch_q3" ->
       """SELECT l_orderkey,
                 CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS o_date_days,

@@ -46,6 +46,16 @@ class PlanHygieneSpec extends SparkSpec {
     // the md5 split is a pure function of doc_id — text must not be read
     assert(sample.contains("doc_id") && !sample.contains("text"),
       s"q_sample_hash must scan only doc_id:\n$sample")
+    // TPC-H q6: all three predicates must reach the parquet scan (the
+    // date range is expressed as an ISO string comparison precisely so
+    // it is pushable; a to_date() wrapper would evaluate post-scan)
+    val q6 = SparkEntry.queries("q_tpch_q6")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = q6.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c),
+        s"q_tpch_q6 must push the $c predicate to the scan, got: $pushed")
+    }
     // the round-5 per-row text ops need only (doc_id, text)
     Seq("q_doc_chunk", "q_text_normalize").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
