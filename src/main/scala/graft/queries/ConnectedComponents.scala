@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *  - large-star points every bigger neighbor of u at u's smallest
   *    neighbor, so hub degrees collapse geometrically instead of being
   *    re-shipped each round;
-  *  - each round ends in localCheckpoint() to cut lineage (same pattern
-  *    as the min-label loop it backs up);
+  *  - each round ends in a lineage cut ([[graft.plans.Checkpoints]]:
+  *    localCheckpoint by default, reliable checkpoint() when the session
+  *    opts in — same pattern as the min-label loop it backs up);
   *  - the driver sees only an O(1) convergence signature per round
   *    (count + two hash sums), never node data.
   */
@@ -97,16 +98,17 @@ object ConnectedComponents {
         coalesce(bit_xor(xxhash64(col("dst"), col("src"), lit(7L))), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var cur = edges.select(col("src").cast("long").as("src"),
+    val cut = graft.plans.Checkpoints.cut _
+    var cur = cut(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val nodes = cur.select(col("src").as("node"))
-      .union(cur.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = cut(cur.select(col("src").as("node"))
+      .union(cur.select(col("dst").as("node"))).distinct())
     var sig = signature(cur)
     var converged = cur.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      cur = smallStar(largeStar(cur)).localCheckpoint()
+      cur = cut(smallStar(largeStar(cur)))
       val s2 = signature(cur)
       converged = s2 == sig
       sig = s2

@@ -343,7 +343,11 @@ object SimilarityQueries {
       s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ") + " AS BIGINT)"
 
-  private val dedupEmbeddingLsh: Q = (s, d) => {
+  /** The embedding-LSH near-dup PAIR computation without the
+    * presentation sort — shared by q_dedup_embedding_lsh (which orders
+    * for its deterministic dump) and the semantic clustering path
+    * (where a sort feeding the edge join would be wasted work). */
+  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.DotF.dotF _
     // norms hoisted below the join, same as dedupEmbedding
     val e = Tables.embeddings(s, d)
@@ -358,7 +362,30 @@ object SimilarityQueries {
       .withColumn("cos_sim", round(dotAB / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= 0.35)
       .select(col("bucket"), col("v1"), col("v2"), col("cos_sim"))
-      .orderBy("v1", "v2")
+  }
+
+  private val dedupEmbeddingLsh: Q = (s, d) =>
+    embeddingLshPairs(s, d).orderBy("v1", "v2")
+
+  /** Semantic dup clustering — paraphrase-level dup FAMILIES, not just
+    * pairs: the oracle-checked embedding near-dup pairs (the
+    * [[embeddingLshPairs]] edge list) feed the same large-star/
+    * small-star connected-components stage the n-gram graph feeds in
+    * q_dedup_cluster_ls. A chain of paraphrases (A≈B, B≈C, cos(A,C)
+    * below threshold) collapses into ONE cluster — the semantics
+    * training-data curation needs to keep a single family
+    * representative. Vectors in no near-dup pair label themselves.
+    * Scale shape: edge list ∝ near-dup pairs (≪ corpus), CC rounds
+    * shuffle only the dup subgraph, labels re-join the corpus once. */
+  private val dedupClusterSemantic: Q = (s, d) => {
+    val edges = embeddingLshPairs(s, d)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val labels = ConnectedComponents.labels(s, edges)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** Batch-probe KNN — the 100 TB serving shape: score a probe SET
@@ -648,6 +675,7 @@ object SimilarityQueries {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q_dedup_embedding_lsh_multi" -> dedupEmbeddingLshMulti,
+    "q_dedup_cluster_semantic" -> dedupClusterSemantic,
     "q_knn_lsh_multi" -> knnLshMulti,
     "q_dedup_minhash_mllib" -> dedupMinhashMllib,
     "q_knn_exact" -> knnExact,
@@ -736,6 +764,26 @@ object SimilarityQueries {
          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
          ORDER BY v1, v2""",
+    // the transitive closure of the same pair relation the
+    // q_dedup_embedding_lsh oracle checks, replayed as a recursive CTE
+    // (the same formulation as the n-gram q_dedup_cluster oracle)
+    "q_dedup_cluster_semantic" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 $signBucketSql AS bucket
+               FROM embeddings),
+         pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+                   FROM e a JOIN e b
+                     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+         edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+                   UNION ALL SELECT v2, v1 FROM pairs),
+         cc(node, label) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT g.dst, cc.label FROM cc JOIN edges g ON g.src = cc.node)
+         SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+         FROM cc GROUP BY node ORDER BY vec_id""",
     // the probe expansion equals the Hamming-1 neighborhood, so the
     // oracle states it as a bit_count(xor(...)) <= 1 pair join —
     // mathematically the same candidate set, replayed without explode
