@@ -85,7 +85,13 @@ object Bench {
     // a failed query reports -1 (never a plausible-looking time-to-
     // failure) so regressions are visible in the bench record; untimed
     // compat demos (SparkEntry.untimed) stay in Verify but not here
-    val timed = SparkEntry.queries -- SparkEntry.untimed
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set — an
+    // iteration aid for localizing one query's regression; recorded
+    // round artifacts never set it (the driver runs the full set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = (SparkEntry.queries -- SparkEntry.untimed)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // SPARK_GRAFT_BENCH_REPS times each query N times and records the
     // per-query MIN — the standard defense against the transient
     // interference windows this host shows (one contiguous alphabetical
