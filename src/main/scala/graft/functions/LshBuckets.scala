@@ -52,6 +52,41 @@ case class LshBuckets(child: Expression, planes: IndexedSeq[Double],
 }
 
 object LshBuckets {
+  /** Projections of `emb` onto table `table`'s hyperplanes — THE single
+    * definition of the projection arithmetic (index-ascending
+    * accumulation, double math): shared by the codegen bucket
+    * expression and the driver-side multi-probe planner
+    * (SimilarityQueries.lshCandidates), so probe buckets can never
+    * silently desync from corpus buckets if the plane layout or
+    * accumulation order ever changes. */
+  def tableProjection(emb: Array[Double], planes: Array[Double],
+      table: Int, bitsPerTable: Int): Array[Double] = {
+    val dims = emb.length
+    val out = new Array[Double](bitsPerTable)
+    var b = 0
+    while (b < bitsPerTable) {
+      val off = (table * bitsPerTable + b) * dims
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += emb(i) * planes(off + i); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  /** Packed sign bits of a projection vector: bit b set iff
+    * projection b is >= 0 — the other half of the shared bucket rule. */
+  def packSigns(proj: Array[Double]): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < proj.length) {
+      if (proj(b) >= 0.0) bucket += 1L << b
+      b += 1
+    }
+    bucket
+  }
+
   def buckets(emb: ArrayData, planes: Array[Double], nTables: Int,
       bitsPerTable: Int): ArrayData = {
     val dims = planes.length / (nTables * bitsPerTable)
@@ -64,23 +99,13 @@ object LshBuckets {
     val n = emb.numElements()
     if (n != dims) throw new IllegalArgumentException(
       s"lsh_buckets: embedding has $n dims, hyperplanes expect $dims")
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = emb.getFloat(i).toDouble; i += 1 }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
-      var bucket = 0L
-      var b = 0
-      while (b < bitsPerTable) {
-        val off = (t * bitsPerTable + b) * dims
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          acc += emb.getFloat(i).toDouble * planes(off + i)
-          i += 1
-        }
-        if (acc >= 0.0) bucket += 1L << b
-        b += 1
-      }
-      out(t) = bucket
+      out(t) = packSigns(tableProjection(arr, planes, t, bitsPerTable))
       t += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

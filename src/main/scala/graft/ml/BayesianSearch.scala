@@ -148,24 +148,51 @@ object BayesianSearch {
     * score a seeded candidate pool (half random exploration, half
     * perturbations of the incumbent) by EI, take the argmax. */
   private def nextByEi(trials: Seq[Trial], rnd: Random, poolSize: Int = 400): Params = {
-    val xs = trials.map(t => toUnit(t.params)).toArray
-    val raw = trials.map(_.mae).toArray
+    // REPEATED trial points (perturb clipping at the box bounds can
+    // re-propose an evaluated Params) would make K exactly singular:
+    // dedupe to one observation per distinct unit-cube point, keeping
+    // the best (GP interpolates observations; for a deterministic
+    // objective duplicates carry no extra information anyway)
+    val deduped = trials.groupBy(t => toUnit(t.params).toSeq)
+      .values.map(_.minBy(_.mae)).toSeq
+      .sortBy(t => toUnit(t.params).toSeq.toString) // deterministic order
+    val xs = deduped.map(t => toUnit(t.params)).toArray
+    val raw = deduped.map(_.mae).toArray
     val mean = raw.sum / raw.length
     val sd0 = math.sqrt(raw.map(y => (y - mean) * (y - mean)).sum / raw.length)
     val sd = if (sd0 > 0) sd0 else 1.0
     val ys = raw.map(y => (y - mean) / sd)
     val n = xs.length
-    val kMat = Array.tabulate(n, n)((i, j) =>
-      rbf(xs(i), xs(j)) + (if (i == j) noise else 0.0))
-    val alpha = solve(kMat, ys)
-    // K⁻¹ column by column (n tiny; clarity over an O(n³)-once factor)
-    val kInv = Array.tabulate(n)(i =>
-      solve(kMat, Array.tabulate(n)(j => if (j == i) 1.0 else 0.0)))
-    // kInv rows as computed are columns of K⁻¹, but K is symmetric
+    // adaptive jitter: NEAR-duplicate rows (two points within ~ulps in
+    // the unit cube) leave K ill-conditioned even after the exact-dup
+    // dedupe; a non-finite solve raises the nugget 100× (up to 1e-2)
+    // and refits rather than ranking EI on a garbage posterior
+    var jitter = noise
+    var alpha: Array[Double] = null
+    var kInv: Array[Array[Double]] = null
+    var done = false
+    while (!done) {
+      val kMat = Array.tabulate(n, n)((i, j) =>
+        rbf(xs(i), xs(j)) + (if (i == j) jitter else 0.0))
+      val a = solve(kMat, ys)
+      // K⁻¹ column by column (n tiny; clarity over an O(n³)-once factor)
+      val kI = Array.tabulate(n)(i =>
+        solve(kMat, Array.tabulate(n)(j => if (j == i) 1.0 else 0.0)))
+      // kI rows as computed are columns of K⁻¹, but K is symmetric
+      val finite = a.forall(java.lang.Double.isFinite) &&
+        kI.forall(_.forall(java.lang.Double.isFinite))
+      if (finite || jitter >= 1e-2) { alpha = a; kInv = kI; done = true }
+      else jitter *= 100
+    }
     val best = ys.min
-    val incumbent = trials.minBy(_.mae).params
-    val pool = Seq.fill(poolSize / 2)(randomParams(rnd)) ++
+    val incumbent = deduped.minBy(_.mae).params
+    val rawPool = Seq.fill(poolSize / 2)(randomParams(rnd)) ++
       Seq.fill(poolSize / 2)(perturb(incumbent, rnd))
+    // never re-propose an evaluated point: its EI is ~0 but float noise
+    // can still rank it above genuinely new candidates
+    val seen = xs.map(_.toSeq).toSet
+    val fresh = rawPool.filterNot(p => seen.contains(toUnit(p).toSeq))
+    val pool = if (fresh.nonEmpty) fresh else rawPool
     pool.maxBy { p =>
       val (mu, sigma) = gpPosterior(xs, ys, alpha, kInv, toUnit(p))
       expectedImprovement(mu, sigma, best)

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{avg, col, stddev_pop, udf}
+import org.apache.spark.sql.functions.{avg, col, count, lit, stddev_pop, udf}
 import org.apache.spark.storage.StorageLevel
 
 /** M1/M2 literal form: a distributed fully-connected feed-forward
@@ -141,21 +141,38 @@ object MlpRegressor {
     * (compose with PricePipeline's VectorAssembler → StandardScaler
     * stages) and a double label. Full-batch GD + Adam (the reference's
     * optimizer, lr default 0.001), seeded Xavier init, label
-    * standardized internally so the net trains near unit scale. */
+    * standardized internally so the net trains near unit scale.
+    *
+    * `batchFraction` < 1 switches to MINI-BATCH GD — the 100 TB form:
+    * nobody full-batches a corpus-scale training set, and the reference
+    * itself trains Keras minibatch. Each iteration draws a seeded
+    * per-partition Bernoulli sample (seed ⊕ iteration → a fresh but
+    * DETERMINISTIC batch every step, reproducible across runs), the
+    * gradient is normalized by the batch's actual row count (carried
+    * through the same treeAggregate — no extra count job), and the
+    * treeAggregate pattern is unchanged: broadcast weights, exact
+    * per-partition gradients, O(log partitions) merges. Default 1.0
+    * keeps the exact full-batch semantics (and artifacts) of round 5. */
   def fit(df: DataFrame, featuresCol: String, labelCol: String,
       hidden: Seq[Int] = Seq(32, 16), maxIter: Int = 200,
-      lr: Double = 0.001, seed: Long = 42L): MlpModel = {
+      lr: Double = 0.001, seed: Long = 42L,
+      batchFraction: Double = 1.0): MlpModel = {
+    require(batchFraction > 0 && batchFraction <= 1.0,
+      s"mlp: batchFraction must be in (0, 1], got $batchFraction")
+    // count folded into the stats aggregate: an empty input fails the
+    // require below with the intended message, not an NPE reading the
+    // null avg/stddev aggregates
     val stats = df.agg(
+      count(lit(1)).as("n"),
       avg(col(labelCol)).as("m"),
       stddev_pop(col(labelCol)).as("s")).head()
-    val yMean = stats.getDouble(0)
-    val yStdRaw = stats.getDouble(1)
+    require(stats.getLong(0) > 0, "mlp: empty training set")
+    val yMean = stats.getDouble(1)
+    val yStdRaw = stats.getDouble(2)
     val yStd = if (yStdRaw > 0) yStdRaw else 1.0
     val data = df.select(col(featuresCol), col(labelCol)).rdd
       .map(r => (r.getAs[Vector](0).toArray, (r.getDouble(1) - yMean) / yStd))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = data.count().toDouble
-    require(n > 0, "mlp: empty training set")
     val dIn = data.first()._1.length
     val layers = (dIn +: hidden :+ 1).toArray
     val nW = weightCount(layers)
@@ -177,26 +194,39 @@ object MlpRegressor {
     val sc = df.sparkSession.sparkContext
     var it = 1
     while (it <= maxIter) {
+      // mini-batch: a fresh seeded Bernoulli sample per iteration (the
+      // sample is lazy — it evaluates inside the same aggregate job,
+      // never a separate pass); full-batch skips the sample entirely
+      val batch =
+        if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed ^ it)
       val bc = sc.broadcast(w.clone())
-      val (grad, _) = data.treeAggregate((new Array[Double](nW), 0.0))(
-        seqOp = { case ((g, loss), (x, y)) =>
-          (g, loss + accumulateGradient(layers, bc.value, x, y, g))
+      // (gradient, loss, rowCount): the batch size rides the aggregate,
+      // so normalization needs no extra count job
+      val (grad, _, cnt) = batch.treeAggregate(
+        (new Array[Double](nW), 0.0, 0L))(
+        seqOp = { case ((g, loss, c), (x, y)) =>
+          (g, loss + accumulateGradient(layers, bc.value, x, y, g), c + 1)
         },
-        combOp = { case ((g1, l1), (g2, l2)) =>
+        combOp = { case ((g1, l1, c1), (g2, l2, c2)) =>
           var i = 0
           while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, l1 + l2)
+          (g1, l1 + l2, c1 + c2)
         })
       bc.destroy()
-      var i = 0
-      while (i < nW) {
-        val gi = grad(i) / n
-        mAdam(i) = b1 * mAdam(i) + (1 - b1) * gi
-        vAdam(i) = b2 * vAdam(i) + (1 - b2) * gi * gi
-        val mHat = mAdam(i) / (1 - math.pow(b1, it))
-        val vHat = vAdam(i) / (1 - math.pow(b2, it))
-        w(i) -= lr * mHat / (math.sqrt(vHat) + eps)
-        i += 1
+      // a pathologically small fraction can draw zero rows: skip the
+      // step (an Adam update from a 0/0 gradient would NaN the weights)
+      if (cnt > 0) {
+        var i = 0
+        while (i < nW) {
+          val gi = grad(i) / cnt
+          mAdam(i) = b1 * mAdam(i) + (1 - b1) * gi
+          vAdam(i) = b2 * vAdam(i) + (1 - b2) * gi * gi
+          val mHat = mAdam(i) / (1 - math.pow(b1, it))
+          val vHat = vAdam(i) / (1 - math.pow(b2, it))
+          w(i) -= lr * mHat / (math.sqrt(vHat) + eps)
+          i += 1
+        }
       }
       it += 1
     }
@@ -227,13 +257,20 @@ final case class MlpModel(
   /** M7 save: one small text artifact (layers / label stats / weights),
     * deterministic and engine-independent. Local-path persistence (the
     * weight vector is driver-side by construction); a deployment on a
-    * shared store writes the same bytes through its FS client. */
+    * shared store writes the same bytes through its FS client.
+    *
+    * Column names are URL-encoded in the meta line: a comma (the field
+    * separator) or newline in a user-supplied column name would
+    * otherwise silently corrupt the artifact. Typical identifiers
+    * encode to themselves, so artifacts for sane names are byte-
+    * identical to the pre-encoding format. */
   def save(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val sb = new StringBuilder
     sb.append(layers.mkString(",")).append('\n')
-    sb.append(s"$yMean,$yStd,$featuresCol,$predictionCol").append('\n')
+    sb.append(s"$yMean,$yStd,${enc(featuresCol)},${enc(predictionCol)}").append('\n')
     sb.append(weights.mkString(",")).append('\n')
     java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
   }
@@ -245,10 +282,14 @@ object MlpModel {
       java.nio.file.Paths.get(path)).toArray(Array.empty[String])
     require(lines.length >= 3, s"mlp model artifact malformed: $path")
     val layers = lines(0).split(",").map(_.toInt)
-    val meta = lines(1).split(",")
+    val meta = lines(1).split(",", -1)
+    require(meta.length == 4,
+      s"mlp model artifact meta line malformed (${meta.length} fields, want 4): $path")
     val weights = lines(2).split(",").map(_.toDouble)
     require(weights.length == MlpRegressor.weightCount(layers),
       s"mlp model artifact weight count mismatch: $path")
-    MlpModel(layers, weights, meta(0).toDouble, meta(1).toDouble, meta(2), meta(3))
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    MlpModel(layers, weights, meta(0).toDouble, meta(1).toDouble,
+      dec(meta(2)), dec(meta(3)))
   }
 }

@@ -130,14 +130,17 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val probes: Seq[(Int, Long)] = {
       val qEmb = q.head().getSeq[Float](0).map(_.toDouble).toArray
+      val planesArr = lshPlanes.toArray
+      // the projection/bucket math is LshBuckets' own (tableProjection
+      // + packSigns) — the SAME code the corpus side runs inside the
+      // codegen expression, so probe buckets are bit-identical to
+      // corpus buckets by construction, not by parallel maintenance
       (0 until lshTables).flatMap { t =>
-        val proj = (0 until lshBitsPerTable).map { b =>
-          val off = (t * lshBitsPerTable + b) * 64
-          (0 until 64).map(i => qEmb(i) * lshPlanes(off + i)).sum
-        }
-        val bucket = proj.zipWithIndex
-          .map { case (p, b) => if (p >= 0) 1L << b else 0L }.sum
-        val flips = proj.zipWithIndex.sortBy { case (p, _) => math.abs(p) }
+        val proj = graft.functions.LshBuckets
+          .tableProjection(qEmb, planesArr, t, lshBitsPerTable)
+        val bucket = graft.functions.LshBuckets.packSigns(proj)
+        val flips = proj.toIndexedSeq.zipWithIndex
+          .sortBy { case (p, _) => math.abs(p) }
           .take(probeBits).map { case (_, b) => bucket ^ (1L << b) }
         (bucket +: flips).map(t -> _)
       }

@@ -188,6 +188,73 @@ class PricePipelineSpec extends SparkSpec {
     }
   }
 
+  test("mini-batch MLP converges near full-batch MAE, seed-deterministic (r5 item #6)") {
+    val (tr, va) = mlpPrep
+    val mini = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 200, lr = 0.02, batchFraction = 0.25)
+    val maeMini = PricePipeline.evaluator("mae").evaluate(mini.transform(va))
+    val maeFull = PricePipeline.evaluator("mae").evaluate(mlpModel.transform(va))
+    val baseline = PricePipeline.baselineMae(va)
+    assert(maeMini.isFinite && maeMini > 0)
+    assert(maeMini < baseline,
+      s"mini-batch mae $maeMini should beat naive-mean $baseline")
+    assert(maeMini <= maeFull * 1.25,
+      s"mini-batch mae $maeMini should be comparable to full-batch $maeFull")
+    // a different iteration budget but the same seed draws the same
+    // batches: the whole run is reproducible
+    val again = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 200, lr = 0.02, batchFraction = 0.25)
+    assert(again.weights.sameElements(mini.weights),
+      "mini-batch training must be seed-deterministic")
+    // full-batch default is bit-identical to the pre-minibatch code path
+    assert(!mini.weights.sameElements(mlpModel.weights),
+      "fraction 0.25 must actually subsample (different weights)")
+  }
+
+  test("MLP empty training set fails with the intended message") {
+    val (tr, _) = mlpPrep
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.MlpRegressor.fit(tr.limit(0), "features", "price")
+    }
+    assert(e.getMessage.contains("empty training set"))
+  }
+
+  test("MLP artifact survives comma/newline column names (ADVICE r5)") {
+    import graft.ml.MlpModel
+    val weird = mlpModel.copy(
+      featuresCol = "feat,ures col", predictionCol = "pred,iction\nx")
+    val path = java.nio.file.Files.createTempDirectory("graft-mlp-weird")
+      .resolve("mlp.txt").toString
+    weird.save(path)
+    val loaded = MlpModel.load(path)
+    assert(loaded.featuresCol == weird.featuresCol)
+    assert(loaded.predictionCol == weird.predictionCol)
+    assert(loaded.weights.sameElements(weird.weights))
+    // and a malformed meta line still fails loud
+    val bad = java.nio.file.Files.createTempDirectory("graft-mlp-bad")
+      .resolve("bad.txt")
+    java.nio.file.Files.write(bad, "1,1\n0.0,1.0,only_three\n0.0,0.0\n".getBytes)
+    val err = intercept[IllegalArgumentException](MlpModel.load(bad.toString))
+    assert(err.getMessage.contains("meta line malformed"))
+  }
+
+  test("Bayesian EI survives duplicate trial points (ADVICE r5)") {
+    import graft.ml.BayesianSearch.Params
+    // an objective pinned to a corner of the box: perturb clipping will
+    // re-propose the incumbent repeatedly, producing duplicate xs that
+    // made K singular before the dedupe/adaptive-jitter fix
+    def objective(p: Params): Double =
+      math.abs(p.maxDepth - 2) + math.abs(p.maxIter - 5) + p.stepSize
+    val trials = BayesianSearch.searchFn(objective, n = 14, nWarmup = 3, seed = 11L)
+    assert(trials.length == 14)
+    assert(trials.forall(t => t.mae.isFinite),
+      s"every trial's objective must stay finite, got $trials")
+    // the search still converges toward the pinned corner
+    val best = trials.minBy(_.mae)
+    assert(best.params.maxDepth <= 3 && best.params.maxIter <= 12,
+      s"EI should approach the corner optimum, best was $best")
+  }
+
   test("model save/load round-trips predictions (M7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val model = PricePipeline.pipeline(features, "gbt").fit(clean)
