@@ -646,6 +646,77 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF-PQ ADC scan — the index layout production vector search runs
+    * at 100 TB (FAISS's IVFPQ; Jégou et al., TPAMI 2011), completing
+    * the IVF shape: the persisted coarse quantizer routes the query to
+    * `nProbe` cells, and candidates in those cells are scored from
+    * their [[PqIndex]] codes ALONE via asymmetric distance computation
+    * (ADC) — a per-query M×K lookup table of query-subvector ×
+    * centroid dot products, built driver-side from the query row
+    * (M·K·subDim = 1k multiplies, O(1) like the centroid probe) and
+    * shipped as a broadcast literal. Approximate cosine per candidate
+    * is then M table lookups + an add chain — no float vector is
+    * touched during the scan, which is what makes a RAM-resident
+    * 100 TB index possible (4-byte codes vs 256-byte vectors).
+    * The ADC top-[[pqRerankDepth]] shortlist re-ranks by exact cosine
+    * (fetching full vectors for shortlist ids only — in production a
+    * point-lookup by id), standard two-stage retrieval. Codes are
+    * computed in-lineage here (index-build stand-in; see
+    * [[PqIndex.codeCol]]) — production stores them as a column.
+    * No oracle (learned codebooks); recall-pinned vs q_knn_ivf at
+    * equal probe budget in TextSimilaritySpec. */
+  private val pqRerankDepth = 64
+
+  private val knnIvfPq: Q = (s, d) => {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = buildIvfIndex(s, d)
+    val books = PqIndex.codebooks(s, d)
+    val e = Tables.embeddings(s, d)
+    val assigned = model.transform(e.withColumn("vec", array_to_vector(col("embedding"))))
+    // query row: O(1) driver math, same as knnIvf's centroid probe
+    val qArr = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(qArr.map(x => x * x).sum)
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val diff = c.toArray.zip(qArr).map { case (a, b) => a - b }
+        (i, math.sqrt(diff.map(x => x * x).sum))
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    // ADC lookup tables: dot(q_m, c_mk) and |c_mk|^2 per (m, k).
+    // approx_cos(x) = Σ_m dot(q_m, c_m,code_m) / (|q| · sqrt(Σ_m |c_m,code_m|²))
+    val lutDot: Seq[Seq[Double]] = (0 until PqIndex.numSub).map { m =>
+      val qSub = qArr.slice(m * PqIndex.subDim, (m + 1) * PqIndex.subDim)
+      books(m).toSeq.map(c => c.zip(qSub).map { case (a, b) => a * b }.sum)
+    }
+    val lutN2: Seq[Seq[Double]] = (0 until PqIndex.numSub).map { m =>
+      books(m).toSeq.map(c => c.map(x => x * x).sum)
+    }
+    val codes = array((0 until PqIndex.numSub)
+      .map(m => PqIndex.codeCol(col("embedding"), books(m), m)): _*)
+    def lutSum(lut: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+      (0 until PqIndex.numSub).map(m =>
+        element_at(element_at(typedLit(lut), m + 1),
+          element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val shortlist = assigned
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("codes")) // ADC phase: codes only
+      .withColumn("pq_sim",
+        round(lutSum(lutDot) / (sqrt(lutSum(lutN2)) * qNorm), 6))
+      .orderBy(desc("pq_sim"), asc("vec_id"))
+      .limit(pqRerankDepth)
+    // exact re-rank: full vectors fetched for shortlist ids only
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+        col("pq_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Diversity-preserving downsampling — the embedding-space analogue
     * of per-source capping: assign every vector to its IVF cell (the
     * SAME persisted coarse quantizer the ANN path uses — index reuse,
@@ -675,6 +746,7 @@ object SimilarityQueries {
     "q_cluster_cap" -> clusterCap,
     "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_ivf_pq" -> knnIvfPq,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q_dedup_embedding_lsh_multi" -> dedupEmbeddingLshMulti,

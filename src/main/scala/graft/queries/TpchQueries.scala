@@ -108,6 +108,143 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Q7 volume shipping between two trading nations: the classic
+    * self-joined-dimension shape (nation appears twice, once per side of
+    * the trade). Both nation dims are broadcast with their `IN (n1,n2)`
+    * membership pushed below the join; only the cross-side pair
+    * disjunction evaluates post-join. */
+  private val q7: Q = (s, d) => {
+    val inPair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(inPair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(inPair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1997-12-31"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(to_date(col("l_shipdate"))).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 national market share: one nation's share of a region's volume
+    * in a part type, per order year — conditional aggregation (the
+    * share numerator is a CASE inside sum) over a 6-join star. */
+  private val q8: Q = (s, d) => {
+    val custNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNations = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", volume).otherwise(0.0))
+          / sum(volume), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 product type profit: per supplier-nation per year. The driver
+    * schema has no partsupp, so supply cost := 0.1 × p_retailprice (a
+    * deterministic per-part stand-in with the same join shape — the
+    * cost side still arrives via the part dimension). */
+  private val q9: Q = (s, d) => {
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg(round(sum(amount), 2).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** Q12 shipping-priority split: conditional counts of high- vs
+    * low-priority orders per line status (l_linestatus stands in for
+    * the absent l_shipmode — same two-valued split semantics). */
+  private val q12: Q = (s, d) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")).between("1997-01-01", "1997-12-31"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q13 customer order-count distribution: LEFT OUTER join (customers
+    * with no qualifying orders must keep count 0) followed by a second
+    * aggregation over the first's result — the double-aggregation
+    * histogram shape. The priority exclusion stands in for Q13's
+    * comment LIKE filter: the point is a predicate on the JOIN side,
+    * not on the preserved side. */
+  private val q13: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** Q14 promo revenue share: single-month scan, percentage via
+    * conditional sum over the part-type dimension. */
+  private val q14: Q = (s, d) => {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= "1997-09-01" &&
+        to_date(col("l_shipdate")) < "1997-10-01")
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 4)
+        .as("promo_revenue"))
+  }
+
+  /** Q19 discounted revenue: three OR'd conjunction blocks mixing part
+    * attributes and lineitem quantities (p_size ranges stand in for the
+    * absent p_container). The disjunction prevents a single pushable
+    * conjunct — the optimizer must still extract the common join key
+    * and the per-block ranges; the blocks' l_quantity bounds keep the
+    * filter partially pushable via CNF extraction. */
+  private val q19: Q = (s, d) => {
+    val block = (brand: String, sizeMax: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(block("Brand#12", 5, 1, 11) ||
+        block("Brand#13", 10, 10, 20) ||
+        block("Brand#14", 15, 20, 30))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   /** The correlated-subquery weight class (Q2/Q17/Q18/Q20/Q21) enters
     * through the SQL text front-end: correlated scalar/EXISTS subqueries
     * are a parser-level construct, and routing them through `spark.sql`
@@ -227,17 +364,120 @@ object TpchQueries {
        ORDER BY numwait DESC, s_name
        LIMIT 100"""
 
+  /** Q4 order-priority checking: correlated EXISTS against the fact
+    * table ("order has at least one late line"; returned := late, the
+    * q21 convention) → left-semi join after RewritePredicateSubquery. */
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** Q11 important stock (partsupp emulated by the grouped lineitem
+    * derived table, the q20 convention): per-part value filtered by a
+    * HAVING against an uncorrelated scalar subquery over the SAME CTE —
+    * the fraction-of-global-total shape. The CTE is referenced twice;
+    * Spark evaluates the scalar branch once (run-once subquery), not
+    * per group. */
+  private val q11Sql =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+                          sum(l_extendedprice * l_quantity) AS val
+                   FROM lineitem GROUP BY l_partkey, l_suppkey)
+       SELECT ps.l_partkey AS p_key, round(sum(ps.val), 2) AS part_value
+       FROM ps, supplier, nation
+       WHERE ps.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_3'
+       GROUP BY ps.l_partkey
+       HAVING sum(ps.val) > (
+         SELECT 0.001 * sum(ps2.val)
+         FROM ps ps2, supplier s2, nation n2
+         WHERE ps2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+           AND n2.n_name = 'NATION_3')
+       ORDER BY part_value DESC, p_key"""
+
+  /** Q15 top supplier: revenue CTE consumed twice — once as the join
+    * input, once inside the scalar MAX subquery. Revenue is rounded at
+    * the CTE boundary so the equality join on the maximum compares
+    * engine-stable 2-decimal values. */
+  private val q15Sql =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  /** Q16 parts/supplier relationship: NOT IN over a subquery — the
+    * null-aware anti join, the one predicate-subquery rewrite the other
+    * TPC-H shapes don't reach (s_acctbal < 0 stands in for the comment
+    * LIKE '%Complaints%' exclusion). The part-supplier relation is the
+    * distinct lineitem pairing, the no-partsupp convention. */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT ps.l_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+       WHERE p_partkey = ps.l_partkey
+         AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q22 global sales opportunity: an uncorrelated scalar AVG subquery
+    * plus a correlated NOT EXISTS anti join in the same predicate.
+    * Country code := c_nationkey % 5 (no phone column); "no orders" is
+    * vacuous in the dense synthetic data, so the anti join excludes
+    * customers with any URGENT order — same plan shape, non-empty
+    * result. */
+  private val q22Sql =
+    """SELECT cntrycode, count(*) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+       FROM (SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
+             FROM customer
+             WHERE c_nationkey % 5 IN (0, 2, 3)
+               AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                WHERE c_acctbal > 0.0
+                                  AND c_nationkey % 5 IN (0, 2, 3))
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderpriority = '1-URGENT')) custsale
+       GROUP BY cntrycode
+       ORDER BY cntrycode"""
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> q1,
     "q_tpch_q6" -> q6,
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
+    "q_tpch_q7" -> q7,
+    "q_tpch_q8" -> q8,
+    "q_tpch_q9" -> q9,
     "q_tpch_q10" -> q10,
+    "q_tpch_q12" -> q12,
+    "q_tpch_q13" -> q13,
+    "q_tpch_q14" -> q14,
+    "q_tpch_q19" -> q19,
     "q_tpch_q2" -> sqlQ(q2Sql),
+    "q_tpch_q4" -> sqlQ(q4Sql),
+    "q_tpch_q11" -> sqlQ(q11Sql),
+    "q_tpch_q15" -> sqlQ(q15Sql),
+    "q_tpch_q16" -> sqlQ(q16Sql),
     "q_tpch_q17" -> sqlQ(q17Sql),
     "q_tpch_q18" -> sqlQ(q18Sql("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")),
     "q_tpch_q20" -> sqlQ(q20Sql),
     "q_tpch_q21" -> sqlQ(q21Sql),
+    "q_tpch_q22" -> sqlQ(q22Sql),
   )
 
   val oracles: Map[String, String] = Map(
@@ -298,12 +538,99 @@ object TpchQueries {
            AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
-    // The correlated five run near-identical text on DuckDB; only q18's
+    // DuckDB year() returns BIGINT where Spark's year() is INTEGER —
+    // the oracles CAST to INTEGER for schema parity; conditional counts
+    // CAST to BIGINT (DuckDB sum(int) widens to HUGEINT).
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier, lineitem, orders, customer, nation n1, nation n2
+               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey
+                 AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND CAST(l_shipdate AS DATE)
+                     BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q8" ->
+      """SELECT o_year,
+                round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS mkt_share
+         FROM (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+                      l_extendedprice * (1 - l_discount) AS volume,
+                      n2.n_name AS nation
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                 AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY'
+                 AND CAST(o_orderdate AS DATE)
+                     BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+         FROM (SELECT n_name AS nation,
+                      CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+                      l_extendedprice * (1 - l_discount)
+                        - 0.1 * p_retailprice * l_quantity AS amount
+               FROM part, supplier, lineitem, orders, nation
+               WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                 AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                 AND p_name LIKE '%bolt%') profit
+         GROUP BY nation, o_year ORDER BY nation ASC, o_year DESC""",
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND CAST(l_shipdate AS DATE)
+               BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'""",
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))""",
+    // The subquery shapes run near-identical text on DuckDB; only q18's
     // epoch-days function differs (DuckDB date_diff vs Spark datediff).
     "q_tpch_q2" -> q2Sql,
+    "q_tpch_q4" -> q4Sql,
+    "q_tpch_q11" -> q11Sql,
+    "q_tpch_q15" -> q15Sql,
+    "q_tpch_q16" -> q16Sql,
     "q_tpch_q17" -> q17Sql,
     "q_tpch_q18" -> q18Sql("date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"),
     "q_tpch_q20" -> q20Sql,
     "q_tpch_q21" -> q21Sql,
+    "q_tpch_q22" -> q22Sql,
   )
 }

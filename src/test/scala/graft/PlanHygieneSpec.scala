@@ -16,7 +16,8 @@ class PlanHygieneSpec extends SparkSpec {
   // the 16 centroid rows (knn_batch_ivf), or a genuine range/cross join
   private val bnlAllowed = Set(
     "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh",
-    "q_knn_lsh_multi", "q_knn_ivf", "q_knn_batch_ivf", "q_tfidf", "q_funnel")
+    "q_knn_lsh_multi", "q_knn_ivf", "q_knn_ivf_pq", "q_knn_batch_ivf",
+    "q_tfidf", "q_funnel")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Fingerprint64
-import graft.queries.{SimilarityQueries, TextQueries}
+import graft.queries.{PqIndex, SimilarityQueries, TextQueries}
 
 class TextSimilaritySpec extends SparkSpec {
 
@@ -269,6 +269,68 @@ class TextSimilaritySpec extends SparkSpec {
         case None    => spark.conf.unset("spark.graft.ivf.indexDir")
       }
       SimilarityQueries.clearIvfMemoryCache()
+    }
+  }
+
+  test("ivf-pq knn recalls at least the ivf baseline at equal probe budget") {
+    val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.queries("q_knn_ivf")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pqRows = SimilarityQueries.queries("q_knn_ivf_pq")(spark, sf).collect()
+    val pq = pqRows.map(_.getLong(0)).toSet
+    // same nProbe cells + exact re-rank: the ADC shortlist must not
+    // cost recall vs the plain-IVF exact scan of the same cells
+    assert((pq intersect exact).size >= (ivf intersect exact).size,
+      s"ivf-pq recall ${(pq intersect exact).size} fell below ivf baseline " +
+        s"${(ivf intersect exact).size}")
+    assert(pq.contains(0L), "query vector must rank itself first")
+    // exact cos_sim is the output ordering; pq_sim is the ADC estimate —
+    // it must approximate the exact value (codebooks quantize 8-dim
+    // subvectors to 16 cells, so the estimate is coarse but correlated)
+    pqRows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.5,
+        s"ADC estimate ${r.getDouble(2)} wildly off exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("pq codebooks persist to disk; a cold load is bit-identical; codes in range") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    val prev = spark.conf.getOption("spark.graft.ivf.indexDir")
+    try {
+      spark.conf.set("spark.graft.ivf.indexDir", idxDir)
+      PqIndex.clearMemoryCache()
+      val fitted = PqIndex.codebooks(spark, sf)
+      assert(fitted.length == PqIndex.numSub)
+      assert(fitted.forall(_.forall(_.length == PqIndex.subDim)))
+      val artifacts = new java.io.File(idxDir).listFiles()
+        .filter(_.getName.startsWith("pq-"))
+      assert(artifacts.nonEmpty, "pq artifact must be on disk")
+      // cold session stand-in: the reload must come from the artifact
+      // and be bit-identical (Double.toString round-trips exactly)
+      PqIndex.clearMemoryCache()
+      val loaded = PqIndex.codebooks(spark, sf)
+      assert(loaded.map(_.map(_.toSeq).toSeq).toSeq
+        == fitted.map(_.map(_.toSeq).toSeq).toSeq,
+        "cold-loaded codebooks differ from fitted ones")
+      // every code the encoder assigns lands inside its codebook
+      import org.apache.spark.sql.functions._
+      val codes = Tables.embeddings(spark, sf)
+        .select((0 until PqIndex.numSub)
+          .map(m => PqIndex.codeCol(col("embedding"), loaded(m), m).as(s"c$m")): _*)
+        .collect()
+      codes.foreach { r =>
+        (0 until PqIndex.numSub).foreach { m =>
+          val c = r.getInt(m)
+          assert(c >= 0 && c < loaded(m).length, s"code $c out of range in subspace $m")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.ivf.indexDir", v)
+        case None    => spark.conf.unset("spark.graft.ivf.indexDir")
+      }
+      PqIndex.clearMemoryCache()
     }
   }
 

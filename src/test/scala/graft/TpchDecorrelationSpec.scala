@@ -14,7 +14,11 @@ import graft.queries.TpchQueries
 class TpchDecorrelationSpec extends SparkSpec {
 
   private val correlatedFive =
-    Seq("q_tpch_q2", "q_tpch_q17", "q_tpch_q18", "q_tpch_q20", "q_tpch_q21")
+    Seq("q_tpch_q2", "q_tpch_q17", "q_tpch_q18", "q_tpch_q20", "q_tpch_q21",
+      // round 6: EXISTS (q4), HAVING-scalar over a twice-used CTE (q11),
+      // scalar MAX over a CTE (q15), null-aware NOT IN (q16),
+      // scalar AVG + NOT EXISTS anti join (q22)
+      "q_tpch_q4", "q_tpch_q11", "q_tpch_q15", "q_tpch_q16", "q_tpch_q22")
 
   for (name <- correlatedFive) {
     test(s"$name decorrelates: no residual correlated subquery in the optimized plan") {
