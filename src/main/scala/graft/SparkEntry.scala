@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.SqlQueries.queries ++
-      graft.queries.TpchQueries.queries
+      graft.queries.TpchQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.SqlQueries.oracles ++
-      graft.queries.TpchQueries.oracles
+      graft.queries.TpchQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fingerprint64.fingerprint64
+import graft.functions.JaroWinkler.jaroWinkler
 
 /** Text-analysis + deduplication operators over the documents table —
   * the LLM-training-data-pipeline surface (SURVEY.md §2.13).
@@ -202,6 +203,32 @@ object TextQueries {
 
   private val dedupNgram: Q = (s, d) =>
     ngramPairsShared(s, d).orderBy("d1", "d2")
+
+  /** Fuzzy-verify stage over the shared candidate-pair list: exact
+    * Levenshtein (Spark's codegen built-in) plus the engine's native
+    * [[graft.functions.JaroWinkler]] codegen expression score each
+    * n-gram candidate pair, and a character-budget rule (edits ≤ 10%
+    * of the longer text) flags hard duplicates. This is the canonical
+    * two-phase shape at 100 TB: candidates come from the equi-join
+    * (never all pairs), and the O(len²) edit-distance only ever runs
+    * on the tiny candidate set — both scorers fused into the pair
+    * join's generated loop. No reference analogue: the notebook drops
+    * its only free-text column outright ("EDA Notebook.ipynb" cell 54,
+    * `df.drop(columns="name")`) — this is an engine-extension operator
+    * from the LLM-curation surface (SURVEY §2.13). */
+  private val dedupFuzzy: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ngramPairsShared(s, d)
+      .select("d1", "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).as("lev"),
+        round(jaroWinkler(col("t1"), col("t2")), 6).as("jw"),
+        (levenshtein(col("t1"), col("t2")) * 10 <=
+          greatest(length(col("t1")), length(col("t2")))).cast("int").as("is_dup"))
+      .orderBy("d1", "d2")
+  }
 
   /** Compression-ratio quality signal — the classic repetitiveness
     * heuristic of large-corpus curation (template/boilerplate text
@@ -959,6 +986,7 @@ object TextQueries {
     "q_quality_score" -> qualityScore,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_fuzzy" -> dedupFuzzy,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_cluster_ls" -> dedupClusterLs,
@@ -1089,6 +1117,33 @@ object TextQueries {
          JOIN sizes sa ON sa.doc_id = d1
          JOIN sizes sb ON sb.doc_id = d2
          WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
+         ORDER BY d1, d2""",
+    "q_dedup_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh_all AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks),
+         rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+                   JOIN sizes sa ON sa.doc_id = d1
+                   JOIN sizes sb ON sb.doc_id = d2
+                   WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4)
+         SELECT d1, d2,
+                levenshtein(da.text, db.text) AS lev,
+                round(jaro_winkler_similarity(da.text, db.text), 6) AS jw,
+                CASE WHEN levenshtein(da.text, db.text) * 10
+                          <= greatest(length(da.text), length(db.text))
+                     THEN 1 ELSE 0 END AS is_dup
+         FROM pairs
+         JOIN documents da ON da.doc_id = d1
+         JOIN documents db ON db.doc_id = d2
          ORDER BY d1, d2""",
     "q_dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

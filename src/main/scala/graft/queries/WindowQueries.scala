@@ -156,6 +156,27 @@ object WindowQueries {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** W1 distribution family: percent_rank / cume_dist over the ranking
+    * window, plus first/last/nth_value over the full-partition frame
+    * (explicit ROWS UNBOUNDED..UNBOUNDED — the default RANGE..CURRENT
+    * frame would make last/nth_value order-dependent and the engines
+    * disagree). Ordering key (acctbal desc, custkey) is unique →
+    * deterministic. Same scale shape as q_win_rank: partitioned by
+    * segment, no global window. */
+  private val winDistribution: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d).select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cum_dist"),
+      first_value(col("c_acctbal")).over(wf).as("seg_top"),
+      last_value(col("c_acctbal")).over(wf).as("seg_bottom"),
+      nth_value(col("c_acctbal"), 3).over(wf).as("seg_third"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** A-family: argmax/argmin aggregates (max_by/min_by). Ordering key
     * is a composite scalar (price * 1e6 + orderkey — exact in double
     * at these magnitudes) because DuckDB's max_by takes scalars only;
@@ -178,6 +199,7 @@ object WindowQueries {
     "q_win_rank_salted" -> winRankSalted,
     "q_win_lag" -> winLag,
     "q_win_frame" -> winFrame,
+    "q_win_distribution" -> winDistribution,
     "q_label_encode" -> labelEncode,
   )
 
@@ -230,6 +252,20 @@ object WindowQueries {
                 round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
          FROM events ORDER BY user_id, event_id""",
+    "q_win_distribution" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cum_dist,
+                first_value(c_acctbal) OVER wf AS seg_top,
+                last_value(c_acctbal) OVER wf AS seg_bottom,
+                nth_value(c_acctbal, 3) OVER wf AS seg_third
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC),
+                wf AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_mktsegment, c_custkey""",
     "q_label_encode" ->
       """SELECT c_custkey, c_mktsegment,
                 CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS segment_code
