@@ -83,8 +83,37 @@ object GraphQueries {
     out
   }
 
+  /** Degree profile of the same purchase graph: per-family (customer /
+    * supplier) node count, degree min/max/mean, and the top hub by
+    * degree. One edge-list aggregate + one 2-row reduce — the cheap
+    * pre-flight a graph job runs to choose its partitioning (hub skew
+    * shows up here before it shows up as a straggler task). */
+  private val graphDegree: Q = (s, d) => {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy(when(col("src") > 0, "customer").otherwise("supplier")
+        .as("family"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"),
+        max("deg").as("max_deg"),
+        round(avg("deg"), 6).as("mean_deg"),
+        // composite BIGINT ordering key: degree first, node id breaks
+        // ties — DuckDB's max_by takes scalars only (see aggMaxBy)
+        max_by(col("src"), col("deg") * lit(100000000L) + col("src"))
+          .as("top_hub"))
+      .orderBy("family")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pageRank,
+    "q_graph_degree" -> graphDegree,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +152,20 @@ object GraphQueries {
                 GROUP BY e.dst)
          SELECT node, round(rank * (SELECT cnt FROM n), 6) AS pr
          FROM r3 ORDER BY node""",
+    "q_graph_degree" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL
+                   SELECT dst AS src, src AS dst FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+         SELECT CASE WHEN src > 0 THEN 'customer' ELSE 'supplier' END
+                  AS family,
+                count(*) AS n_nodes,
+                min(deg) AS min_deg,
+                max(deg) AS max_deg,
+                round(avg(CAST(deg AS DOUBLE)), 6) AS mean_deg,
+                max_by(src, deg * 100000000 + src) AS top_hub
+         FROM deg GROUP BY 1 ORDER BY family""",
   )
 }

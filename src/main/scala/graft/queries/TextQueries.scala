@@ -135,6 +135,28 @@ object TextQueries {
       .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
       .orderBy("doc_id")
 
+  /** Declarative constraint suite over the corpus batch — the
+    * Deequ-style pre-ingest gate ([[graft.quality.QualityChecks]]).
+    * Every constraint compiles into ONE aggregate pass regardless of
+    * how many are declared; the verdict table is constraint-sized.
+    * The thresholds express the admission contract a curation pipeline
+    * would enforce: ids unique, text/lang present, n_chars consistent
+    * with the text, languages from the known set. */
+  private val qualityChecks: Q = (s, d) => {
+    import graft.quality.QualityChecks._
+    val docs = Tables.documents(s, d)
+    run(docs, Seq(
+      Check("rows_min", count(lit(1)).cast("double"), 1.0, 1e18),
+      Check("id_unique", uniqueness(col("doc_id")), 1.0, 1.0),
+      Check("text_complete", completeness(col("text")), 0.95, 1.0),
+      Check("lang_complete", completeness(col("lang")), 0.95, 1.0),
+      Check("lang_known",
+        compliance(col("lang").isin("en", "es", "de", "fr", "zh")), 0.9, 1.0),
+      Check("chars_positive", compliance(col("n_chars") >= 1), 0.99, 1.0),
+      Check("chars_match_text",
+        compliance(length(col("text")) === col("n_chars")), 0.9, 1.0)))
+  }
+
   /** Exact dedup: one row per distinct text, keeping the smallest
     * doc_id (deterministic, unlike dropDuplicates) + duplicate count. */
   private val dedupExact: Q = (s, d) =>
@@ -984,6 +1006,7 @@ object TextQueries {
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
+    "q_quality_checks" -> qualityChecks,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_fuzzy" -> dedupFuzzy,
@@ -1096,6 +1119,35 @@ object TextQueries {
                  + CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END
                  + CASE WHEN n_stop * 2 <= n_words THEN 1 ELSE 0 END) AS quality
          FROM f ORDER BY doc_id""",
+    "q_quality_checks" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS rows_min,
+                  CAST(count(DISTINCT doc_id) AS DOUBLE) / count(doc_id)
+                    AS id_unique,
+                  avg(CAST(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END
+                           AS DOUBLE)) AS text_complete,
+                  avg(CAST(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+                           AS DOUBLE)) AS lang_complete,
+                  avg(CAST(CASE WHEN lang IN ('en','es','de','fr','zh')
+                           THEN 1 ELSE 0 END AS DOUBLE)) AS lang_known,
+                  avg(CAST(CASE WHEN n_chars >= 1 THEN 1 ELSE 0 END
+                           AS DOUBLE)) AS chars_positive,
+                  avg(CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END
+                           AS DOUBLE)) AS chars_match_text
+           FROM documents),
+         v AS (
+           SELECT 'rows_min' AS "check", rows_min AS value,
+                  CAST(1.0 AS DOUBLE) AS lo, CAST(1e18 AS DOUBLE) AS hi FROM m
+           UNION ALL SELECT 'id_unique', id_unique, 1.0, 1.0 FROM m
+           UNION ALL SELECT 'text_complete', text_complete, 0.95, 1.0 FROM m
+           UNION ALL SELECT 'lang_complete', lang_complete, 0.95, 1.0 FROM m
+           UNION ALL SELECT 'lang_known', lang_known, 0.9, 1.0 FROM m
+           UNION ALL SELECT 'chars_positive', chars_positive, 0.99, 1.0 FROM m
+           UNION ALL SELECT 'chars_match_text', chars_match_text, 0.9, 1.0 FROM m)
+         SELECT "check", round(value, 6) AS value, lo, hi,
+                CASE WHEN round(value, 6) >= lo AND round(value, 6) <= hi
+                     THEN 1 ELSE 0 END AS passed
+         FROM v ORDER BY "check"""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
