@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.SqlQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.TemporalQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.SqlQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.TemporalQueries.oracles
 }

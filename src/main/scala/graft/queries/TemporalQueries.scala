@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal warehouse operators: time-series regularization (resample
+  * to a fixed grid + gap-fill) and slowly-changing-dimension (SCD
+  * type-2) merge — the two shapes every event-history pipeline runs
+  * that none of the other modules cover. No reference analogue (the
+  * reference is a single-snapshot table); engine extensions, SURVEY
+  * §8.4.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Resample events to an hourly grid per event_type and forward-fill
+    * gaps (last observation carried forward), flagging filled rows.
+    *
+    * Scale shape: the grid is generated DISTRIBUTED — `sequence()` +
+    * `explode` over the (types × 1 bounds row) cross join, never a
+    * driver-side loop; the hourly aggregate is a map-side-combined
+    * groupBy; the fill is a per-type running `last(ignoreNulls)`
+    * window partitioned by a real key. Output is grid-sized
+    * (types × hours), independent of event count. Values are rounded
+    * BEFORE the fill so both engines carry identical doubles forward. */
+  private val resampleFill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 4).as("v"))
+    val bounds = ev.agg(
+      date_trunc("hour", min("ts")).as("lo"),
+      date_trunc("hour", max("ts")).as("hi"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled", when(col("v").isNull, 1).otherwise(0))
+      .select(col("event_type"), col("h"),
+        round(last(col("v"), ignoreNulls = true).over(w), 4).as("v_ff"),
+        col("filled"))
+      .orderBy("event_type", "h")
+  }
+
+  /** SCD type-2 merge: apply an update batch (each updated customer's
+    * latest-order balance, effective that order's date) to the customer
+    * dimension, producing the versioned history — closed-out old rows,
+    * current new rows, untouched rows passing through.
+    *
+    * Scale shape: ONE pass — the update batch aggregates to
+    * per-key rows (broadcast-able: update batches are small relative
+    * to the dimension), one left join against the dimension, and the
+    * 1-or-2 output versions per key come from `explode` of a
+    * conditional struct array, so the join result is scanned once (no
+    * 3-branch union re-reading it). (custkey, is_current) is a unique
+    * deterministic sort key. */
+  private val scd2Merge: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+    val ord = col("o_totalprice") * 1000000d + col("o_orderkey")
+    val upd = Tables.orders(s, d)
+      .filter(col("o_custkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max("o_orderdate").as("eff"),
+        round(max_by(col("o_totalprice"), ord), 2).as("new_bal"))
+    val epoch = to_date(lit("1900-01-01"))
+    val nullDate = lit(null).cast("date")
+    cust.join(broadcast(upd), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        explode(when(col("eff").isNotNull,
+          array(
+            struct(col("c_acctbal").as("acctbal"), epoch.as("valid_from"),
+              col("eff").as("valid_to"), lit(0).as("is_current")),
+            struct(col("new_bal").as("acctbal"), col("eff").as("valid_from"),
+              nullDate.as("valid_to"), lit(1).as("is_current"))))
+          .otherwise(array(
+            struct(col("c_acctbal").as("acctbal"), epoch.as("valid_from"),
+              nullDate.as("valid_to"), lit(1).as("is_current")))))
+          .as("r"))
+      .select(col("c_custkey"), col("r.acctbal"), col("r.valid_from"),
+        col("r.valid_to"), col("r.is_current"))
+      .orderBy("c_custkey", "is_current")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_resample_fill" -> resampleFill,
+    "q_scd2_merge" -> scd2Merge,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_resample_fill" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           round(sum(value), 4) AS v
+                    FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                           max(date_trunc('hour', ts)) AS hi FROM events),
+         spine AS (SELECT t.event_type,
+                          unnest(generate_series(bo.lo, bo.hi,
+                                 INTERVAL 1 HOUR)) AS h
+                   FROM (SELECT DISTINCT event_type FROM events) t, bounds bo),
+         j AS (SELECT s.event_type, s.h, b.v,
+                      CASE WHEN b.v IS NULL THEN 1 ELSE 0 END AS filled
+               FROM spine s
+               LEFT JOIN b ON b.event_type = s.event_type AND b.h = s.h)
+         SELECT event_type, h,
+                round(last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY event_type ORDER BY h), 4) AS v_ff,
+                filled
+         FROM j ORDER BY event_type, h""",
+    "q_scd2_merge" ->
+      """WITH upd AS (
+           SELECT o_custkey AS c_custkey, max(o_orderdate) AS eff,
+                  round(max_by(o_totalprice,
+                        o_totalprice * 1000000 + o_orderkey), 2) AS new_bal
+           FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1),
+         j AS (SELECT c.c_custkey, c.c_acctbal, u.eff, u.new_bal
+               FROM customer c LEFT JOIN upd u USING (c_custkey))
+         SELECT c_custkey, c_acctbal AS acctbal,
+                DATE '1900-01-01' AS valid_from, eff AS valid_to,
+                0 AS is_current
+         FROM j WHERE eff IS NOT NULL
+         UNION ALL
+         SELECT c_custkey, new_bal, eff, NULL, 1 FROM j WHERE eff IS NOT NULL
+         UNION ALL
+         SELECT c_custkey, c_acctbal, DATE '1900-01-01', NULL, 1
+         FROM j WHERE eff IS NULL
+         ORDER BY c_custkey, is_current""",
+  )
+}
