@@ -29,6 +29,22 @@ object RelationalQueries {
   private val scanFull: Q = (s, d) =>
     Tables.customer(s, d).orderBy("c_custkey")
 
+  /** Z-order layout keys ([[graft.functions.ZOrder]]): the Morton
+    * interleave of two quantized dimensions, the sort key a writer
+    * uses to give every output file a compact bounding box in BOTH
+    * dimensions (so parquet min/max pruning serves 2-D range
+    * predicates; see ZOrderSpec's measured bounding-box comparison).
+    * The oracle replays the binary-magic-numbers spread bit-for-bit
+    * in SQL, so the codegen expression is itself oracle-checked. */
+  private val zorder: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_custkey") % 65536).as("x"),
+        floor(col("c_acctbal")).cast("long").bitwiseAND(65535).as("y"))
+      .select(col("c_custkey"), col("x"), col("y"),
+        graft.functions.ZOrder.zValue(col("x"), col("y")).as("zval"))
+      .orderBy("zval", "c_custkey")
+
   /** P1 column-subset projection (reference NB cell 31). Column pruning
     * reaches the scan: ReadSchema carries only the three columns. */
   private val project: Q = (s, d) =>
@@ -408,6 +424,7 @@ object RelationalQueries {
     "q_explode" -> explodeQ,
     "q_fn_string" -> fnString,
     "q_scan_full" -> scanFull,
+    "q_zorder" -> zorder,
     "q_project" -> project,
     "q_filter_eq" -> filterEq,
     "q_filter_when" -> filterWhen,
@@ -503,6 +520,20 @@ object RelationalQueries {
          FROM part ORDER BY p_partkey""",
     "q_scan_full" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+    "q_zorder" ->
+      """WITH q AS (SELECT c_custkey, c_custkey % 65536 AS x,
+                           CAST(floor(c_acctbal) AS BIGINT) & 65535 AS y
+                    FROM customer),
+         a AS (SELECT *, (x | (x << 8)) & 16711935 AS xs,
+                         (y | (y << 8)) & 16711935 AS ys FROM q),
+         b AS (SELECT *, (xs | (xs << 4)) & 252645135 AS xs2,
+                         (ys | (ys << 4)) & 252645135 AS ys2 FROM a),
+         c AS (SELECT *, (xs2 | (xs2 << 2)) & 858993459 AS xs3,
+                         (ys2 | (ys2 << 2)) & 858993459 AS ys3 FROM b),
+         e AS (SELECT *, (xs3 | (xs3 << 1)) & 1431655765 AS xs4,
+                         (ys3 | (ys3 << 1)) & 1431655765 AS ys4 FROM c)
+         SELECT c_custkey, x, y, xs4 | (ys4 << 1) AS zval
+         FROM e ORDER BY zval, c_custkey""",
     "q_project" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
          ORDER BY l_orderkey, l_quantity, l_extendedprice""",
