@@ -56,17 +56,17 @@ object GraphQueries {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src").persist()
-
-    // One O(1) scalar to the driver: the node count that seeds rank0
-    // and scales the teleport term — not row data.
-    val n = edges.select(countDistinct(col("src"))).head().getLong(0)
+    // deg doubles as the node list: its count is the node count (one
+    // O(1) scalar to the driver), its keys seed rank0 — no separate
+    // countDistinct or distinct() shuffle.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val n = deg.count()
+    val withDeg = edges.join(deg, "src")
     // 0.15 literal, not (1.0 - 0.85): the doubles differ in the last ulp
     // and the oracle writes the literal.
     val teleport = 0.15 / n
 
-    var ranks = edges.select(col("src").as("node")).distinct()
+    var ranks = deg.select(col("src").as("node"))
       .withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to Iterations) {
       ranks = Checkpoints.cut(

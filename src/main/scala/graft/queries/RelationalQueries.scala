@@ -196,6 +196,21 @@ object RelationalQueries {
       round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
       round(corr("l_discount", "l_extendedprice"), 6).as("corr_disc_price"))
 
+  /** A6 at matrix width: the full pairwise covariance/correlation set
+    * for a 3-column feature block in ONE aggregate pass (the input to
+    * PCA / feature selection). Each pair is a Welford-style streaming
+    * moment — map-side partials, one scan, O(1) result regardless of
+    * row count; at k columns this is k(k-1)/2 expressions in the same
+    * single pass, never k² scans. */
+  private val covMatrix: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov_qty_price"),
+      round(covar_samp("l_quantity", "l_discount"), 6).as("cov_qty_disc"),
+      round(covar_samp("l_extendedprice", "l_discount"), 4).as("cov_price_disc"),
+      round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      round(corr("l_quantity", "l_discount"), 6).as("corr_qty_disc"),
+      round(corr("l_extendedprice", "l_discount"), 6).as("corr_price_disc"))
+
   /** A8 grouped aggregation, TPC-H Q1 shape (SURVEY.md §7.1): partial
     * (map-side) + final hash agg; only the 4-group keyspace shuffles. */
   private val groupBy: Q = (s, d) =>
@@ -444,6 +459,7 @@ object RelationalQueries {
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_stats" -> aggStats,
     "q_agg_corr" -> aggCorr,
+    "q_cov_matrix" -> covMatrix,
     "q_groupby" -> groupBy,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
@@ -626,6 +642,14 @@ object RelationalQueries {
     "q_agg_corr" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                 round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+         FROM lineitem""",
+    "q_cov_matrix" ->
+      """SELECT round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+                round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+                round(covar_samp(l_extendedprice, l_discount), 4) AS cov_price_disc,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+                round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
          FROM lineitem""",
     "q_groupby" ->
       """SELECT l_returnflag, l_linestatus,

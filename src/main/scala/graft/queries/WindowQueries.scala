@@ -177,6 +177,20 @@ object WindowQueries {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** W3 rolling exact median: a 7-row moving percentile(0.5) per user —
+    * the robust-smoothing twin of q_win_frame's moving average (exact
+    * interpolated median matches DuckDB's `median` over the same ROWS
+    * frame). Frame is row-bounded so per-row cost is O(frame log frame)
+    * regardless of partition size. */
+  private val winMedian: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      round(expr("percentile(value, 0.5)").over(w), 4).as("med7"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** A-family: argmax/argmin aggregates (max_by/min_by). Ordering key
     * is a composite scalar (price * 1e6 + orderkey — exact in double
     * at these magnitudes) because DuckDB's max_by takes scalars only;
@@ -200,6 +214,7 @@ object WindowQueries {
     "q_win_lag" -> winLag,
     "q_win_frame" -> winFrame,
     "q_win_distribution" -> winDistribution,
+    "q_win_median" -> winMedian,
     "q_label_encode" -> labelEncode,
   )
 
@@ -266,6 +281,12 @@ object WindowQueries {
                        ORDER BY c_acctbal DESC, c_custkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY c_mktsegment, c_custkey""",
+    "q_win_median" ->
+      """SELECT user_id, event_id, value,
+                round(median(value) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+         FROM events ORDER BY user_id, event_id""",
     "q_label_encode" ->
       """SELECT c_custkey, c_mktsegment,
                 CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS segment_code
