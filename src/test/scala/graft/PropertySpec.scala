@@ -119,4 +119,37 @@ object PropertySpec extends Properties("graft") {
         org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, 4)
       (row.getInt(0), row.getLong(1)) == winnowExpected(s, 8, 4)
     }
+
+  property("jaro-winkler is symmetric, bounded, 1 iff equal (non-empty)") =
+    forAll(textGen, textGen) { (a, b) =>
+      val ab = graft.functions.JaroWinkler.similarity(a, b)
+      val ba = graft.functions.JaroWinkler.similarity(b, a)
+      val sym = ab == ba
+      val bounded = ab >= 0.0 && ab <= 1.0
+      val ident = if (a == b && a.nonEmpty)
+        graft.functions.JaroWinkler.similarity(a, a) == 1.0
+      else true
+      sym && bounded && ident
+    }
+
+  /** Independent de-interleave: extract even/odd bits one at a time. */
+  private def deinterleave(z: Long): (Long, Long) = {
+    var (x, y) = (0L, 0L)
+    for (i <- 0 until 16) {
+      x |= ((z >> (2 * i)) & 1L) << i
+      y |= ((z >> (2 * i + 1)) & 1L) << i
+    }
+    (x, y)
+  }
+
+  property("z-order interleave round-trips through de-interleave") =
+    forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) { (x, y) =>
+      deinterleave(graft.functions.ZOrder.interleave16(x, y)) == ((x, y))
+    }
+
+  property("z-order preserves per-dimension order within a fixed other dim") =
+    forAll(Gen.chooseNum(0L, 65534L), Gen.chooseNum(0L, 65535L)) { (x, y) =>
+      graft.functions.ZOrder.interleave16(x, y) <
+        graft.functions.ZOrder.interleave16(x + 1, y)
+    }
 }
