@@ -43,6 +43,10 @@ object QualityChecks {
     * check: (check, value, lo, hi, passed). */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "quality: no checks declared")
+    val dupes = checks.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"quality: duplicate check names would overwrite silently: " +
+        dupes.mkString(", "))
     val metricCols = checks.map(c => c.metric.as(c.name))
     val row = df.agg(metricCols.head, metricCols.tail: _*)
     // unpivot the 1-row metric result into the verdict table; stack()

@@ -61,6 +61,7 @@ object GraphQueries {
     // countDistinct or distinct() shuffle.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val n = deg.count()
+    require(n > 0, "pagerank: empty edge list (no orders⋈lineitem rows)")
     val withDeg = edges.join(deg, "src")
     // 0.15 literal, not (1.0 - 0.85): the doubles differ in the last ulp
     // and the oracle writes the literal.

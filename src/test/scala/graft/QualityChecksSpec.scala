@@ -45,4 +45,11 @@ class QualityChecksSpec extends SparkSpec {
   test("empty check list is rejected loudly") {
     intercept[IllegalArgumentException](QualityChecks.run(fixture, Seq.empty))
   }
+
+  test("duplicate check names are rejected loudly") {
+    val e = intercept[IllegalArgumentException](QualityChecks.run(fixture, Seq(
+      Check("dup", completeness(col("text")), 0, 1),
+      Check("dup", uniqueness(col("id")), 0, 1))))
+    assert(e.getMessage.contains("dup"))
+  }
 }
