@@ -617,6 +617,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Length-weighted sampling — the corpus reweighting step of
+    * LLM-data curation (downsample short documents, keep long ones):
+    * each doc survives with probability set by its word-count band
+    * (<40 words → 1/3, 40-69 → 2/3, ≥70 → always), decided by the
+    * same deterministic md5 device as q_sample_hash so the sample is
+    * reproducible, shuffle-free, and DuckDB-replayable. The 6-hex-char
+    * slice gives 16^6 resolution; thresholds are floor(p·16^6) in hex
+    * (1/3 → 555555, 2/3 → aaaaaa). Per-row expression work only —
+    * zero shuffle at any scale. */
+  private val sampleWeighted: Q = (s, d) => {
+    val h6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), size(col("w")).as("n_words"), h6.as("h6"))
+      .withColumn("kept",
+        when(col("n_words") < 40, col("h6") < "555555")
+          .when(col("n_words") < 70, col("h6") < "aaaaaa")
+          .otherwise(lit(true)))
+      .filter(col("kept"))
+      .select("doc_id", "n_words", "h6")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-filter composition — the flagship training-data
     * materialization: keep docs that are (a) the canonical copy of
     * their exact-dup group, (b) predicted English, and (c) quality
@@ -1014,6 +1036,7 @@ object TextQueries {
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_cluster_ls" -> dedupClusterLs,
     "q_sample_hash" -> sampleHash,
+    "q_sample_weighted" -> sampleWeighted,
     "q_corpus_filter" -> corpusFilter,
     "q_corpus_pipeline" -> corpusPipeline,
     "q_tfidf" -> tfidf,
@@ -1148,6 +1171,17 @@ object TextQueries {
                 CASE WHEN round(value, 6) >= lo AND round(value, 6) <= hi
                      THEN 1 ELSE 0 END AS passed
          FROM v ORDER BY "check"""",
+    "q_sample_weighted" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h6
+           FROM documents)
+         SELECT doc_id, n_words, h6 FROM h
+         WHERE CASE WHEN n_words < 40 THEN h6 < '555555'
+                    WHEN n_words < 70 THEN h6 < 'aaaaaa'
+                    ELSE true END
+         ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
