@@ -211,6 +211,22 @@ object RelationalQueries {
       round(corr("l_quantity", "l_discount"), 6).as("corr_qty_disc"),
       round(corr("l_extendedprice", "l_discount"), 6).as("corr_price_disc"))
 
+  /** Ordered string aggregation (LISTAGG/string_agg shape): the
+    * collected set is SORTED before joining so the result is
+    * deterministic regardless of partition arrival order — the only
+    * safe way to emit an aggregated list from a distributed engine.
+    * Set-sized state per group (25 nations max), map-side combined. */
+  private val stringAgg: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .groupBy("c_mktsegment")
+      .agg(
+        concat_ws(",",
+          transform(array_sort(collect_set(col("c_nationkey"))),
+            _.cast("string"))).as("nations"),
+        count(lit(1)).as("n_rich"))
+      .orderBy("c_mktsegment")
+
   /** A8 grouped aggregation, TPC-H Q1 shape (SURVEY.md §7.1): partial
     * (map-side) + final hash agg; only the 4-group keyspace shuffles. */
   private val groupBy: Q = (s, d) =>
@@ -460,6 +476,7 @@ object RelationalQueries {
     "q_agg_stats" -> aggStats,
     "q_agg_corr" -> aggCorr,
     "q_cov_matrix" -> covMatrix,
+    "q_string_agg" -> stringAgg,
     "q_groupby" -> groupBy,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
@@ -643,6 +660,13 @@ object RelationalQueries {
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                 round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
          FROM lineitem""",
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+                string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey)
+                  AS nations,
+                count(*) AS n_rich
+         FROM customer WHERE c_acctbal > 9000
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_cov_matrix" ->
       """SELECT round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
                 round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
