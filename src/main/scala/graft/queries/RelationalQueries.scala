@@ -211,6 +211,24 @@ object RelationalQueries {
       round(corr("l_quantity", "l_discount"), 6).as("corr_qty_disc"),
       round(corr("l_extendedprice", "l_discount"), 6).as("corr_price_disc"))
 
+  /** Group-wise OLS — closed-form per-group linear fit of price on
+    * quantity via the SQL-standard regr_* aggregates: one partial+final
+    * hash-agg pass (Welford-style moment state per group), no second
+    * scan, no driver math. The per-group model a feature store would
+    * materialize. */
+  private val regrGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"))
+      .orderBy("l_returnflag")
+
   /** Ordered string aggregation (LISTAGG/string_agg shape): the
     * collected set is SORTED before joining so the result is
     * deterministic regardless of partition arrival order — the only
@@ -476,6 +494,7 @@ object RelationalQueries {
     "q_agg_stats" -> aggStats,
     "q_agg_corr" -> aggCorr,
     "q_cov_matrix" -> covMatrix,
+    "q_regr_group" -> regrGroup,
     "q_string_agg" -> stringAgg,
     "q_groupby" -> groupBy,
     "q_rollup" -> rollup,
@@ -660,6 +679,12 @@ object RelationalQueries {
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                 round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
          FROM lineitem""",
+    "q_regr_group" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_string_agg" ->
       """SELECT c_mktsegment,
                 string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey)

@@ -135,6 +135,63 @@ object TextQueries {
       .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
       .orderBy("doc_id")
 
+  /** Unigram language-model document scoring — the CCNet/Gopher-style
+    * quality signal: score each document by the mean log-probability of
+    * its tokens under the corpus's own unigram distribution (low score
+    * = rare-token soup = likely junk; high = fluent common text).
+    *
+    * Scale shape: the only corpus-sized stage is the word count, which
+    * partial aggregation collapses to vocabulary size map-side; the
+    * model (vocab rows) is then broadcast back onto the exploded corpus
+    * — the corpus never shuffles — and the per-doc mean is a map-side-
+    * combined groupBy on doc_id. Every token is in the model by
+    * construction (the model is built from the same corpus), so the
+    * join is inner with no OOV branch. */
+  private val lmScore: Q = (s, d) => {
+    val words = withWords(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val model = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words
+      .join(broadcast(model), Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log(col("n_w").cast("double") / col("n_total")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(avg(col("logp")), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source distribution drift: KL divergence of each source's
+    * unigram word distribution from the whole-corpus distribution —
+    * the monitoring op that catches one ingest feed going off-profile
+    * (spam flood, encoding breakage) before it pollutes training data.
+    *
+    * Scale shape: one corpus-sized (source, word) count with map-side
+    * combine; everything after — the per-source totals, the corpus
+    * marginal, the KL sum — is vocabulary-sized. KL(P_s‖Q) is finite
+    * by construction since every source word occurs in the corpus
+    * marginal (Q(w) > 0 wherever P_s(w) > 0). */
+  private val sourceDivergence: Q = (s, d) => {
+    val sw = withWords(Tables.documents(s, d))
+      .select(col("source"), explode(col("w")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n_sw"))
+    val perSource = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+    val marginal = sw.groupBy("word").agg(sum("n_sw").as("n_w"))
+    val total = sw.agg(sum("n_sw").as("n_total"))
+    sw.join(broadcast(perSource), Seq("source"))
+      .join(broadcast(marginal), Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("n_sw").cast("double") / col("n_s"))
+      .withColumn("q", col("n_w").cast("double") / col("n_total"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("int").as("vocab_size"),
+        round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl_nats"))
+      .orderBy("source")
+  }
+
   /** Declarative constraint suite over the corpus batch — the
     * Deequ-style pre-ingest gate ([[graft.quality.QualityChecks]]).
     * Every constraint compiles into ONE aggregate pass regardless of
@@ -1029,6 +1086,8 @@ object TextQueries {
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
     "q_quality_checks" -> qualityChecks,
+    "q_lm_score" -> lmScore,
+    "q_source_divergence" -> sourceDivergence,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_fuzzy" -> dedupFuzzy,
@@ -1171,6 +1230,29 @@ object TextQueries {
                 CASE WHEN round(value, 6) >= lo AND round(value, 6) <= hi
                      THEN 1 ELSE 0 END AS passed
          FROM v ORDER BY "check"""",
+    "q_lm_score" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                        FROM documents),
+         model AS (SELECT word, count(*) AS n_w FROM words GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM words)
+         SELECT w.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                round(avg(ln(CAST(m.n_w AS DOUBLE) / t.n_total)), 4) AS lm_score
+         FROM words w JOIN model m USING (word) CROSS JOIN tot t
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q_source_divergence" ->
+      """WITH sw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+         c AS (SELECT source, word, count(*) AS n_sw FROM sw GROUP BY 1, 2),
+         ps AS (SELECT source, sum(n_sw) AS n_s FROM c GROUP BY 1),
+         mg AS (SELECT word, sum(n_sw) AS n_w FROM c GROUP BY 1),
+         tot AS (SELECT sum(n_sw) AS n_total FROM c)
+         SELECT c.source, CAST(count(*) AS INTEGER) AS vocab_size,
+                round(sum((CAST(c.n_sw AS DOUBLE) / ps.n_s)
+                          * ln((CAST(c.n_sw AS DOUBLE) / ps.n_s)
+                               / (CAST(mg.n_w AS DOUBLE) / tot.n_total))), 4)
+                  AS kl_nats
+         FROM c JOIN ps USING (source) JOIN mg USING (word) CROSS JOIN tot
+         GROUP BY c.source ORDER BY c.source""",
     "q_sample_weighted" ->
       """WITH h AS (
            SELECT doc_id,
