@@ -191,6 +191,29 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exponentially weighted moving average per user — the recursive
+    * smoother (ewma' = α·x + (1−α)·ewma, α=0.3) expressed as a LEFT
+    * FOLD over the frame's collect_list, so the recurrence stays a
+    * per-row codegen expression (no UDAF, no driver state) and both
+    * engines replay the identical fold order. Bounded to the last 10
+    * events: the dropped (1−α)¹⁰ tail carries ~2.8% of the weight —
+    * the truncation every streaming smoother accepts for O(frame)
+    * per-row cost. Casts pin the arithmetic to DOUBLE in both engines
+    * (a bare 0.3 literal is DECIMAL in both SQL dialects). */
+  private val winEwma: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(-9, 0)
+    Tables.events(s, d)
+      .withColumn("vals", collect_list("value").over(w))
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        round(expr(
+          """aggregate(slice(vals, 2, size(vals) - 1), vals[0],
+             (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"""),
+          4).as("ewma10"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** A-family: argmax/argmin aggregates (max_by/min_by). Ordering key
     * is a composite scalar (price * 1e6 + orderkey — exact in double
     * at these magnitudes) because DuckDB's max_by takes scalars only;
@@ -215,6 +238,7 @@ object WindowQueries {
     "q_win_frame" -> winFrame,
     "q_win_distribution" -> winDistribution,
     "q_win_median" -> winMedian,
+    "q_win_ewma" -> winEwma,
     "q_label_encode" -> labelEncode,
   )
 
@@ -287,6 +311,17 @@ object WindowQueries {
                       ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
          FROM events ORDER BY user_id, event_id""",
+    "q_win_ewma" ->
+      """SELECT user_id, event_id, value,
+                round(list_reduce(l, (acc, x) ->
+                      CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 4)
+                  AS ewma10
+         FROM (SELECT user_id, event_id, value,
+                      list(value) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+               FROM events)
+         ORDER BY user_id, event_id""",
     "q_label_encode" ->
       """SELECT c_custkey, c_mktsegment,
                 CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS segment_code
