@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TextQueries, WindowQueries}
+
+/** Property pins for the corpus-model operators added with q_lm_score /
+  * q_source_divergence / q_win_ewma. The DuckDB oracles already prove
+  * cross-engine value equality at the driver SF; these tests pin the
+  * SEMANTICS on constructed distributions where the right answer is
+  * known in closed form — the drift the hash compare can't explain.
+  */
+class TextModelSpec extends SparkSpec {
+
+  /** documents-shaped fixture written through the real parquet scan path. */
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmfix").toString
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lm_score ranks a common-word doc above a rare-word doc") {
+    // 9 docs of the same common words, 1 doc of corpus-unique words:
+    // every rare token has count 1, every common token count 9, so the
+    // mean log-prob separates the docs with certainty, not by luck.
+    val common = (0L until 9L).map(i => (i, "the cat sat on the mat", "en", "s"))
+    val rare = Seq((99L, "zq1 zq2 zq3 zq4 zq5 zq6", "en", "s"))
+    val d = writeDocs(common ++ rare)
+    val scores = TextQueries.queries("q_lm_score")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(0L) - 1.0,
+      s"rare-word doc must score well below common-word docs: $scores")
+    // all common docs share one text, hence one score
+    assert((0L until 9L).map(scores).distinct.size == 1)
+  }
+
+  test("lm_score n_tokens is the doc's whitespace token count") {
+    val d = writeDocs(Seq((1L, "a b c", "en", "s"), (2L, "a", "en", "s")))
+    val n = TextQueries.queries("q_lm_score")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n == Map(1L -> 3, 2L -> 1))
+  }
+
+  test("source divergence is zero for identically-distributed sources") {
+    val d = writeDocs(Seq(
+      (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
+      (3L, "a b c d", "en", "s3")))
+    val kl = TextQueries.queries("q_source_divergence")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl.values.forall(_ == 0.0),
+      s"every source matches the corpus marginal exactly, want KL=0: $kl")
+  }
+
+  test("source divergence orders an off-profile source above on-profile ones") {
+    val d = writeDocs(Seq(
+      (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
+      (3L, "a a a a", "en", "s3"))) // s3 floods one token
+    val kl = TextQueries.queries("q_source_divergence")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("s1") == kl("s2"), s"identical sources must tie: $kl")
+    assert(kl("s3") > kl("s1") && kl("s1") >= 0.0,
+      s"the flooding source must read as the drifted one: $kl")
+  }
+
+  test("win_ewma replays the recursive fold per user") {
+    val rows = WindowQueries.queries("q_win_ewma")(spark, sf)
+      .filter(col("user_id") === 0).collect()
+    assert(rows.nonEmpty)
+    // re-run the recurrence on the already-ordered values, bounded to
+    // the same 10-row window the query uses
+    val vals = rows.map(_.getDouble(2))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = vals.slice(math.max(0, i - 9), i + 1)
+      val want = frame.tail.foldLeft(frame.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      val got = r.getDouble(3)
+      assert(math.abs(got - want) < 1e-3,
+        s"row $i: ewma $got != recurrence $want")
+    }
+  }
+}
