@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.SqlQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.CorpusStatsQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.SqlQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.TemporalQueries.oracles
+      graft.queries.TemporalQueries.oracles ++
+      graft.queries.CorpusStatsQueries.oracles
 }

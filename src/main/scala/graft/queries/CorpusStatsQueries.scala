@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus- and distribution-profiling operators — the diagnostics a
+  * training-data pipeline runs BEFORE committing to a curation recipe:
+  * duplication coverage, ingest novelty, cross-source contamination,
+  * per-doc character entropy, multilingual resampling, outlier capping,
+  * key-skew pre-flight, and embedding-cluster geometry.
+  *
+  * Scale notes:
+  *  - the shingle-keyed ops ([[dupCoverage]], [[ngramNovelty]],
+  *    [[sourceOverlap]]) reuse [[TextQueries.shingleArraySql]] /
+  *    [[TextQueries.shingleRows]], so the shuffle key is the 8-byte
+  *    xxhash64 shingle identity, never the shingle string;
+  *  - per-doc scoring ([[charEntropy]]) is pure expression work inside
+  *    whole-stage codegen — zero shuffle;
+  *  - every distribution statistic aggregates BEFORE joining back, and
+  *    the model/threshold side of each join is broadcast (lang counts,
+  *    percentile bounds, centroid components are all tiny).
+  */
+object CorpusStatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Character-level Shannon entropy (bits/char) + distinct-char count
+    * per document — the encoding-breakage / binary-junk / keyboard-mash
+    * detector (low entropy = repeated filler, implausibly high = random
+    * bytes; the Gopher-style "symbol soup" signal at character level).
+    *
+    * Per-row O(distinct_chars × len) expression work, no shuffle. The
+    * distinct chars are sorted so both engines fold the sum in the same
+    * order (the round(4) would absorb reorder noise anyway). */
+  private val charEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("cs", expr(
+        """CASE WHEN length(text) >= 1
+             THEN transform(sequence(1, length(text)), i -> substring(text, i, 1))
+             ELSE array() END"""))
+      .withColumn("uc", array_sort(array_distinct(col("cs"))))
+      .withColumn("n", length(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("uc")).as("n_unique_chars"),
+        expr("""round(0.0 - aggregate(
+                  transform(uc, c -> size(filter(cs, x -> x = c))),
+                  CAST(0.0 AS DOUBLE),
+                  (acc, k) -> acc + (k / CAST(n AS DOUBLE))
+                                    * log2(k / CAST(n AS DOUBLE))), 4)""")
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+
+  /** Duplicated-n-gram coverage (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", §4 — the span-level
+    * signal reduced to shingle coverage): per document, the fraction of
+    * its word-3-gram shingles that also occur verbatim in at least one
+    * OTHER document. Docs with coverage ≈ 1 are near-copies even when
+    * no single pair crosses a Jaccard threshold (mosaic duplication).
+    *
+    * Two map-side-combined aggregates over [[TextQueries.shingleRows]]
+    * (df per shingle, total per doc) + one 8-byte-keyed join — the same
+    * shuffle shape as q_dedup_ngram's candidate stage, without the
+    * pair blow-up (no self-join). */
+  private val dupCoverage: Q = (s, d) => {
+    val sh = TextQueries.shingleRows(s, d)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val dup = sh.join(df.filter(col("df") >= 2), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 4)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Ingest novelty: per document (in doc_id ingest order), how many of
+    * its shingles appear here for the FIRST time in the corpus — the
+    * marginal-contribution curve that tells a crawler when a source has
+    * gone stale (novelty ratio trending to 0 = re-crawling known text).
+    *
+    * First appearance is min(doc_id) per shingle — a map-side-combined
+    * aggregate — joined back on the 8-byte shingle key. */
+  private val ngramNovelty: Q = (s, d) => {
+    val sh = TextQueries.shingleRows(s, d)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novelty_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source containment matrix: for each ordered source pair
+    * (a, b), |shingles(a) ∩ shingles(b)| / |shingles(a)| — asymmetric
+    * on purpose (a small source fully contained in a big one reads 1.0
+    * in one direction only). The pre-ingest check that a "new" feed is
+    * not just a re-host of one already in the corpus.
+    *
+    * Shingle sets are per-source DISTINCT before the join, so the
+    * shuffle is source-level set size, not corpus size; pair counts and
+    * the containment division happen on the source-pair-sized result
+    * with the per-source sizes broadcast. */
+  private val sourceOverlap: Q = (s, d) => {
+    val ssh = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), explode(expr(TextQueries.shingleArraySql)).as("sh_str"))
+      .select(col("source"), xxhash64(col("sh_str")).as("shingle"))
+      .distinct()
+    val sizes = ssh.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val left = ssh.select(col("source").as("source_a"), col("shingle"))
+    val right = ssh.select(col("source").as("source_b"), col("shingle"))
+    left.join(right, "shingle")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_total"))), "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_total"), 4)
+          .as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Multilingual temperature resampling (the XLM/mBERT α=0.5 scheme):
+    * per-language keep rate (n_min/n_lang)^(1−α) = sqrt(n_min/n_lang),
+    * so the rarest language keeps everything and the resampled corpus
+    * follows p^α. α is pinned to 0.5 because sqrt is IEEE-exact —
+    * both engines compute bit-identical rates, where a libm pow could
+    * disagree in the last ulp and flip a hash-threshold row.
+    *
+    * Selection is the deterministic md5-prefix rule ([[TextQueries]]'
+    * sampleHash convention): a doc survives iff its 6-hex-digit prefix
+    * is below the rate scaled to 16^6 — partition-order-invariant,
+    * replayable in any engine, no RNG state. One tiny aggregate
+    * broadcast back onto the scan; the corpus never shuffles. */
+  private val temperatureSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min("n_lang").as("n_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+      .withColumn("thr",
+        lower(lpad(hex(floor(col("rate") * lit(16777216))), 6, "0")))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 6) < col("thr"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 4).as("rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Winsorization: cap n_chars at its language's exact [p05, p95] —
+    * the outlier treatment that keeps a row (unlike a filter) while
+    * bounding its leverage on downstream means/regressions. Exact
+    * interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), computed once per language and broadcast back;
+    * the capping itself is per-row codegen. */
+  private val winsorize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pct = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.join(broadcast(pct), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(least(greatest(col("n_chars").cast("double"), col("lo")),
+          col("hi")), 2).as("n_chars_capped"))
+      .orderBy("doc_id")
+  }
+
+  /** Key-skew pre-flight over orders.o_custkey: the distribution shape
+    * (key count, max/p50/p99 frequency, hottest key, max/mean ratio) a
+    * pipeline reads BEFORE choosing join/window strategy — the number
+    * that says whether the salted twins (q_win_rank_salted, the capped
+    * prunes) need to be armed. Two aggregates: one corpus-sized with
+    * map-side combine, one key-sized; O(1) rows to the driver. The
+    * hottest key is a composite struct max, deterministic under ties. */
+  private val skewProfile: Q = (s, d) => {
+    val c = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    c.agg(
+      count(lit(1)).as("n_keys"),
+      max("n").as("max_n"),
+      round(avg("n"), 4).as("avg_n"),
+      round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+      round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+      max(struct(col("n"), col("o_custkey"))).getField("o_custkey")
+        .as("hot_key"),
+      round(max(col("n")).cast("double") / avg(col("n")), 4)
+        .as("skew_ratio"))
+  }
+
+  /** Per-label centroid geometry: pairwise cosine between the label
+    * centroids of the embeddings table — the cluster-separation
+    * diagnostic (labels whose centroids read ≈ 1 are candidates for
+    * merging; a near-zero pair confirms the classes are separable).
+    *
+    * Centroid components come from one posexplode + map-side-combined
+    * (label, dim) average — the corpus contributes one pass and never
+    * joins anything; everything after (norms, pair dots) is
+    * labels²×dim-sized, broadcast where keyed. */
+  private val labelCentroids: Q = (s, d) => {
+    val comp = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("c"))
+    val nrm = comp.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val a = comp.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+    val b = comp.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(b, "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(broadcast(nrm.select(col("label").as("label_a"), col("nrm").as("na"))),
+        "label_a")
+      .join(broadcast(nrm.select(col("label").as("label_b"), col("nrm").as("nb"))),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_char_entropy" -> charEntropy,
+    "q_dup_coverage" -> dupCoverage,
+    "q_ngram_novelty" -> ngramNovelty,
+    "q_source_overlap" -> sourceOverlap,
+    "q_temperature_sample" -> temperatureSample,
+    "q_winsorize" -> winsorize,
+    "q_skew_profile" -> skewProfile,
+    "q_label_centroids" -> labelCentroids,
+  )
+
+  /** Shared shingle CTE prefix for the DuckDB replays (string shingles:
+    * hash equality in the Spark plan is equality on the string up to a
+    * 64-bit collision — the [[TextQueries.shingleRows]] contract). */
+  private val shinglePrefix =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                     FROM documents),
+       sh0 AS (SELECT doc_id, source,
+                unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              FROM toks WHERE len(w) >= 3),
+       dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+                list_transform(range(1, length(text) + 1), i -> text[i]) AS cs
+              FROM documents),
+         u AS (SELECT doc_id, n, cs, list_sort(list_distinct(cs)) AS uc FROM ch)
+         SELECT doc_id, CAST(len(uc) AS INTEGER) AS n_unique_chars,
+                round(0 - coalesce(list_sum(list_transform(uc,
+                  c -> (len(list_filter(cs, x -> x = c)) / CAST(n AS DOUBLE))
+                       * log2(len(list_filter(cs, x -> x = c)) / CAST(n AS DOUBLE)))),
+                  0), 4) AS entropy_bits
+         FROM u ORDER BY doc_id""",
+    "q_dup_coverage" -> (shinglePrefix +
+      """, df AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id),
+         dup AS (SELECT doc_id, count(*) AS n_dup
+                 FROM dsh JOIN df USING (shingle) WHERE df >= 2 GROUP BY doc_id)
+         SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+                round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_shingles, 4)
+                  AS dup_ratio
+         FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+         ORDER BY t.doc_id"""),
+    "q_ngram_novelty" -> (shinglePrefix +
+      """, fst AS (SELECT shingle, min(doc_id) AS first_doc
+                   FROM dsh GROUP BY shingle)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(count(*) FILTER (WHERE doc_id = first_doc) AS BIGINT)
+                  AS n_novel,
+                round(CAST(count(*) FILTER (WHERE doc_id = first_doc) AS DOUBLE)
+                      / count(*), 4) AS novelty_ratio
+         FROM dsh JOIN fst USING (shingle)
+         GROUP BY doc_id ORDER BY doc_id"""),
+    "q_source_overlap" -> (shinglePrefix +
+      """, ssh AS (SELECT DISTINCT source, shingle FROM sh0),
+         sz AS (SELECT source, count(*) AS n_total FROM ssh GROUP BY source),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*) AS n_shared
+                   FROM ssh a JOIN ssh b USING (shingle)
+                   WHERE a.source <> b.source GROUP BY 1, 2)
+         SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+                round(CAST(n_shared AS DOUBLE) / sz.n_total, 4) AS containment
+         FROM pairs JOIN sz ON sz.source = pairs.source_a
+         ORDER BY source_a, source_b"""),
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         m AS (SELECT min(n_lang) AS n_min FROM c),
+         r AS (SELECT doc_id, d.lang,
+                      sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate
+               FROM documents d JOIN c USING (lang) CROSS JOIN m)
+         SELECT doc_id, lang, round(rate, 4) AS rate
+         FROM r
+         WHERE rate >= 1.0
+            OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               < lower(lpad(to_hex(CAST(floor(rate * 16777216) AS BIGINT)),
+                            6, '0'))
+         ORDER BY doc_id""",
+    "q_winsorize" ->
+      """WITH p AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                           quantile_cont(n_chars, 0.95) AS hi
+                    FROM documents GROUP BY lang)
+         SELECT doc_id, lang, n_chars,
+                round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 2)
+                  AS n_chars_capped
+         FROM documents JOIN p USING (lang)
+         ORDER BY doc_id""",
+    "q_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders
+                    GROUP BY o_custkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(n) AS BIGINT) AS max_n,
+                round(avg(n), 4) AS avg_n,
+                round(quantile_cont(n, 0.5), 4) AS p50_n,
+                round(quantile_cont(n, 0.99), 4) AS p99_n,
+                (SELECT o_custkey FROM c
+                 ORDER BY n DESC, o_custkey DESC LIMIT 1) AS hot_key,
+                round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+         FROM c""",
+    "q_label_centroids" ->
+      """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                            unnest(embedding) AS x
+                     FROM embeddings),
+         comp AS (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c
+                  FROM ex GROUP BY label, pos),
+         nrm AS (SELECT label, sqrt(sum(c * c)) AS nrm FROM comp GROUP BY label),
+         dots AS (SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+                  FROM comp a JOIN comp b USING (pos)
+                  WHERE a.label < b.label GROUP BY 1, 2)
+         SELECT la AS label_a, lb AS label_b,
+                round(dot / (x.nrm * y.nrm), 4) AS cosine
+         FROM dots JOIN nrm x ON x.label = la JOIN nrm y ON y.label = lb
+         ORDER BY label_a, label_b""",
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusStatsQueries
+
+/** Closed-form pins for the corpus/distribution profiling operators.
+  * The DuckDB oracles prove cross-engine equality at the driver SF;
+  * these fixtures pin the SEMANTICS where the right answer is knowable
+  * by hand (entropy of 'abab', containment of a subset source, the
+  * interpolated percentile formula, exact centroid angles). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cstats").toString
+
+  /** documents-shaped fixture; n_chars defaults to length(text) but can
+    * be overridden to probe the numeric ops directly. */
+  private def writeDocs(rows: Seq[(Long, String, String, String)],
+      nChars: Option[Seq[Long]] = None): String = {
+    val dir = tmpDir()
+    var df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+    df = nChars match {
+      case Some(ns) =>
+        val byId = rows.map(_._1).zip(ns).toMap
+        val setN = udf((id: Long) => byId(id))
+        df.withColumn("n_chars", setN(col("doc_id")))
+      case None => df.withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("char entropy: closed-form values and distinct counts") {
+    val d = writeDocs(Seq(
+      (1L, "aaaa", "en", "s"),   // one symbol: 0 bits
+      (2L, "abab", "en", "s"),   // uniform over 2: exactly 1 bit
+      (3L, "abcd", "en", "s"))) // uniform over 4: exactly 2 bits
+    val r = CorpusStatsQueries.queries("q_char_entropy")(spark, d)
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((1, 0.0)))
+    assert(r(2L) == ((2, 1.0)))
+    assert(r(3L) == ((4, 2.0)))
+  }
+
+  test("dup coverage: verbatim copies read 1.0, unique text reads 0.0") {
+    val d = writeDocs(Seq(
+      (1L, "the cat sat on the mat", "en", "s"),
+      (2L, "the cat sat on the mat", "en", "s"),
+      (3L, "entirely fresh words appear here now", "en", "s")))
+    val r = CorpusStatsQueries.queries("q_dup_coverage")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("novelty: first doc claims its shingles, a later copy claims none") {
+    val d = writeDocs(Seq(
+      (1L, "the cat sat on the mat", "en", "s"),
+      (2L, "the cat sat on the mat", "en", "s"),
+      (3L, "entirely fresh words appear here now", "en", "s")))
+    val r = CorpusStatsQueries.queries("q_ngram_novelty")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("source overlap: subset source is fully contained, superset is not") {
+    // s2's single shingle ('a b c') is one of s1's two → containment
+    // s2→s1 = 1.0, s1→s2 = 0.5; shingle sets are per-source distinct.
+    val d = writeDocs(Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c", "en", "s2")))
+    val r = CorpusStatsQueries.queries("q_source_overlap")(spark, d)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r == Map(("s1", "s2") -> 0.5, ("s2", "s1") -> 1.0))
+  }
+
+  test("temperature sample: rare lang keeps all, common lang rate is sqrt") {
+    val en = (0L until 16L).map(i => (i, s"doc $i", "en", "s"))
+    val fr = (100L until 104L).map(i => (i, s"doc $i", "fr", "s"))
+    val d = writeDocs(en ++ fr)
+    val rows = CorpusStatsQueries.queries("q_temperature_sample")(spark, d)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    val frKept = rows.filter(_._2 == "fr")
+    assert(frKept.length == 4 && frKept.forall(_._3 == 1.0),
+      "the minimum-count language must survive in full at rate 1")
+    val enKept = rows.filter(_._2 == "en")
+    assert(enKept.forall(_._3 == 0.5), "rate_en = sqrt(4/16) = 0.5")
+    // md5-prefix rule replayed on the driver: exactly the docs whose
+    // 6-hex prefix is below 0.5 * 16^6 = 0x800000 survive
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0L until 16L).filter { i =>
+      val h = md.digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      h.substring(0, 6) < "800000"
+    }.toSet
+    assert(enKept.map(_._1).toSet == expect)
+  }
+
+  test("winsorize: interpolated p05/p95 bounds cap the tails only") {
+    val rows = (1L to 100L).map(i => (i, s"t$i", "en", "s"))
+    val d = writeDocs(rows, nChars = Some((1L to 100L).toSeq))
+    val r = CorpusStatsQueries.queries("q_winsorize")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // sorted values 1..100: p05 = v[4] + 0.95*(v[5]-v[4]) = 5.95,
+    // p95 = v[94] + 0.05*(v[95]-v[94]) = 95.05
+    assert(r(1L) == 5.95 && r(3L) == 5.95, "low tail capped at p05")
+    assert(r(100L) == 95.05 && r(97L) == 95.05, "high tail capped at p95")
+    assert(r(50L) == 50.0, "interior values pass through")
+  }
+
+  test("skew profile: counts, percentile interpolation, hot key, ratio") {
+    val dir = tmpDir()
+    val custkeys = Seq.fill(5)(1L) ++ Seq(2L, 3L, 4L)
+    spark.createDataFrame(custkeys.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = CorpusStatsQueries.queries("q_skew_profile")(spark, dir).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_keys")) == 4L)
+    assert(r.getLong(r.fieldIndex("max_n")) == 5L)
+    assert(r.getDouble(r.fieldIndex("avg_n")) == 2.0)
+    assert(r.getDouble(r.fieldIndex("p50_n")) == 1.0)
+    // counts sorted [1,1,1,5]: p99 = 1 + 0.97*(5-1) = 4.88
+    assert(r.getDouble(r.fieldIndex("p99_n")) == 4.88)
+    assert(r.getLong(r.fieldIndex("hot_key")) == 1L)
+    assert(r.getDouble(r.fieldIndex("skew_ratio")) == 2.5)
+  }
+
+  test("label centroids: identical direction reads 1, orthogonal reads 0") {
+    val dir = tmpDir()
+    val rows = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), // label 0 → (1, 0)
+      (3L, Array(0f, 1f), 1),                          // label 1 → (0, 1)
+      (4L, Array(2f, 0f), 2))                          // label 2 → (2, 0)
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = CorpusStatsQueries.queries("q_label_centroids")(spark, dir)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r == Map((0, 1) -> 0.0, (0, 2) -> 1.0, (1, 2) -> 0.0))
+  }
+}

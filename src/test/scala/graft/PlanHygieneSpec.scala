@@ -14,11 +14,13 @@ class PlanHygieneSpec extends SparkSpec {
   // each allowed BNLJ is a reviewed broadcast of a tiny side: the 1-row
   // query vector (knn family), the 1-row corpus size (tfidf/funnel),
   // the 16 centroid rows (knn_batch_ivf), the 1-row grid bounds
-  // (resample_fill), or a genuine range/cross join
+  // (resample_fill), the 1-row token/lang-count totals (lm_score,
+  // source_divergence, temperature_sample), or a genuine range/cross join
   private val bnlAllowed = Set(
     "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh",
     "q_knn_lsh_multi", "q_knn_ivf", "q_knn_ivf_pq", "q_knn_batch_ivf",
-    "q_tfidf", "q_funnel", "q_resample_fill")
+    "q_tfidf", "q_funnel", "q_resample_fill",
+    "q_lm_score", "q_source_divergence", "q_temperature_sample")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
