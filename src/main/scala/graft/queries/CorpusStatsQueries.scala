@@ -226,6 +226,65 @@ object CorpusStatsQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** Robust (median/MAD) outlier detection — the twin of
+    * q_zscore_outliers for the case that breaks it: a heavy tail
+    * inflates mean and stddev until real outliers hide inside the
+    * threshold, while the median and MAD barely move. Flags rows where
+    * the Iglewicz–Hoaglin modified z-score 0.6745·(x−med)/MAD exceeds
+    * 3.5 in absolute value (rounded before the cut so a 1-ulp
+    * difference cannot flip membership).
+    *
+    * Two aggregate passes by construction (MAD needs the median first);
+    * each is a per-group exact interpolated percentile with the tiny
+    * group-stats side broadcast back. At 100 TB the exact grouped
+    * median becomes a sort-per-group — the documented swap is
+    * approx_percentile at fixed accuracy, same plan shape. */
+  private val madOutliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("rz",
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+      .filter(abs(col("rz")) > 3.5)
+      .select("event_id", "event_type", "rz")
+      .orderBy("event_id")
+  }
+
+  /** Count-min sketch heavy hitters — the mergeable-sketch answer to
+    * "which keys are hot" when the key space is too large to count
+    * exactly: 4 hash rows × 256 buckets of additive counters, built by
+    * ONE map-side-combined aggregate over the raw fact rows (the
+    * sketch, 1024 cells, is the only shuffle payload regardless of
+    * corpus size), then probed by the distinct keys against the
+    * broadcast sketch. est(k) = min over rows of the k-bucket cell —
+    * never an underestimate, over by at most the bucket's collision
+    * mass (the CountMin guarantee, Cormode & Muthukrishnan 2005).
+    *
+    * The row hash is an md5-prefix bucket (the 2-hex-char string IS the
+    * bucket id), so the whole sketch — collisions included — replays
+    * bit-identically in any engine with md5: the sketch itself is
+    * oracle-checked, not just its output shape. */
+  private val heavyHitters: Q = (s, d) => {
+    val rows4 = array((0 until 4).map(lit): _*)
+    val bucketed = Tables.orders(s, d)
+      .select(col("o_custkey"), explode(rows4).as("h_row"))
+      .withColumn("bucket", substring(
+        md5(concat_ws("|", col("h_row"), col("o_custkey"))), 1, 2))
+    val sketch = bucketed.groupBy("h_row", "bucket")
+      .agg(count(lit(1)).as("cell"))
+    bucketed.distinct()
+      .join(broadcast(sketch), Seq("h_row", "bucket"))
+      .groupBy("o_custkey")
+      .agg(min("cell").as("est_n"))
+      .orderBy(desc("est_n"), asc("o_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_char_entropy" -> charEntropy,
     "q_dup_coverage" -> dupCoverage,
@@ -235,6 +294,8 @@ object CorpusStatsQueries {
     "q_winsorize" -> winsorize,
     "q_skew_profile" -> skewProfile,
     "q_label_centroids" -> labelCentroids,
+    "q_mad_outliers" -> madOutliers,
+    "q_heavy_hitters" -> heavyHitters,
   )
 
   /** Shared shingle CTE prefix for the DuckDB replays (string shingles:
@@ -327,6 +388,33 @@ object CorpusStatsQueries {
                  ORDER BY n DESC, o_custkey DESC LIMIT 1) AS hot_key,
                 round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
          FROM c""",
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         dev AS (SELECT event_id, e.event_type, value, med,
+                        abs(value - med) AS adev
+                 FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT event_id, dev.event_type,
+                round(0.6745 * (value - med) / mad, 4) AS rz
+         FROM dev JOIN mad USING (event_type)
+         WHERE abs(round(0.6745 * (value - med) / mad, 4)) > 3.5
+         ORDER BY event_id""",
+    "q_heavy_hitters" ->
+      """WITH b AS (SELECT o_custkey, h_row,
+                           substring(md5(CAST(h_row AS VARCHAR) || '|' ||
+                                         CAST(o_custkey AS VARCHAR)), 1, 2)
+                             AS bucket
+                    FROM orders CROSS JOIN (SELECT unnest([0, 1, 2, 3])
+                                            AS h_row)),
+         sketch AS (SELECT h_row, bucket, count(*) AS cell
+                    FROM b GROUP BY h_row, bucket),
+         probes AS (SELECT DISTINCT o_custkey, h_row, bucket FROM b)
+         SELECT o_custkey, CAST(min(cell) AS BIGINT) AS est_n
+         FROM probes JOIN sketch USING (h_row, bucket)
+         GROUP BY o_custkey
+         ORDER BY est_n DESC, o_custkey ASC LIMIT 20""",
     "q_label_centroids" ->
       """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                             unnest(embedding) AS x

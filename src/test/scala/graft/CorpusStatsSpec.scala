@@ -123,6 +123,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("skew_ratio")) == 2.5)
   }
 
+  test("MAD outliers: flags the planted extreme, robust to its leverage") {
+    val dir = tmpDir()
+    // values 1..9 plus a planted 100: med = 5.5, MAD = 2.5, so the
+    // modified z of the plant is 0.6745*94.5/2.5 ≈ 25.5 — flagged;
+    // the honest rows all sit below |3.5|. (A classical z-score with
+    // the same data reads z(100) ≈ 3.0 — the outlier's own leverage
+    // on the stddev hides it from a 3.5 cut.)
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    spark.createDataFrame(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong * 1000000000L, "click", v)
+    }).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusStatsQueries.queries("q_mad_outliers")(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 9L,
+      s"exactly the planted row must flag: ${r.mkString(",")}")
+    assert(math.abs(r(0).getDouble(2) - 0.6745 * 94.5 / 2.5) < 1e-3)
+  }
+
+  test("CMS heavy hitters: never underestimates; exact when collision-free") {
+    val dir = tmpDir()
+    val custkeys = Seq.fill(7)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L, 40L)
+    spark.createDataFrame(custkeys.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val est = CorpusStatsQueries.queries("q_heavy_hitters")(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val truth = custkeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS must never underestimate: key $k est ${est(k)} < $n")
+    }
+    // 4 keys in 256 buckets × 4 independent rows: the min over rows is
+    // collision-free here, so the estimates are exact
+    assert(est == truth)
+  }
+
   test("label centroids: identical direction reads 1, orthogonal reads 0") {
     val dir = tmpDir()
     val rows = Seq(
