@@ -285,7 +285,27 @@ object CorpusStatsQueries {
       .limit(20)
   }
 
+  /** PCA projection of the embeddings table onto its top-4 principal
+    * axes ([[graft.ml.Pca]]): one treeAggregate pass accumulates the
+    * d+d² sufficient statistics (33 KB at d = 64, row-count-independent),
+    * the d×d eigenproblem solves driver-side, and the projection is a
+    * codegen dot_f per component — the fit/transform split a 100 TB
+    * dimensionality reduction actually uses. No DuckDB oracle (SQL has
+    * no eigendecomposition); semantics are pinned by PcaSpec's
+    * closed-form fixtures and the explained-variance/orthonormality
+    * properties. */
+  private val pcaProject: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ml.Pca.fit(emb, "embedding", 4)
+    model.transform(emb, "embedding")
+      .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
+        round(col("pc2"), 4).as("pc2"), round(col("pc3"), 4).as("pc3"),
+        round(col("pc4"), 4).as("pc4"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pca_project" -> pcaProject,
     "q_char_entropy" -> charEntropy,
     "q_dup_coverage" -> dupCoverage,
     "q_ngram_novelty" -> ngramNovelty,
