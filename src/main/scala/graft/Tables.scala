@@ -27,14 +27,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot hold; read it as a long (legacy nanosAsLong) and
-    * convert to a micros timestamp. Centralized here so every consumer
-    * sees a plain TimestampType column. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data drops
+    * (unrepresentable in Spark's micros TimestampType — read as long via
+    * legacy nanosAsLong, then converted) and as plain TIMESTAMP(MICROS) in
+    * others (directly usable). Centralized, schema-adaptive load so every
+    * consumer sees a plain TimestampType column either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive wall time ≡ UTC instant — the same convention the DuckDB
+        // oracle applies with epoch_us(ts) on the raw parquet. Session tz
+        // is pinned to UTC (Verify/Bench/SparkSpec; re-pinned here for
+        // driver-owned sessions) so the cast is deterministic.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** The events schema as the file stream must declare it (streaming
-    * sources cannot infer). ts arrives as nanos (see Tables.events). */
+    * sources cannot infer). ts has shipped both as TIMESTAMP(NANOS)
+    * (read as long, see Tables.events) and as TIMESTAMP(MICROS). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),   // TIMESTAMP(NANOS) read as long
@@ -30,14 +31,29 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files.
+    * Streaming sources need a static declared schema, so probe the
+    * on-disk ts type with a one-file batch read first (driver-side
+    * footer read, O(1)) and declare/convert to match — same
+    * schema-adaptivity as Tables.events. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val onDisk = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDisk) else f))
+    val stream = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    onDisk match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        // naive-as-UTC, same convention as Tables.events (session tz UTC)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Rate source (engine extension): Spark's built-in load generator

@@ -5,6 +5,15 @@ import graft.streaming.EventStreams
 
 class StreamingSpec extends SparkSpec {
 
+  /** Monotone long view of the raw events ts for ordering probes, on
+    * either on-disk layout: nanos-long (identity) or timestamp (epoch
+    * micros via an LTZ cast — TIMESTAMP_NTZ has no direct long cast). */
+  private def tsAsLong(raw: org.apache.spark.sql.DataFrame) =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   /** File streams need a directory; stage the events file into one. */
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -182,9 +191,11 @@ class StreamingSpec extends SparkSpec {
     val hi = raw.filter(col("event_id") > cut)
     // event_id correlates with ts in the fixture; verify that here so
     // the in-order-across-triggers premise of the test is real
+    // monotone long view of ts for the ordering probe, on either on-disk
+    // layout (nanos-long drop: identity; timestamp drop: epoch micros)
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    val loMax = lo.agg(fmax("ts")).head().getLong(0)
-    val hiMin = hi.agg(fmin("ts")).head().getLong(0)
+    val loMax = lo.agg(fmax(tsAsLong(raw))).head().getLong(0)
+    val hiMin = hi.agg(fmin(tsAsLong(raw))).head().getLong(0)
     assume(loMax <= hiMin, "fixture not time-split by event_id; skip")
     lo.coalesce(1).write.parquet(s"$dir/a.parquet")
     hi.coalesce(1).write.parquet(s"$dir/b.parquet")
@@ -220,8 +231,9 @@ class StreamingSpec extends SparkSpec {
     val lo = raw.filter(col("event_id") <= cut)
     val hi = raw.filter(col("event_id") > cut)
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    assume(lo.agg(fmax("ts")).head().getLong(0) <=
-      hi.agg(fmin("ts")).head().getLong(0), "fixture not time-split; skip")
+    assume(lo.agg(fmax(tsAsLong(raw))).head().getLong(0) <=
+      hi.agg(fmin(tsAsLong(raw))).head().getLong(0),
+      "fixture not time-split; skip")
     val nUsersLo = lo.select("user_id").distinct().count()
     val nUsersHi = hi.select("user_id").distinct().count()
 
