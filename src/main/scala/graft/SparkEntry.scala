@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.TpchQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.TemporalQueries.queries ++
-      graft.queries.CorpusStatsQueries.queries
+      graft.queries.CorpusStatsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.TpchQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.TemporalQueries.oracles ++
-      graft.queries.CorpusStatsQueries.oracles
+      graft.queries.CorpusStatsQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second-stage curation / featurization operators — the ranking,
+  * scaling, sampling, and collocation statistics a training-data
+  * pipeline runs AFTER the dedup/filter passes have fixed corpus
+  * membership: BM25 keyword extraction, robust per-group scaling,
+  * exact stratified sampling, overlapping-window chunking, corpus
+  * composition shares, and PMI collocation mining.
+  *
+  * Scale notes:
+  *  - every statistic aggregates to a model-sized side (per-language
+  *    percentiles, 50-word vocab, per-(lang,source) counts) that is
+  *    broadcast back onto the corpus scan — the corpus itself crosses
+  *    the network at most once per query, keyed by an 8-byte id;
+  *  - [[cooccurPmi]] is candidate-bounded by construction: the
+  *    within-doc self-join is restricted to a broadcast top-50 vocab,
+  *    so the pair blow-up is ≤ C(50,2) per document, never len²;
+  *  - [[docChunkOverlap]] and [[robustScale]] are pure per-row
+  *    expression work inside whole-stage codegen — zero extra shuffle;
+  *  - deterministic selection everywhere: md5-ordered row_numbers for
+  *    the stratified sample (partition-order-invariant, replayable in
+  *    any engine), rounded-score ranking for BM25/PMI so a 1-ulp libm
+  *    `ln` difference between engines cannot flip an order-by.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 (Okapi, k1 = 1.2, b = 0.75) top-3 terms per document — the
+    * sparse-retrieval / keyword-extraction upgrade of [[TextQueries]]'
+    * plain TF-IDF: term saturation (k1) and length normalization (b).
+    * idf is the Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)), always
+    * positive. One (doc, word) count, one word-keyed df aggregate, one
+    * doc-keyed length aggregate; N and avgdl are 1-row broadcasts.
+    * Ranking uses the ROUNDED score (desc, then word) so both engines
+    * agree on the cut even if libm ln differs in the last ulp. */
+  private val bm25: Q = (s, d) => {
+    val k1 = 1.2
+    val b = 0.75
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val corpus = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.agg(count(lit(1)).as("n_words")))
+      .select(col("n_docs"),
+        (col("n_words").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf.join(dl, "doc_id").join(dfq, "word")
+      .crossJoin(broadcast(corpus))
+      .withColumn("bm25", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("bm25"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Robust (median/IQR) per-language scaling of n_chars — the outlier-
+    * immune twin of z-scoring for features with heavy tails: a single
+    * extreme document moves mean/std arbitrarily but barely moves the
+    * quartiles. Exact interpolated percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont`), one tiny per-language aggregate broadcast
+    * back; the scaling itself is per-row codegen. Zero-IQR groups emit
+    * NULL (undefined scale) rather than ±inf. */
+  private val robustScale: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pct = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.5)").as("med"),
+      expr("percentile(n_chars, 0.25)").as("p25"),
+      expr("percentile(n_chars, 0.75)").as("p75"))
+    docs.join(broadcast(pct), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("p75") =!= col("p25"),
+          round((col("n_chars") - col("med")) / (col("p75") - col("p25")), 4))
+          .as("robust_z"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact stratified sampling: ⌈20%⌉ of every language, selected by
+    * md5(doc_id) rank — per-stratum counts are EXACT (unlike Bernoulli
+    * sampling whose per-stratum size is binomial), and the survivor set
+    * is deterministic, partition-order-invariant, and replayable in any
+    * engine with md5. Per-language rank + count window; at scale the
+    * hot-language window routes through the same salted-prune defense
+    * as q_source_cap ([[TextQueries.rankedHeadByKey]] shape). */
+  private val stratifiedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+
+  /** Overlapping-window chunking: token windows of size 128 at stride
+    * 64 (the context-window packing shape that preserves cross-boundary
+    * n-grams, unlike q_doc_chunk's disjoint splits). Pure per-row
+    * generator work: explode the stride starts, slice the token array —
+    * no shuffle, output rows ∝ tokens/stride. */
+  private val docChunkOverlap: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nt", size(col("w")))
+      .select(col("doc_id"), col("nt"), col("w"),
+        explode(expr("CASE WHEN nt >= 1 THEN sequence(0, nt - 1, 64) " +
+          "ELSE array() END")).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / 64).cast("int").as("chunk_id"),
+        least(lit(128), col("nt") - col("st")).as("n_tok"),
+        element_at(col("w"), col("st") + 1).as("first_tok"),
+        element_at(col("w"), col("st") + least(lit(128), col("nt") - col("st")))
+          .as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Corpus composition matrix: per (lang, source) document count and
+    * its share WITHIN the language — the drift dashboard a curation
+    * pipeline watches per ingest (a source suddenly dominating one
+    * language is the classic crawler-loop signal). One map-side-combined
+    * aggregate to (lang, source) grain, then a window over the tiny
+    * aggregate — corpus-sized data shuffles once. */
+  private val langSourceShare: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .withColumn("share", round(
+        col("n") / sum("n").over(Window.partitionBy("lang")), 4))
+      .orderBy("lang", "source")
+
+  /** PMI collocations over the top-50 document-frequency vocabulary:
+    * pairs (a < b) scored by ln(P(a,b) / (P(a)·P(b))) with document-
+    * level probabilities, support ≥ 5 docs, top-20 by rounded PMI.
+    * The candidate stage joins each document's vocab words with
+    * themselves — bounded by C(50,2) pairs per doc because the vocab
+    * side is a broadcast 50-row list, NEVER a len² text blow-up. The
+    * doc_id-keyed equi-join is the only corpus shuffle. */
+  private val cooccurPmi: Q = (s, d) => {
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val vocab = dw.groupBy("word").agg(count(lit(1)).as("dfw"))
+      .orderBy(desc("dfw"), asc("word")).limit(50)
+    val dv = dw.join(broadcast(vocab), "word")
+    val la = dv.select(col("doc_id"), col("word").as("wa"), col("dfw").as("na"))
+    val lb = dv.select(col("doc_id"), col("word").as("wb"), col("dfw").as("nb"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    la.join(lb, "doc_id")
+      .filter(col("wa") < col("wb"))
+      .groupBy("wa", "wb", "na", "nb").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(log(
+        col("nab").cast("double") * col("n_docs") / (col("na") * col("nb"))), 4))
+      .select(col("wa"), col("wb"), col("nab"), col("pmi"))
+      .orderBy(desc("pmi"), asc("wa"), asc("wb"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bm25" -> bm25,
+    "q_robust_scale" -> robustScale,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_doc_chunk_overlap" -> docChunkOverlap,
+    "q_lang_source_share" -> langSourceShare,
+    "q_cooccur_pmi" -> cooccurPmi,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                        FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+         df AS (SELECT word, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+         corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                           CAST((SELECT count(*) FROM words) AS DOUBLE)
+                             / (SELECT count(*) FROM documents) AS avgdl),
+         scored AS (
+           SELECT tf.doc_id, tf.word, tf.tf,
+                  round(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                        (tf.tf * 2.2) /
+                        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 4)
+                    AS bm25
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (word)
+           CROSS JOIN corpus),
+         ranked AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY bm25 DESC, word) AS INTEGER) AS rnk,
+                  word, tf, bm25
+           FROM scored)
+         SELECT doc_id, rnk, word, tf, bm25 FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_robust_scale" ->
+      """WITH p AS (SELECT lang,
+                           quantile_cont(n_chars, 0.5) AS med,
+                           quantile_cont(n_chars, 0.25) AS p25,
+                           quantile_cont(n_chars, 0.75) AS p75
+                    FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+                CASE WHEN p75 <> p25
+                     THEN round((n_chars - med) / (p75 - p25), 4) END
+                  AS robust_z
+         FROM documents d JOIN p USING (lang)
+         ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+                           CAST(row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             AS INTEGER) AS rn,
+                           count(*) OVER (PARTITION BY lang) AS n_lang
+                    FROM documents)
+         SELECT doc_id, lang, rn FROM r
+         WHERE rn <= ceil(n_lang * 0.2)
+         ORDER BY doc_id""",
+    "q_doc_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         st AS (SELECT doc_id, w, len(w) AS nt,
+                       unnest(range(0, len(w), 64)) AS st
+                FROM toks WHERE len(w) >= 1)
+         SELECT doc_id, CAST(st // 64 AS INTEGER) AS chunk_id,
+                CAST(least(128, nt - st) AS INTEGER) AS n_tok,
+                w[st + 1] AS first_tok,
+                w[st + least(128, nt - st)] AS last_tok
+         FROM st ORDER BY doc_id, chunk_id""",
+    "q_lang_source_share" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+                    FROM documents GROUP BY 1, 2)
+         SELECT lang, source, n,
+                round(CAST(n AS DOUBLE) /
+                      sum(n) OVER (PARTITION BY lang), 4) AS share
+         FROM c ORDER BY lang, source""",
+    "q_cooccur_pmi" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, word
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS word
+                           FROM documents)),
+         vocab AS (SELECT word, count(*) AS dfw FROM dw GROUP BY word
+                   ORDER BY dfw DESC, word LIMIT 50),
+         dv AS (SELECT doc_id, word, dfw FROM dw JOIN vocab USING (word)),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         co AS (SELECT a.word AS wa, b.word AS wb,
+                       a.dfw AS na, b.dfw AS nb, count(*) AS nab
+                FROM dv a JOIN dv b USING (doc_id)
+                WHERE a.word < b.word
+                GROUP BY 1, 2, 3, 4
+                HAVING count(*) >= 5)
+         SELECT wa, wb, nab,
+                round(ln(CAST(nab AS DOUBLE) * n_docs / (na * nb)), 4) AS pmi
+         FROM co CROSS JOIN n
+         ORDER BY pmi DESC, wa, wb LIMIT 20""",
+  )
+}

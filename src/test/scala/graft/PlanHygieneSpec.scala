@@ -20,7 +20,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_join_range", "q_join_cross", "q_knn_exact", "q_knn_lsh",
     "q_knn_lsh_multi", "q_knn_ivf", "q_knn_ivf_pq", "q_knn_batch_ivf",
     "q_tfidf", "q_funnel", "q_resample_fill",
-    "q_lm_score", "q_source_divergence", "q_temperature_sample")
+    "q_lm_score", "q_source_divergence", "q_temperature_sample",
+    // round 8: 1-row broadcast corpus stats (N+avgdl / n_docs)
+    "q_bm25", "q_cooccur_pmi")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

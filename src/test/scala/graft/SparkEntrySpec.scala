@@ -32,7 +32,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.TpchQueries.queries,
       graft.queries.GraphQueries.queries,
       graft.queries.TemporalQueries.queries,
-      graft.queries.CorpusStatsQueries.queries)
+      graft.queries.CorpusStatsQueries.queries,
+      graft.queries.CurationQueries.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"query name collides across modules: $dupes")
