@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path:
+  * a session built from config alone (no imperative register() calls)
+  * must expose every custom SQL function, and the opt-in cartesian
+  * guard must reject exactly the joins PlanHygieneSpec forbids. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** New session on the shared context with the extensions applied via
+    * `builder.withExtensions(new GraftExtensions)` — same injections as
+    * the `spark.sql.extensions=graft.GraftExtensions` config string,
+    * which is a STATIC conf Spark reads at SparkContext start and so
+    * cannot be exercised on this JVM's shared test context. The shared
+    * SparkSpec session is saved/restored so other suites never see a
+    * swapped active session. */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = SparkSpec.spark // force-init the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("config-injected session resolves every custom SQL function") {
+    withExtSession { s =>
+      assert(s.sql("SELECT dot_f(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))").head.getDouble(0) == 11.0)
+      assert(s.sql("SELECT jaro_winkler('martha', 'marhta')")
+        .head.getDouble(0) > 0.95)
+      assert(!s.sql("SELECT fingerprint64('abc')").head.isNullAt(0))
+      // z_value(1, 1) interleaves to binary 11 = 3
+      assert(s.sql("SELECT z_value(1, 1)").head.getLong(0) == 3L)
+      assert(s.sql("SELECT winnow_stats('a b c d e f g h i j k l')")
+        .head.schema.nonEmpty)
+      // catalog-visible, not a temp function
+      assert(s.catalog.functionExists("dot_f"))
+    }
+  }
+
+  test("injected functions enforce arity at analysis time") {
+    withExtSession { s =>
+      val e = intercept[Exception](s.sql("SELECT dot_f(array(1.0F))").collect())
+      assert(e.getMessage.contains("dot_f"), s"got: ${e.getMessage}")
+    }
+  }
+
+  test("cartesian guard rejects big-both-sides cross joins when armed") {
+    withExtSession { s =>
+      val big = s.range(1000000).withColumn("pad",
+        concat_ws("-", (0 to 8).map(i => col("id") * i): _*))
+      // both sides must exceed the 10 MB broadcast threshold or the
+      // join is a legitimate broadcast BNLJ the guard must allow
+      val big2 = big.select(col("id").as("id2"), col("pad").as("pad2"))
+      // disarmed (default): the plan is allowed to materialize
+      assert(big.crossJoin(big2).queryExecution.executedPlan != null)
+      s.conf.set("spark.graft.guard.cartesian", "true")
+      try {
+        val e = intercept[IllegalStateException] {
+          big.crossJoin(big2).queryExecution.executedPlan
+        }
+        assert(e.getMessage.contains("cartesian guard"))
+        // a broadcast-small side stays allowed: that is the q_join_cross
+        // shape PlanHygieneSpec permits
+        val tiny = s.range(5).select(col("id").as("id3"))
+        assert(big.crossJoin(tiny).queryExecution.executedPlan != null)
+      } finally s.conf.set("spark.graft.guard.cartesian", "false")
+    }
+  }
+
+  test("guard leaves conditioned and broadcast joins untouched") {
+    withExtSession { s =>
+      s.conf.set("spark.graft.guard.cartesian", "true")
+      try {
+        val a = s.range(100000).withColumn("k", col("id") % 100)
+        val b = s.range(100000).withColumn("k", col("id") % 100)
+        assert(a.join(b, "k").queryExecution.executedPlan != null)
+      } finally s.conf.set("spark.graft.guard.cartesian", "false")
+    }
+  }
+}
