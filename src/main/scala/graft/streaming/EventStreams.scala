@@ -122,6 +122,28 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static decontamination — scrub-as-you-land: newly landed
+    * documents explode to their word-3-gram shingles (the
+    * [[graft.queries.TextQueries.shingleArraySql]] contract, xxhash64
+    * identities on both sides) and probe the STATIC eval-slice shingle
+    * set with a stream-static inner equi-join. Stream-static joins are
+    * STATELESS — the static side is a plain batch relation (broadcast
+    * when small), no watermark, no state store — so this is the
+    * incremental form of q_decontaminate whose per-batch cost scales
+    * with the batch, never the corpus. Emits contaminated doc_ids;
+    * dropDuplicates collapses multi-shingle hits (state ∝ contaminated
+    * docs — at 100 TB bound it with a watermark on an ingest-time
+    * column, or leave the per-batch duplicates to the sink's dedup). */
+  def decontaminateStream(docsStream: DataFrame, evalShingles: DataFrame): DataFrame =
+    docsStream
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(graft.queries.TextQueries.shingleArraySql)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
+      .join(evalShingles.select("shingle"), "shingle")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

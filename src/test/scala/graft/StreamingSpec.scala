@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("stream-static decontamination equals the batch contaminated set") {
+    // the static side: eval-slice (doc_id % 5 = 4) distinct shingles,
+    // same builder as batch q_decontaminate
+    val evalShingles = graft.queries.TextQueries.shingleRows(spark, sf)
+      .filter(col("doc_id") % 5 === 4)
+      .select("shingle").distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docsStream = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(dir.toString)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.decontaminateStream(docsStream, evalShingles),
+      "t_decont_stream")
+      .collect().map(_.getLong(0)).toSet
+    // batch truth: docs sharing any shingle with the eval set
+    val want = graft.queries.TextQueries.shingleRows(spark, sf)
+      .join(evalShingles, "shingle")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == want,
+      s"stream=${got.size} docs, batch=${want.size} docs")
+  }
+
   test("streaming tumbling windows equal the batch twin (complete mode)") {
     val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, stream, "t_tumbling", "complete")
