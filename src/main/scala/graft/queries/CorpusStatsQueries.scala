@@ -38,10 +38,12 @@ object CorpusStatsQueries {
   private val charEntropy: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("n", length(col("text")))
+      // split(text, '') builds the char array in ONE O(len) pass —
+      // per-index substring(text, i, 1) would re-scan the UTF-8 bytes
+      // from the start on every call (O(len²) per row)
       .withColumn("sc", expr(
-        """CASE WHEN n >= 1
-             THEN array_sort(transform(sequence(1, n), i -> substring(text, i, 1)))
-             ELSE array() END"""))
+        """CASE WHEN n >= 1 THEN array_sort(split(text, ''))
+           ELSE array() END"""))
       // run starts in sorted order, with an n+1 sentinel so run lengths
       // are adjacent-element differences (try_element_at: no guard
       // needed for the i=1 boundary, null compares to false)

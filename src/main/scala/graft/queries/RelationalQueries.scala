@@ -304,6 +304,45 @@ object RelationalQueries {
         round(element_at(col("ps"), 3), 4).as("p75"))
       .orderBy("l_returnflag")
 
+  /** E6 grouped exact quantiles, SELECTION form — the scale twin of
+    * [[quantilesByGroup]]: `percentile` buffers every group value in one
+    * aggregation buffer (the row that dies first when a single group
+    * holds billions of values); this form instead sorts within the
+    * group ONCE (spillable UnsafeExternalSorter, parallel across
+    * groups), ranks with row_number, and keeps only the TWO order
+    * statistics each percentile needs, interpolating exactly as DuckDB
+    * `quantile_cont` / Spark `percentile` do (pos = p·(n−1), result =
+    * v_lo + (v_hi − v_lo)·frac — identical IEEE ops, so this query
+    * shares q_quantiles_grouped's oracle text and the hash gate PROVES
+    * the selection form exact). Ties in x need no tiebreak: equal
+    * ranks land on equal values. At extreme per-group cardinality the
+    * documented swap is still approx_percentile (same plan shape). */
+  private val quantilesGroupedSel: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("x")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    def parts(p: Double, nm: String): Seq[Column] = {
+      val pos = lit(p) * (col("n") - 1) // 0-based fractional index
+      val lo = floor(pos) + 1           // 1-based bracketing ranks
+      val hi = ceil(pos) + 1
+      Seq(
+        max(when(col("rn") === lo, col("x"))).as(s"${nm}_lo"),
+        max(when(col("rn") === hi, col("x"))).as(s"${nm}_hi"),
+        max(when(col("rn") === lo, pos - floor(pos))).as(s"${nm}_f"))
+    }
+    def lerp(nm: String): Column =
+      round(col(s"${nm}_lo") +
+        (col(s"${nm}_hi") - col(s"${nm}_lo")) * col(s"${nm}_f"), 4).as(nm)
+    val aggs = parts(0.25, "p25") ++ parts(0.50, "p50") ++ parts(0.75, "p75")
+    ranked.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), lerp("p25"), lerp("p50"), lerp("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group z-score outlier filter — the standard feature-pipeline
     * guard: group stats (one partial+final aggregate over ~3 groups)
     * broadcast back onto the fact table, rows kept where the ROUNDED
@@ -501,6 +540,7 @@ object RelationalQueries {
     "q_cube" -> cube,
     "q_quantiles" -> quantiles,
     "q_quantiles_grouped" -> quantilesByGroup,
+    "q_quantiles_grouped_sel" -> quantilesGroupedSel,
     "q_zscore_outliers" -> zscoreOutliers,
   )
 
@@ -730,6 +770,14 @@ object RelationalQueries {
          WHERE abs(round((l_extendedprice - m) / sd, 4)) > 1.5
          ORDER BY l_orderkey, l_linenumber""",
     "q_quantiles_grouped" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the selection form must reproduce quantile_cont EXACTLY — same
+    // oracle text, so a hash match proves the rank-pick + lerp exact
+    "q_quantiles_grouped_sel" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
