@@ -558,6 +558,50 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Containment / truncation dedup — the web-corpus dup mode Jaccard
+    * thresholds miss: doc B is a truncated re-crawl (or doc A an
+    * extended re-edit) so B's text is a strict PREFIX of A's, but when
+    * the lengths differ enough the shingle-overlap ratio never crosses
+    * a near-dup cut. Candidate rule: block on the first-5-word prefix.
+    * That rule has COMPLETE recall for contained docs of >= 5 words —
+    * containment at the start implies an identical 5-word prefix — so
+    * the only recall bound is the (documented) sub-5-word floor, below
+    * which a "dup" carries no signal anyway. Verification is an exact
+    * startsWith on the candidate pair.
+    *
+    * Scale shape: the block key ships as its xxhash64 (the
+    * [[shingleRows]] 8-byte-identity convention; the oracle replays
+    * with the string key), blocks hotter than 64 docs are dropped
+    * loudly-by-construction (the [[maxShingleDf]] boilerplate-cap
+    * precedent — a viral opening line is boilerplate, not truncation),
+    * and the O(len) startsWith runs only on block-join candidates,
+    * never all pairs. Container = the longer text (the id tiebreak for
+    * exact dups is the higher doc_id, deterministic). */
+  private val dedupContainment: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("text"),
+        xxhash64(concat_ws(" ", slice(col("w"), 1, 5))).as("pk"))
+    val coldBlocks = keyed.groupBy("pk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64).select("pk")
+    val blocked = keyed.join(coldBlocks, "pk")
+    val a = blocked.select(col("pk"), col("doc_id").as("id_a"),
+      col("text").as("text_a"))
+    val b = blocked.select(col("pk"), col("doc_id").as("id_b"),
+      col("text").as("text_b"))
+    val aShorter = length(col("text_a")) <= length(col("text_b"))
+    a.join(b, "pk")
+      .filter(col("id_a") < col("id_b"))
+      .filter(when(aShorter, col("text_b").startsWith(col("text_a")))
+        .otherwise(col("text_a").startsWith(col("text_b"))))
+      .select(
+        when(aShorter, col("id_b")).otherwise(col("id_a")).as("container_id"),
+        when(aShorter, col("id_a")).otherwise(col("id_b")).as("contained_id"),
+        abs(length(col("text_a")) - length(col("text_b"))).as("extra_chars"))
+      .orderBy("container_id", "contained_id")
+  }
+
   /** Duplicate-cluster canonicalization: connected components over the
     * near-dup pair graph (the q_dedup_ngram edges), labeling every doc
     * with the smallest doc_id reachable through dup pairs — the step a
@@ -1092,6 +1136,7 @@ object TextQueries {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_fuzzy" -> dedupFuzzy,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_cluster_ls" -> dedupClusterLs,
     "q_sample_hash" -> sampleHash,
@@ -1267,6 +1312,26 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+         k AS (SELECT doc_id, text, array_to_string(w[1:5], ' ') AS pk
+               FROM toks WHERE len(w) >= 5),
+         cold AS (SELECT pk FROM k GROUP BY pk HAVING count(*) <= 64),
+         kb AS (SELECT k.* FROM k JOIN cold USING (pk)),
+         pairs AS (SELECT a.doc_id AS id_a, a.text AS ta,
+                          b.doc_id AS id_b, b.text AS tb
+                   FROM kb a JOIN kb b USING (pk)
+                   WHERE a.doc_id < b.doc_id)
+         SELECT CASE WHEN length(ta) <= length(tb) THEN id_b ELSE id_a END
+                  AS container_id,
+                CASE WHEN length(ta) <= length(tb) THEN id_a ELSE id_b END
+                  AS contained_id,
+                CAST(abs(length(ta) - length(tb)) AS INTEGER) AS extra_chars
+         FROM pairs
+         WHERE CASE WHEN length(ta) <= length(tb) THEN starts_with(tb, ta)
+                    ELSE starts_with(ta, tb) END
+         ORDER BY container_id, contained_id""",
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh_all AS (SELECT DISTINCT doc_id,

@@ -397,6 +397,37 @@ class TextSimilaritySpec extends SparkSpec {
       s"extra=${incNorm diff full} missing=${full diff incNorm}")
   }
 
+  test("containment dedup flags truncated re-crawls that Jaccard misses") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val full = ("w" +: (1 to 60).map(i => s"tok$i")).mkString(" ")
+    val truncated = ("w" +: (1 to 12).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq(
+      Row(1L, full, "en", "t", full.length.toLong),
+      Row(2L, truncated, "en", "t", truncated.length.toLong),
+      // shares the 5-word prefix but diverges after — must NOT flag
+      Row(3L, ("w" +: (1 to 4).map(i => s"tok$i") :+ "different tail here now")
+        .mkString(" "), "en", "t", 40L),
+      Row(4L, "totally unrelated words in this one", "en", "t", 35L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"exactly the truncation pair (container 1, contained 2): ${got.toSeq}")
+    // the pair 1-2 is INVISIBLE to the n-gram Jaccard cut: 12 shared
+    // shingles over a 58-shingle union is far below 0.8
+    val jacc = TextQueries.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jacc.contains((1L, 2L)),
+      "the truncation pair must be the containment detector's alone")
+  }
+
   test("dedup_cluster on a corpus with no duplicates yields singleton clusters") {
     // regression: sum() over the empty dup subgraph is NULL — the
     // convergence probe must not NPE when no pair exists at all
