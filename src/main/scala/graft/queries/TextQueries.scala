@@ -577,12 +577,15 @@ object TextQueries {
     * and the O(len) startsWith runs only on block-join candidates,
     * never all pairs. Container = the longer text (the id tiebreak for
     * exact dups is the higher doc_id, deterministic). */
-  private val dedupContainment: Q = (s, d) => {
+  private def containmentPairs(s: SparkSession, d: String,
+      blockKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      verify: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
     val keyed = Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), col("text"),
-        xxhash64(concat_ws(" ", slice(col("w"), 1, 5))).as("pk"))
+        xxhash64(concat_ws(" ", blockKey(col("w")))).as("pk"))
     val coldBlocks = keyed.groupBy("pk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= 64).select("pk")
     val blocked = keyed.join(coldBlocks, "pk")
@@ -593,14 +596,26 @@ object TextQueries {
     val aShorter = length(col("text_a")) <= length(col("text_b"))
     a.join(b, "pk")
       .filter(col("id_a") < col("id_b"))
-      .filter(when(aShorter, col("text_b").startsWith(col("text_a")))
-        .otherwise(col("text_a").startsWith(col("text_b"))))
+      .filter(when(aShorter, verify(col("text_b"), col("text_a")))
+        .otherwise(verify(col("text_a"), col("text_b"))))
       .select(
         when(aShorter, col("id_b")).otherwise(col("id_a")).as("container_id"),
         when(aShorter, col("id_a")).otherwise(col("id_b")).as("contained_id"),
         abs(length(col("text_a")) - length(col("text_b"))).as("extra_chars"))
       .orderBy("container_id", "contained_id")
   }
+
+  private val dedupContainment: Q = (s, d) =>
+    containmentPairs(s, d, w => slice(w, 1, 5), (big, small) => big.startsWith(small))
+
+  /** Suffix twin of [[dedupContainment]] — the header-injection dup
+    * mode: boilerplate PREPENDED to a re-host, so the original is a
+    * strict SUFFIX of the container. Blocks on the LAST 5 words (same
+    * complete-recall argument, mirrored) and verifies with endsWith.
+    * Exact dups satisfy both directions and appear in both queries —
+    * by design: each detector's output is its complete dup mode. */
+  private val dedupContainmentSfx: Q = (s, d) =>
+    containmentPairs(s, d, w => slice(w, -5, 5), (big, small) => big.endsWith(small))
 
   /** Duplicate-cluster canonicalization: connected components over the
     * near-dup pair graph (the q_dedup_ngram edges), labeling every doc
@@ -1137,6 +1152,7 @@ object TextQueries {
     "q_dedup_fuzzy" -> dedupFuzzy,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_containment" -> dedupContainment,
+    "q_dedup_containment_sfx" -> dedupContainmentSfx,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_cluster_ls" -> dedupClusterLs,
     "q_sample_hash" -> sampleHash,
@@ -1331,6 +1347,28 @@ object TextQueries {
          FROM pairs
          WHERE CASE WHEN length(ta) <= length(tb) THEN starts_with(tb, ta)
                     ELSE starts_with(ta, tb) END
+         ORDER BY container_id, contained_id""",
+    "q_dedup_containment_sfx" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+         k AS (SELECT doc_id, text,
+                      array_to_string(list_slice(w, len(w) - 4, len(w)), ' ')
+                        AS pk
+               FROM toks WHERE len(w) >= 5),
+         cold AS (SELECT pk FROM k GROUP BY pk HAVING count(*) <= 64),
+         kb AS (SELECT k.* FROM k JOIN cold USING (pk)),
+         pairs AS (SELECT a.doc_id AS id_a, a.text AS ta,
+                          b.doc_id AS id_b, b.text AS tb
+                   FROM kb a JOIN kb b USING (pk)
+                   WHERE a.doc_id < b.doc_id)
+         SELECT CASE WHEN length(ta) <= length(tb) THEN id_b ELSE id_a END
+                  AS container_id,
+                CASE WHEN length(ta) <= length(tb) THEN id_a ELSE id_b END
+                  AS contained_id,
+                CAST(abs(length(ta) - length(tb)) AS INTEGER) AS extra_chars
+         FROM pairs
+         WHERE CASE WHEN length(ta) <= length(tb) THEN ends_with(tb, ta)
+                    ELSE ends_with(ta, tb) END
          ORDER BY container_id, contained_id""",
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -7,7 +7,13 @@ import graft.queries.{PqIndex, SimilarityQueries, TextQueries}
 class TextSimilaritySpec extends SparkSpec {
 
   test("all text/similarity queries execute and return rows") {
+    // q_dedup_containment_sfx is legitimately EMPTY on the driver
+    // corpus: its dups are end-truncations, so only the prefix mode
+    // fires — the suffix mode's positive case is pinned by its
+    // header-injection fixture test instead
+    val mayBeEmpty = Set("q_dedup_containment_sfx")
     (TextQueries.queries ++ SimilarityQueries.queries).foreach {
+      case (name, fn) if mayBeEmpty(name) => fn(spark, sf).count()
       case (name, fn) => assert(fn(spark, sf).count() > 0, s"$name returned no rows")
     }
   }
@@ -426,6 +432,32 @@ class TextSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!jacc.contains((1L, 2L)),
       "the truncation pair must be the containment detector's alone")
+  }
+
+  test("suffix containment flags header-injected re-hosts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfx").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val original = (1 to 20).map(i => s"body$i").mkString(" ")
+    val rehosted = "SITE NAME navigation menu cookie banner " + original
+    val docs = Seq(
+      Row(1L, original, "en", "t", original.length.toLong),
+      Row(2L, rehosted, "en", "t", rehosted.length.toLong),
+      Row(3L, "some other page entirely different text here", "en", "t", 44L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sfx = TextQueries.queries("q_dedup_containment_sfx")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sfx.toSeq == Seq((2L, 1L)),
+      s"container 2 (header-injected) contains 1: ${sfx.toSeq}")
+    // the PREFIX detector must NOT see it (prefixes differ)
+    val pfx = TextQueries.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pfx.contains((2L, 1L)), "prefix mode must miss a header injection")
   }
 
   test("dedup_cluster on a corpus with no duplicates yields singleton clusters") {
