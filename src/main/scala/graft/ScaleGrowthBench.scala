@@ -42,10 +42,15 @@ object ScaleGrowthBench {
   // should match q_dedup_minhash's) and the 5-stage corpus pipeline
   // flagship (dedup groupBy + shingle join + two windows — the whole
   // operator mix in one lineage).
+  // Round 8 adds the containment pair (block join + startsWith/endsWith
+  // verify — growth should track q_dedup_ngram's candidate-join shape).
+  // The "~c" word suffix keeps copies' 5-word block keys disjoint, so
+  // containment pairs also grow exactly FACTOR×.
   private val dedupFamily = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental",
-    "q_decontaminate", "q_dedup_minhash_oracle", "q_corpus_pipeline")
+    "q_decontaminate", "q_dedup_minhash_oracle", "q_corpus_pipeline",
+    "q_dedup_containment", "q_dedup_containment_sfx")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
