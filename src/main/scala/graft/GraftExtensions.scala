@@ -102,11 +102,16 @@ object GraftExtensions {
   object CartesianGuard extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (conf.getConfString("spark.graft.guard.cartesian", "false").toBoolean) {
-        val threshold = conf.autoBroadcastJoinThreshold
+        // Sessions that disable auto-broadcast (threshold = -1) are exactly
+        // the ones where every large cross join plans as a CartesianProduct,
+        // so an armed guard must not go inert there: fall back to a fixed
+        // 10 MB "small side" cutoff instead of skipping the check.
+        val configured = conf.autoBroadcastJoinThreshold
+        val threshold =
+          if (configured >= 0) configured else 10L * 1024 * 1024
         plan.foreach {
           case j @ Join(left, right, Cross, None, _)
-              if threshold >= 0 &&
-                left.stats.sizeInBytes > threshold &&
+              if left.stats.sizeInBytes > threshold &&
                 right.stats.sizeInBytes > threshold =>
             throw new IllegalStateException(
               "graft cartesian guard: condition-less CROSS JOIN with both " +

@@ -40,12 +40,13 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // naive wall time ≡ UTC instant — the same convention the DuckDB
-        // oracle applies with epoch_us(ts) on the raw parquet. Session tz
-        // is pinned to UTC (Verify/Bench/SparkSpec; re-pinned here for
-        // driver-owned sessions) so the cast is deterministic.
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
+        // oracle applies with epoch_us(ts) on the raw parquet. Pure NTZ
+        // field arithmetic (micros since the NTZ epoch), so the result is
+        // identical under ANY session timezone — a table load must not
+        // mutate session state or read tz-dependent semantics.
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
       case _ => raw
     }
   }

@@ -569,14 +569,20 @@ object TextQueries {
     * which a "dup" carries no signal anyway. Verification is an exact
     * startsWith on the candidate pair.
     *
-    * Scale shape: the block key ships as its xxhash64 (the
-    * [[shingleRows]] 8-byte-identity convention; the oracle replays
-    * with the string key), blocks hotter than 64 docs are dropped
-    * loudly-by-construction (the [[maxShingleDf]] boilerplate-cap
-    * precedent — a viral opening line is boilerplate, not truncation),
-    * and the O(len) startsWith runs only on block-join candidates,
-    * never all pairs. Container = the longer text (the id tiebreak for
-    * exact dups is the higher doc_id, deterministic). */
+    * Scale shape: the hot-block CAP (> 64 docs dropped
+    * loudly-by-construction — the [[maxShingleDf]] boilerplate-cap
+    * precedent; a viral opening line is boilerplate, not truncation)
+    * is counted on the EXACT string key, matching the oracle: an
+    * xxhash64 collision merging two blocks near the cap must not
+    * change the kept row set. Only the pair join ships the 8-byte
+    * xxhash64 of the key (the [[shingleRows]] identity convention);
+    * collision-merged blocks there can only add candidate pairs with
+    * DIFFERING 5-word keys, which the exact containment verify
+    * rejects (containment of a >=5-word doc forces equal keys), so
+    * hashing the join key cannot change the verified output. The
+    * O(len) startsWith runs only on block-join candidates, never all
+    * pairs. Container = the longer text (the id tiebreak for exact
+    * dups is the higher doc_id, deterministic). */
   private def containmentPairs(s: SparkSession, d: String,
       blockKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       verify: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
@@ -585,10 +591,11 @@ object TextQueries {
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), col("text"),
-        xxhash64(concat_ws(" ", blockKey(col("w")))).as("pk"))
-    val coldBlocks = keyed.groupBy("pk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= 64).select("pk")
-    val blocked = keyed.join(coldBlocks, "pk")
+        concat_ws(" ", blockKey(col("w"))).as("pks"))
+    val coldBlocks = keyed.groupBy("pks").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64).select("pks")
+    val blocked = keyed.join(coldBlocks, "pks")
+      .select(col("doc_id"), col("text"), xxhash64(col("pks")).as("pk"))
     val a = blocked.select(col("pk"), col("doc_id").as("id_a"),
       col("text").as("text_a"))
     val b = blocked.select(col("pk"), col("doc_id").as("id_b"),

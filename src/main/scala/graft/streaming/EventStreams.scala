@@ -38,7 +38,13 @@ object EventStreams {
     * schema-adaptivity as Tables.events. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema("ts").dataType
+    // A stream must be definable on an EMPTY landing directory (files
+    // arrive later) — if the batch probe can't infer (no files yet),
+    // fall back to the declared rawSchema's long ts rather than throw.
+    val onDisk =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        rawSchema("ts").dataType }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = onDisk) else f))
     val stream = spark.readStream
@@ -49,9 +55,12 @@ object EventStreams {
       case LongType =>
         stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
-        // naive-as-UTC, same convention as Tables.events (session tz UTC)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream.withColumn("ts", col("ts").cast(TimestampType))
+        // naive-as-UTC, same convention as Tables.events: pure NTZ field
+        // arithmetic, identical under any session timezone (defining a
+        // stream must not mutate session state).
+        stream.withColumn("ts", expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
       case _ => stream
     }
   }

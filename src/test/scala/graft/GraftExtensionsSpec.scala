@@ -83,6 +83,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("guard stays armed when auto-broadcast is disabled (threshold -1)") {
+    withExtSession { s =>
+      val big = s.range(1000000).withColumn("pad",
+        concat_ws("-", (0 to 8).map(i => col("id") * i): _*))
+      val big2 = big.select(col("id").as("id2"), col("pad").as("pad2"))
+      s.conf.set("spark.graft.guard.cartesian", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // sessions that disable auto-broadcast plan EVERY cross join as a
+        // CartesianProduct — the armed guard must fall back to its fixed
+        // 10 MB cutoff, not silently disarm
+        val e = intercept[IllegalStateException] {
+          big.crossJoin(big2).queryExecution.executedPlan
+        }
+        assert(e.getMessage.contains("cartesian guard"))
+        // small-side cross joins stay allowed under the fallback cutoff
+        val tiny = s.range(5).select(col("id").as("id3"))
+        assert(big.crossJoin(tiny).queryExecution.executedPlan != null)
+      } finally {
+        s.conf.set("spark.graft.guard.cartesian", "false")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("guard leaves conditioned and broadcast joins untouched") {
     withExtSession { s =>
       s.conf.set("spark.graft.guard.cartesian", "true")

@@ -23,6 +23,44 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("a stream can be defined on an empty landing directory") {
+    // files arrive AFTER stream definition in a real landing zone — the
+    // schema probe must fall back to the declared rawSchema, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-landing")
+    val stream = EventStreams.readEvents(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("ts"))
+    // once a file lands, the same directory serves data (fresh definition
+    // picks up the on-disk schema; the early-bound stream stays valid)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.tumblingCounts(EventStreams.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("empty_landing")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table("empty_landing").count() > 0)
+  }
+
+  test("loading events does not mutate the session timezone") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val batchTs = Tables.events(spark, sf)
+        .agg(sum(unix_micros(col("ts")))).head.getLong(0)
+      assert(spark.conf.get("spark.sql.session.timeZone") ==
+        "America/Los_Angeles", "Tables.events mutated session tz")
+      EventStreams.readEvents(spark, eventsDir)
+      assert(spark.conf.get("spark.sql.session.timeZone") ==
+        "America/Los_Angeles", "readEvents mutated session tz")
+      // and the loaded instants are session-tz-independent
+      spark.conf.set("spark.sql.session.timeZone", before)
+      val utcTs = Tables.events(spark, sf)
+        .agg(sum(unix_micros(col("ts")))).head.getLong(0)
+      assert(batchTs == utcTs, "events ts depends on session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("corpus operators run unchanged on a documents file stream") {
     // per-row text operators are streaming-compatible by construction —
     // prove it: the SAME piiColumns builder drives a readStream source
