@@ -38,6 +38,43 @@ object EtlJob {
       props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
 
+  /** JDBC source — the literal extract leg of the reference pipeline
+    * (`GET_AIR_B` = `SELECT * FROM air_b`, db_queries.py:26-29, run via
+    * cursor + `fetchall()` at pipeline.py:35-37). `fetchall()` pulls the
+    * whole table onto one client process; the Spark twin is a
+    * distributed JDBC relation — filters and projections push down to
+    * the database, and nothing materializes on the driver. */
+  def readJdbc(spark: SparkSession, jdbcUrl: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(jdbcUrl, table, props)
+
+  /** Parallel JDBC source for big extracts: each of `numPartitions`
+    * executors opens its OWN cursor over a disjoint
+    * `partitionColumn` stride — at 100 TB the extract is N concurrent
+    * range scans, not one connection. `partitionColumn` must be an
+    * indexed numeric/date column (the reference table's SERIAL
+    * `index` PK, db_queries.py:6, is exactly that shape); rows outside
+    * [lower, upper] still land in the first/last stride, so bounds
+    * tune parallelism, never correctness. */
+  def readJdbcPartitioned(spark: SparkSession, jdbcUrl: String,
+      table: String, partitionColumn: String, lowerBound: Long,
+      upperBound: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(jdbcUrl, table, partitionColumn, lowerBound,
+      upperBound, numPartitions, props)
+
+  /** Arbitrary-SQL JDBC source (the `query` option): the database runs
+    * the statement and Spark scans its result — the direct analogue of
+    * handing db_queries.py's SQL text to a cursor, for extracts that
+    * are themselves queries (joins, filters) best evaluated where the
+    * indexes are. */
+  def readJdbcQuery(spark: SparkSession, jdbcUrl: String,
+      sql: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", jdbcUrl)
+      .option("query", sql)
+      .load()
+
   /** End-to-end: CSV in, partitioned parquet table out. */
   def run(spark: SparkSession, inCsv: String, outTable: String): Unit =
     writeTable(readCleanCsv(spark, inCsv), outTable)

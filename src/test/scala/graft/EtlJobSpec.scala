@@ -72,6 +72,45 @@ class EtlJobSpec extends SparkSpec {
       == 2 * clean.count())
   }
 
+  test("jdbc source reads back the extract leg of the reference pipeline") {
+    // GET_AIR_B (SELECT * FROM air_b) run as a distributed JDBC relation
+    // instead of cursor+fetchall onto one client
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val (train, test) = ListingsFixture.trainTest(spark)
+    val clean = CleanPipeline.run(train, test)
+    EtlJob.writeJdbc(clean, url, "air_b")
+
+    val back = EtlJob.readJdbc(spark, url, "air_b")
+    assert(back.count() == clean.count())
+    assert(back.columns.map(_.toLowerCase).sorted.sameElements(clean.columns.sorted))
+    // pushdown shape: a filtered projection must agree with the source df
+    val cheap = EtlJob.readJdbc(spark, url, "air_b")
+      .filter(col("price") < 100).count()
+    assert(cheap == clean.filter(col("price") < 100).count())
+
+    // parallel stride read: N executor-side cursors over disjoint ranges
+    // of a numeric column, same rows regardless of bounds
+    val stats = clean.agg(min(col("accommodates")), max(col("accommodates"))).head
+    val par = EtlJob.readJdbcPartitioned(spark, url, "air_b",
+      "accommodates", stats.getInt(0).toLong, stats.getInt(1).toLong, 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == clean.count())
+    // deliberately-narrow bounds: out-of-range rows land in the edge
+    // strides, so the row set is STILL complete (bounds tune parallelism)
+    val narrow = EtlJob.readJdbcPartitioned(spark, url, "air_b",
+      "accommodates", 2L, 3L, 3)
+    assert(narrow.count() == clean.count())
+
+    // query form: the database evaluates the SQL text
+    // Derby folds unquoted identifiers to uppercase; Spark's writer
+    // created quoted lowercase columns, so the raw SQL must quote them
+    val q = EtlJob.readJdbcQuery(spark, url,
+      "SELECT \"city\", \"price\" FROM air_b WHERE \"price\" < 100")
+    assert(q.columns.map(_.toLowerCase).sorted.sameElements(Array("city", "price")))
+    assert(q.count() == cheap)
+  }
+
   test("declared-schema csv read matches the clean schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-etl2")
     val csvDir = s"$tmp/clean_csv"
