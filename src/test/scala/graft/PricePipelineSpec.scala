@@ -174,6 +174,125 @@ class PricePipelineSpec extends SparkSpec {
     }
   }
 
+  test("MLP elu/relu heads backprop agrees with finite differences") {
+    import graft.ml.MlpRegressor
+    val layers = Array(3, 4, 2, 1)
+    val nW = MlpRegressor.weightCount(layers)
+    val x = Array(0.3, -1.2, 0.7)
+    Seq("elu", "relu").foreach { head =>
+      val rnd = new scala.util.Random(7L)
+      val w = Array.fill(nW)(rnd.nextGaussian() * 0.5)
+      // probe a target on EACH side of the head's kink so both branch
+      // derivatives get pinned (bias shift moves the pre-activation)
+      Seq(0.42, -0.35).foreach { y =>
+        val grad = new Array[Double](nW)
+        MlpRegressor.accumulateGradient(layers, w, x, y, grad, head)
+        val eps = 1e-6
+        def loss(wi: Array[Double]): Double = {
+          val out = MlpRegressor.forward(layers, wi, x, head)
+          (out - y) * (out - y)
+        }
+        (0 until nW).foreach { i =>
+          val wp = w.clone(); wp(i) += eps
+          val wm = w.clone(); wm(i) -= eps
+          val numeric = (loss(wp) - loss(wm)) / (2 * eps)
+          assert(math.abs(grad(i) - numeric) <=
+            1e-4 * math.max(1.0, math.abs(numeric)),
+            s"$head y=$y weight $i: backprop ${grad(i)} vs numeric $numeric")
+        }
+      }
+    }
+  }
+
+  test("MLP dropout masks are inverted, rate-respecting, deterministic") {
+    import graft.ml.MlpRegressor
+    // one wide hidden layer, identity-ish weights: with inverted
+    // dropout the EXPECTED gradient equals the no-dropout gradient, the
+    // keep rate shows up in the bias-gradient zero pattern, and the
+    // same dropSeed reproduces the identical mask
+    val layers = Array(2, 400, 1)
+    val nW = MlpRegressor.weightCount(layers)
+    val rnd = new scala.util.Random(11L)
+    val w = Array.fill(nW)(math.abs(rnd.nextGaussian()) * 0.1)
+    val x = Array(0.8, 0.6) // positive inputs + positive weights → all units active
+    val y = -1.0
+    val rates = Array(0.3)
+    val g1 = new Array[Double](nW)
+    val se1 = MlpRegressor.accumulateGradient(layers, w, x, y, g1, "linear", rates, 99L)
+    val g2 = new Array[Double](nW)
+    MlpRegressor.accumulateGradient(layers, w, x, y, g2, "linear", rates, 99L)
+    assert(g1.sameElements(g2), "same dropSeed must reproduce the mask")
+    val g3 = new Array[Double](nW)
+    MlpRegressor.accumulateGradient(layers, w, x, y, g3, "linear", rates, 100L)
+    assert(!g3.sameElements(g1), "a different dropSeed must redraw the mask")
+    // hidden-bias gradients: dropped units contribute exactly 0; kept
+    // units carry the 1/(1-p) inverted scale. Count the zero pattern.
+    val biasOff = 400 * 2
+    val biasGrads = (0 until 400).map(j => g1(biasOff + j))
+    val dropped = biasGrads.count(_ == 0.0)
+    assert(dropped > 400 * 0.3 - 60 && dropped < 400 * 0.3 + 60,
+      s"$dropped/400 dropped at rate 0.3")
+    // inverted scaling: a kept unit's bias grad is 2·err·w2_j·(1/0.7)
+    // vs the clean 2·err0·w2_j — the per-unit backward factor is 1/0.7
+    // exactly, times the GLOBAL error ratio err/err0 (the forward mask
+    // perturbs the output once for all units). Both errors are returned
+    // as squared error; the output is above y=-1 in both runs, so the
+    // signed ratio is the positive root.
+    val g0 = new Array[Double](nW)
+    val se0 = MlpRegressor.accumulateGradient(layers, w, x, y, g0, "linear")
+    val errRatio = math.sqrt(se1 / se0)
+    val ratios = (0 until 400).collect {
+      case j if g1(biasOff + j) != 0.0 && g0(biasOff + j) != 0.0 =>
+        g1(biasOff + j) / g0(biasOff + j)
+    }
+    assert(ratios.nonEmpty)
+    val expected = errRatio / 0.7
+    ratios.foreach { r =>
+      assert(math.abs(r - expected) < 1e-9,
+        s"kept-unit gradient scale $r, want $expected")
+    }
+  }
+
+  test("MLP reference-config heads train end-to-end (narrow twin)") {
+    // the bayesian model's config shape — elu head, .5/.3 dropout, raw
+    // (unstandardized) label — at test width; the full 1450-900-600-300-50
+    // stack is the same code path with bigger arrays
+    val (tr, va) = mlpPrep
+    val m = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 300, lr = 0.05,
+      outputActivation = graft.ml.MlpRegressor.referenceBayesianHead,
+      dropout = Seq(0.5, 0.3), standardizeLabel = false)
+    assert(m.outputActivation == "elu")
+    assert(m.yMean == 0.0 && m.yStd == 1.0, "raw-label mode must not shift")
+    val mae = PricePipeline.evaluator("mae").evaluate(m.transform(va))
+    val baseline = PricePipeline.baselineMae(va)
+    assert(mae.isFinite && mae < baseline,
+      s"reference-config mlp mae $mae should beat naive-mean $baseline")
+    // seed-determinism holds with dropout on (masks are seeded)
+    val again = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(16, 8), maxIter = 300, lr = 0.05,
+      outputActivation = "elu", dropout = Seq(0.5, 0.3),
+      standardizeLabel = false)
+    assert(again.weights.sameElements(m.weights))
+  }
+
+  test("MLP save/load round-trips the output head") {
+    val (tr, va) = mlpPrep
+    val m = graft.ml.MlpRegressor.fit(tr, "features", "price",
+      hidden = Seq(8), maxIter = 50, lr = 0.05,
+      outputActivation = "elu", standardizeLabel = false)
+    val path = java.nio.file.Files.createTempDirectory("graft-mlp-head")
+      .resolve("mlp_elu.txt").toString
+    m.save(path)
+    val loaded = graft.ml.MlpModel.load(path)
+    assert(loaded.outputActivation == "elu")
+    import org.apache.spark.ml.linalg.Vector
+    va.select("features").limit(20).collect().foreach { r =>
+      val x = r.getAs[Vector](0).toArray
+      assert(loaded.predict(x) == m.predict(x))
+    }
+  }
+
   test("MLP save/load round-trips predictions exactly") {
     import org.apache.spark.ml.linalg.Vector
     val (_, va) = mlpPrep
