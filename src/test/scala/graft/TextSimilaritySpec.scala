@@ -101,6 +101,24 @@ class TextSimilaritySpec extends SparkSpec {
     assert((lsh intersect exact).size >= 2, s"lsh found ${lsh intersect exact} of exact top-10")
   }
 
+  test("oracle-twin lsh knn prunes the corpus and overlaps exact top-10") {
+    // the md5-plane DuckDB-replayable ANN path must still BE an ANN:
+    // candidates a strict subset of the corpus, self-match present,
+    // useful overlap with the exact top-10
+    val corpus = Tables.embeddings(spark, sf).count()
+    val cand = SimilarityQueries.knnLshOracleCandidates(spark, sf).count()
+    info(s"lsh-oracle candidates $cand of $corpus")
+    assert(cand < corpus / 2, s"candidates $cand must prune the $corpus corpus")
+    assert(cand >= 10, s"candidates $cand cannot rank a top-10")
+    val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = SimilarityQueries.queries("q_knn_lsh_oracle")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.contains(0L), "query vector must match itself")
+    assert((lsh intersect exact).size >= 2,
+      s"lsh-oracle found ${lsh intersect exact} of exact top-10")
+  }
+
   test("multi-probe lsh strictly beats single-probe recall at <2x candidates") {
     val exact = SimilarityQueries.queries("q_knn_exact")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
