@@ -343,6 +343,99 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** E6 GLOBAL exact quantiles, SELECTION form — the scale twin of
+    * [[quantiles]]. The grouped selection form parallelizes over
+    * groups, but a single global `percentile` still buffers EVERY
+    * value in one aggregation buffer, and a global row_number window
+    * collapses to one partition. This is the textbook distributed
+    * selection instead: range-repartition-sort the column (the
+    * q_sort exchange — ordered partitions, each locally sorted and
+    * spillable), one streaming pass records per-partition counts
+    * (driver receives O(partitions) longs), the driver turns each
+    * percentile position p·(n−1) into (partition, local offset) pairs,
+    * and a second streaming pass extracts ONLY the eight bracketing
+    * order statistics. No partition ever holds more than its range
+    * slice; driver traffic is constant-size. Interpolation is the
+    * exact quantile_cont/percentile formula (v_lo + (v_hi − v_lo)·frac,
+    * identical IEEE ops), so this query SHARES q_quantiles' oracle text
+    * and the hash gate proves the selection form exact. The RDD
+    * mapPartitions pair is the genuine per-partition imperative case:
+    * no DataFrame operator exposes "k-th element of a sorted partition"
+    * without a global window. */
+  private val quantilesSel: Q = (s, d) => {
+    import org.apache.spark.storage.StorageLevel
+    val ps = Seq(0.25, 0.50, 0.75, 0.95)
+    val sorted = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").cast("double")).rdd
+      .map(_.getDouble(0))
+      .sortBy(identity)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = sorted
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = partCounts.sum
+      if (n == 0) {
+        // quantile of nothing is NULL in both engines
+        Tables.lineitem(s, d).agg(
+          lit(null).cast("double").as("p25"), lit(null).cast("double").as("p50"),
+          lit(null).cast("double").as("p75"), lit(null).cast("double").as("p95"))
+      } else {
+      val offsets = partCounts.scanLeft(0L)(_ + _) // start rank of each partition
+      // global 0-based ranks needed: floor and ceil of every position
+      val positions = ps.map(p => p * (n - 1))
+      val wantedRanks = positions.flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+      val byPartition: Map[Int, Seq[Long]] = wantedRanks
+        .map { r =>
+          // the partition whose [offset, offset+count) covers rank r
+          val pi = offsets.lastIndexWhere(_ <= r, offsets.length - 2)
+          (pi, r - offsets(pi))
+        }
+        .groupBy(_._1).map { case (pi, rs) => pi -> rs.map(_._2).sorted }
+      // ship each partition its (globalOffset, sorted local ranks); the
+      // pass emits (global rank, value) pairs — 8 rows total
+      val byPartWithOffset: Map[Int, (Long, Seq[Long])] =
+        byPartition.map { case (pi, locals) => pi -> (offsets(pi), locals) }
+      val bc = s.sparkContext.broadcast(byPartWithOffset)
+      val found: Map[Long, Double] = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          bc.value.get(i) match {
+            case None => Iterator.empty
+            case Some((offset, locals)) =>
+              // single forward scan — locals sorted, partition sorted
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+              var idx = 0L
+              val want = locals.iterator.buffered
+              while (want.hasNext && it.hasNext) {
+                val v = it.next()
+                while (want.hasNext && want.head == idx) {
+                  out += ((offset + want.next(), v))
+                }
+                idx += 1
+              }
+              out.iterator
+          }
+        }
+        .collect().toMap
+      val cells = positions.map { pos =>
+        val lo = found(math.floor(pos).toLong)
+        val hi = found(math.ceil(pos).toLong)
+        val frac = pos - math.floor(pos)
+        lo + (hi - lo) * frac
+      }
+      import s.implicits._
+      Seq((cells(0), cells(1), cells(2), cells(3)))
+        .toDF("p25_raw", "p50_raw", "p75_raw", "p95_raw")
+        .select(
+          round(col("p25_raw"), 4).as("p25"),
+          round(col("p50_raw"), 4).as("p50"),
+          round(col("p75_raw"), 4).as("p75"),
+          round(col("p95_raw"), 4).as("p95"))
+      }
+    } finally sorted.unpersist()
+  }
+
   /** Per-group z-score outlier filter — the standard feature-pipeline
     * guard: group stats (one partial+final aggregate over ~3 groups)
     * broadcast back onto the fact table, rows kept where the ROUNDED
@@ -539,6 +632,7 @@ object RelationalQueries {
     "q_rollup" -> rollup,
     "q_cube" -> cube,
     "q_quantiles" -> quantiles,
+    "q_quantiles_sel" -> quantilesSel,
     "q_quantiles_grouped" -> quantilesByGroup,
     "q_quantiles_grouped_sel" -> quantilesGroupedSel,
     "q_zscore_outliers" -> zscoreOutliers,
@@ -784,6 +878,14 @@ object RelationalQueries {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem""",
+    // the selection form shares the buffered form's oracle text — the
+    // hash gate is what PROVES the two plans compute the same statistic
+    "q_quantiles_sel" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,

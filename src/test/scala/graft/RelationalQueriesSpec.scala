@@ -121,6 +121,18 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("selection-form global quantiles equal the buffered percentile form") {
+    // same statistic through a completely different physical plan:
+    // range-sorted distributed selection (8 order statistics to the
+    // driver) vs one buffered percentile aggregate
+    val sel = run("q_quantiles_sel").head()
+    val buf = run("q_quantiles").head()
+    (0 until 4).foreach { i =>
+      assert(sel.getDouble(i) == buf.getDouble(i),
+        s"col $i: selection ${sel.getDouble(i)} vs buffered ${buf.getDouble(i)}")
+    }
+  }
+
   test("fingerprint64 is callable from SQL after registration") {
     graft.functions.Fingerprint64.register(spark)
     val got = spark.sql("SELECT fingerprint64('hello graft')").head().getLong(0)
