@@ -126,6 +126,19 @@ object Bench {
     // verified-clean recording: contended becomes null, not false
     val contendedJson = if (busyCpu < 0) "null" else contended.toString
     val race = s""""race_check":{"busy_cpu":$busyCpu,"load1":$load1,"contended":$contendedJson}"""
+    // Self-describing validity: an artifact with failed queries or a
+    // contended recording must say so IN-FILE, so a future reader can't
+    // mistake e.g. round 7's 29-failure schema-drift artifact for a
+    // perf regression (its 100.2 s total covered only the surviving
+    // queries). valid=false carries the machine-readable reason.
+    val invalidReasons = Seq(
+      if (nFailed > 0) Some(s"$nFailed queries failed; total covers only the surviving ${results.size - nFailed}") else None,
+      if (contended) Some(f"machine ${busyCpu * 100}%.0f%% busy pre-flight; timings read high") else None,
+      if (busyCpu < 0) Some("race check unavailable (no /proc); contention unverified") else None
+    ).flatten
+    val validity =
+      if (invalidReasons.isEmpty) """"valid":true"""
+      else s""""valid":false,"invalid_reason":"${invalidReasons.mkString("; ")}""""
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val ok = results.values.filter(_ >= 0).toSeq.sorted
     val p50 = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
@@ -138,7 +151,7 @@ object Bench {
     // harness always parses the headline and the judge has full detail.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,"p50":${fmt(p50)},$race,"full":"BENCH_FULL.json","sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,"p50":${fmt(p50)},$validity,$race,"full":"BENCH_FULL.json","sf":"$sfDir""""
     val fullLine = s"""{$head,"queries":$fullQs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CorpusLayout
+
+class CorpusLayoutSpec extends SparkSpec {
+
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    CorpusLayout.repartitionedWrite(Tables.documents(spark, sf), dir)
+    dir
+  }
+
+  test("lang-partitioned corpus round-trips every row and column") {
+    val back = CorpusLayout.readDocuments(spark, corpusDir)
+    val orig = Tables.documents(spark, sf)
+    assert(back.columns.sorted.toSeq == orig.columns.sorted.toSeq)
+    assert(back.count() == orig.count())
+    assert(back.select("doc_id", "lang").exceptAll(
+      orig.select("doc_id", "lang")).count() == 0)
+  }
+
+  test("a one-lang corpus query prunes partitions statically") {
+    val q = CorpusLayout.readDocuments(spark, corpusDir)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"no lang partition pruning in:\n$plan")
+    // and the pruned scan is still correct
+    val want = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(q.collect().head.getLong(0) == want)
+  }
+
+  test("dynamic partition pruning fires on a lang-dim star query") {
+    // per-lang curation dim (quota tiers); selective filter on the dim
+    // side only — the fact's lang partitions must still prune at runtime
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-langdim").toString
+    spark.createDataFrame(Seq(
+      ("en", "keep"), ("fr", "keep"), ("es", "downsample"),
+      ("de", "downsample"), ("zh", "downsample")))
+      .toDF("l", "policy").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = CorpusLayout.readDocuments(spark, corpusDir)
+    val q = fact.join(dim.filter(col("policy") === "keep"),
+        fact("lang") === dim("l"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy("lang").agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("pruned scan reads strictly fewer files than the full corpus") {
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    // AQE's wrapper hides the scan node pre-execution; the file listing
+    // is decided at planning time either way, so probe without it
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val all = CorpusLayout.readDocuments(spark, corpusDir)
+        .agg(count(lit(1)))
+      val one = CorpusLayout.readDocuments(spark, corpusDir)
+        .filter(col("lang") === "en").agg(count(lit(1)))
+      val (fAll, fOne) = (scannedFiles(all), scannedFiles(one))
+      assert(fOne > 0, "probe found no parquet scan")
+      assert(fOne < fAll, s"pruned scan read $fOne of $fAll files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("append mode lands a batch without touching other partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-inc").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusLayout.repartitionedWrite(docs.filter(col("lang") =!= "zh"), dir)
+    val before = CorpusLayout.readDocuments(spark, dir).count()
+    CorpusLayout.writeByLang(docs.filter(col("lang") === "zh"), dir)
+    val after = CorpusLayout.readDocuments(spark, dir)
+    assert(after.count() == docs.count())
+    assert(after.count() > before)
+    assert(after.filter(col("lang") === "zh").count() ==
+      docs.filter(col("lang") === "zh").count())
+  }
+}
