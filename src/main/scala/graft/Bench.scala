@@ -86,6 +86,10 @@ object Bench {
     // for the same reason (q_knn_ivf_pq should time the ADC scan, not a
     // cold per-subspace KMeans fit on a machine with no cached artifact)
     warm("pq codebooks")(graft.queries.PqIndex.codebooks(spark, sfDir))
+    // the lang-partitioned corpus layout is the same kind of offline
+    // artifact (in production the corpus LANDS partitioned):
+    // q_corpus_scan_pruned should time the pruned scan, not the rewrite
+    warm("corpus layout")(graft.pipeline.CorpusLayout.ensureLayout(spark, sfDir))
     // a failed query reports -1 (never a plausible-looking time-to-
     // failure) so regressions are visible in the bench record; untimed
     // compat demos (SparkEntry.untimed) stay in Verify but not here

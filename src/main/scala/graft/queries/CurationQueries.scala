@@ -164,7 +164,41 @@ object CurationQueries {
       .limit(20)
   }
 
+  /** One-lang per-source corpus profile over the FLAT driver layout —
+    * the baseline half of the layout A/B: this scan must read every
+    * lang's bytes and row-filter. Identical logical query (and oracle)
+    * to [[corpusScanPruned]]; only the physical layout differs, so the
+    * bench delta between the two IS the partition-pruning win,
+    * recorded per-round in BENCH_FULL.json. */
+  private val corpusScanFlat: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source")
+
+  /** The same profile over the lang-partitioned layout
+    * (graft.pipeline.CorpusLayout): the `lang = 'en'` predicate prunes
+    * at the DIRECTORY level (PartitionFilters), so non-en bytes are
+    * never read — at 100 TB, a ~10× I/O cut for one-lang queries. The
+    * layout materializes once per data drop through the same offline-
+    * artifact seam as the IVF index (warmed in Bench; cached on disk,
+    * (dir, mtime, size)-invalidated). `lang` is dropped from the
+    * output (it's the constant partition key), matching the oracle. */
+  private val corpusScanPruned: Q = (s, d) => {
+    val path = graft.pipeline.CorpusLayout.ensureLayout(s, d)
+    graft.pipeline.CorpusLayout.readDocuments(s, path)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_corpus_scan_flat" -> corpusScanFlat,
+    "q_corpus_scan_pruned" -> corpusScanPruned,
     "q_bm25" -> bm25,
     "q_robust_scale" -> robustScale,
     "q_stratified_sample" -> stratifiedSample,
@@ -173,7 +207,18 @@ object CurationQueries {
     "q_cooccur_pmi" -> cooccurPmi,
   )
 
+  private val corpusScanOracle =
+    """SELECT source, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              round(avg(n_chars), 4) AS avg_chars
+       FROM documents WHERE lang = 'en'
+       GROUP BY source ORDER BY source"""
+
   val oracles: Map[String, String] = Map(
+    // the SAME oracle for both layout halves: physical layout must not
+    // change query results, and DuckDB replays on the flat parquet
+    "q_corpus_scan_flat" -> corpusScanOracle,
+    "q_corpus_scan_pruned" -> corpusScanOracle,
     "q_bm25" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                         FROM documents),

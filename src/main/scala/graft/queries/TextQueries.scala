@@ -223,6 +223,50 @@ object TextQueries {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Cross-document SPAN dedup — the line-level dedup of the CCNet /
+    * RefinedWeb recipes (drop every line that repeats across documents,
+    * keep the rest of each document), adapted to this corpus's
+    * newline-free synthetic text by treating non-overlapping 16-word
+    * chunks as the line surrogate. Unlike the whole-doc paths
+    * (q_dedup_exact/_ngram/_minhash) this SALVAGES partially-duplicated
+    * documents: boilerplate spans vanish, unique prose survives, and
+    * the doc is reassembled in span order.
+    *
+    * Scale shape: one explode (corpus ×1, spans are disjoint so total
+    * bytes ≈ corpus bytes), one span-keyed count, one anti-join back,
+    * one doc-keyed reassembly — three group-bound shuffles, no pair
+    * blow-up anywhere (the dup decision is per-span equality, never
+    * per-pair). The span group key is the EXACT string (matching the
+    * oracle; spans are ≤ ~120 bytes so keys don't dominate the
+    * shuffle); at 100 TB ship xxhash64(span) instead and accept the
+    * 2^-64 collision odds — here exactness is free. Reassembly orders
+    * by the in-doc chunk id under array_sort, partition-order-
+    * invariant. A doc whose every span is boilerplate survives as an
+    * empty string (the downstream length filter's job, not dedup's). */
+  private val dedupSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val spans = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("w"),
+        expr("explode(sequence(0, (size(w) - 1) DIV 16))").as("cid"))
+      .select(col("doc_id"), col("cid"),
+        concat_ws(" ", slice(col("w"), col("cid") * 16 + 1, lit(16))).as("span"))
+    val dupSpans = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("span")
+    val kept = spans.join(dupSpans, Seq("span"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(cid, span))), x -> x.span)"))
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select("doc_id").join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dedup by word-3-gram Jaccard >= 0.8 via the shingle join.
     * Threshold in integer arithmetic: inter*5 >= union*4.
     *
@@ -1155,6 +1199,7 @@ object TextQueries {
     "q_lm_score" -> lmScore,
     "q_source_divergence" -> sourceDivergence,
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_spans" -> dedupSpans,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_fuzzy" -> dedupFuzzy,
     "q_dedup_incremental" -> dedupIncremental,
@@ -1335,6 +1380,25 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         sp AS (SELECT doc_id, CAST(st // 16 AS INTEGER) AS cid,
+                       array_to_string(w[st + 1 : st + 16], ' ') AS span
+                FROM (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st
+                      FROM toks)),
+         dup AS (SELECT span FROM sp
+                 GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+         kept AS (SELECT * FROM sp
+                  WHERE span NOT IN (SELECT span FROM dup)),
+         agg AS (SELECT doc_id,
+                        string_agg(span, ' ' ORDER BY cid) AS clean_text,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+                CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_dedup_containment" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
                        FROM documents),

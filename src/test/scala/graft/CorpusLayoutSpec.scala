@@ -77,6 +77,23 @@ class CorpusLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ensureLayout materializes once, survives a cache clear, invalidates with the data") {
+    val p1 = CorpusLayout.ensureLayout(spark, sf)
+    assert(CorpusLayout.ensureLayout(spark, sf) == p1)
+    val success = new java.io.File(s"$p1/_SUCCESS")
+    assert(success.exists())
+    val mtime = success.lastModified()
+    // a fresh JVM (simulated by clearing the memory cache) must
+    // rediscover the on-disk artifact, not rewrite it
+    CorpusLayout.clearLayoutCache()
+    assert(CorpusLayout.ensureLayout(spark, sf) == p1)
+    assert(success.lastModified() == mtime, "layout was rewritten, not reused")
+    // layout read == flat read
+    val back = CorpusLayout.readDocuments(spark, p1)
+    assert(back.count() == Tables.documents(spark, sf).count())
+    CorpusLayout.clearLayoutCache()
+  }
+
   test("append mode lands a batch without touching other partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-inc").toString
     val docs = Tables.documents(spark, sf)

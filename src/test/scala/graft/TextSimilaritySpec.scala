@@ -709,4 +709,30 @@ class TextSimilaritySpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want, s"corpus filter drift: extra=${got diff want} missing=${want diff got}")
   }
+
+  test("span dedup drops only the shared span and reassembles in order") {
+    // 16-word boilerplate span shared by docs 1 and 2; unique halves
+    // must survive, in original span order; doc 3 is untouched; doc 4
+    // is ALL boilerplate and survives as an empty string
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val u1a = (1 to 16).map(i => s"x$i").mkString(" ")
+    val u1b = (1 to 7).map(i => s"y$i").mkString(" ")  // short tail span
+    val u2 = (1 to 16).map(i => s"z$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"$u1a $boiler $u1b"),
+      (2L, s"$boiler $u2"),
+      (3L, "lone doc"),
+      (4L, boiler)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q_dedup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (s"$u1a $u1b", 2L), s"doc 1: ${got(1L)}")
+    assert(got(2L) == (u2, 1L), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ("lone doc", 1L), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ("", 0L), s"doc 4: ${got(4L)}")
+  }
 }
