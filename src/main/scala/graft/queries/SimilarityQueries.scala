@@ -361,6 +361,49 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
+  /** DuckDB-replayable SimHash twin — the [[dedupMinhashOracle]]
+    * precedent applied to the simhash family: same pipeline shape as
+    * [[dedupSimhash]] (per-word hash → signed bit votes → banded
+    * pigeonhole join → exact Hamming verify) but over an md5-derived
+    * 32-bit hash both engines compute bit-identically (first 8 md5 hex
+    * chars as an unsigned int — the exact idiom the minhash twin
+    * pinned), 4 bands × 8 bits (Hamming ≤ 3 still pigeonholes into ≥ 1
+    * equal band). Every step is integer-exact, so the oracle is a hash
+    * gate on the WHOLE near-dup pipeline, not a spot check. The bit
+    * votes aggregate in ONE groupBy with 32 sum expressions — no
+    * 32× row explode; the corpus shuffles once, keyed by doc. Vote
+    * ties (s_b = 0) map to bit 0 in both engines. */
+  private val dedupSimhashOracle: Q = (s, d) => {
+    val nBits = 32
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("wh"))
+    val voteCols = (0 until nBits).map(b =>
+      sum(when(col("wh").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+        .as(s"s$b"))
+    val sums = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sig = sums.select(col("doc_id"),
+      (0 until nBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 8) & 255 AS LONG))"))
+        .as(Seq("band", "chunk")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
   /** Embedding-cosine near-dup with candidate blocking: pairs are only
     * compared within the same label block (the IVF-style pruning that
     * keeps pairwise work at n²/k instead of n² — at 100 TB the block
@@ -834,9 +877,46 @@ object SimilarityQueries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_minhash_oracle" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_simhash_oracle" -> dedupSimhashOracle,
   )
 
+  /** Generated 32-bit-vote SQL for the simhash oracle twin: the 32 sum
+    * expressions and the bit-reassembly are mechanical, so the text is
+    * built by the same loop that builds the Spark columns — one source
+    * of truth for the bit layout. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 32).map(b =>
+      s"sum(CASE WHEN (wh & ${1L << b}) <> 0 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n                ")
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n                ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+       h AS (SELECT doc_id,
+                    ('0x' || substr(md5(word), 1, 8))::BIGINT AS wh
+             FROM words),
+       s AS (SELECT doc_id,
+                $votes
+             FROM h GROUP BY doc_id),
+       sig AS (SELECT doc_id,
+                $bits AS simhash
+               FROM s),
+       bands AS (SELECT doc_id, simhash, b AS band,
+                        (simhash >> (b * 8)) & 255 AS chunk
+                 FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+       pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                        a.simhash AS h1, b.simhash AS h2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.chunk = b.chunk
+                      AND a.doc_id < b.doc_id)
+       SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+       ORDER BY d1, d2"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash_oracle" -> simhashOracleSql,
     // every stage of the md5-family MinHash replays: same "i:shingle"
     // hash inputs, same lexicographic minima, same '|'-joined band
     // buckets, same integer-Jaccard verification

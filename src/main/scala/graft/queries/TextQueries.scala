@@ -939,6 +939,34 @@ object TextQueries {
         col("ws.fp_xor").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** DuckDB-replayable winnowing twin — the md5-family precedent
+    * (q_dedup_minhash_oracle, q_dedup_simhash_oracle) applied to the
+    * fingerprint family: identical window/min/distinct/xor semantics
+    * to [[docWinnow]], but the 8-gram hash is the first 8 md5 hex
+    * chars as an unsigned int, which both engines compute
+    * bit-identically — so the WHOLE winnowing pipeline (rolling grams,
+    * 4-window minima, dedup, xor digest) sits under a DuckDB hash
+    * gate. Definitionally heavier than the xxhash64 scale path (one
+    * md5 per character position); at 100 TB you run [[docWinnow]]'s
+    * codegen expression and keep this as the cross-engine anchor. */
+  private val docWinnowOracle: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("grams", expr(
+        """CASE WHEN length(text) >= 8
+             THEN transform(sequence(1, length(text) - 7),
+                  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) AS LONG))
+             ELSE array(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS LONG)) END"""))
+      .withColumn("fingerprints", expr(
+        """array_distinct(CASE WHEN size(grams) >= 4
+             THEN transform(sequence(0, size(grams) - 4),
+                  j -> least(grams[j], grams[j+1], grams[j+2], grams[j+3]))
+             ELSE array(array_min(grams)) END)"""))
+      .select(
+        col("doc_id"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        expr("aggregate(fingerprints, 0L, (a, f) -> a ^ f)").as("fp_xor"))
+      .orderBy("doc_id")
+
   /** The original HOF chain — interpreted per array element, so ~2
     * Catalyst tree evaluations + a substring allocation per character;
     * kept (out of `queries`) as the reference implementation the
@@ -1191,6 +1219,7 @@ object TextQueries {
     "q_doc_truncate" -> docTruncate,
     "q_lang_balance" -> langBalance,
     "q_doc_winnow" -> docWinnow,
+    "q_doc_winnow_oracle" -> docWinnowOracle,
     "q_text_stats" -> textStats,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
@@ -1380,6 +1409,26 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_doc_winnow_oracle" ->
+      """SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+                list_reduce(fps, (a, f) -> xor(a, f)) AS fp_xor
+         FROM (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(grams) >= 4
+                    THEN list_transform(range(0, len(grams) - 3),
+                         j -> least(grams[j+1], grams[j+2],
+                                    grams[j+3], grams[j+4]))
+                    ELSE [list_min(grams)] END) AS fps
+           FROM (
+             SELECT doc_id,
+                    CASE WHEN length(text) >= 8
+                      THEN list_transform(range(1, length(text) - 6),
+                           i -> ('0x' || substr(md5(substring(text, i, 8)),
+                                                1, 8))::BIGINT)
+                      ELSE [('0x' || substr(md5(text), 1, 8))::BIGINT]
+                    END AS grams
+             FROM documents))
+         ORDER BY doc_id""",
     "q_dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),

@@ -22,7 +22,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_tfidf", "q_funnel", "q_resample_fill",
     "q_lm_score", "q_source_divergence", "q_temperature_sample",
     // round 8: 1-row broadcast corpus stats (N+avgdl / n_docs)
-    "q_bm25", "q_cooccur_pmi")
+    "q_bm25", "q_cooccur_pmi",
+    // round 9: the md5-family ANN twin re-ranks its bucket candidates
+    // against the 1-row broadcast query vector (same documented
+    // exception as q_knn_exact/q_knn_lsh)
+    "q_knn_lsh_oracle")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
