@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.TemporalQueries.queries ++
       graft.queries.CorpusStatsQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracles ++
       graft.queries.TemporalQueries.oracles ++
       graft.queries.CorpusStatsQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.SketchQueries.oracles
 }

@@ -75,6 +75,43 @@ object JoinQueries {
       .select("n_nationkey", "n_regionkey", "r_regionkey", "r_name")
       .orderBy("n_nationkey", "r_regionkey")
 
+  /** J5-at-scale: binned interval join — the fact-scale range join the
+    * dim-sized theta form (q_join_range) cannot reach. Every lineitem
+    * shipped inside a 4-day window starting at a Q1-1996 order date is
+    * matched to that order with NO equi key available: the naive plan is
+    * a broadcast-nested-loop over points × intervals (O(n·m) compares —
+    * the blowup the J5 scaladoc warns about). The scale plan bins both
+    * sides onto a 7-day grid: intervals explode to the 1-2 week bins
+    * they overlap, points land in exactly one bin, and the match becomes
+    * a plain shuffled EQUI-join on bin id + a residual range filter.
+    * Pair multiplicity is safe by construction — a point has ONE bin, so
+    * a (point, interval) pair can meet in at most one bin and no
+    * post-join dedup is needed. Shuffle is O(n + m·bins_per_interval),
+    * never O(n·m); skewed bins (a hot week) split under AQE like any
+    * equi-join. This is the standard binned range-join rewrite that
+    * interval/range-join optimizers apply; here it is expressed directly
+    * in the DataFrame algebra so Catalyst plans SMJ/SHJ, not BNLJ
+    * (plan-asserted in JoinQueriesSpec). Oracle: DuckDB runs the
+    * declarative BETWEEN join (its IEJoin handles it at oracle scale). */
+  private val joinRangeBinned: Q = (s, d) => {
+    val epoch = lit("1970-01-01")
+    val iv = Tables.orders(s, d)
+      .withColumn("od", to_date(col("o_orderdate")))
+      .filter(year(col("od")) === 1996 && month(col("od")) <= 3)
+      .select(col("o_orderkey"), datediff(col("od"), epoch).as("sd"))
+      .withColumn("ed", col("sd") + 3)
+      .withColumn("bin", explode(sequence(floor(col("sd") / 7), floor(col("ed") / 7))))
+    val pt = Tables.lineitem(s, d)
+      .select(col("l_quantity"),
+        datediff(to_date(col("l_shipdate")), epoch).as("pd"))
+      .withColumn("bin", floor(col("pd") / 7))
+    iv.join(pt, Seq("bin"))
+      .filter(col("pd") >= col("sd") && col("pd") <= col("ed"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 1).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** J6 cross join — dimension×dimension only. */
   private val joinCross: Q = (s, d) =>
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -121,6 +158,7 @@ object JoinQueries {
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
     "q_join_range" -> joinRange,
+    "q_join_range_binned" -> joinRangeBinned,
     "q_join_cross" -> joinCross,
     "q_join_asof" -> joinAsof,
   )
@@ -152,6 +190,21 @@ object JoinQueries {
       """SELECT n_nationkey, n_regionkey, r_regionkey, r_name
          FROM nation JOIN region ON n_regionkey < r_regionkey
          ORDER BY n_nationkey, r_regionkey""",
+    // the oracle states the DECLARATIVE interval predicate; the engine's
+    // binned rewrite must be pair-for-pair equivalent to it
+    "q_join_range_binned" ->
+      """WITH iv AS (SELECT o_orderkey,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS sd
+              FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1996
+                AND month(CAST(o_orderdate AS DATE)) <= 3),
+         pt AS (SELECT l_quantity,
+                datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS pd
+              FROM lineitem)
+         SELECT o_orderkey, count(*) AS n_lines,
+                round(sum(l_quantity), 1) AS sum_qty
+         FROM iv JOIN pt ON pt.pd BETWEEN iv.sd AND iv.sd + 3
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_join_cross" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
          ORDER BY r_regionkey, n_nationkey""",

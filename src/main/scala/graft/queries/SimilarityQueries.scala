@@ -832,6 +832,37 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** ANN recall as an ORACLE row (VERDICT r8 §4): the LSH family is
+    * fully DuckDB-replayable (q_knn_lsh_oracle replays the hyperplane
+    * signs in SQL), but the IVF family's learned KMeans quantizer is
+    * not SQL-expressible — so the recall itself becomes the pinned
+    * quantity. The result rows are the EXACT top-10 (DuckDB recomputes
+    * vec_id/label/cos_sim from scratch — real oracle work), plus one
+    * boolean column asserting the ANN path recalled at least
+    * `minHits` of them. A quality regression (stale index, probe bug,
+    * broken ADC math) flips the boolean and hash-mismatches the row.
+    * `minHits` mirrors the ScalaTest pin (≥3 of 10 at nProbe=4/16 on
+    * the synthetic near-uniform embeddings; real corpora cluster far
+    * more sharply). Computed fully in-plan: the 10×10 membership join
+    * and the windowed count are constant-sized. */
+  private def recallPinned(exact: DataFrame, ann: DataFrame,
+      okCol: String, minHits: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    exact.join(ann.select(col("vec_id"), lit(1).as("hit")), Seq("vec_id"), "left")
+      .withColumn("n_hits", sum(coalesce(col("hit"), lit(0))).over(wAll))
+      .select(col("vec_id"), col("label"), col("cos_sim"),
+        (col("n_hits") >= minHits).as(okCol))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
+  private val knnIvfRecall: Q = (s, d) =>
+    recallPinned(knnExact(s, d), knnIvf(s, d), "ivf_recall_ok", 3)
+
+  private val knnIvfPqRecall: Q = (s, d) =>
+    recallPinned(knnExact(s, d), knnIvfPq(s, d), "pq_recall_ok", 3)
+
   /** Diversity-preserving downsampling — the embedding-space analogue
     * of per-source capping: assign every vector to its IVF cell (the
     * SAME persisted coarse quantizer the ANN path uses — index reuse,
@@ -861,7 +892,9 @@ object SimilarityQueries {
     "q_cluster_cap" -> clusterCap,
     "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_ivf_recall" -> knnIvfRecall,
     "q_knn_ivf_pq" -> knnIvfPq,
+    "q_knn_ivf_pq_recall" -> knnIvfPqRecall,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q_dedup_embedding_lsh_multi" -> dedupEmbeddingLshMulti,
@@ -1083,6 +1116,25 @@ object SimilarityQueries {
       """SELECT e.vec_id, e.label,
                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                              CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // exact top-10 recomputed from scratch + the recall pin constant:
+    // if the ANN path recalls < 3 of these rows, Spark emits false and
+    // the row-set hash diverges (see recallPinned scaladoc)
+    "q_knn_ivf_recall" ->
+      """SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+                true AS ivf_recall_ok
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_knn_ivf_pq_recall" ->
+      """SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+                true AS pq_recall_ok
          FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch accuracy as ORACLE rows, and sketch MERGEABILITY as a query
+  * shape (SURVEY §2.4's approximate variants, VERDICT r8 §4's ask to
+  * make the approximate family oracle-checkable).
+  *
+  * An approximate sketch can never hash-match an exact oracle, so the
+  * pinned quantity is its ERROR: each query emits the exact statistics
+  * (which DuckDB recomputes from scratch — real oracle work) plus
+  * boolean columns asserting the sketch landed inside its published
+  * error bound. A regression in the sketch path (wrong rsd wiring, a
+  * broken merge, accuracy misconfigured) flips a boolean and
+  * hash-mismatches the row. Bounds are chosen with margin: HLL at
+  * rsd=0.05 is pinned at 5% (observed ≪1% at these cardinalities);
+  * approx_percentile at accuracy=10000 has rank error ≤ N/10000, pinned
+  * at 0.5% relative value error.
+  *
+  * The rollup query is the 100 TB story: partial aggregates that MERGE.
+  * A count(distinct) re-reads raw keys at every rollup level (its
+  * shuffle carries every distinct key twice here); an HLL sketch is a
+  * few KB per group and re-aggregates by union — month sketches roll up
+  * to years without touching the fact table again. That is how a
+  * 1000-executor cluster serves distinct-count rollup dashboards: one
+  * sketch-build pass, then unions over KB-sized state.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One row: exact distinct + exact quantiles beside their sketch
+    * twins' error pins. The exact columns shuffle distinct keys / sort
+    * values (the cost the sketches avoid); both paths run in ONE
+    * aggregation pass over the scan. */
+  private val sketchError: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("adc"),
+        expr("percentile(l_extendedprice, 0.5D)").as("p50x"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90x"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("ap90"))
+      .select(
+        col("n_parts"),
+        round(col("p50x"), 4).as("p50"),
+        round(col("p90x"), 4).as("p90"),
+        (abs(col("adc") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_ok"),
+        (abs(col("ap50") - col("p50x")) <= col("p50x") * 0.005).as("p50_ok"),
+        (abs(col("ap90") - col("p90x")) <= col("p90x") * 0.005).as("p90_ok"))
+
+  /** Distinct buyers per year via MERGED month-level HLL sketches
+    * (hll_sketch_agg → hll_union_agg, Apache DataSketches HLL): the
+    * re-aggregation path a count(distinct) cannot take. The exact
+    * year-level distinct runs beside it as the oracle quantity; the
+    * boolean pins the merged estimate inside 5%. */
+  private val hllRollup: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        month(to_date(col("o_orderdate"))).as("mo"),
+        col("o_custkey"))
+    val monthly = o.groupBy("yr", "mo")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.groupBy("yr")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_months"))
+    val exact = o.groupBy("yr")
+      .agg(count_distinct(col("o_custkey")).as("exact_buyers"))
+    exact.join(merged, Seq("yr"))
+      .select(col("yr"), col("exact_buyers"), col("n_months"),
+        (abs(col("est") - col("exact_buyers")) <=
+          col("exact_buyers") * 0.05).as("sketch_ok"))
+      .orderBy("yr")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sketch_error" -> sketchError,
+    "q_hll_rollup" -> hllRollup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // exact columns recomputed from scratch; the TRUE constants are the
+    // error pins — a sketch outside its bound hash-mismatches
+    "q_sketch_error" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                true AS hll_ok, true AS p50_ok, true AS p90_ok
+         FROM lineitem""",
+    "q_hll_rollup" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+                count(DISTINCT o_custkey) AS exact_buyers,
+                CAST(count(DISTINCT month(CAST(o_orderdate AS DATE))) AS BIGINT)
+                  AS n_months,
+                true AS sketch_ok
+         FROM orders GROUP BY 1 ORDER BY yr""",
+  )
+}

@@ -87,9 +87,44 @@ object TemporalQueries {
       .orderBy("c_custkey", "is_current")
   }
 
+  /** Union-of-intervals coverage (sweep-line): each event opens a
+    * 5-minute activity interval [ts, ts+300s); the query reports, per
+    * user, the total seconds covered by the UNION of those intervals —
+    * overlaps counted once. The classic formulation is a sweep-line
+    * merge; here it is one window pass: with intervals sorted by start
+    * within each user, a row's uncovered contribution is
+    * `max(0, end − max(start, max_prev_end))` where `max_prev_end` is a
+    * running max over the PRECEDING rows — exactly the sweep-line
+    * accumulator, expressed as a frame aggregate.
+    *
+    * Scale shape: one shuffle on user_id, then a partition-local sort —
+    * no self-join of intervals (the naive overlap formulation is
+    * O(k²) per key), no driver-side merge. Tie safety: tied starts
+    * carry identical ends (end = start + const), so the running max —
+    * and therefore the per-user SUM — is invariant to tie order in both
+    * engines. All arithmetic in integer epoch micros. */
+  private val intervalCoverage: Q = (s, d) => {
+    val ivlUs = 300L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(ivlUs))
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("pme", max("e_us").over(w))
+      .withColumn("add_us",
+        when(col("pme").isNull, col("e_us") - col("s_us"))
+          .otherwise(greatest(lit(0L), col("e_us") - greatest(col("s_us"), col("pme")))))
+      .groupBy("user_id")
+      .agg(
+        sum("add_us").as("covered_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_scd2_merge" -> scd2Merge,
+    "q_interval_coverage" -> intervalCoverage,
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,5 +165,20 @@ object TemporalQueries {
          SELECT c_custkey, c_acctbal, DATE '1900-01-01', NULL, 1
          FROM j WHERE eff IS NULL
          ORDER BY c_custkey, is_current""",
+    "q_interval_coverage" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS s_us,
+                           epoch_us(ts) + 300000000 AS e_us
+                    FROM events),
+         m AS (SELECT user_id, s_us, e_us,
+                      max(e_us) OVER (PARTITION BY user_id ORDER BY s_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pme
+               FROM e)
+         SELECT user_id,
+                CAST(sum(CASE WHEN pme IS NULL THEN e_us - s_us
+                              ELSE greatest(0, e_us - greatest(s_us, pme))
+                         END) AS BIGINT) AS covered_us,
+                count(*) AS n_intervals
+         FROM m GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -153,6 +153,85 @@ object EventStreams {
       .select("doc_id")
       .dropDuplicates("doc_id")
 
+  /** MinHash band buckets of a documents BATCH — the same scheme as the
+    * batch dedup family (q_dedup_minhash: word-3-gram shingles, xxhash64
+    * identities, k=32 min-hashes, 8 bands × 4 rows), factored over a
+    * DataFrame instead of a table dir so the streaming sink below can
+    * apply it per micro-batch. One row per (doc_id, band) with the
+    * band's bucket key; docs under 3 words emit no rows (no signal ⇒
+    * never blocked, like the batch path). */
+  def minhashBandBuckets(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(graft.queries.TextQueries.shingleArraySql)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(array((0 until 32).map(i =>
+        min(xxhash64(col("shingle"), lit(i)))): _*).as("mh"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> hash(slice(mh, b * 4 + 1, 4), b))"))
+          .as(Seq("band", "bucket")))
+
+  /** Near-dedup-as-you-land: the streaming twin of the batch MinHash
+    * blocking family, as a foreachBatch sink. Each micro-batch of newly
+    * landed documents is checked against the ACCUMULATED band-bucket
+    * state (every bucket of every doc seen so far, an append-only
+    * parquet log under `stateDir`): a doc is rejected when any of its 8
+    * band buckets was already claimed — by a prior batch, or by a
+    * smaller-id doc in the same batch — and survivors append to
+    * `outDir`.
+    *
+    * Semantics: FIRST-LANDED WINS, i.e. a doc survives iff no
+    * earlier-landed (or smaller-id in-batch) doc shares a band bucket.
+    * When files land in doc_id order this is exactly the batch rule
+    * "doc_id is the minimum over every bucket it occupies", so the
+    * survivor set is INVARIANT to how the landing is split into batches
+    * — asserted in IncrementalDedupSpec (1-batch ≡ 3-batch ≡ batch
+    * query).
+    *
+    * Scale shape: per-batch cost is the batch's shingling plus one
+    * equi-join of the batch's buckets (tiny) against the state log
+    * keyed on (band, bucket) — shuffle ∝ batch + matched state rows,
+    * never corpus × corpus, the same batch-proportional contract as
+    * q_dedup_incremental. The state log is append-only parquet (at
+    * 100 TB: a compacted, bucket-partitioned table or a key-value
+    * store); exactly-once comes from the checkpointed batch id plus
+    * idempotent per-batch overwrite-by-path (here: plain appends —
+    * replay of a failed batch can duplicate a survivors file, the
+    * documented at-least-once caveat of parquet-append foreachBatch
+    * sinks). */
+  def dedupDocsIncremental(docsStream: DataFrame, stateDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val bucketsPath = s"$stateDir/buckets"
+        val b = minhashBandBuckets(batch.toDF()).persist()
+        val stateHit =
+          if (new java.io.File(bucketsPath).exists())
+            b.join(s.read.parquet(bucketsPath), Seq("band", "bucket"), "left_semi")
+              .select("doc_id")
+          else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        val inBatchHit = b
+          .withColumn("mn", min("doc_id").over(wB))
+          .filter(col("doc_id") =!= col("mn"))
+          .select("doc_id")
+        val rejected = stateHit.union(inBatchHit).distinct()
+        batch.join(rejected, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        // ALL seen buckets enter the state (rejected docs' too): the
+        // first-landed claim holds even when the claimant itself lost a
+        // different bucket — matching the min-over-every-bucket batch rule
+        b.write.mode("append").parquet(bucketsPath)
+        b.unpersist()
+        ()
+      }
+      .start()
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

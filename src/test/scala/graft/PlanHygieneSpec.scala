@@ -26,7 +26,10 @@ class PlanHygieneSpec extends SparkSpec {
     // round 9: the md5-family ANN twin re-ranks its bucket candidates
     // against the 1-row broadcast query vector (same documented
     // exception as q_knn_exact/q_knn_lsh)
-    "q_knn_lsh_oracle")
+    "q_knn_lsh_oracle",
+    // round 9: the recall-pin queries wrap knn_exact + the ANN path, so
+    // they inherit the same 1-row query-vector broadcast
+    "q_knn_ivf_recall", "q_knn_ivf_pq_recall")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
