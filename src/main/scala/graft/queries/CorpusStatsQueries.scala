@@ -321,8 +321,43 @@ object CorpusStatsQueries {
       .orderBy("vec_id")
   }
 
+  /** PCA correctness as an ORACLE row (the q_knn_ivf_recall pattern for
+    * the one remaining learned-model no-oracle family): the fitted
+    * basis itself is not SQL-replayable, but two exact mathematical
+    * identities about it are checkable — (1) the eigenvalue TRACE must
+    * equal the total sample variance (Σ var_samp over all 64 dims,
+    * which DuckDB recomputes from scratch — real oracle work), and
+    * (2) the component vectors must be orthonormal. The exact total
+    * variance is computed IN-PLAN (posexplode → per-dim var_samp →
+    * sum); the model-side trace and the k×k Gram residual are
+    * model-sized driver constants. A broken Gram accumulation, a
+    * mis-converged Jacobi sweep, or a normalization bug flips a boolean
+    * and hash-mismatches the row. */
+  private val pcaVariance: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ml.Pca.fit(emb, "embedding", 4)
+    val trace = model.variances.sum
+    val orthoResidual = {
+      val cs = model.components
+      val k = cs.length
+      (for (i <- 0 until k; j <- i until k) yield {
+        val dot = cs(i).zip(cs(j)).map { case (a, b) => a * b }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+    }
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(var_samp(col("x").cast("double")).as("v"))
+      .agg(count(lit(1)).as("n_dims"), sum("v").as("tv"))
+      .select(
+        col("n_dims"),
+        round(col("tv"), 4).as("total_var"),
+        (abs(col("tv") - lit(trace)) <= col("tv") * 1e-6).as("trace_ok"),
+        lit(orthoResidual <= 1e-9).as("ortho_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pca_project" -> pcaProject,
+    "q_pca_variance" -> pcaVariance,
     "q_char_entropy" -> charEntropy,
     "q_dup_coverage" -> dupCoverage,
     "q_ngram_novelty" -> ngramNovelty,
@@ -348,6 +383,15 @@ object CorpusStatsQueries {
        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
 
   val oracles: Map[String, String] = Map(
+    // exact total variance recomputed from scratch; the TRUE constants
+    // pin the PCA trace identity + orthonormality (see pcaVariance)
+    "q_pca_variance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_dims,
+                round(sum(v), 4) AS total_var,
+                true AS trace_ok, true AS ortho_ok
+         FROM (SELECT var_samp(CAST(embedding[i] AS DOUBLE)) AS v
+               FROM embeddings, range(1, 65) t(i)
+               GROUP BY i)""",
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, length(text) AS n,
                 list_transform(range(1, length(text) + 1), i -> text[i]) AS cs

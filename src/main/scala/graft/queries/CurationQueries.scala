@@ -196,7 +196,76 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** BPE merge training (Sennrich et al. 2016, the subword-nmt
+    * algorithm) — the tokenizer-construction step of an LLM data
+    * pipeline, distributed the way the original trains on a word
+    * FREQUENCY DICTIONARY rather than the running text: the corpus
+    * collapses once to (word, freq) — vocab-sized state, the only
+    * corpus-sized pass — then every merge round works on the
+    * symbol-sequence dict. Per round: adjacent-pair counts weighted by
+    * word freq (map-side-combined groupBy over vocab-sized data), the
+    * single argmax pair fetched to the driver (ONE row per round — the
+    * documented scalar-probe exception), and the merge applied as a
+    * left-fold `aggregate` HOF over each word's symbol array — the
+    * greedy left-to-right semantics of the reference implementation.
+    * Ties break by (freq desc, left, right) so training is
+    * deterministic in both engines of any reimplementation.
+    *
+    * Iterative argmax is not SQL-expressible for the driver oracle
+    * (rows-only check); BpeSpec pins the classic hand-computed fixture
+    * and full agreement with an independent sequential
+    * reimplementation. */
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val wordFreq = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = wordFreq.select(
+      concat(split(col("word"), ""), array(lit("</w>"))).as("sym"),
+      col("freq")).persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    var round = 1
+    while (round <= nMerges && !done) {
+      val top = syms
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(sym) >= 2
+               THEN transform(sequence(0, size(sym) - 2),
+                              i -> struct(sym[i] AS l, sym[i+1] AS r))
+               ELSE array() END""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(desc("pf"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, pf))
+        val lLit = lit(l); val rLit = lit(r); val lr = lit(l + r)
+        val mergedSym = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lLit && x === rLit,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lr)))
+            .otherwise(concat(acc, array(x))))
+        val next = syms.select(mergedSym.as("sym"), col("freq")).persist()
+        next.count() // materialize before dropping the parent
+        syms.unpersist()
+        syms = next
+        round += 1
+      }
+    }
+    syms.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** 10 rounds over the documents corpus. */
+  private val bpe: Q = (s, d) => bpeMerges(Tables.documents(s, d), 10)
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_merges" -> bpe,
     "q_corpus_scan_flat" -> corpusScanFlat,
     "q_corpus_scan_pruned" -> corpusScanPruned,
     "q_bm25" -> bm25,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -362,11 +363,15 @@ object RelationalQueries {
     * mapPartitions pair is the genuine per-partition imperative case:
     * no DataFrame operator exposes "k-th element of a sorted partition"
     * without a global window. */
-  private val quantilesSel: Q = (s, d) => {
+  /** The selection machinery itself, reusable (q_quantiles_sel,
+    * q_sketch_error): exact interpolated quantiles of `column` by
+    * distributed order-statistic extraction. None for an empty input. */
+  private[graft] def selectQuantiles(df: DataFrame, column: String,
+      ps: Seq[Double]): Option[Seq[Double]] = {
     import org.apache.spark.storage.StorageLevel
-    val ps = Seq(0.25, 0.50, 0.75, 0.95)
-    val sorted = Tables.lineitem(s, d)
-      .select(col("l_extendedprice").cast("double")).rdd
+    val s = df.sparkSession
+    val sorted = df
+      .select(col(column).cast("double")).rdd
       .map(_.getDouble(0))
       .sortBy(identity)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -375,66 +380,73 @@ object RelationalQueries {
         .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
         .collect().sortBy(_._1).map(_._2)
       val n = partCounts.sum
-      if (n == 0) {
+      if (n == 0) None
+      else {
+        val offsets = partCounts.scanLeft(0L)(_ + _) // start rank of each partition
+        // global 0-based ranks needed: floor and ceil of every position
+        val positions = ps.map(p => p * (n - 1))
+        val wantedRanks = positions.flatMap(pos =>
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+        val byPartition: Map[Int, Seq[Long]] = wantedRanks
+          .map { r =>
+            // the partition whose [offset, offset+count) covers rank r
+            val pi = offsets.lastIndexWhere(_ <= r, offsets.length - 2)
+            (pi, r - offsets(pi))
+          }
+          .groupBy(_._1).map { case (pi, rs) => pi -> rs.map(_._2).sorted }
+        // ship each partition its (globalOffset, sorted local ranks); the
+        // pass emits (global rank, value) pairs — 2·|ps| rows total
+        val byPartWithOffset: Map[Int, (Long, Seq[Long])] =
+          byPartition.map { case (pi, locals) => pi -> (offsets(pi), locals) }
+        val bc = s.sparkContext.broadcast(byPartWithOffset)
+        val found: Map[Long, Double] = sorted
+          .mapPartitionsWithIndex { (i, it) =>
+            bc.value.get(i) match {
+              case None => Iterator.empty
+              case Some((offset, locals)) =>
+                // single forward scan — locals sorted, partition sorted
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+                var idx = 0L
+                val want = locals.iterator.buffered
+                while (want.hasNext && it.hasNext) {
+                  val v = it.next()
+                  while (want.hasNext && want.head == idx) {
+                    out += ((offset + want.next(), v))
+                  }
+                  idx += 1
+                }
+                out.iterator
+            }
+          }
+          .collect().toMap
+        Some(positions.map { pos =>
+          val lo = found(math.floor(pos).toLong)
+          val hi = found(math.ceil(pos).toLong)
+          val frac = pos - math.floor(pos)
+          lo + (hi - lo) * frac
+        })
+      }
+    } finally { sorted.unpersist(); () }
+  }
+
+  private val quantilesSel: Q = (s, d) =>
+    selectQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+      Seq(0.25, 0.50, 0.75, 0.95)) match {
+      case None =>
         // quantile of nothing is NULL in both engines
         Tables.lineitem(s, d).agg(
           lit(null).cast("double").as("p25"), lit(null).cast("double").as("p50"),
           lit(null).cast("double").as("p75"), lit(null).cast("double").as("p95"))
-      } else {
-      val offsets = partCounts.scanLeft(0L)(_ + _) // start rank of each partition
-      // global 0-based ranks needed: floor and ceil of every position
-      val positions = ps.map(p => p * (n - 1))
-      val wantedRanks = positions.flatMap(pos =>
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
-      val byPartition: Map[Int, Seq[Long]] = wantedRanks
-        .map { r =>
-          // the partition whose [offset, offset+count) covers rank r
-          val pi = offsets.lastIndexWhere(_ <= r, offsets.length - 2)
-          (pi, r - offsets(pi))
-        }
-        .groupBy(_._1).map { case (pi, rs) => pi -> rs.map(_._2).sorted }
-      // ship each partition its (globalOffset, sorted local ranks); the
-      // pass emits (global rank, value) pairs — 8 rows total
-      val byPartWithOffset: Map[Int, (Long, Seq[Long])] =
-        byPartition.map { case (pi, locals) => pi -> (offsets(pi), locals) }
-      val bc = s.sparkContext.broadcast(byPartWithOffset)
-      val found: Map[Long, Double] = sorted
-        .mapPartitionsWithIndex { (i, it) =>
-          bc.value.get(i) match {
-            case None => Iterator.empty
-            case Some((offset, locals)) =>
-              // single forward scan — locals sorted, partition sorted
-              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-              var idx = 0L
-              val want = locals.iterator.buffered
-              while (want.hasNext && it.hasNext) {
-                val v = it.next()
-                while (want.hasNext && want.head == idx) {
-                  out += ((offset + want.next(), v))
-                }
-                idx += 1
-              }
-              out.iterator
-          }
-        }
-        .collect().toMap
-      val cells = positions.map { pos =>
-        val lo = found(math.floor(pos).toLong)
-        val hi = found(math.ceil(pos).toLong)
-        val frac = pos - math.floor(pos)
-        lo + (hi - lo) * frac
-      }
-      import s.implicits._
-      Seq((cells(0), cells(1), cells(2), cells(3)))
-        .toDF("p25_raw", "p50_raw", "p75_raw", "p95_raw")
-        .select(
-          round(col("p25_raw"), 4).as("p25"),
-          round(col("p50_raw"), 4).as("p50"),
-          round(col("p75_raw"), 4).as("p75"),
-          round(col("p95_raw"), 4).as("p95"))
-      }
-    } finally sorted.unpersist()
-  }
+      case Some(cells) =>
+        import s.implicits._
+        Seq((cells(0), cells(1), cells(2), cells(3)))
+          .toDF("p25_raw", "p50_raw", "p75_raw", "p95_raw")
+          .select(
+            round(col("p25_raw"), 4).as("p25"),
+            round(col("p50_raw"), 4).as("p50"),
+            round(col("p75_raw"), 4).as("p75"),
+            round(col("p95_raw"), 4).as("p95"))
+    }
 
   /** Per-group z-score outlier filter — the standard feature-pipeline
     * guard: group stats (one partial+final aggregate over ~3 groups)
@@ -593,6 +605,51 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bin")
 
+  /** 2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    * price, larger size) — the multi-criteria shortlist query (BNL/SFS
+    * in the skyline literature). The naive formulation is an O(n²)
+    * NOT-EXISTS self-join; the sort-based identity used here is: with
+    * prices ascending, a part is on the skyline iff its size strictly
+    * exceeds every size at a strictly lower price AND equals the max
+    * size at its own price.
+    *
+    * Scale shape: the prefix-max over prices is computed WITHOUT a
+    * single global window over the data — a two-level decomposition
+    * (the `q_quantiles_sel` discipline): per-price maxima shuffle once
+    * (map-side combined), the within-dollar-bucket running max is a
+    * window PARTITIONED by bucket, and the only global window runs
+    * over the bounded per-dollar-bucket aggregate (≤ price-range rows,
+    * data-size-independent). Verdict join back to parts is an equi-join
+    * on price. Duplicate (price, size) points: neither dominates the
+    * other (dominance needs one strict inequality) — both kept, both
+    * engines agree. */
+  private val skyline: Q = (s, d) => {
+    val NEG = Long.MinValue
+    val p = Tables.part(s, d)
+    val perPrice = p.groupBy("p_retailprice")
+      .agg(max("p_size").as("mx"))
+      .withColumn("b", floor(col("p_retailprice")))
+    val perBucket = perPrice.groupBy("b").agg(max("mx").as("bmx"))
+    val wBuckets = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevBucket = perBucket
+      .withColumn("prev_bmx", max("bmx").over(wBuckets))
+      .select("b", "prev_bmx")
+    val wInBucket = Window.partitionBy("b").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = perPrice
+      .withColumn("in_prev", max("mx").over(wInBucket))
+      .join(prevBucket, Seq("b"))
+      .withColumn("strict_prev",
+        greatest(coalesce(col("in_prev"), lit(NEG)),
+          coalesce(col("prev_bmx"), lit(NEG))))
+      .select("p_retailprice", "mx", "strict_prev")
+    p.join(pref, Seq("p_retailprice"))
+      .filter(col("p_size") > col("strict_prev") && col("p_size") === col("mx"))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_histogram" -> histogram,
     "q_unpivot" -> unpivot,
@@ -636,6 +693,7 @@ object RelationalQueries {
     "q_quantiles_grouped" -> quantilesByGroup,
     "q_quantiles_grouped_sel" -> quantilesGroupedSel,
     "q_zscore_outliers" -> zscoreOutliers,
+    "q_skyline" -> skyline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -877,6 +935,17 @@ object RelationalQueries {
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the oracle states the DECLARATIVE dominance predicate; the
+    // engine's sort-based prefix-max plan must keep the same frontier
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p.p_partkey""",
     "q_quantiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,

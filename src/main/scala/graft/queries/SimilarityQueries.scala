@@ -847,11 +847,13 @@ object SimilarityQueries {
     * and the windowed count are constant-sized. */
   private def recallPinned(exact: DataFrame, ann: DataFrame,
       okCol: String, minHits: Int): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val wAll = W.partitionBy(lit(1))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    exact.join(ann.select(col("vec_id"), lit(1).as("hit")), Seq("vec_id"), "left")
-      .withColumn("n_hits", sum(coalesce(col("hit"), lit(0))).over(wAll))
+    // hit count as a 1-row aggregate broadcast back onto the 10 exact
+    // rows (no single-partition window; same 1-row-broadcast shape as
+    // the knn probes, BNLJ-allowed in PlanHygieneSpec)
+    val nHits = exact
+      .join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.crossJoin(broadcast(nHits))
       .select(col("vec_id"), col("label"), col("cos_sim"),
         (col("n_hits") >= minHits).as(okCol))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -862,6 +864,39 @@ object SimilarityQueries {
 
   private val knnIvfPqRecall: Q = (s, d) =>
     recallPinned(knnExact(s, d), knnIvfPq(s, d), "pq_recall_ok", 3)
+
+  /** Batch-probe recall pin: the per-probe EXACT top-10 (probe set ×
+    * corpus brute force — the recall reference, fully DuckDB-replayable)
+    * carrying one boolean that asserts the IVF batch path recalled ≥40%
+    * of all exact rows on average (the TextSimilaritySpec pin). The
+    * probe side broadcasts; the corpus never shuffles. */
+  private val knnBatchIvfRecall: Q = (s, d) => {
+    val dot = graft.functions.DotF.dotF _
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("p_emb")) / (col("nrm") * col("p_nrm")), 6))
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("cos_sim"))
+    val totals = exact
+      .join(knnBatchIvf(s, d).select("probe_id", "vec_id").distinct(),
+        Seq("probe_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_rows"))))
+    exact.crossJoin(broadcast(totals))
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos_sim"),
+        (col("n_hits") * 10 >= col("n_rows") * 4).as("batch_recall_ok"))
+      .orderBy("probe_id", "rnk")
+  }
 
   /** Diversity-preserving downsampling — the embedding-space analogue
     * of per-source capping: assign every vector to its IVF cell (the
@@ -904,6 +939,7 @@ object SimilarityQueries {
     "q_knn_exact" -> knnExact,
     "q_knn_batch" -> knnBatch,
     "q_knn_batch_ivf" -> knnBatchIvf,
+    "q_knn_batch_ivf_recall" -> knnBatchIvfRecall,
     "q_knn_centroids" -> centroids,
     "q_knn_lsh" -> knnLsh,
     "q_knn_lsh_oracle" -> knnLshOracle,
@@ -1119,6 +1155,23 @@ object SimilarityQueries {
          FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // per-probe exact top-10 recomputed from scratch (brute-force rank,
+    // no bucket blocking) + the avg-recall pin constant
+    "q_knn_batch_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                         round(list_cosine_similarity(c.v, p.v), 6) AS cos_sim
+                  FROM e c JOIN e p
+                    ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cos_sim,
+                true AS batch_recall_ok
+         FROM (SELECT probe_id, vec_id, cos_sim,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+               FROM cand)
+         WHERE rnk <= 10
+         ORDER BY probe_id, rnk""",
     // exact top-10 recomputed from scratch + the recall pin constant:
     // if the ANN path recalls < 3 of these rows, Spark emits false and
     // the row-set hash diverges (see recallPinned scaladoc)

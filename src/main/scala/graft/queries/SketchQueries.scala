@@ -31,25 +31,35 @@ object SketchQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** One row: exact distinct + exact quantiles beside their sketch
-    * twins' error pins. The exact columns shuffle distinct keys / sort
-    * values (the cost the sketches avoid); both paths run in ONE
-    * aggregation pass over the scan. */
-  private val sketchError: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .agg(
-        count_distinct(col("l_partkey")).as("n_parts"),
-        approx_count_distinct(col("l_partkey"), 0.05).as("adc"),
-        expr("percentile(l_extendedprice, 0.5D)").as("p50x"),
-        expr("percentile(l_extendedprice, 0.9D)").as("p90x"),
-        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("ap90"))
+    * twins' error pins. Plan-shape notes (both measured at sf0.1):
+    * count(DISTINCT) in the same aggregate as the percentile family
+    * forces an Expand that drags every scan row through the percentile
+    * buffers (13.4 s fused vs ~3 s split); and the exact quantiles use
+    * the shared selection-form machinery (RelationalQueries
+    * .selectQuantiles — the q_quantiles_sel scale path) instead of the
+    * buffer-every-value `percentile` aggregate, so the only declarative
+    * aggregates left are the mergeable sketches plus one distinct. */
+  private val sketchError: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val exact = RelationalQueries
+      .selectQuantiles(li, "l_extendedprice", Seq(0.5, 0.9))
+      .getOrElse(Seq(Double.NaN, Double.NaN))
+    val (p50x, p90x) = (exact(0), exact(1))
+    val distincts = li.agg(
+      count_distinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("adc"))
+    val approxQ = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("ap90"))
+    distincts.crossJoin(broadcast(approxQ))
       .select(
         col("n_parts"),
-        round(col("p50x"), 4).as("p50"),
-        round(col("p90x"), 4).as("p90"),
+        round(lit(p50x), 4).as("p50"),
+        round(lit(p90x), 4).as("p90"),
         (abs(col("adc") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_ok"),
-        (abs(col("ap50") - col("p50x")) <= col("p50x") * 0.005).as("p50_ok"),
-        (abs(col("ap90") - col("p90x")) <= col("p90x") * 0.005).as("p90_ok"))
+        (abs(col("ap50") - lit(p50x)) <= lit(p50x) * 0.005).as("p50_ok"),
+        (abs(col("ap90") - lit(p90x)) <= lit(p90x) * 0.005).as("p90_ok"))
+  }
 
   /** Distinct buyers per year via MERGED month-level HLL sketches
     * (hll_sketch_agg → hll_union_agg, Apache DataSketches HLL): the

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+import scala.collection.mutable
+
+/** BPE merge training: the distributed fold must agree with an
+  * independent sequential reimplementation of the reference algorithm
+  * (pair counts over the word-frequency dict, argmax with
+  * (freq desc, left, right) ties, greedy left-to-right merge), and
+  * reproduce the classic hand-computed example. */
+class BpeSpec extends SparkSpec {
+
+  /** Sequential reference BPE (the subword-nmt algorithm, driver-side). */
+  private def refBpe(words: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    def mergeSeq(seq: List[String], l: String, r: String): List[String] = {
+      val buf = mutable.ListBuffer[String]()
+      for (x <- seq)
+        if (buf.nonEmpty && buf.last == l && x == r) {
+          buf.remove(buf.size - 1); buf += (l + r)
+        } else buf += x
+      buf.toList
+    }
+    var freq: Map[List[String], Long] = words.filter(_.nonEmpty)
+      .groupBy(w => w.map(_.toString).toList :+ "</w>")
+      .map { case (seq, ws) => seq -> ws.size.toLong }
+    val out = mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var k = 1
+    while (k <= n) {
+      val pc = mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.isEmpty) return out.toSeq
+      val ((l, r), pf) = pc.toSeq
+        .sortBy { case ((l, r), f) => (-f, l, r) }.head
+      out += ((k, l, r, pf))
+      freq = freq.groupMapReduce { case (seq, _) => mergeSeq(seq, l, r) }(_._2)(_ + _)
+      k += 1
+    }
+    out.toSeq
+  }
+
+  test("classic fixture: low/lower/newest/widest merges in order") {
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val s = spark
+    import s.implicits._
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = CurationQueries.bpeMerges(docs, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)))
+  }
+
+  test("distributed merges equal the sequential reference on real docs") {
+    val docs = Tables.documents(spark, sf).limit(60).select("text")
+    val words = docs.collect().flatMap(_.getString(0).split(" ")).toSeq
+    val want = refBpe(words, 10)
+    val got = CurationQueries.bpeMerges(docs, 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
+  test("training is deterministic across runs") {
+    val docs = Tables.documents(spark, sf).limit(30).select("text")
+    val a = CurationQueries.bpeMerges(docs, 6).collect().toSeq
+    val b = CurationQueries.bpeMerges(docs, 6).collect().toSeq
+    assert(a == b)
+  }
+}
