@@ -38,6 +38,30 @@ object EtlJob {
       props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
 
+  /** JSON-lines sink (engine extension): the interchange format most
+    * crawl/annotation pipelines land — one JSON object per line, so the
+    * file splits by newline and every executor writes its partition. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSON-lines source. Pass the schema whenever it is known: without
+    * one, Spark runs a full extra INFERENCE PASS over every byte before
+    * the real scan — at 100 TB that doubles ingest cost, so schema-less
+    * reads are a dev-only convenience. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(sc => spark.read.schema(sc).json(path))
+
+  /** ORC sink/source (engine extension): the second columnar format a
+    * warehouse must speak; same vectorized scan, predicate pushdown,
+    * and column pruning contract as parquet (plan-asserted in
+    * SourcesSpec). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source — the literal extract leg of the reference pipeline
     * (`GET_AIR_B` = `SELECT * FROM air_b`, db_queries.py:26-29, run via
     * cursor + `fetchall()` at pipeline.py:35-37). `fetchall()` pulls the

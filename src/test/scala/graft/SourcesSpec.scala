@@ -38,6 +38,30 @@ class SourcesSpec extends SparkSpec {
   // distribution (/opt/spark/jars has only avro-core), so the format
   // is not exercised here.
 
+  test("EtlJob jsonl round-trip with a pinned schema (no inference pass)") {
+    val dir = tmp("graft-jsonl")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    graft.pipeline.EtlJob.writeJsonl(docs, dir)
+    val back = graft.pipeline.EtlJob.readJsonl(spark, dir, Some(docs.schema))
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("EtlJob orc scan pushes filters and prunes columns like parquet") {
+    val dir = tmp("graft-orc-push")
+    graft.pipeline.EtlJob.writeOrc(Tables.lineitem(spark, sf), dir)
+    val q = graft.pipeline.EtlJob.readOrc(spark, dir)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"orc scan did not push the filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"orc scan did not prune columns:\n$plan")
+    assert(q.count() ==
+      Tables.lineitem(spark, sf).filter(col("l_quantity") > 40).count())
+  }
+
   test("csv inferSchema recovers numeric types (S1 capability)") {
     val dir = tmp("graft-infer")
     Tables.customer(spark, sf).write.option("header", "true").mode("overwrite").csv(dir)
