@@ -112,9 +112,78 @@ object GraphQueries {
       .orderBy("family")
   }
 
+  /** Triangle count + global clustering coefficient over the PART
+    * co-purchase graph (parts are adjacent when some order contains
+    * both) — the bipartite purchase graph is triangle-free by
+    * construction, so this derives the classic one-mode projection
+    * co-occurrence graph every recommender pipeline builds. The
+    * projection is scoped to one year of shipments: an UNWINDOWED
+    * co-occurrence projection densifies with time (avg degree grew ~10×
+    * from sf0.01 to sf0.1 and the wedge join with it — measured 13 s),
+    * which is precisely why production co-occurrence graphs are always
+    * time-windowed; the window keeps the projection's density a
+    * modeling choice instead of a function of history length.
+    *
+    * Scale shape — DEGREE-ORDERED orientation (the node-iterator++
+    * algorithm): every undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger one, so each wedge is
+    * generated at its lowest-degree vertex and each triangle is
+    * enumerated EXACTLY once. The wedge blow-up at a hub of degree d
+    * falls from C(d, 2) to roughly C(d_out, 2) with d_out bounded by
+    * √(2m) — the difference between a dead executor and a bounded join
+    * on a power-law graph. Wedge closure is one equi-join against the
+    * canonical edge set keyed (lo, hi). The triangle COUNT is
+    * orientation-invariant, so the DuckDB oracle replays the naive
+    * id-ordered 3-way self-join and the counts must agree — the oracle
+    * states the semantics, the engine picks the scalable plan.
+    * Transitivity = 3·triangles / wedges, with wedges = Σ C(deg, 2)
+    * (undirected), both engines from first principles. */
+  private val triangles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .distinct()
+    val deg = edges.select(col("lo").as("n")).unionAll(edges.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint outward
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "lo").withColumnRenamed("deg", "dlo"), "lo")
+      .join(deg.withColumnRenamed("n", "hi").withColumnRenamed("deg", "dhi"), "hi")
+      .select(
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("src"), col("hi").as("dst")))
+          .otherwise(struct(col("hi").as("src"), col("lo").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedgeClose = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(
+        least(col("e1.dst"), col("e2.dst")).as("lo"),
+        greatest(col("e1.dst"), col("e2.dst")).as("hi"))
+      .join(edges, Seq("lo", "hi"), "left_semi")
+    // one lazy composite plan: the edges subtree appears in all four
+    // branches and Catalyst's ReuseExchange materializes its shuffles
+    // once — no explicit persist, no driver-side scalars, one job
+    wedgeClose.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
+          .as("transitivity"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
+    "q_triangles" -> triangles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +237,26 @@ object GraphQueries {
                 round(avg(CAST(deg AS DOUBLE)), 6) AS mean_deg,
                 max_by(src, deg * 100000000 + src) AS top_hub
          FROM deg GROUP BY 1 ORDER BY family""",
+    // naive id-ordered 3-way self-join — the orientation-invariant
+    // count the engine's degree-ordered plan must reproduce
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem
+                     WHERE year(CAST(l_shipdate AS DATE)) = 1996),
+         e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+               FROM li a JOIN li b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         deg AS (SELECT n, count(*) AS deg FROM (
+                   SELECT lo AS n FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY n),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                           JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT n_triangles FROM tri) AS n_triangles,
+                round(3.0 * (SELECT n_triangles FROM tri)
+                  / (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6)
+                  AS transitivity""",
   )
 }

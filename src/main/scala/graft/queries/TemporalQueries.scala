@@ -121,10 +121,53 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** Last-touch marketing attribution with a bounded lookback — the
+    * standard event-pipeline revenue report: each purchase credits the
+    * user's most recent click no older than 1 hour; purchases with no
+    * qualifying click land in the NULL "unattributed" bucket. Revenue
+    * then aggregates per click campaign (the `k` field of the click's
+    * JSON props).
+    *
+    * Implementation is the as-of pattern (q_join_asof): tag both sides,
+    * union, ONE window scan per user carrying the latest click's
+    * (campaign, ts) forward, then the lookback bound decides
+    * attribution — one shuffle on user_id, no per-purchase range
+    * self-join. Same-ts click/purchase ties resolve click-first
+    * (side ordering), matching DuckDB's ASOF `c.ts <= p.ts`. Output is
+    * campaign-sized. */
+  private val attribution: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val lookbackUs = 3600L * 1000000L
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("side"),
+      get_json_object(col("props"), "$.k").cast("int").as("c_k"),
+      col("ts").as("c_ts"),
+      lit(null).cast("double").as("rev"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("side"),
+      lit(null).cast("int").as("c_k"),
+      lit(null).cast("timestamp").as("c_ts"),
+      col("value").as("rev"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("lk", last("c_k", ignoreNulls = true).over(w))
+      .withColumn("lts", last("c_ts", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("attr_k",
+        when(col("lts").isNotNull &&
+          (unix_micros(col("ts")) - unix_micros(col("lts")) <= lookbackUs),
+          col("lk")))
+      .groupBy("attr_k")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("rev"), 2).as("revenue"))
+      .orderBy(asc_nulls_first("attr_k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
+    "q_attribution" -> attribution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +223,21 @@ object TemporalQueries {
                          END) AS BIGINT) AS covered_us,
                 count(*) AS n_intervals
          FROM m GROUP BY user_id ORDER BY user_id""",
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, ts,
+                           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         a AS (SELECT p.value,
+                      CASE WHEN c.ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                           THEN c.k END AS attr_k
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT attr_k, count(*) AS n_purchases,
+                round(sum(value), 2) AS revenue
+         FROM a GROUP BY attr_k
+         ORDER BY attr_k NULLS FIRST""",
   )
 }

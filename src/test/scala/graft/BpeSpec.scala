@@ -64,6 +64,48 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("encode matches the sequential reference tokenization per doc") {
+    def mergeSeq(seq: List[String], l: String, r: String): List[String] = {
+      val buf = mutable.ListBuffer[String]()
+      for (x <- seq)
+        if (buf.nonEmpty && buf.last == l && x == r) {
+          buf.remove(buf.size - 1); buf += (l + r)
+        } else buf += x
+      buf.toList
+    }
+    val docs = Tables.documents(spark, sf).limit(40).select("doc_id", "text")
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val merges = refBpe(rows.flatMap(_._2.split(" ")).toSeq, 10)
+      .map { case (_, l, r, _) => (l, r) }
+    def encodeWord(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (seq, (l, r)) => mergeSeq(seq, l, r)
+      }.size
+    val want = rows.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(encodeWord(_).toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = CurationQueries.bpeEncode(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("more merges never lengthen any document") {
+    val docs = Tables.documents(spark, sf).limit(40).select("doc_id", "text")
+    val merges = CurationQueries.trainBpe(docs, 8)
+      .map { case (_, l, r, _) => (l, r) }
+    def tokens(m: Seq[(String, String)]): Map[Long, Long] =
+      CurationQueries.bpeEncode(docs, m)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val none = tokens(Seq.empty)
+    val all = tokens(merges)
+    assert(all.keySet == none.keySet)
+    all.foreach { case (id, n) =>
+      assert(n <= none(id), s"doc $id grew: $n > ${none(id)}")
+    }
+    assert(all.values.sum < none.values.sum, "merges compressed nothing")
+  }
+
   test("training is deterministic across runs") {
     val docs = Tables.documents(spark, sf).limit(30).select("text")
     val a = CurationQueries.bpeMerges(docs, 6).collect().toSeq

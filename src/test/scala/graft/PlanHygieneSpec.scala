@@ -29,7 +29,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_knn_lsh_oracle",
     // round 9: the recall-pin queries wrap knn_exact + the ANN path, so
     // they inherit the same 1-row query-vector broadcast
-    "q_knn_ivf_recall", "q_knn_ivf_pq_recall", "q_knn_batch_ivf_recall")
+    "q_knn_ivf_recall", "q_knn_ivf_pq_recall", "q_knn_batch_ivf_recall",
+    // round 9: 1-row aggregate broadcasts (sketch pins, graph scalars)
+    "q_sketch_error", "q_triangles")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
