@@ -63,4 +63,40 @@ object QualityChecks {
         (col("value") >= col("lo") && col("value") <= col("hi")).cast("int"))
       .orderBy("check")
   }
+
+  /** FREE-RIDING metrics via `Dataset.observe`: where [[run]] spends a
+    * dedicated aggregate job on the gate, `observed` attaches the same
+    * metric expressions to a dataframe the pipeline is about to
+    * materialize ANYWAY — the metrics accumulate on the executors as
+    * the real job's rows stream past, at zero extra scans, zero extra
+    * shuffles. This is how a 100 TB ingest gets per-batch quality
+    * telemetry without doubling its I/O: the write pays for the
+    * metrics. Read results from the returned Observation AFTER an
+    * action on the returned frame. Contract: CollectMetrics forbids
+    * DISTINCT aggregates, so [[uniqueness]] checks stay on the [[run]]
+    * gate; completeness/compliance ride along free. */
+  def observed(df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "quality: no checks declared")
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, checks.head.metric.as(checks.head.name),
+      checks.tail.map(c => c.metric.as(c.name)): _*), obs)
+  }
+
+  /** Verdicts from an Observation's metric row (blocks until the
+    * observed job finishes): same (check, value, lo, hi, passed) shape
+    * as [[run]]'s verdict table, evaluated driver-side on the one
+    * metric row. */
+  def verdicts(obs: org.apache.spark.sql.Observation,
+      checks: Seq[Check]): Seq[(String, Double, Boolean)] = {
+    val m = obs.get
+    checks.map { c =>
+      val v = m(c.name) match {
+        case d: java.lang.Double => d.doubleValue()
+        case l: java.lang.Long   => l.doubleValue()
+        case x => x.toString.toDouble
+      }
+      (c.name, v, v >= c.lo && v <= c.hi)
+    }
+  }
 }

@@ -42,6 +42,25 @@ class QualityChecksSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 scan for the whole suite, got $scans:\n$plan")
   }
 
+  test("observe() metrics ride a real job and match the dedicated gate") {
+    val checks = Seq(
+      Check("rows_min", count(lit(1)).cast("double"), 1.0, 1e18),
+      Check("text_complete", completeness(col("text")), 0.9, 1.0),
+      Check("lang_en", compliance(col("lang") === "en"), 0.9, 1.0))
+    val (df, obs) = QualityChecks.observed(fixture, checks)
+    // the "real job": a materialization the pipeline runs anyway
+    assert(df.count() == 4)
+    val got = QualityChecks.verdicts(obs, checks)
+      .map { case (n, v, p) => n -> ((v, p)) }.toMap
+    assert(got("rows_min") == ((4.0, true)))
+    assert(got("text_complete") == ((0.75, false)))
+    assert(got("lang_en") == ((0.5, false)))
+    // and the free-riding values equal the dedicated single-pass gate's
+    val gate = QualityChecks.run(fixture, checks)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (n, (v, _)) => assert(v == gate(n)) }
+  }
+
   test("empty check list is rejected loudly") {
     intercept[IllegalArgumentException](QualityChecks.run(fixture, Seq.empty))
   }
