@@ -46,11 +46,14 @@ object ScaleGrowthBench {
   // verify — growth should track q_dedup_ngram's candidate-join shape).
   // The "~c" word suffix keeps copies' 5-word block keys disjoint, so
   // containment pairs also grow exactly FACTOR×.
+  // Round 9 adds span-level dedup ("~c" suffixes keep 16-word spans
+  // disjoint across copies, so repeated-span counts grow FACTOR×
+  // exactly, same anti-join shape as decontaminate).
   private val dedupFamily = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental",
     "q_decontaminate", "q_dedup_minhash_oracle", "q_corpus_pipeline",
-    "q_dedup_containment", "q_dedup_containment_sfx")
+    "q_dedup_containment", "q_dedup_containment_sfx", "q_dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

