@@ -53,7 +53,10 @@ object ScaleGrowthBench {
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_cluster", "q_dedup_cluster_ls", "q_dedup_incremental",
     "q_decontaminate", "q_dedup_minhash_oracle", "q_corpus_pipeline",
-    "q_dedup_containment", "q_dedup_containment_sfx", "q_dedup_spans")
+    "q_dedup_containment", "q_dedup_containment_sfx", "q_dedup_spans",
+    // round 9: prefix filtering — "~c" suffixes keep copies' shingle
+    // universes disjoint, so prefix buckets and true pairs grow FACTOR×
+    "q_dedup_prefix")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fingerprint64.fingerprint64
@@ -326,6 +327,86 @@ object TextQueries {
 
   private val dedupNgram: Q = (s, d) =>
     ngramPairsShared(s, d).orderBy("d1", "d2")
+
+  /** Prefix-filtering near-dup join (the AllPairs/PPJoin candidate
+    * generator, Bayardo et al. 2007 / Xiao et al. 2008): candidates
+    * for Jaccard ≥ t = 4/5 come from an equi-join restricted to each
+    * doc's PREFIX — its π(S) = |S| − ⌈t·|S|⌉ + 1 rarest shingles under
+    * one global (df asc, shingle asc) order.
+    *
+    * COMPLETE recall, provably: order both sets by the global order and
+    * let x = min(A∩B). A suffix is upward-closed within its set, so if
+    * x sat in A's suffix then ALL of A∩B would — but the suffix holds
+    * ⌈t|A|⌉ − 1 < t·|A| ≤ |A∩B| elements (J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥
+    * t·|A|). Contradiction, so x lies in A's prefix, symmetrically in
+    * B's — every qualifying pair MEETS in the join. The driver oracle
+    * is therefore the fully DECLARATIVE statement (every shingle-
+    * sharing pair with true Jaccard ≥ 4/5, no candidate step at all):
+    * the hash gate is the recall proof.
+    *
+    * This is the principled scale answer to hot shingles that
+    * [[maxShingleDf]] caps heuristically: a boilerplate shingle has
+    * huge df, sorts LAST in the global order, and lands in suffixes —
+    * it can never generate a candidate pair, with zero recall loss.
+    * Candidate volume is Σ over prefix-shingles of df_prefix² with
+    * prefixes ~(1−t)·|S| — at t = 0.8, ~4% of the naive join's pair
+    * volume (max prefix-shingle df is 8 at sf0.1 where raw shingle df
+    * is unbounded). Exact verification runs on candidates only, as
+    * everywhere in the dedup family; the dominant cost is the
+    * verification's pair×shingle intersection join over the chance
+    * candidates that rare-shingle collisions admit; the AllPairs
+    * length filter (J ≥ t ⇒ t ≤ |A|/|B| ≤ 1/t) prunes most of those
+    * inside the candidate join (measured 4.5 → 1.5 s at sf0.1) —
+    * the q_dedup_minhash cost class, bought with PROVABLE rather than
+    * probabilistic recall. */
+  /** (doc_id, shingle, df, n_sh, rn) — the globally-ordered shingle
+    * table all of [[dedupPrefix]]'s branches consume. Memoized +
+    * persisted (the [[ngramPairsShared]] precedent): per-branch column
+    * pruning differentiates the subplans, so ReuseExchange alone
+    * cannot dedupe the scan — without the persist the documents scan
+    * and both window shuffles re-run once per branch (measured 4× scan
+    * in the executed plan). */
+  private val rankedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def rankedShingles(s: SparkSession, d: String): DataFrame =
+    rankedMemo.computeIfAbsent((s, d), _ =>
+      shingleRows(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val dedupPrefix: Q = (s, d) => {
+    val ranked = rankedShingles(s, d)
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * 4 / lit(5)) + 1)
+      .select("doc_id", "shingle", "n_sh")
+    // AllPairs length filter rides the candidate join: J >= t implies
+    // t <= |A|/|B| <= 1/t, so chance collisions between docs of
+    // incompatible sizes are pruned before the verification join ever
+    // sees them — completeness unaffected
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * 5 >= col("b.n_sh") * 4 &&
+          col("b.n_sh") * 5 >= col("a.n_sh") * 4)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(ranked.select(col("doc_id").as("d1"), col("shingle"),
+        col("n_sh").as("n1")), "d1")
+      .join(ranked.select(col("doc_id").as("d2"), col("shingle"),
+        col("n_sh").as("n2")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_inter"), max("n1").as("n1"), max("n2").as("n2"))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select("d1", "d2", "n_inter", "n_union")
+      .orderBy("d1", "d2")
+  }
 
   /** Fuzzy-verify stage over the shared candidate-pair list: exact
     * Levenshtein (Spark's codegen built-in) plus the engine's native
@@ -1237,6 +1318,7 @@ object TextQueries {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_spans" -> dedupSpans,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_prefix" -> dedupPrefix,
     "q_dedup_fuzzy" -> dedupFuzzy,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_containment" -> dedupContainment,
@@ -1509,6 +1591,26 @@ object TextQueries {
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
+         ORDER BY d1, d2""",
+    // the DECLARATIVE statement — every shingle-sharing pair with true
+    // Jaccard >= 4/5, NO candidate step: hash equality with the
+    // engine's prefix-filtered plan is the complete-recall proof
+    "q_dedup_prefix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT d1, d2, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union
          FROM inter
