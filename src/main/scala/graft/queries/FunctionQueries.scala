@@ -88,6 +88,22 @@ object FunctionQueries {
       .orderBy("o_orderkey")
 
   /** F9 JSON extraction on events.props ({"k": N}). */
+  /** Error-safe function family (ANSI mode's escape hatches): under
+    * Spark 4's default ANSI semantics a bad cast, a zero divisor, or an
+    * out-of-bounds index FAILS the job — the right default for a
+    * warehouse, but a 100 TB ingest of dirty data needs the `try_*`
+    * forms that degrade to NULL per-row instead of killing the job at
+    * row 3 billion. NULL-for-error is exactly DuckDB's native
+    * semantics, so every column oracle-checks. */
+  private val fnTry: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      round(expr("try_divide(o_totalprice, o_custkey % 7)"), 6).as("td"),
+      expr("try_cast(o_orderstatus AS INT)").as("bad_int"),
+      expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("prio"),
+      expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob"))
+      .orderBy("o_orderkey")
+
   private val fnJson: Q = (s, d) =>
     Tables.events(s, d).select(
       col("event_id"),
@@ -170,6 +186,7 @@ object FunctionQueries {
     "q_fn_date" -> fnDate,
     "q_fn_json" -> fnJson,
     "q_fn_map" -> fnMap,
+    "q_fn_try" -> fnTry,
     "q_udf_clean" -> udfClean,
   )
 
@@ -228,6 +245,15 @@ object FunctionQueries {
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
          FROM events ORDER BY event_id""",
+    // DuckDB's native NULL-for-error semantics state the try_* contract
+    "q_fn_try" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_custkey % 7 = 0 THEN NULL
+                     ELSE round(o_totalprice / (o_custkey % 7), 6) END AS td,
+                TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+                TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio,
+                string_split(o_orderpriority, '-')[5] AS oob
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_map" ->
       """SELECT event_id, 'k' AS keys,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val

@@ -70,7 +70,24 @@ object SqlQueries {
        FROM active JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** OVER-clause surface through the TEXT front-end (the DataFrame
+    * window family is WindowQueries; this proves the same semantics
+    * parse/plan from SQL): ranking + frame aggregate in one statement,
+    * identical text on both engines. */
+  private val windowSql =
+    """SELECT c_custkey, o_orderkey,
+              CAST(row_number() OVER w AS INTEGER) AS rn,
+              round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_spend
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_custkey % 97 = 0
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+       ORDER BY c_custkey, o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_sql_window" -> sql(windowSql),
     "q_sql_cte" -> sql(cte),
     "q_sql_join_agg" -> sql(revenueByNation),
     "q_sql_subquery" -> sql(scalarSubquery),
@@ -80,6 +97,7 @@ object SqlQueries {
 
   /** Identical text runs on DuckDB. */
   val oracles: Map[String, String] = Map(
+    "q_sql_window" -> windowSql,
     "q_sql_cte" -> cte,
     "q_sql_join_agg" -> revenueByNation,
     "q_sql_subquery" -> scalarSubquery,
