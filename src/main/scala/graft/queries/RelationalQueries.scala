@@ -605,6 +605,33 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bin")
 
+  /** Incremental aggregate maintenance (materialized-view delta): the
+    * warehouse pattern where a per-key summary table absorbs a new
+    * batch by MERGING partial aggregates — count/sum state combines
+    * with a full-outer join + coalesce — instead of rescanning all of
+    * history. Here the "state" is the aggregate of the historical
+    * slice (o_orderkey%5 ≠ 4, the q_dedup_incremental split) and the
+    * "batch" the remainder; the oracle is the plain one-shot aggregate
+    * over everything, so the hash gate proves merge ≡ recompute. At
+    * 100 TB the state side is summary-sized and the scan cost is
+    * batch-proportional — the same contract as the streaming partial
+    * aggregates, expressed on the batch surface. */
+  private val aggIncremental: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def part(pred: org.apache.spark.sql.Column) =
+      o.filter(pred).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp"))
+    val state = part(pmod(col("o_orderkey"), lit(5)) =!= 4).as("s")
+    val batch = part(pmod(col("o_orderkey"), lit(5)) === 4).as("b")
+    state.join(batch, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+          .as("n_orders"),
+        round(coalesce(col("s.sp"), lit(0.0)) + coalesce(col("b.sp"), lit(0.0)), 2)
+          .as("total_spend"))
+      .orderBy("o_custkey")
+  }
+
   /** 2-D skyline (Pareto frontier): parts not dominated on (cheaper
     * price, larger size) — the multi-criteria shortlist query (BNL/SFS
     * in the skyline literature). The naive formulation is an O(n²)
@@ -694,6 +721,7 @@ object RelationalQueries {
     "q_quantiles_grouped_sel" -> quantilesGroupedSel,
     "q_zscore_outliers" -> zscoreOutliers,
     "q_skyline" -> skyline,
+    "q_agg_incremental" -> aggIncremental,
   )
 
   val oracles: Map[String, String] = Map(
@@ -935,6 +963,11 @@ object RelationalQueries {
                 round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the one-shot aggregate: hash equality proves merge ≡ recompute
+    "q_agg_incremental" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_spend
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     // the oracle states the DECLARATIVE dominance predicate; the
     // engine's sort-based prefix-max plan must keep the same frontier
     "q_skyline" ->
