@@ -180,10 +180,53 @@ object GraphQueries {
           .as("transitivity"))
   }
 
+  /** Multi-source k-hop BFS (k = 3) over the purchase graph: minimum
+    * hop distance from a deterministic seed set (customers with
+    * custkey ≡ 1 mod 100) to every node within 3 hops — the
+    * reachability / blast-radius primitive (fraud rings, lineage
+    * impact, social neighborhoods).
+    *
+    * Frontier-style iteration, k fixed so the loop unrolls into 3
+    * chained joins: each hop joins the CURRENT frontier (not the
+    * visited set) against the edge list, dedups the neighbor set, and
+    * anti-joins the visited set so a node keeps its FIRST (minimum)
+    * hop — the textbook BFS invariant, each step a frontier-sized
+    * hash join. Scale shape: shuffles are frontier-×-degree sized,
+    * never |V|²; the visited set only ever grows by distinct nodes;
+    * at an unbounded k this becomes the ConnectedComponents fixpoint
+    * loop with its checkpoint cuts (same module family). The oracle
+    * is a recursive CTE with UNION (tuple-dedup) semantics + a final
+    * min(hop) — identical frontier mathematics in pure SQL. */
+  private val bfsKhop: Q = (s, d) => {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") > 0 && col("node") % 100 === 1)
+      .withColumn("hop", lit(0))
+    var visited = seeds
+    var frontier = seeds.select("node")
+    for (h <- 1 to 3) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .persist()
+      visited = visited.unionByName(next.withColumn("hop", lit(h)))
+      frontier = next
+    }
+    visited.orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
+    "q_bfs_khop" -> bfsKhop,
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +301,23 @@ object GraphQueries {
                 round(3.0 * (SELECT n_triangles FROM tri)
                   / (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6)
                   AS transitivity""",
+    // recursive CTE with UNION (tuple-dedup) semantics; the final
+    // min(hop) collapses re-reached nodes to their BFS distance
+    "q_bfs_khop" ->
+      """WITH RECURSIVE
+         e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL
+                   SELECT dst AS src, src AS dst FROM e0),
+         bfs AS (
+           SELECT DISTINCT src AS node, 0 AS hop FROM edges
+           WHERE src > 0 AND src % 100 = 1
+           UNION
+           SELECT e.dst, b.hop + 1 FROM bfs b
+           JOIN edges e ON e.src = b.node
+           WHERE b.hop < 3)
+         SELECT node, min(hop) AS hop FROM bfs
+         GROUP BY node ORDER BY node""",
   )
 }

@@ -151,8 +151,37 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** J1-at-skew: the same fact⋈fact equi join expressed with EXPLICIT
+    * key salting — the manual defense for a hot join key when AQE's
+    * runtime skew split can't fire (e.g. the skew is downstream of an
+    * aggregation boundary, or the engine runs without AQE). The probe
+    * side (lineitem) appends a deterministic salt ∈ [0, 8) hashed from
+    * its row identity; the build side (orders) replicates each row
+    * once per salt via `explode(sequence(...))`, so the join key
+    * becomes (orderkey, salt) and a key carrying k rows spreads over
+    * 8 partitions at the cost of an 8× build-side blowup — the
+    * textbook trade. Semantics are hash-gated: the oracle is the PLAIN
+    * unsalted join, so the salted plan must be row-for-row identical.
+    * SkewSpec covers the AQE path; this is the algebraic one. */
+  private val joinSalted: Q = (s, d) => {
+    val nSalt = 8L
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))
+    val o = Tables.orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalt - 1))))
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_inner" -> joinInner,
+    "q_join_salted" -> joinSalted,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_outer" -> joinOuter,
     "q_join_semi" -> joinSemi,
@@ -169,6 +198,12 @@ object JoinQueries {
                 round(sum(o_totalprice), 2) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the PLAIN unsalted join: the salted plan must reproduce it
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_broadcast" ->
       """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey

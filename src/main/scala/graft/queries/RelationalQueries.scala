@@ -632,6 +632,89 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Snapshot reconciliation (table diff): compare two versions of a
+    * table and emit ONLY the delta — rows added, removed, or changed —
+    * the anti-entropy / migration-audit primitive behind every
+    * "did the backfill change anything it shouldn't" check. Versions
+    * are deterministic slices of orders: A drops keys ≡4 (mod 5); B
+    * drops keys ≡0 (mod 7) and shifts totalprice by +10 where the key
+    * ≡0 (mod 3).
+    *
+    * Scale shape: one co-partitioned full-outer SMJ on the key (with
+    * pipeline/BucketedLayout both sides pre-bucket on the key and the
+    * join is shuffle-free); change detection is null-safe column
+    * compares (`<=>`), no row serialization or hashing; output size is
+    * proportional to the CHURN, not the table — unchanged rows never
+    * leave the join. */
+  private val tableDiff: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 5 =!= 4).select(
+      col("o_orderkey").as("ak"), col("o_orderstatus").as("ast"),
+      round(col("o_totalprice"), 2).as("old_price"))
+    val b = o.filter(col("o_orderkey") % 7 =!= 0).select(
+      col("o_orderkey").as("bk"), col("o_orderstatus").as("bst"),
+      when(col("o_orderkey") % 3 === 0,
+        round(col("o_totalprice") + 10.0, 2))
+        .otherwise(round(col("o_totalprice"), 2)).as("new_price"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .filter(col("ak").isNull || col("bk").isNull ||
+        !(col("old_price") <=> col("new_price")) ||
+        !(col("ast") <=> col("bst")))
+      .select(
+        coalesce(col("ak"), col("bk")).as("o_orderkey"),
+        when(col("ak").isNull, "added")
+          .when(col("bk").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** RFM customer scoring (recency / frequency / monetary): the
+    * classic segmentation report — per customer, days since last
+    * order (vs a fixed anchor date), order count, and total spend,
+    * each bucketed into its statistical quartile (1 + the number of
+    * exact quartile cutoffs the value exceeds; for recency, bucket 1
+    * = most recent).
+    *
+    * Scale shape: the metrics are one map-side-combinable groupBy on
+    * custkey; the three quartile cutoffs come from ONE exact
+    * percentile aggregate over the (already customer-grained) metric
+    * table, broadcast back as a 1-row cross join — no global window
+    * sort, no single-partition ntile. At a scale where even the
+    * customer grain is huge, the cutoff pass swaps for the
+    * selection-form exact quantile plan (q_quantiles_sel) without
+    * touching the scoring join. */
+  private val rfm: Q = (s, d) => {
+    val anchor = to_date(lit("1998-12-31"))
+    val m = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        datediff(anchor, to_date(max("o_orderdate"))).as("rec_days"),
+        count(lit(1)).as("freq"),
+        round(sum("o_totalprice"), 2).as("mon"))
+    val cuts = m.agg(
+      percentile(col("rec_days"), lit(0.25)).as("r25"),
+      percentile(col("rec_days"), lit(0.50)).as("r50"),
+      percentile(col("rec_days"), lit(0.75)).as("r75"),
+      percentile(col("freq"), lit(0.25)).as("f25"),
+      percentile(col("freq"), lit(0.50)).as("f50"),
+      percentile(col("freq"), lit(0.75)).as("f75"),
+      percentile(col("mon"), lit(0.25)).as("m25"),
+      percentile(col("mon"), lit(0.50)).as("m50"),
+      percentile(col("mon"), lit(0.75)).as("m75"))
+    def q(v: Column, p25: String, p50: String, p75: String) =
+      lit(1) + (v > col(p25)).cast("int") + (v > col(p50)).cast("int") +
+        (v > col(p75)).cast("int")
+    m.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("rec_days"), col("freq"), col("mon"),
+        q(col("rec_days"), "r25", "r50", "r75").as("r_q"),
+        q(col("freq"), "f25", "f50", "f75").as("f_q"),
+        q(col("mon"), "m25", "m50", "m75").as("m_q"))
+      .withColumn("segment",
+        concat(col("r_q"), col("f_q"), col("m_q")))
+      .orderBy("o_custkey")
+  }
+
   /** 2-D skyline (Pareto frontier): parts not dominated on (cheaper
     * price, larger size) — the multi-criteria shortlist query (BNL/SFS
     * in the skyline literature). The naive formulation is an O(n²)
@@ -722,6 +805,8 @@ object RelationalQueries {
     "q_zscore_outliers" -> zscoreOutliers,
     "q_skyline" -> skyline,
     "q_agg_incremental" -> aggIncremental,
+    "q_table_diff" -> tableDiff,
+    "q_rfm" -> rfm,
   )
 
   val oracles: Map[String, String] = Map(
@@ -968,6 +1053,62 @@ object RelationalQueries {
       """SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS ak, o_orderstatus AS ast,
+                           round(o_totalprice, 2) AS old_price
+                    FROM orders WHERE o_orderkey % 5 <> 4),
+         b AS (SELECT o_orderkey AS bk, o_orderstatus AS bst,
+                      CASE WHEN o_orderkey % 3 = 0
+                           THEN round(o_totalprice + 10.0, 2)
+                           ELSE round(o_totalprice, 2) END AS new_price
+               FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT coalesce(ak, bk) AS o_orderkey,
+                CASE WHEN ak IS NULL THEN 'added'
+                     WHEN bk IS NULL THEN 'removed'
+                     ELSE 'changed' END AS status,
+                old_price, new_price
+         FROM a FULL JOIN b ON ak = bk
+         WHERE ak IS NULL OR bk IS NULL
+            OR old_price IS DISTINCT FROM new_price
+            OR ast IS DISTINCT FROM bst
+         ORDER BY o_orderkey""",
+    "q_rfm" ->
+      """WITH m AS (SELECT o_custkey,
+                           date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                     DATE '1998-12-31') AS rec_days,
+                           count(*) AS freq,
+                           round(sum(o_totalprice), 2) AS mon
+                    FROM orders GROUP BY 1),
+         c AS (SELECT quantile_cont(rec_days, 0.25) AS r25,
+                      quantile_cont(rec_days, 0.50) AS r50,
+                      quantile_cont(rec_days, 0.75) AS r75,
+                      quantile_cont(freq, 0.25) AS f25,
+                      quantile_cont(freq, 0.50) AS f50,
+                      quantile_cont(freq, 0.75) AS f75,
+                      quantile_cont(mon, 0.25) AS m25,
+                      quantile_cont(mon, 0.50) AS m50,
+                      quantile_cont(mon, 0.75) AS m75
+               FROM m)
+         SELECT o_custkey, rec_days, freq, mon,
+                1 + CAST(rec_days > r25 AS INTEGER)
+                  + CAST(rec_days > r50 AS INTEGER)
+                  + CAST(rec_days > r75 AS INTEGER) AS r_q,
+                1 + CAST(freq > f25 AS INTEGER)
+                  + CAST(freq > f50 AS INTEGER)
+                  + CAST(freq > f75 AS INTEGER) AS f_q,
+                1 + CAST(mon > m25 AS INTEGER)
+                  + CAST(mon > m50 AS INTEGER)
+                  + CAST(mon > m75 AS INTEGER) AS m_q,
+                CAST(1 + CAST(rec_days > r25 AS INTEGER)
+                       + CAST(rec_days > r50 AS INTEGER)
+                       + CAST(rec_days > r75 AS INTEGER) AS VARCHAR) ||
+                CAST(1 + CAST(freq > f25 AS INTEGER)
+                       + CAST(freq > f50 AS INTEGER)
+                       + CAST(freq > f75 AS INTEGER) AS VARCHAR) ||
+                CAST(1 + CAST(mon > m25 AS INTEGER)
+                       + CAST(mon > m50 AS INTEGER)
+                       + CAST(mon > m75 AS INTEGER) AS VARCHAR) AS segment
+         FROM m, c ORDER BY o_custkey""",
     // the oracle states the DECLARATIVE dominance predicate; the
     // engine's sort-based prefix-max plan must keep the same frontier
     "q_skyline" ->

@@ -163,11 +163,115 @@ object TemporalQueries {
       .orderBy(asc_nulls_first("attr_k"))
   }
 
+  /** CDC apply (latest-wins upsert merge): replay a change-data-capture
+    * log onto a base snapshot and emit the final table state — the
+    * warehouse MERGE every lakehouse ingestion runs. The log here is
+    * derived deterministically from orders (seq = o_orderkey, every
+    * 11th op a DELETE, the rest UPSERTs of that order's totalprice);
+    * the base is the customer dimension.
+    *
+    * Semantics: per key, the op with the HIGHEST sequence number wins —
+    * a delete followed by a later upsert re-inserts, any number of
+    * upserts collapse to the last. One `max_by(struct, seq)` aggregate
+    * expresses the whole replay: no per-op iteration, no window sort —
+    * a single map-side-combinable groupBy whose state is one (op, val)
+    * pair per key. At 100 TB the log shuffles once on key and the
+    * snapshot-sized output partitions by the same key, ready to swap in
+    * (pipeline/Compaction's atomic-directory pattern). */
+  private val cdcApply: Q = (s, d) => {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey"), lit(-1L).as("seq"), lit("U").as("op"),
+      col("c_acctbal").as("v"))
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("c_custkey"), col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+      round(col("o_totalprice"), 2).as("v"))
+    base.unionByName(log)
+      .groupBy("c_custkey")
+      .agg(
+        max_by(col("op"), col("seq")).as("fop"),
+        max_by(col("v"), col("seq")).as("fv"),
+        sum(when(col("seq") >= 0, 1L).otherwise(0L)).as("n_ops"))
+      .filter(col("fop") =!= "D")
+      .select(col("c_custkey"), round(col("fv"), 2).as("bal"), col("n_ops"))
+      .orderBy("c_custkey")
+  }
+
+  /** Event-type transition matrix (first-order Markov estimate): for
+    * each user's time-ordered event sequence, count consecutive
+    * (prev → next) type pairs and normalize to transition
+    * probabilities — the sequence-mining primitive behind journey
+    * analysis and next-event prediction.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag() scan (ties
+    * broken by the unique event_id, so the sequence — and therefore
+    * the pair counts — is deterministic in both engines), then the
+    * aggregate collapses to |types|² rows; the probability normalizer
+    * is a window over the cardinality-|types| prev partition — all
+    * post-shuffle state is matrix-sized, independent of event count. */
+  private val eventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wp = Window.partitionBy("prev")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum("n").over(wp), 4))
+      .orderBy("prev", "next")
+  }
+
+  /** Trailing-window distinct count (7-day rolling DAU): per active
+    * day, how many DISTINCT users appeared in the trailing 7 days —
+    * the engagement metric a windowed count-distinct cannot express
+    * as a frame aggregate (distinct is not decomposable over frames).
+    *
+    * Scale shape: events first collapse to the (day, user) grain — the
+    * only pass over raw data, map-side combinable; the rolling window
+    * is then a range join of that grain against the broadcast
+    * day-spine (≤ 7 candidate days per grain row, so the join output
+    * is ≤ 7× the day-user grain, never |days|×|events|), finished by
+    * one distinct-count per day. State after the first pass is
+    * day×user-sized, independent of event count. */
+  private val rollingDistinct: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val spine = du.select("d").distinct()
+    spine.select(col("d").as("day"))
+      .join(du, datediff(col("day"), col("d")).between(0, 6))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau7"))
+      .orderBy("day")
+  }
+
+  /** Period-over-period report (month-over-month revenue growth): the
+    * standard finance rollup — monthly revenue plus its % change vs
+    * the prior month. The raw scan collapses to a month-grain
+    * aggregate (map-side combinable) and the lag() runs over the
+    * cardinality-|months| result — the one global window is dozens of
+    * rows, not data-sized. */
+  private val momGrowth: Q = (s, d) => {
+    val w = Window.orderBy("month")
+    Tables.orders(s, d)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .withColumn("growth_pct",
+        round((col("revenue") - lag("revenue", 1).over(w))
+          / lag("revenue", 1).over(w) * 100, 4))
+      .orderBy("month")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
     "q_attribution" -> attribution,
+    "q_cdc_apply" -> cdcApply,
+    "q_event_transitions" -> eventTransitions,
+    "q_rolling_distinct" -> rollingDistinct,
+    "q_mom_growth" -> momGrowth,
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +343,49 @@ object TemporalQueries {
                 round(sum(value), 2) AS revenue
          FROM a GROUP BY attr_k
          ORDER BY attr_k NULLS FIRST""",
+    "q_cdc_apply" ->
+      """WITH ops AS (
+           SELECT c_custkey, -1 AS seq, 'U' AS op, c_acctbal AS v
+           FROM customer
+           UNION ALL
+           SELECT o_custkey, o_orderkey,
+                  CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END,
+                  round(o_totalprice, 2)
+           FROM orders),
+         fin AS (
+           SELECT c_custkey,
+                  max_by(op, seq) AS fop, max_by(v, seq) AS fv,
+                  sum(CASE WHEN seq >= 0 THEN 1 ELSE 0 END) AS n_ops
+           FROM ops GROUP BY 1)
+         SELECT c_custkey, round(fv, 2) AS bal, n_ops
+         FROM fin WHERE fop <> 'D' ORDER BY c_custkey""",
+    "q_event_transitions" ->
+      """WITH seqd AS (
+           SELECT event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         pairs AS (
+           SELECT prev, event_type AS next, count(*) AS n
+           FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT prev, next, n,
+                round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
+         FROM pairs ORDER BY prev, next""",
+    "q_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                     FROM events),
+         spine AS (SELECT DISTINCT d FROM du)
+         SELECT s.d AS day, count(DISTINCT u.user_id) AS dau7
+         FROM spine s JOIN du u ON u.d BETWEEN s.d - 6 AND s.d
+         GROUP BY 1 ORDER BY 1""",
+    "q_mom_growth" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                           round(sum(o_totalprice), 2) AS revenue
+                    FROM orders GROUP BY 1)
+         SELECT month, revenue,
+                round((revenue - lag(revenue) OVER (ORDER BY month))
+                  / lag(revenue) OVER (ORDER BY month) * 100, 4)
+                  AS growth_pct
+         FROM m ORDER BY month""",
   )
 }

@@ -103,4 +103,103 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("k-hop BFS equals brute-force layered search on random graphs") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      // bipartite purchase graph: custkeys 1..300 (seeds 1/101/201 when
+      // present), suppkeys 1..15; some orders have no lineitems
+      val orders = (1L to 120L).map(i => (i, 1L + rnd.nextInt(300)))
+      val lines = (1 to 400).map(_ =>
+        (1L + rnd.nextInt(120), 1L + rnd.nextInt(15)))
+      val dir = scratch()
+      orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+      lines.toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q_bfs_khop")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // brute force: undirected adjacency, layered BFS to hop 3
+      val custOf = orders.toMap
+      val pairs = lines.flatMap { case (ok, sk) =>
+        custOf.get(ok).map(ck => (ck, -sk))
+      }.distinct
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var want = adj.keySet.filter(n => n > 0 && n % 100 == 1)
+        .map(_ -> 0).toMap
+      var frontier = want.keySet
+      (1 to 3).foreach { h =>
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+          .diff(want.keySet)
+        want = want ++ next.map(_ -> h)
+        frontier = next
+      }
+      assert(got == want,
+        s"seed=$seed missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet} " +
+          s"hopdiff=${got.filter(kv => want.get(kv._1).exists(_ != kv._2))}")
+    }
+  }
+
+  test("CDC apply equals sequential op-by-op replay on random logs") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      // few keys, many ops per key → deletes, re-inserts, long chains;
+      // values kept at exact 2dp so rounding is engine-independent
+      val cust = (1L to 20L).map(i => (i, rnd.nextInt(10000) / 100.0))
+      val orders = (1L to 200L).map(i =>
+        (i, 1L + rnd.nextInt(20), rnd.nextInt(100000) / 100.0))
+      val dir = scratch()
+      cust.toDF("c_custkey", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+      orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q_cdc_apply")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = cust.flatMap { case (k, bal0) =>
+        val ops = orders.filter(_._2 == k).sortBy(_._1)
+        var state: Option[Double] = Some(bal0)
+        ops.foreach { case (seqId, _, v) =>
+          state = if (seqId % 11 == 0) None else Some(v)
+        }
+        state.map(v => (k, v, ops.size.toLong))
+      }.toSet
+      assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("event transitions equal brute-force pair counts with ts ties") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(500 + seed)
+      val types = Array("view", "click", "cart", "purchase")
+      // coarse ts grid on few users → deliberate ts ties, broken by
+      // the unique event_id in both engine and brute force
+      val rows = (1L to 500L).map { i =>
+        (i, new Timestamp(1700000000000L + rnd.nextInt(50) * 60000L),
+          1L + rnd.nextInt(6), types(rnd.nextInt(4)), 1.0, "{}")
+      }
+      val dir = scratch()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q_event_transitions")(spark, dir)
+        .collect().map(r =>
+          (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val pairCounts = rows.groupBy(_._3).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._1)).map(_._4)
+        ordered.zip(ordered.drop(1))
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val prevTotals = pairCounts.groupBy(_._1._1)
+        .map { case (p, m) => p -> m.values.sum }
+      val want = pairCounts.map { case (p, n) =>
+        p -> (n, BigDecimal(n.toDouble / prevTotals(p._1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
 }
