@@ -947,7 +947,71 @@ object SimilarityQueries {
     "q_dedup_minhash_oracle" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_oracle" -> dedupSimhashOracle,
+    "q_kmeans" -> kmeansLloyd,
   )
+
+  /** Declarative Lloyd's k-means (k = 8, 3 iterations, deterministic
+    * seeding from the k lowest vec_ids) — the clustering primitive the
+    * IVF family's MLlib quantizer wraps, here expressed so every
+    * iteration is DuckDB-replayable and the whole fit sits in the
+    * driver's hash gate (the MLlib path is ✓t-only by nature).
+    *
+    * Determinism protocol: centroids and distances are rounded to the
+    * 6-decimal grain at every step (the q_resample_fill precedent —
+    * round BEFORE reuse, so both engines carry identical doubles
+    * through all iterations; float-sum association differences sit at
+    * ~1e-13, six orders below the grain), and argmin ties break on the
+    * lowest cell id via lexicographic (d, cell) min.
+    *
+    * Scale shape (the MLlib KMeans pattern, stated explicitly): per
+    * iteration the k×dim centroid table — constant bytes, k·dim·8 =
+    * 4 KB — is collected to the driver and shipped back as plan
+    * LITERALS, so the assignment step is a ZERO-shuffle codegen
+    * projection (one zip_with/aggregate fold per cell, array_min over
+    * the (d, cell) structs); the update step is one map-side-combined
+    * (cell, pos) average. Nothing data-sized ever reaches the driver —
+    * this is the documented constant-bytes materialize exception
+    * (SURVEY §9), same class as the KNN query-vector head. */
+  private lazy val kmeansLloyd: Q = (s, d) => {
+    val k = 8
+    val iters = 3
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    // seeds: k lowest vec_ids, rounded onto the protocol grain
+    var cent: Array[(Int, Array[Double])] =
+      emb.orderBy("vec_id").limit(k).select("e").collect()
+        .zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Double](0).map(r6).toArray
+        }
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val distStructs = cent.map { case (c, arr) =>
+        val litArr = array(arr.map(lit(_)): _*)
+        struct(
+          round(aggregate(
+            zip_with(col("e"), litArr, (x, cv) => (x - cv) * (x - cv)),
+            lit(0.0), (acc, v) => acc + v), 6).as("d"),
+          lit(c).as("cell"))
+      }
+      assigned = emb
+        .withColumn("m", array_min(array(distStructs: _*)))
+        .select(col("vec_id"), col("e"),
+          col("m.cell").as("cell"), col("m.d").as("d"))
+      if (it < iters) {
+        cent = assigned
+          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("v"))
+          .collect()
+          .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(r => r6(r.getDouble(2)))
+          }
+      }
+    }
+    assigned.select(col("vec_id"), col("cell"), col("d")).orderBy("vec_id")
+  }
 
   /** Generated 32-bit-vote SQL for the simhash oracle twin: the 32 sum
     * expressions and the bit-reassembly are mechanical, so the text is
@@ -984,7 +1048,46 @@ object SimilarityQueries {
        ORDER BY d1, d2"""
   }
 
+  /** Generated SQL for the k-means oracle: the three Lloyd iterations
+    * are mechanical (assign → argmin → recompute), so the text is
+    * built by the same loop structure as the Spark plan — one source
+    * of truth for the iteration protocol (seed rounding, 6-dp grain,
+    * lowest-cell tie-break). */
+  private def kmeansOracleSql: String = {
+    def aN(n: Int): String =
+      s"""a$n AS (SELECT e.vec_id, c.cell,
+                round(sum((CAST(e.embedding[c.i] AS DOUBLE) - c.v) *
+                          (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS d
+         FROM embeddings e CROSS JOIN c${n - 1} c
+         GROUP BY 1, 2)"""
+    def gN(n: Int): String =
+      s"""g$n AS (SELECT a.vec_id, min(a.cell) AS cell, m.md AS d
+         FROM a$n a JOIN (SELECT vec_id, min(d) AS md FROM a$n
+                          GROUP BY 1) m
+           ON a.vec_id = m.vec_id AND a.d = m.md
+         GROUP BY a.vec_id, m.md)"""
+    def cN(n: Int): String =
+      s"""c$n AS (SELECT g.cell, t.i,
+                round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+         FROM g$n g JOIN embeddings e ON e.vec_id = g.vec_id
+              CROSS JOIN range(1, 65) t(i)
+         GROUP BY 1, 2)"""
+    val iterCtes = (1 to 3).flatMap(n =>
+      Seq(aN(n), gN(n)) ++ (if (n < 3) Seq(cN(n)) else Nil))
+    s"""WITH seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                  embedding
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT 8)),
+         c0 AS (SELECT cell, i,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM seeds, range(1, 65) t(i)),
+         ${iterCtes.mkString(",\n         ")}
+         SELECT vec_id, cell, d FROM g3 ORDER BY vec_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracleSql,
     "q_dedup_simhash_oracle" -> simhashOracleSql,
     // every stage of the md5-family MinHash replays: same "i:shingle"
     // hash inputs, same lexicographic minima, same '|'-joined band
