@@ -254,6 +254,36 @@ object EventStreams {
       }
   }
 
+  case class CdcRow(c_custkey: Long, seq: Long, op: String, v: Double)
+
+  /** Streaming CDC apply — the incremental twin of the batch
+    * q_cdc_apply (TemporalQueries): a keyed latest-wins register in
+    * mapGroupsWithState. Each key's state is the op with the highest
+    * sequence number seen SO FAR; because the fold keeps max-seq
+    * regardless of arrival order, out-of-order CDC delivery across
+    * micro-batches converges to the same final state as the batch
+    * max_by replay (asserted in StreamingSpec). State is one (seq,
+    * op, v) register per live key — snapshot-sized, never log-sized;
+    * deletes stay IN state (a tombstone must outrank stale earlier
+    * upserts that may still arrive) and are filtered at read time. */
+  def cdcApplyStream(spark: SparkSession, ops: DataFrame): Dataset[CdcRow] = {
+    import spark.implicits._
+    ops.select(col("c_custkey"), col("seq"), col("op"), col("v"))
+      .as[(Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcRow, CdcRow](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String, Double)],
+            state: GroupState[CdcRow]) =>
+          var best = state.getOption
+            .getOrElse(CdcRow(key, Long.MinValue, "D", 0.0))
+          rows.foreach { case (_, seq, op, v) =>
+            if (seq > best.seq) best = CdcRow(key, seq, op, v)
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** foreachBatch sink: apply an arbitrary batch write (here: append
     * parquet partitioned by event_type) per micro-batch — the
     * batch-sink escape hatch for sinks without native streaming

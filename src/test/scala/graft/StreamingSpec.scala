@@ -365,4 +365,54 @@ class StreamingSpec extends SparkSpec {
     assert(finalPerUser.collect().map(_.toSeq).toSet ==
       want.collect().map(_.toSeq).toSet)
   }
+
+  test("streaming CDC apply converges to latest-wins state under out-of-order delivery") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // batch A lands first, batch B second and carries BOTH stale
+    // (lower-seq) and newer ops — the fold must keep max-seq per key
+    val batchA = Seq(
+      (1L, 10L, "U", 1.0), (2L, 11L, "D", 0.0), (3L, 12L, "U", 3.0),
+      (4L, 13L, "U", 4.0), (5L, 30L, "D", 0.0))
+    val batchB = Seq(
+      (1L, 5L, "U", 9.9),   // stale late upsert: loses to seq 10
+      (2L, 31L, "U", 2.2),  // re-insert after delete
+      (3L, 6L, "D", 0.0),   // stale late delete: loses
+      (4L, 35L, "D", 0.0),  // final delete
+      (5L, 20L, "U", 5.5))  // stale vs the seq-30 tombstone
+    batchA.toDF("c_custkey", "seq", "op", "v")
+      .coalesce(1).write.parquet(s"$dir/a.parquet")
+    batchB.toDF("c_custkey", "seq", "op", "v")
+      .coalesce(1).write.parquet(s"$dir/b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.cdcApplyStream(spark, stream).toDF(), "t_cdc", "update")
+    // final state per key = the emitted update with the highest seq
+    val fin = got.collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+    val live = fin.filter(_._2.getString(2) != "D")
+      .map { case (k, r) => k -> r.getDouble(3) }
+    assert(live == Map(1L -> 1.0, 2L -> 2.2, 3L -> 3.0),
+      s"live state wrong: $live")
+    // tombstones stay in state (they must outrank stale late upserts)
+    assert(fin(4L).getString(2) == "D" && fin(5L).getString(2) == "D")
+    // the batch replay (max_by over the full log) agrees
+    val all = batchA ++ batchB
+    val batchWant = all.groupBy(_._1).map { case (k, ops) =>
+      k -> ops.maxBy(_._2)
+    }.filter(_._2._3 != "D").map { case (k, op) => k -> op._4 }
+    assert(live == batchWant)
+  }
 }
