@@ -605,6 +605,63 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bin")
 
+  /** Equi-DEPTH histogram (the equi-width q_histogram's sibling and
+    * the optimizer-statistics shape): 10 buckets holding ~equal row
+    * counts, bounded by exact decile cutoffs. Like q_rfm, the cutoffs
+    * come from ONE percentile aggregate broadcast back as a 1-row
+    * cross join — no global sort, no single-partition ntile; the
+    * bucket id is the count of cutoffs the value exceeds (values
+    * exactly on a cutoff go down, matching the oracle's strict
+    * comparison). Bucket counts differ from n/10 only by cutoff-tie
+    * mass — exactly the skew an optimizer histogram exists to show. */
+  private val histogramEqdepth: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = o.agg(
+      percentile(col("o_totalprice"), lit(ps.head)).as("c1"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        percentile(col("o_totalprice"), lit(p)).as(s"c${i + 2}")
+      }: _*)
+    val bucket = (1 to 9).map(i =>
+      (col("o_totalprice") > col(s"c$i")).cast("int"))
+      .reduce(_ + _)
+    o.crossJoin(broadcast(cuts))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Mutual information between two categorical columns (market
+    * segment × order priority) — the dependence screen a feature-
+    * selection pass runs. All probabilities come from EXACT joint
+    * counts (one groupBy over the join), so the only floating math is
+    * the final Σ p(x,y)·log₂(p/(px·py)) over |X|·|Y| cells — the sums
+    * are cell-count-sized, never data-sized, and the result rounds at
+    * 6 dp. One fact-dim broadcast join + one map-side-combined
+    * aggregate; marginals derive from the joint by two window sums
+    * over the tiny cell table (no second scan of the data). */
+  private val mutualInfo: Q = (s, d) => {
+    val joint = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy("c_mktsegment")
+    val wy = Window.partitionBy("o_orderpriority")
+    val wall = Window.partitionBy()
+    joint
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("n", sum("nxy").over(wall))
+      .agg(round(sum(
+        (col("nxy") / col("n")) *
+          log2((col("nxy") * col("n")) / (col("nx") * col("ny")))), 6)
+        .as("mi_bits"),
+        max("n").cast("long").as("n_rows"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view delta): the
     * warehouse pattern where a per-key summary table absorbs a new
     * batch by MERGING partial aggregates — count/sum state combines
@@ -807,6 +864,8 @@ object RelationalQueries {
     "q_agg_incremental" -> aggIncremental,
     "q_table_diff" -> tableDiff,
     "q_rfm" -> rfm,
+    "q_histogram_eqdepth" -> histogramEqdepth,
+    "q_mutual_info" -> mutualInfo,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1053,6 +1112,44 @@ object RelationalQueries {
       """SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_histogram_eqdepth" ->
+      """WITH c AS (SELECT quantile_cont(o_totalprice, 0.1) AS c1,
+                           quantile_cont(o_totalprice, 0.2) AS c2,
+                           quantile_cont(o_totalprice, 0.3) AS c3,
+                           quantile_cont(o_totalprice, 0.4) AS c4,
+                           quantile_cont(o_totalprice, 0.5) AS c5,
+                           quantile_cont(o_totalprice, 0.6) AS c6,
+                           quantile_cont(o_totalprice, 0.7) AS c7,
+                           quantile_cont(o_totalprice, 0.8) AS c8,
+                           quantile_cont(o_totalprice, 0.9) AS c9
+                    FROM orders)
+         SELECT CAST(o_totalprice > c1 AS INTEGER)
+              + CAST(o_totalprice > c2 AS INTEGER)
+              + CAST(o_totalprice > c3 AS INTEGER)
+              + CAST(o_totalprice > c4 AS INTEGER)
+              + CAST(o_totalprice > c5 AS INTEGER)
+              + CAST(o_totalprice > c6 AS INTEGER)
+              + CAST(o_totalprice > c7 AS INTEGER)
+              + CAST(o_totalprice > c8 AS INTEGER)
+              + CAST(o_totalprice > c9 AS INTEGER) AS bucket,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi
+         FROM orders, c GROUP BY bucket ORDER BY bucket""",
+    "q_mutual_info" ->
+      """WITH joint AS (
+           SELECT c_mktsegment, o_orderpriority, count(*) AS nxy
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         m AS (SELECT nxy,
+                      sum(nxy) OVER (PARTITION BY c_mktsegment) AS nx,
+                      sum(nxy) OVER (PARTITION BY o_orderpriority) AS ny,
+                      sum(nxy) OVER () AS n
+               FROM joint)
+         SELECT round(sum((nxy / n) * log2((nxy * n) / (nx * ny))), 6)
+                  AS mi_bits,
+                CAST(max(n) AS BIGINT) AS n_rows
+         FROM m""",
     "q_table_diff" ->
       """WITH a AS (SELECT o_orderkey AS ak, o_orderstatus AS ast,
                            round(o_totalprice, 2) AS old_price

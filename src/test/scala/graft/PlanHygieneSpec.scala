@@ -31,7 +31,11 @@ class PlanHygieneSpec extends SparkSpec {
     // they inherit the same 1-row query-vector broadcast
     "q_knn_ivf_recall", "q_knn_ivf_pq_recall", "q_knn_batch_ivf_recall",
     // round 9: 1-row aggregate broadcasts (sketch pins, graph scalars)
-    "q_sketch_error", "q_triangles")
+    "q_sketch_error", "q_triangles",
+    // round 9 late: 1-row exact-quantile-cutoff broadcasts (the rfm /
+    // equi-depth scoring joins) and the 7-day rolling-DAU range join
+    // against the broadcast day spine (dimension-sized by construction)
+    "q_rfm", "q_histogram_eqdepth", "q_rolling_distinct")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
