@@ -605,6 +605,26 @@ object RelationalQueries {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bin")
 
+  /** Per-group mode (most frequent value) with a PINNED tie-break —
+    * the categorical summary statistic. Spark 4 and DuckDB both ship a
+    * `mode()` aggregate, but neither defines tie order, so the engine
+    * states the deterministic form explicitly: count per (group,
+    * value), then rank by (count desc, value asc) — one map-side-
+    * combined aggregate plus a window over the \|groups\|×\|values\|
+    * cell table, never a second data scan. */
+  private val aggMode: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("n"), asc("o_orderpriority"))
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_val"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Equi-DEPTH histogram (the equi-width q_histogram's sibling and
     * the optimizer-statistics shape): 10 buckets holding ~equal row
     * counts, bounded by exact decile cutoffs. Like q_rfm, the cutoffs
@@ -866,6 +886,7 @@ object RelationalQueries {
     "q_rfm" -> rfm,
     "q_histogram_eqdepth" -> histogramEqdepth,
     "q_mutual_info" -> mutualInfo,
+    "q_agg_mode" -> aggMode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1112,6 +1133,17 @@ object RelationalQueries {
       """SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // tie order pinned by the explicit (count desc, value asc) rank —
+    // neither engine's native mode() defines it
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                    FROM orders GROUP BY 1, 2),
+         r AS (SELECT o_orderstatus, o_orderpriority, n,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY n DESC, o_orderpriority) AS rk
+               FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_val, n
+         FROM r WHERE rk = 1 ORDER BY o_orderstatus""",
     "q_histogram_eqdepth" ->
       """WITH c AS (SELECT quantile_cont(o_totalprice, 0.1) AS c1,
                            quantile_cont(o_totalprice, 0.2) AS c2,

@@ -263,8 +263,34 @@ object TemporalQueries {
       .orderBy("month")
   }
 
+  /** Seasonal anomaly scores (day-of-week baseline): each day's event
+    * count z-scored against the mean/stddev of ITS OWN day-of-week —
+    * the first-order seasonality correction every ops dashboard
+    * applies before alerting (a quiet Sunday is not an anomaly; a
+    * quiet Tuesday is). Emits the SCORE for every day rather than a
+    * thresholded subset — thresholding is a trivial downstream filter,
+    * and at small day counts the sample z-score is bounded by
+    * (k−1)/√k anyway, so a fixed cut would be scale-dependent.
+    *
+    * Scale shape: the raw scan collapses to the day grain immediately
+    * (map-side combinable); the baseline is a window over the
+    * cardinality-7 day-of-week partitions of that tiny table. A
+    * single-day group has no sample stddev → NULL z, identical in
+    * both engines. */
+  private val anomalyScore: Q = (s, d) => {
+    val w = Window.partitionBy(dayofweek(col("day")))
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("expected", round(avg("n").over(w), 4))
+      .withColumn("z",
+        round((col("n") - avg("n").over(w)) / stddev_samp("n").over(w), 4))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
+    "q_anomaly_score" -> anomalyScore,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
     "q_attribution" -> attribution,
@@ -371,6 +397,18 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    // dow labels differ across engines (Spark 1-7 vs DuckDB 0-6) but
+    // only the GROUPING matters and that is identical
+    "q_anomaly_score" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                        FROM events GROUP BY 1)
+         SELECT day, n,
+                round(avg(n) OVER (PARTITION BY dayofweek(day)), 4)
+                  AS expected,
+                round((n - avg(n) OVER (PARTITION BY dayofweek(day)))
+                  / stddev_samp(n) OVER (PARTITION BY dayofweek(day)), 4)
+                  AS z
+         FROM daily ORDER BY day""",
     "q_rolling_distinct" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
                      FROM events),
