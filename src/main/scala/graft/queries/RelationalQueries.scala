@@ -682,6 +682,77 @@ object RelationalQueries {
         max("n").cast("long").as("n_rows"))
   }
 
+  /** Population-stability-index drift report (the ML-ops distribution
+    * monitor): bin the CURRENT period by the REFERENCE period's exact
+    * decile cutoffs and report each bin's contribution to
+    * PSI = Σ (q−p)·ln(q/p) — the number a model-serving pipeline
+    * watches to decide when to retrain. Periods are the deterministic
+    * even/odd orderkey split. Same scale shape as q_histogram_eqdepth:
+    * one percentile aggregate over the reference slice broadcast back,
+    * one map-side-combined bin count carrying both periods in a single
+    * scan (conditional sums, not two passes), proportions via window
+    * sums over the 10-row bin table. */
+  private val psiDrift: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"),
+      (col("o_orderkey") % 2 === 0).as("is_ref"))
+    val ref = o.filter(col("is_ref"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = ref.agg(
+      percentile(col("v"), lit(ps.head)).as("c1"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        percentile(col("v"), lit(p)).as(s"c${i + 2}")
+      }: _*)
+    val bucket = (1 to 9).map(i =>
+      (col("v") > col(s"c$i")).cast("int")).reduce(_ + _)
+    val wall = Window.partitionBy()
+    o.crossJoin(broadcast(cuts))
+      .groupBy(bucket.as("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("p", col("n_ref") / sum("n_ref").over(wall))
+      .withColumn("q", col("n_cur") / sum("n_cur").over(wall))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6)
+          .as("psi_contrib"))
+      .orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (exact): the max ECDF
+    * gap between the even- and odd-custkey price samples — the
+    * classic distribution-equality test behind drift detection and
+    * A/B sanity checks. The data collapses to the distinct-VALUE
+    * grain first (both samples' counts in one conditional aggregate),
+    * then one cumulative window over that grain yields both ECDFs.
+    *
+    * Scale note: the cumulative window is global-ordered over the
+    * value grain — exact KS needs a total order. At a scale where the
+    * grain itself is huge, either pre-bin to B buckets (bounds the KS
+    * error by 1/B — the PSI cutoff pattern) or use the two-pass
+    * partition-offset cumsum; the exact form is kept here as the
+    * oracle-checkable anchor (the q_quantiles precedent). */
+  private val ksTest: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"),
+      (col("o_custkey") % 2 === 0).as("isa"))
+    val totals = o.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.groupBy("v")
+      .agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(round(abs(col("cuma") / col("na") - col("cumb") / col("nb")), 6))
+          .as("ks_d"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view delta): the
     * warehouse pattern where a per-key summary table absorbs a new
     * batch by MERGING partial aggregates — count/sum state combines
@@ -887,6 +958,8 @@ object RelationalQueries {
     "q_histogram_eqdepth" -> histogramEqdepth,
     "q_mutual_info" -> mutualInfo,
     "q_agg_mode" -> aggMode,
+    "q_psi_drift" -> psiDrift,
+    "q_ks_test" -> ksTest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1133,6 +1206,61 @@ object RelationalQueries {
       """SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_psi_drift" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         c AS (SELECT quantile_cont(v, 0.1) AS c1,
+                      quantile_cont(v, 0.2) AS c2,
+                      quantile_cont(v, 0.3) AS c3,
+                      quantile_cont(v, 0.4) AS c4,
+                      quantile_cont(v, 0.5) AS c5,
+                      quantile_cont(v, 0.6) AS c6,
+                      quantile_cont(v, 0.7) AS c7,
+                      quantile_cont(v, 0.8) AS c8,
+                      quantile_cont(v, 0.9) AS c9
+               FROM ref),
+         b AS (SELECT CAST(o_totalprice > c1 AS INTEGER)
+                    + CAST(o_totalprice > c2 AS INTEGER)
+                    + CAST(o_totalprice > c3 AS INTEGER)
+                    + CAST(o_totalprice > c4 AS INTEGER)
+                    + CAST(o_totalprice > c5 AS INTEGER)
+                    + CAST(o_totalprice > c6 AS INTEGER)
+                    + CAST(o_totalprice > c7 AS INTEGER)
+                    + CAST(o_totalprice > c8 AS INTEGER)
+                    + CAST(o_totalprice > c9 AS INTEGER) AS bin,
+                      sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                        AS n_ref,
+                      sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+                        AS n_cur
+               FROM orders, c GROUP BY bin),
+         m AS (SELECT bin, n_ref, n_cur,
+                      n_ref / sum(n_ref) OVER () AS p,
+                      n_cur / sum(n_cur) OVER () AS q
+               FROM b)
+         SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+                CAST(n_cur AS BIGINT) AS n_cur,
+                round(p, 6) AS p, round(q, 6) AS q,
+                round((q - p) * ln(q / p), 6) AS psi_contrib
+         FROM m ORDER BY bin""",
+    "q_ks_test" ->
+      """WITH g AS (SELECT o_totalprice AS v,
+                      sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                        AS ca,
+                      sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+                        AS cb
+               FROM orders GROUP BY 1),
+         cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                        sum(cb) OVER (ORDER BY v) AS cumb
+                 FROM g),
+         t AS (SELECT sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                        AS na,
+                      sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+                        AS nb
+               FROM orders)
+         SELECT max(round(abs(cuma / na - cumb / nb), 6)) AS ks_d,
+                CAST(max(na) AS BIGINT) AS n_a,
+                CAST(max(nb) AS BIGINT) AS n_b
+         FROM cum, t""",
     // tie order pinned by the explicit (count desc, value asc) rank —
     // neither engine's native mode() defines it
     "q_agg_mode" ->

@@ -288,9 +288,34 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Time-weighted average (TWAP): per user, the mean of `value`
+    * weighted by how long each reading was HELD (until the next
+    * event) — the correct average for irregularly-sampled state
+    * (sensor readings, prices, balances), where the plain avg
+    * over-weights bursts. One lead() pass per user (ties pinned by
+    * event_id), the last reading carries no holding period; weights
+    * are integer epoch-micro deltas, so the only floating math is the
+    * final ratio. One shuffle on user_id, output user-sized. */
+  private val twap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("t_next", lead("t", 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("value") * (col("t_next") - col("t")))
+          / sum(col("t_next") - col("t")), 4).as("twap"),
+        round(avg("value"), 4).as("plain_avg"),
+        count(lit(1)).as("n_held"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
+    "q_twap" -> twap,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
     "q_attribution" -> attribution,
@@ -397,6 +422,20 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+                    FROM events),
+         h AS (SELECT user_id, value, t,
+                      lead(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS t_next
+               FROM e)
+         SELECT user_id,
+                round(sum(value * (t_next - t)) / sum(t_next - t), 4)
+                  AS twap,
+                round(avg(value), 4) AS plain_avg,
+                count(*) AS n_held
+         FROM h WHERE t_next IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     // dow labels differ across engines (Spark 1-7 vs DuckDB 0-6) but
     // only the GROUPING matters and that is identical
     "q_anomaly_score" ->
