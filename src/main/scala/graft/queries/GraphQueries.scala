@@ -222,11 +222,46 @@ object GraphQueries {
     visited.orderBy("node")
   }
 
+  /** Hop-bounded single-source shortest paths (3 Bellman–Ford
+    * rounds): minimum WEIGHTED distance from the q_bfs_khop seed set,
+    * edge weight = the pair's minimum lineitem quantity — the routing/
+    * cost-propagation primitive BFS can't express (a 2-hop path can
+    * undercut a 1-hop edge). Each round relaxes every edge once:
+    * current distances join the edge list, candidate = dist + w, and
+    * a min-aggregate folds candidates with the incumbents — shuffles
+    * are edge-list-sized, state is node-sized, and distances are
+    * INTEGER sums, so engine/oracle equality is exact (no float
+    * rounding protocol needed). Unbounded hops would be the
+    * ConnectedComponents-style fixpoint with checkpoint cuts; the
+    * oracle unrolls the same three relaxations in a recursive CTE
+    * (UNION tuple-dedup bounds the frontier) + a final min. */
+  private val sssp: Q = (s, d) => {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+      .agg(min("l_quantity").cast("long").as("w"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .persist()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") > 0 && col("node") % 100 === 1)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist.orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
     "q_bfs_khop" -> bfsKhop,
+    "q_sssp" -> sssp,
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +353,27 @@ object GraphQueries {
            JOIN edges e ON e.src = b.node
            WHERE b.hop < 3)
          SELECT node, min(hop) AS hop FROM bfs
+         GROUP BY node ORDER BY node""",
+    // min over all <=3-edge walks == 3 Bellman-Ford relaxations from
+    // the seed set (weights positive, so no negative-cycle concerns)
+    "q_sssp" ->
+      """WITH RECURSIVE
+         e0 AS (SELECT o_custkey AS src, -l_suppkey AS dst,
+                       CAST(min(l_quantity) AS BIGINT) AS w
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+         edges AS (SELECT src, dst, w FROM e0
+                   UNION ALL
+                   SELECT dst AS src, src AS dst, w FROM e0),
+         walk AS (
+           SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
+                  0 AS hop
+           FROM edges WHERE src > 0 AND src % 100 = 1
+           UNION
+           SELECT e.dst, b.dist + e.w, b.hop + 1
+           FROM walk b JOIN edges e ON e.src = b.node
+           WHERE b.hop < 3)
+         SELECT node, min(dist) AS dist FROM walk
          GROUP BY node ORDER BY node""",
   )
 }

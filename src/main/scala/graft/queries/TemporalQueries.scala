@@ -312,10 +312,35 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** Conversion-lag report: among users whose first purchase follows
+    * their first view, the count and the mean/median first-view →
+    * first-purchase delay — the time-to-convert number next to
+    * q_funnel's stage counts. One conditional-min aggregate per user
+    * (no self-join of the two event streams), lags as exact integer
+    * micros, floating math only in the final user-grain statistics. */
+  private val conversionLag: Q = (s, d) => {
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("fv"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull &&
+        col("fp") >= col("fv"))
+      .select((col("fp") - col("fv")).as("lag_us"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(avg("lag_us") / 1e6, 2).as("avg_lag_s"),
+        round(percentile(col("lag_us"), lit(0.5)) / 1e6, 2).as("med_lag_s"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_twap" -> twap,
+    "q_conversion_lag" -> conversionLag,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
     "q_attribution" -> attribution,
@@ -422,6 +447,21 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    "q_conversion_lag" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END) AS fv,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS fp
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY user_id),
+         l AS (SELECT fp - fv AS lag_us FROM f
+               WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+         SELECT count(*) AS n_converted,
+                round(avg(lag_us) / 1e6, 2) AS avg_lag_s,
+                round(quantile_cont(lag_us, 0.5) / 1e6, 2) AS med_lag_s
+         FROM l""",
     "q_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
                     FROM events),
