@@ -142,6 +142,45 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("hop-bounded weighted SSSP equals brute-force walk enumeration") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(600 + seed)
+      val orders = (1L to 120L).map(i => (i, 1L + rnd.nextInt(300)))
+      val lines = (1 to 400).map(_ =>
+        (1L + rnd.nextInt(120), 1L + rnd.nextInt(15),
+          1.0 + rnd.nextInt(50)))
+      val dir = scratch()
+      orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+      lines.toDF("l_orderkey", "l_suppkey", "l_quantity")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q_sssp")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: 3 rounds of relaxation over the min-weight edges
+      val custOf = orders.toMap
+      val pairs = lines.flatMap { case (ok, sk, q) =>
+        custOf.get(ok).map(ck => ((ck, -sk), q.toLong))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      val adj = (pairs.toSeq ++ pairs.toSeq.map { case ((a, b), w) => ((b, a), w) })
+        .groupBy(_._1._1)
+        .map { case (k, es) => k -> es.map(e => (e._1._2, e._2)) }
+      var dist = adj.keySet.filter(n => n > 0 && n % 100 == 1)
+        .map(_ -> 0L).toMap
+      (1 to 3).foreach { _ =>
+        val relaxed = dist.toSeq.flatMap { case (n, dn) =>
+          adj.getOrElse(n, Seq.empty).map { case (m, w) => (m, dn + w) }
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      assert(got == dist,
+        s"seed=$seed missing=${dist.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- dist.keySet} " +
+          s"diff=${got.filter(kv => dist.get(kv._1).exists(_ != kv._2)).take(5)}")
+    }
+  }
+
   test("CDC apply equals sequential op-by-op replay on random logs") {
     val s = spark
     import s.implicits._
