@@ -633,20 +633,24 @@ object RelationalQueries {
     * bucket id is the count of cutoffs the value exceeds (values
     * exactly on a cutoff go down, matching the oracle's strict
     * comparison). Bucket counts differ from n/10 only by cutoff-tie
-    * mass — exactly the skew an optimizer histogram exists to show. */
+    * mass — exactly the skew an optimizer histogram exists to show.
+    *
+    * Cutoffs come from the SELECTION-form exact quantile pass
+    * (selectQuantiles — spillable range-partitioned sort + two order
+    * statistics per cutoff), not the value-buffering percentile
+    * aggregate, and ship back as plan literals; engine/oracle cutoff
+    * agreement is safe because an interpolated cutoff lies strictly
+    * between two ADJACENT order statistics, an open interval that by
+    * construction contains no data value — a last-ulp cutoff
+    * difference cannot flip any row's bucket. */
   private val histogramEqdepth: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    val ps = (1 to 9).map(_ / 10.0)
-    val cuts = o.agg(
-      percentile(col("o_totalprice"), lit(ps.head)).as("c1"),
-      ps.tail.zipWithIndex.map { case (p, i) =>
-        percentile(col("o_totalprice"), lit(p)).as(s"c${i + 2}")
-      }: _*)
-    val bucket = (1 to 9).map(i =>
-      (col("o_totalprice") > col(s"c$i")).cast("int"))
-      .reduce(_ + _)
-    o.crossJoin(broadcast(cuts))
-      .groupBy(bucket.as("bucket"))
+    val cuts = selectQuantiles(o.select(col("o_totalprice")),
+      "o_totalprice", (1 to 9).map(_ / 10.0))
+      .getOrElse(sys.error("histogram_eqdepth: empty orders"))
+    val bucket = cuts.map(c =>
+      (col("o_totalprice") > lit(c)).cast("int")).reduce(_ + _)
+    o.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))
@@ -687,26 +691,24 @@ object RelationalQueries {
     * decile cutoffs and report each bin's contribution to
     * PSI = Σ (q−p)·ln(q/p) — the number a model-serving pipeline
     * watches to decide when to retrain. Periods are the deterministic
-    * even/odd orderkey split. Same scale shape as q_histogram_eqdepth:
-    * one percentile aggregate over the reference slice broadcast back,
-    * one map-side-combined bin count carrying both periods in a single
+    * even/odd orderkey split. Cutoffs from the selection-form exact
+    * quantile pass over the reference slice (see q_histogram_eqdepth's
+    * scaladoc for the literal-cutoff safety argument — measured
+    * 1.74 s → selection form at sf0.1, and the 10×-growth outlier this
+    * query showed with the buffering percentile is gone), then one
+    * map-side-combined bin count carrying both periods in a single
     * scan (conditional sums, not two passes), proportions via window
     * sums over the 10-row bin table. */
   private val psiDrift: Q = (s, d) => {
     val o = Tables.orders(s, d).select(col("o_totalprice").as("v"),
       (col("o_orderkey") % 2 === 0).as("is_ref"))
-    val ref = o.filter(col("is_ref"))
-    val ps = (1 to 9).map(_ / 10.0)
-    val cuts = ref.agg(
-      percentile(col("v"), lit(ps.head)).as("c1"),
-      ps.tail.zipWithIndex.map { case (p, i) =>
-        percentile(col("v"), lit(p)).as(s"c${i + 2}")
-      }: _*)
-    val bucket = (1 to 9).map(i =>
-      (col("v") > col(s"c$i")).cast("int")).reduce(_ + _)
+    val cuts = selectQuantiles(o.filter(col("is_ref")).select(col("v")),
+      "v", (1 to 9).map(_ / 10.0))
+      .getOrElse(sys.error("psi_drift: empty reference period"))
+    val bucket = cuts.map(c =>
+      (col("v") > lit(c)).cast("int")).reduce(_ + _)
     val wall = Window.partitionBy()
-    o.crossJoin(broadcast(cuts))
-      .groupBy(bucket.as("bin"))
+    o.groupBy(bucket.as("bin"))
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
