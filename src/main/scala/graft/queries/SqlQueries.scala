@@ -19,6 +19,39 @@ object SqlQueries {
     s.sql(text)
   }
 
+  /** WITH RECURSIVE through the text front-end (new surface in
+    * Spark 4): a recursively-generated month spine over the orders
+    * date range, left-joined to monthly revenue — gap-filled
+    * period reporting with no generator table. Both engines restrict
+    * recursion to UNION ALL, and the bound rides IN the rows (the
+    * anchor carries `hi`, each step re-emits it) rather than in a
+    * scalar subquery — Spark 4.1's recursion also cannot decode
+    * DateType anchor rows, so the spine recurses on integer
+    * epoch-months and converts with make_date at the end. ~80
+    * iterations, one row each — driver-bounded recursion depth, the
+    * spine is never data-sized. */
+  private val recursiveSpine =
+    """WITH RECURSIVE b AS (
+         SELECT (year(CAST(min(o_orderdate) AS DATE)) * 12
+                 + month(CAST(min(o_orderdate) AS DATE)) - 1) AS lo,
+                (year(CAST(max(o_orderdate) AS DATE)) * 12
+                 + month(CAST(max(o_orderdate) AS DATE)) - 1) AS hi
+         FROM orders),
+       spine(mi, hi) AS (
+         SELECT lo, hi FROM b
+         UNION ALL
+         SELECT mi + 1, hi FROM spine WHERE mi < hi),
+       rev AS (
+         SELECT (year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) - 1) AS mi,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT make_date(CAST(floor(s.mi / 12) AS INT),
+                        CAST(s.mi % 12 + 1 AS INT), 1) AS month,
+              coalesce(r.revenue, 0.0) AS revenue
+       FROM spine s LEFT JOIN rev r ON r.mi = s.mi
+       ORDER BY month"""
+
   private val revenueByNation =
     """SELECT n_name,
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -88,6 +121,7 @@ object SqlQueries {
 
   val queries: Map[String, Q] = Map(
     "q_sql_window" -> sql(windowSql),
+    "q_sql_recursive" -> sql(recursiveSpine),
     "q_sql_cte" -> sql(cte),
     "q_sql_join_agg" -> sql(revenueByNation),
     "q_sql_subquery" -> sql(scalarSubquery),
@@ -98,6 +132,7 @@ object SqlQueries {
   /** Identical text runs on DuckDB. */
   val oracles: Map[String, String] = Map(
     "q_sql_window" -> windowSql,
+    "q_sql_recursive" -> recursiveSpine,
     "q_sql_cte" -> cte,
     "q_sql_join_agg" -> revenueByNation,
     "q_sql_subquery" -> scalarSubquery,
