@@ -122,6 +122,22 @@ object FunctionQueries {
       get_json_object(col("props"), "$.k").cast("int").as("k_val"))
       .orderBy("event_id")
 
+  /** F9 via VARIANT (Spark 4's semi-structured type): `parse_json`
+    * materializes the document into the shredded binary VARIANT
+    * encoding ONCE and `variant_get` navigates it without re-parsing —
+    * the scale answer to repeated `get_json_object` calls, each of
+    * which re-parses the string (one parse amortizes across all
+    * extractions, and columnar readers can push shredded-field access
+    * down). Same result contract as q_fn_json, so the oracle is the
+    * plain JSON extraction. */
+  private val fnVariant: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("CAST(variant_get(parse_json(props), '$.k', 'int') AS INT)")
+        .as("k_val"),
+      expr("try_parse_json('{broken') IS NULL").as("bad_doc_is_null"))
+      .orderBy("event_id")
+
   /** §2.12(2): the same clean_data as a registered Scala UDF — same
     * oracle as q_fn_regex proves semantic equivalence. Kept off the hot
     * path in real pipelines (opaque to Catalyst). */
@@ -197,6 +213,7 @@ object FunctionQueries {
     "q_fn_cast" -> fnCast,
     "q_fn_date" -> fnDate,
     "q_fn_json" -> fnJson,
+    "q_fn_variant" -> fnVariant,
     "q_fn_map" -> fnMap,
     "q_fn_try" -> fnTry,
     "q_udf_clean" -> udfClean,
@@ -256,6 +273,12 @@ object FunctionQueries {
     "q_fn_json" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events ORDER BY event_id""",
+    // the VARIANT path must produce the plain-JSON-extraction contract
+    "q_fn_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                (try_cast('{broken' AS JSON) IS NULL) AS bad_doc_is_null
          FROM events ORDER BY event_id""",
     // DuckDB's native NULL-for-error semantics state the try_* contract
     "q_fn_try" ->

@@ -52,6 +52,20 @@ object SqlQueries {
        FROM spine s LEFT JOIN rev r ON r.mi = s.mi
        ORDER BY month"""
 
+  /** Correlated LATERAL subquery with LIMIT — "top-2 orders per
+    * customer" in its most direct SQL form. Catalyst decorrelates the
+    * lateral limit (DomainJoin → per-key rank) rather than executing
+    * a subquery per outer row; plan-audited like every query by
+    * PlanHygieneSpec. Ties pinned by o_orderkey, so the row set is
+    * deterministic; identical text runs on DuckDB. */
+  private val lateralTop2 =
+    """SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+       FROM customer, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c_custkey, o_orderkey"""
+
   private val revenueByNation =
     """SELECT n_name,
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -122,6 +136,7 @@ object SqlQueries {
   val queries: Map[String, Q] = Map(
     "q_sql_window" -> sql(windowSql),
     "q_sql_recursive" -> sql(recursiveSpine),
+    "q_sql_lateral" -> sql(lateralTop2),
     "q_sql_cte" -> sql(cte),
     "q_sql_join_agg" -> sql(revenueByNation),
     "q_sql_subquery" -> sql(scalarSubquery),
@@ -133,6 +148,7 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_window" -> windowSql,
     "q_sql_recursive" -> recursiveSpine,
+    "q_sql_lateral" -> lateralTop2,
     "q_sql_cte" -> cte,
     "q_sql_join_agg" -> revenueByNation,
     "q_sql_subquery" -> scalarSubquery,

@@ -35,7 +35,9 @@ class PlanHygieneSpec extends SparkSpec {
     // round 9 late: 1-row exact-quantile-cutoff broadcasts (the rfm /
     // equi-depth scoring joins) and the 7-day rolling-DAU range join
     // against the broadcast day spine (dimension-sized by construction)
-    "q_rfm", "q_histogram_eqdepth", "q_rolling_distinct")
+    "q_rfm", "q_histogram_eqdepth", "q_rolling_distinct",
+    // round 9 late: the KS statistic's 1-row sample-size broadcast
+    "q_ks_test")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
