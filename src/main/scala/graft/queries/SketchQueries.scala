@@ -86,9 +86,44 @@ object SketchQueries {
       .orderBy("yr")
   }
 
+  /** Set-overlap estimation via HLL inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), the sketch-only answer to
+    * "how many customers ordered in BOTH years" when the two sides are
+    * sketched independently (different pipelines, different days) and
+    * the raw keys are gone — the union comes from `hll_union` of the
+    * two sketches, never a re-scan. Exact overlap runs beside it (one
+    * per-key conditional-max aggregate, no self-join) as the oracle
+    * quantity. The boolean pins the estimate within 15% + 30 absolute:
+    * inclusion–exclusion AMPLIFIES per-sketch error by the
+    * union/intersection ratio (three ~1–2% estimates, differenced), so
+    * its honest bound is looser than the single-sketch 5% pins above —
+    * that amplification is exactly what this query documents. */
+  private val overlapSketch: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(year(to_date(col("o_orderdate"))).as("yr"), col("o_custkey"))
+      .filter(col("yr").isin(1995, 1996))
+    val exact = o.groupBy("o_custkey")
+      .agg(
+        max(when(col("yr") === 1995, 1).otherwise(0)).as("a"),
+        max(when(col("yr") === 1996, 1).otherwise(0)).as("b"))
+      .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        .as("exact_overlap"))
+    val sketches = o.agg(
+      hll_sketch_agg(when(col("yr") === 1995, col("o_custkey"))).as("ska"),
+      hll_sketch_agg(when(col("yr") === 1996, col("o_custkey"))).as("skb"))
+    val est = sketches.select(
+      (hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+        - hll_sketch_estimate(expr("hll_union(ska, skb)"))).as("est_overlap"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          col("exact_overlap") * 0.15 + 30).as("sketch_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_error" -> sketchError,
     "q_hll_rollup" -> hllRollup,
+    "q_overlap_sketch" -> overlapSketch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,6 +135,20 @@ object SketchQueries {
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
                 true AS hll_ok, true AS p50_ok, true AS p90_ok
          FROM lineitem""",
+    "q_overlap_sketch" ->
+      """WITH y AS (
+           SELECT o_custkey,
+                  max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                           THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                           THEN 1 ELSE 0 END) AS b
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+           GROUP BY 1)
+         SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_overlap,
+                true AS sketch_ok
+         FROM y""",
     "q_hll_rollup" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
                 count(DISTINCT o_custkey) AS exact_buyers,
