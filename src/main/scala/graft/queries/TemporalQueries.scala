@@ -336,11 +336,47 @@ object TemporalQueries {
         round(percentile(col("lag_us"), lit(0.5)) / 1e6, 2).as("med_lag_s"))
   }
 
+  /** MULTI-touch attribution (equal-credit split) — q_attribution's
+    * sibling: each purchase's revenue splits equally across ALL of the
+    * user's clicks in the 1-hour lookback, not just the latest. The
+    * pair generation is the fact-scale BINNED range join
+    * (q_join_range_binned's rewrite, reused): clicks explode onto the
+    * ≤2 hour-grid bins their 1-hour window overlaps, purchases land in
+    * exactly one bin, and the match is a plain EQUI-join on
+    * (user, bin) + residual time filter — never a per-user
+    * clicks×purchases blowup; a (click, purchase) pair can only meet
+    * in the purchase's single bin, so no dedup is needed. The credit
+    * divisor is one window count per purchase. */
+  private val attributionMulti: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val lookUs = 3600L * 1000000L
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"),
+      unix_micros(col("ts")).as("ct"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("bin",
+        explode(sequence(floor(col("ct") / lookUs),
+          floor((col("ct") + lookUs) / lookUs))))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("pid"),
+      unix_micros(col("ts")).as("pt"), col("value").as("rev"))
+      .withColumn("bin", floor(col("pt") / lookUs))
+    val wp = Window.partitionBy("pid")
+    clicks.join(purchases, Seq("user_id", "bin"))
+      .filter(col("pt") >= col("ct") && col("pt") - col("ct") <= lookUs)
+      .withColumn("credit", col("rev") / count(lit(1)).over(wp))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("credit"), 2).as("revenue"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_twap" -> twap,
     "q_conversion_lag" -> conversionLag,
+    "q_attribution_multi" -> attributionMulti,
     "q_scd2_merge" -> scd2Merge,
     "q_interval_coverage" -> intervalCoverage,
     "q_attribution" -> attribution,
@@ -447,6 +483,24 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    // the oracle states the DECLARATIVE pair predicate (no bins); the
+    // binned rewrite must be pair-for-pair equivalent
+    "q_attribution_multi" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ct,
+                           CAST(json_extract_string(props, '$.k') AS INTEGER)
+                             AS k
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pt,
+                      value AS rev
+               FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT c.k, p.pid, p.rev,
+                  count(*) OVER (PARTITION BY p.pid) AS n_clicks
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pt >= c.ct AND p.pt - c.ct <= 3600000000)
+         SELECT k, count(*) AS n_touches,
+                round(sum(rev / n_clicks), 2) AS revenue
+         FROM pairs GROUP BY k ORDER BY k""",
     "q_conversion_lag" ->
       """WITH f AS (
            SELECT user_id,
