@@ -371,9 +371,114 @@ object TemporalQueries {
       .orderBy("k")
   }
 
+  /** Weekly cohort-retention matrix — the product-analytics grid
+    * q_retention's day-over-day scalar generalizes to: users cohorted
+    * by FIRST-seen epoch week, each later week's activity counted as
+    * (cohort, week-offset) cell with retention as a share of the
+    * cohort's size. Events collapse to the distinct (user, week) grain
+    * once; the cohort key is a per-user min; cells are a
+    * map-side-combined count-distinct; the denominator is a window max
+    * over each cohort's offset-0 cell (cohort-count-sized state). */
+  private val cohortMatrix: Q = (s, d) => {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("c0"))
+    val wc = Window.partitionBy("cohort_wk")
+    uw.join(cohort, "user_id")
+      .groupBy(col("c0").as("cohort_wk"), (col("wk") - col("c0")).as("off_wk"))
+      .agg(countDistinct("user_id").as("active"))
+      .withColumn("cohort_size",
+        max(when(col("off_wk") === 0, col("active"))).over(wc))
+      .withColumn("retention_pct",
+        round(col("active") / col("cohort_size") * 100, 4))
+      .orderBy("cohort_wk", "off_wk")
+  }
+
+  /** Revenue-bridge decomposition (price/volume/mix): explains each
+    * year's revenue change as ΔAOV·vol₀ (price effect) + Δvol·AOV₀
+    * (volume effect) + ΔAOV·Δvol (cross term) — the classic finance
+    * walk from one period's revenue to the next, exact by identity
+    * (the three effects sum to ΔRev). One year-grain aggregate, lag
+    * windows over the handful of year rows. */
+  private val revenueBridge: Q = (s, d) => {
+    val w = Window.orderBy("yr")
+    Tables.orders(s, d)
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"))
+      .agg(count(lit(1)).as("vol"), sum("o_totalprice").as("rev"))
+      .withColumn("aov", col("rev") / col("vol"))
+      .withColumn("pvol", lag("vol", 1).over(w))
+      .withColumn("paov", lag("aov", 1).over(w))
+      .filter(col("pvol").isNotNull)
+      .select(col("yr"),
+        round(col("rev") - col("pvol") * col("paov"), 2).as("d_rev"),
+        round((col("aov") - col("paov")) * col("pvol"), 2)
+          .as("price_effect"),
+        round((col("vol") - col("pvol")) * col("paov"), 2)
+          .as("volume_effect"),
+        round((col("aov") - col("paov")) * (col("vol") - col("pvol")), 2)
+          .as("cross_effect"))
+      .orderBy("yr")
+  }
+
+  /** Top user journeys (path analysis, the sankey-diagram feed): each
+    * user's first three events in time order become a `a>b>c` path
+    * string, counted across users. Ordering inside the aggregate is
+    * pinned by sorting (ts, event_id, type) STRUCTS — collect_list
+    * alone has no order guarantee, sort_array restores determinism —
+    * and only the first 3 events survive, so per-user state is
+    * constant-bounded after the slice. One shuffle on user_id. At
+    * 100 TB the unsliced form would need a bounded-top-k aggregate
+    * instead; the 3-slice keeps this one linear. */
+  private val eventPaths: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))), 1, 3)
+        .as("first3"))
+      .select(concat_ws(">",
+        expr("transform(first3, x -> x.event_type)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+  }
+
+  /** Benford first-digit screen: the leading-digit distribution of
+    * order totals vs Benford's log₁₀(1+1/d) expectation — the
+    * classic fabricated-data / unit-mixup tripwire a data-quality
+    * pass runs on monetary columns. Digit extraction goes through the
+    * EXACT integer-cents form (round(v·100) → BIGINT → first char):
+    * integer-to-string is unambiguous in both engines, ×100 preserves
+    * the leading digit, and no float log/pow/format sits on the data
+    * path (log10 of an exact power of 10 is ulp-fragile; float
+    * formatting switches to scientific notation at different
+    * magnitudes per engine). */
+  private val benford: Q = (s, d) => {
+    val wall = Window.partitionBy()
+    Tables.orders(s, d)
+      .select(substring(
+        round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_raw", col("n") / sum("n").over(wall))
+      .withColumn("benford_raw",
+        log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("share_raw"), 6).as("share"),
+        round(col("benford_raw"), 6).as("benford"),
+        round(col("share_raw") - col("benford_raw"), 6).as("deviation"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
+    "q_cohort_matrix" -> cohortMatrix,
+    "q_revenue_bridge" -> revenueBridge,
+    "q_event_paths" -> eventPaths,
+    "q_benford" -> benford,
     "q_twap" -> twap,
     "q_conversion_lag" -> conversionLag,
     "q_attribution_multi" -> attributionMulti,
@@ -483,6 +588,56 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    "q_event_paths" ->
+      """WITH p AS (
+           SELECT array_to_string(
+                    (list(event_type ORDER BY ts, event_id))[1:3], '>')
+                  AS path
+           FROM events GROUP BY user_id)
+         SELECT path, count(*) AS n_users
+         FROM p GROUP BY path ORDER BY n_users DESC, path""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+                round(n / sum(n) OVER (), 6) AS share,
+                round(log10(1.0 + 1.0 / digit), 6) AS benford,
+                round(n / sum(n) OVER () - log10(1.0 + 1.0 / digit), 6)
+                  AS deviation
+         FROM c ORDER BY digit""",
+    "q_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 604800000000 AS wk
+                     FROM events),
+         c AS (SELECT user_id, min(wk) AS c0 FROM uw GROUP BY 1),
+         cells AS (SELECT c.c0 AS cohort_wk, uw.wk - c.c0 AS off_wk,
+                          count(DISTINCT uw.user_id) AS active
+                   FROM uw JOIN c ON uw.user_id = c.user_id
+                   GROUP BY 1, 2),
+         m AS (SELECT cohort_wk, off_wk, active,
+                      max(CASE WHEN off_wk = 0 THEN active END)
+                        OVER (PARTITION BY cohort_wk) AS cohort_size
+               FROM cells)
+         SELECT cohort_wk, off_wk, active, cohort_size,
+                round(active / cohort_size * 100, 4) AS retention_pct
+         FROM m ORDER BY cohort_wk, off_wk""",
+    "q_revenue_bridge" ->
+      """WITH y AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                           count(*) AS vol, sum(o_totalprice) AS rev
+                    FROM orders GROUP BY 1),
+         a AS (SELECT yr, vol, rev, rev / vol AS aov,
+                      lag(vol) OVER (ORDER BY yr) AS pvol,
+                      lag(rev / vol) OVER (ORDER BY yr) AS paov
+               FROM y)
+         SELECT yr,
+                round(rev - pvol * paov, 2) AS d_rev,
+                round((aov - paov) * pvol, 2) AS price_effect,
+                round((vol - pvol) * paov, 2) AS volume_effect,
+                round((aov - paov) * (vol - pvol), 2) AS cross_effect
+         FROM a WHERE pvol IS NOT NULL ORDER BY yr""",
     // the oracle states the DECLARATIVE pair predicate (no bins); the
     // binned rewrite must be pair-for-pair equivalent
     "q_attribution_multi" ->

@@ -181,6 +181,29 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("event paths equal brute-force first-3 sequences with ts ties") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val types = Array("view", "click", "cart", "purchase")
+      val rows = (1L to 400L).map { i =>
+        (i, new Timestamp(1700000000000L + rnd.nextInt(40) * 60000L),
+          1L + rnd.nextInt(30), types(rnd.nextInt(4)), 1.0, "{}")
+      }
+      val dir = scratch()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q_event_paths")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._3).values.map { rs =>
+        rs.sortBy(r => (r._2.getTime, r._1)).take(3).map(_._4)
+          .mkString(">")
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("CDC apply equals sequential op-by-op replay on random logs") {
     val s = spark
     import s.implicits._
