@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom DataSource V2 connector (sources/RangeSource): values,
+  * declared parallelism, and column-pruning pushdown. */
+class RangeSourceSpec extends SparkSpec {
+
+  private def ranged(start: Long, end: Long, slices: Int) =
+    spark.read.format("graft.sources.RangeSource")
+      .option("start", start.toString)
+      .option("end", end.toString)
+      .option("slices", slices.toString)
+      .load()
+
+  test("values are the declared pure functions of id") {
+    val df = ranged(0, 1000, 8)
+    assert(df.count() == 1000)
+    val agg = df.agg(
+      sum("id").as("sid"), sum("val").as("sval"),
+      countDistinct("tag").as("ntag")).head()
+    assert(agg.getLong(0) == 499500L)
+    assert(agg.getDouble(1) == 249750.0)
+    assert(agg.getLong(2) == 10L)
+    // spot row
+    val r = df.filter(col("id") === 17).head()
+    assert(r.getDouble(1) == 8.5 && r.getString(2) == "t7")
+  }
+
+  test("the connector declares the partitioning (slices -> tasks)") {
+    assert(ranged(0, 100, 7).rdd.getNumPartitions == 7)
+    // empty and single-slice edges
+    assert(ranged(5, 5, 3).count() == 0)
+    assert(ranged(0, 10, 1).rdd.getNumPartitions == 1)
+  }
+
+  test("projection is pushed INTO the connector (pruned ReadSchema)") {
+    val exec = ranged(0, 100, 2).select("id").queryExecution.executedPlan
+    val scans = exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"no BatchScan in:\n$exec")
+    assert(scans.head.output.map(_.name) == Seq("id"),
+      s"scan must read only id, got ${scans.head.output}:\n$exec")
+    // and the pruned read still computes correctly
+    assert(ranged(0, 100, 2).select("tag").distinct().count() == 10)
+  }
+
+  test("partition boundaries cover the range exactly once (uneven split)") {
+    val ids = ranged(0, 103, 8).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length == 103 && ids.head == 0 && ids.last == 102)
+    assert(ids.distinct.length == 103)
+  }
+}

@@ -366,6 +366,34 @@ class StreamingSpec extends SparkSpec {
       want.collect().map(_.toSeq).toSet)
   }
 
+  test("stateful aggregation under the RocksDB state store matches the default provider") {
+    // at 100 TB keyed state outgrows the default in-memory
+    // (HDFSBackedStateStore) provider; RocksDB keeps state on local
+    // disk with incremental checkpoints. Same query, same answer —
+    // the provider is an operational knob, not a semantics change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = EventStreams.userTotalsMapGroups(
+        spark, EventStreams.readEvents(spark, eventsDir))
+      val got = EventStreams.runToMemory(spark, stream.toDF(),
+        "t_rocksdb", "update")
+      val finalPerUser = got.groupBy("user_id")
+        .agg(max("n_events").as("n_events"))
+      val want = Tables.events(spark, sf).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      assert(finalPerUser.collect().map(_.toSeq).toSet ==
+        want.collect().map(_.toSeq).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CDC apply converges to latest-wins state under out-of-order delivery") {
     val s = spark
     import s.implicits._
