@@ -46,6 +46,21 @@ class RangeSourceSpec extends SparkSpec {
     assert(ranged(0, 100, 2).select("tag").distinct().count() == 10)
   }
 
+  test("id-range filters are pushed into planning: readers generate only survivors") {
+    graft.sources.RangeSource.rowsRead.set(0)
+    val got = ranged(0, 1000, 8).filter(col("id") >= 990 && col("id") < 995)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(990L until 995L))
+    val generated = graft.sources.RangeSource.rowsRead.get()
+    assert(generated == 5,
+      s"pushdown must narrow generation to 5 rows, readers produced $generated")
+    // a non-id predicate stays residual and still answers correctly
+    graft.sources.RangeSource.rowsRead.set(0)
+    assert(ranged(0, 100, 4).filter(col("tag") === "t3").count() == 10)
+    assert(graft.sources.RangeSource.rowsRead.get() == 100,
+      "tag predicate is residual: full generation expected")
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
