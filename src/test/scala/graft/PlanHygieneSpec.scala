@@ -36,8 +36,9 @@ class PlanHygieneSpec extends SparkSpec {
     // equi-depth scoring joins) and the 7-day rolling-DAU range join
     // against the broadcast day spine (dimension-sized by construction)
     "q_rfm", "q_histogram_eqdepth", "q_rolling_distinct",
-    // round 9 late: the KS statistic's 1-row sample-size broadcast
-    "q_ks_test")
+    // round 9 late: 1-row broadcasts — the KS statistic's sample sizes
+    // and the overlap sketch's estimate row
+    "q_ks_test", "q_overlap_sketch")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -232,6 +232,70 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("table diff equals brute-force row comparison on random snapshots") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(800 + seed)
+      // statuses from a tiny alphabet, prices on a coarse 2dp grid →
+      // plenty of unchanged rows AND same-price-different-status rows
+      val orders = (1L to 300L).map(i =>
+        (i, Seq("O", "F", "P")(rnd.nextInt(3)), 100.0 + rnd.nextInt(50)))
+      val dir = scratch()
+      orders.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q_table_diff")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val a = orders.filter(_._1 % 5 != 4)
+        .map(o => o._1 -> (o._2, o._3)).toMap
+      val b = orders.filter(_._1 % 7 != 0)
+        .map(o => o._1 -> (o._2, if (o._1 % 3 == 0) o._3 + 10.0 else o._3))
+        .toMap
+      val want = (a.keySet ++ b.keySet).flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+          case _ => None
+        }
+      }
+      assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("TWAP equals brute-force time-weighted mean with ts ties") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(900 + seed)
+      val rows = (1L to 300L).map { i =>
+        (i, new Timestamp(1700000000000L + rnd.nextInt(100) * 60000L),
+          1L + rnd.nextInt(5), "view", 1.0 + rnd.nextInt(100), "{}")
+      }
+      val dir = scratch()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q_twap")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3)))
+        .toMap
+      val want = rows.groupBy(_._3).flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._1))
+          .map(r => (r._2.getTime * 1000L, r._5))
+        val held = ordered.zip(ordered.drop(1))
+          .map { case ((t, v), (tn, _)) => (v, tn - t) }
+        if (held.isEmpty) None
+        else {
+          val twap = held.map { case (v, dt) => v * dt }.sum /
+            held.map(_._2).sum
+          Some(u -> (BigDecimal(twap)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            held.size.toLong))
+        }
+      }
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("event transitions equal brute-force pair counts with ts ties") {
     val s = spark
     import s.implicits._
