@@ -224,6 +224,28 @@ object TextQueries {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Survivorship dedup (golden record): q_dedup_exact keeps the
+    * MIN-ID copy; real master-data pipelines keep the copy a POLICY
+    * prefers — here highest quality score first, lowest doc_id as the
+    * tiebreak, carrying the survivor's source. The policy rides in one
+    * `max_by` composite ordering key (quality·10⁹ − doc_id: quality is
+    * 0-3 and doc_ids are ≪10⁹, so quality always dominates and the
+    * unique doc_id settles ties — the aggMaxBy/graphDegree convention,
+    * since DuckDB's max_by takes scalars only). Same single hash
+    * groupBy shape as exact dedup — the policy adds no extra pass. */
+  private val dedupSurvivor: Q = (s, d) => {
+    val ord = col("quality") * lit(1000000000L) - col("doc_id")
+    withQualityCols(withWords(Tables.documents(s, d)))
+      .groupBy("text")
+      .agg(
+        max_by(col("doc_id"), ord).as("keep_id"),
+        max_by(col("source"), ord).as("source"),
+        max("quality").as("best_quality"),
+        count(lit(1)).as("n_copies"))
+      .select("keep_id", "source", "best_quality", "n_copies")
+      .orderBy("keep_id")
+  }
+
   /** Cross-document SPAN dedup — the line-level dedup of the CCNet /
     * RefinedWeb recipes (drop every line that repeats across documents,
     * keep the rest of each document), adapted to this corpus's
@@ -1316,6 +1338,7 @@ object TextQueries {
     "q_lm_score" -> lmScore,
     "q_source_divergence" -> sourceDivergence,
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_survivor" -> dedupSurvivor,
     "q_dedup_spans" -> dedupSpans,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_prefix" -> dedupPrefix,
@@ -1419,6 +1442,29 @@ object TextQueries {
                      WHEN score_de > 0 THEN 'de'
                      ELSE 'und' END AS pred_lang
          FROM scored ORDER BY doc_id""",
+    // same quality expression as q_quality_score; the composite
+    // max_by key states the survivorship policy declaratively
+    "q_dedup_survivor" ->
+      """WITH f AS (
+           SELECT doc_id, text, source, n_chars,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to'))) AS INTEGER) AS n_stop
+           FROM documents),
+         q AS (SELECT doc_id, text, source,
+                      (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+                       + CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END
+                       + CASE WHEN n_stop * 2 <= n_words THEN 1 ELSE 0 END)
+                        AS quality
+               FROM f)
+         SELECT max_by(doc_id, CAST(quality AS BIGINT) * 1000000000 - doc_id)
+                  AS keep_id,
+                max_by(source, CAST(quality AS BIGINT) * 1000000000 - doc_id)
+                  AS source,
+                max(quality) AS best_quality,
+                count(*) AS n_copies
+         FROM q GROUP BY text ORDER BY keep_id""",
     "q_quality_score" ->
       """WITH f AS (
            SELECT doc_id, n_chars,
