@@ -355,7 +355,33 @@ object CorpusStatsQueries {
         lit(orthoResidual <= 1e-9).as("ortho_ok"))
   }
 
+  /** Zipf rank-frequency slope — the corpus-health number text
+    * pipelines watch: fit log(freq) ~ log(rank) over the top-1000
+    * vocabulary and report the slope (natural text ≈ −1; a slope far
+    * off signals boilerplate floods or tokenization breakage). The
+    * corpus collapses to vocabulary counts once (map-side combined);
+    * the rank window and the covariance fit run over the 1000-row
+    * head — all post-collapse state is vocabulary-sized. Slope stated
+    * as covar_pop/var_pop on both engines (the q_agg_corr precedent),
+    * deterministic rank ties broken by word. */
+  private val zipfSlope: Q = (s, d) => {
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("word"))
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 1000)
+      .select(log(col("rank").cast("double")).as("lx"),
+        log(col("n").cast("double")).as("ly"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(covar_pop(col("lx"), col("ly")) / var_pop(col("lx")), 4)
+          .as("zipf_slope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zipf_slope" -> zipfSlope,
     "q_pca_project" -> pcaProject,
     "q_pca_variance" -> pcaVariance,
     "q_char_entropy" -> charEntropy,
@@ -383,6 +409,19 @@ object CorpusStatsQueries {
        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_slope" ->
+      """WITH v AS (SELECT word, count(*) AS n
+                    FROM (SELECT unnest(string_split(text, ' ')) AS word
+                          FROM documents)
+                    GROUP BY word),
+         r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word)
+                              AS DOUBLE)) AS lx,
+                      ln(CAST(n AS DOUBLE)) AS ly,
+                      row_number() OVER (ORDER BY n DESC, word) AS rank
+               FROM v)
+         SELECT count(*) AS n_words,
+                round(covar_pop(lx, ly) / var_pop(lx), 4) AS zipf_slope
+         FROM r WHERE rank <= 1000""",
     // exact total variance recomputed from scratch; the TRUE constants
     // pin the PCA trace identity + orthonormality (see pcaVariance)
     "q_pca_variance" ->

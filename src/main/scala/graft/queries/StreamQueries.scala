@@ -77,6 +77,36 @@ object StreamQueries {
       .orderBy("user_id", "s_start_us")
   }
 
+  /** Session KPI rollup — the dashboard numbers on top of
+    * [[sessionize]]'s island detection: session count, average events
+    * per session, average session duration (first→last event), and
+    * bounce rate (share of single-event sessions). Same one-shuffle
+    * gaps-and-islands pass; the rollup collapses the session-grain
+    * table to a single KPI row, duration in exact integer micros until
+    * the final rounded division. */
+  private val sessionStats: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 4).as("avg_events"),
+        round(avg("dur_us") / 1e6, 2).as("avg_duration_s"),
+        round(avg(when(col("n_events") === 1, 1.0).otherwise(0.0)), 4)
+          .as("bounce_rate"))
+  }
+
   /** Behavioral funnel: view → click (≤24 h later) → purchase (≤24 h
     * after the click) per user, reported as per-step user counts — the
     * standard conversion query of event analytics. Each step is one
@@ -134,6 +164,7 @@ object StreamQueries {
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindow,
     "q_sessionize" -> sessionize,
+    "q_session_stats" -> sessionStats,
   )
 
   private val islandsSql =
@@ -197,5 +228,29 @@ object StreamQueries {
       islandsSql.format("count(*) AS n_events, round(sum(value), 2) AS sum_value"),
     "q_sessionize" ->
       islandsSql.format("count(*) AS n_events"),
+    "q_session_stats" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         ), g AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+           FROM sessions GROUP BY user_id, session_id
+         )
+         SELECT count(*) AS n_sessions,
+                round(avg(n_events), 4) AS avg_events,
+                round(avg(dur_us) / 1e6, 2) AS avg_duration_s,
+                round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+                  AS bounce_rate
+         FROM g""",
   )
 }
