@@ -755,6 +755,35 @@ object RelationalQueries {
         max("na").as("n_a"), max("nb").as("n_b"))
   }
 
+  /** Revenue concentration (Pareto 80/20 report): how many customers
+    * produce 80% of revenue, plus the top-1% revenue share — the
+    * concentration diagnostic behind account tiering and risk
+    * reviews. The data collapses to the customer grain first; the
+    * cumulative-share window runs over that grain, global-ordered by
+    * (spend desc, custkey) — the same documented anchor shape as
+    * q_ks_test (pre-bin or two-pass offsets at a scale where even the
+    * customer grain overwhelms one sort). Threshold comparisons use
+    * ROUNDED shares so a last-ulp sum difference cannot flip a
+    * membership count. */
+  private val paretoRevenue: Q = (s, d) => {
+    val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend"))
+      .withColumn("cum_share",
+        round(sum("spend").over(w) / sum("spend").over(wall), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("spend"), asc("o_custkey"))))
+      .withColumn("n_cust", count(lit(1)).over(wall))
+      .agg(
+        max("n_cust").as("n_customers"),
+        sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)).as("n_top80"),
+        round(sum(when(col("rk") * 100 <= col("n_cust"), col("spend")))
+          / sum("spend"), 6).as("top1pct_share"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view delta): the
     * warehouse pattern where a per-key summary table absorbs a new
     * batch by MERGING partial aggregates — count/sum state combines
@@ -962,6 +991,7 @@ object RelationalQueries {
     "q_agg_mode" -> aggMode,
     "q_psi_drift" -> psiDrift,
     "q_ks_test" -> ksTest,
+    "q_pareto_revenue" -> paretoRevenue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1244,6 +1274,25 @@ object RelationalQueries {
                 round(p, 6) AS p, round(q, 6) AS q,
                 round((q - p) * ln(q / p), 6) AS psi_contrib
          FROM m ORDER BY bin""",
+    // n_top80 = customers strictly below the 0.8 cumulative-share
+    // mark (rounded shares, so a last-ulp sum cannot flip membership)
+    "q_pareto_revenue" ->
+      """WITH g AS (SELECT o_custkey, sum(o_totalprice) AS spend
+                    FROM orders GROUP BY 1),
+         wdw AS (SELECT spend,
+                        round(sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          / sum(spend) OVER (), 6) AS cum_share,
+                        row_number() OVER (ORDER BY spend DESC, o_custkey)
+                          AS rk,
+                        count(*) OVER () AS n_cust
+                 FROM g)
+         SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+                sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END)
+                  AS n_top80,
+                round(sum(CASE WHEN rk * 100 <= n_cust THEN spend END)
+                  / sum(spend), 6) AS top1pct_share
+         FROM wdw""",
     "q_ks_test" ->
       """WITH g AS (SELECT o_totalprice AS v,
                       sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)

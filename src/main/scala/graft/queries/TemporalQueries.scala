@@ -472,9 +472,63 @@ object TemporalQueries {
       .orderBy("digit")
   }
 
+  /** Cart-abandonment rate: carts with NO purchase by the same user
+    * within 24 hours — the negative-space funnel metric. The
+    * time-bounded anti-semantics ride the binned range join (carts
+    * explode to ≤2 day-bins, purchases land in one; a matching pair
+    * meets in exactly the cart's window), then a left join + null
+    * check marks converted carts — never a per-user carts×purchases
+    * blowup, and the NOT-EXISTS oracle states the declarative
+    * contract the binned plan must reproduce. */
+  private val cartAbandonment: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val lookUs = 24L * 3600 * 1000000L
+    val carts = e.filter(col("event_type") === "cart").select(
+      col("user_id"), col("event_id").as("cart_id"),
+      unix_micros(col("ts")).as("ct"))
+      .withColumn("bin",
+        explode(sequence(floor(col("ct") / lookUs),
+          floor((col("ct") + lookUs) / lookUs))))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), unix_micros(col("ts")).as("pt"))
+      .withColumn("bin", floor(col("pt") / lookUs))
+    val converted = carts.join(purchases, Seq("user_id", "bin"))
+      .filter(col("pt") >= col("ct") && col("pt") - col("ct") <= lookUs)
+      .select("cart_id").distinct()
+      .withColumn("conv", lit(1))
+    carts.select("cart_id").distinct()
+      .join(converted, Seq("cart_id"), "left")
+      .agg(
+        count(lit(1)).as("n_carts"),
+        sum(when(col("conv").isNull, 1L).otherwise(0L)).as("n_abandoned"),
+        round(avg(when(col("conv").isNull, 1.0).otherwise(0.0)), 4)
+          .as("abandonment_rate"))
+  }
+
+  /** New-vs-returning daily split — the first KPI on any growth
+    * dashboard: per active day, users seen for the FIRST time that day
+    * vs users seen before. Distinct (user, day) grain once, per-user
+    * min as the first-seen key, one conditional-sum aggregate. */
+  private val newVsReturning: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = du.groupBy("user_id").agg(min("day").as("d0"))
+    du.join(first, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") > col("d0"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
+    "q_cart_abandonment" -> cartAbandonment,
+    "q_new_vs_returning" -> newVsReturning,
     "q_cohort_matrix" -> cohortMatrix,
     "q_revenue_bridge" -> revenueBridge,
     "q_event_paths" -> eventPaths,
@@ -588,6 +642,36 @@ object TemporalQueries {
          SELECT prev, next, n,
                 round(n / sum(n) OVER (PARTITION BY prev), 4) AS p
          FROM pairs ORDER BY prev, next""",
+    // declarative NOT-EXISTS contract for the binned anti plan
+    "q_cart_abandonment" ->
+      """WITH c AS (SELECT event_id AS cart_id, user_id, epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'cart'),
+         p AS (SELECT user_id, epoch_us(ts) AS pt FROM events
+               WHERE event_type = 'purchase'),
+         f AS (SELECT cart_id,
+                      CASE WHEN EXISTS (
+                             SELECT 1 FROM p
+                             WHERE p.user_id = c.user_id
+                               AND p.pt >= c.ct
+                               AND p.pt - c.ct <= 86400000000)
+                           THEN 0 ELSE 1 END AS abandoned
+               FROM c)
+         SELECT count(*) AS n_carts,
+                sum(abandoned) AS n_abandoned,
+                round(avg(CAST(abandoned AS DOUBLE)), 4)
+                  AS abandonment_rate
+         FROM f""",
+    "q_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+         f AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY 1)
+         SELECT du.day,
+                sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END)
+                  AS new_users,
+                sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END)
+                  AS returning_users
+         FROM du JOIN f ON du.user_id = f.user_id
+         GROUP BY du.day ORDER BY du.day""",
     "q_event_paths" ->
       """WITH p AS (
            SELECT array_to_string(
