@@ -296,6 +296,34 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort matrix equals brute-force first-seen bucketing") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      // ts across ~5 epoch weeks on few users → multi-week cohorts,
+      // users active in several weeks, single-week stragglers
+      val rows = (1L to 400L).map { i =>
+        (i, new Timestamp(1700000000000L + rnd.nextInt(35) * 86400000L),
+          1L + rnd.nextInt(25), "view", 1.0, "{}")
+      }
+      val dir = scratch()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q_cohort_matrix")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val uw = rows.map(r => (r._3, r._2.getTime * 1000L / 604800000000L))
+        .distinct
+      val first = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+      val cells = uw.groupBy { case (u, w) => (first(u), w - first(u)) }
+        .map { case (k, vs) => k -> vs.map(_._1).distinct.size.toLong }
+      val sizes = cells.collect { case ((c, 0L), n) => c -> n }
+      val want = cells.map { case ((c, off), n) => (c, off) -> (n, sizes(c)) }
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("event transitions equal brute-force pair counts with ts ties") {
     val s = spark
     import s.implicits._
