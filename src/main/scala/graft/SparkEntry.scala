@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.queries ++
       graft.queries.CorpusStatsQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.InsightQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.TemporalQueries.oracles ++
       graft.queries.CorpusStatsQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++
+      graft.queries.InsightQueries.oracles
 }

@@ -237,6 +237,7 @@ object CurationQueries {
     var syms = wordFreq.select(
       concat(split(col("word"), ""), array(lit("</w>"))).as("sym"),
       col("freq")).persist()
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     var round = 1
@@ -255,14 +256,18 @@ object CurationQueries {
       else {
         val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, pf))
+        // no per-round materialize job: round k+1's pair-count scan is
+        // the action that fills this cache, and parents stay persisted
+        // until training ends (10 vocab-sized DFs, trivially resident)
+        // so dropping them can never force a lineage recompute
         val next = syms
           .select(mergeFold(col("sym"), l, r).as("sym"), col("freq")).persist()
-        next.count() // materialize before dropping the parent
-        syms.unpersist()
+        stale += syms
         syms = next
         round += 1
       }
     }
+    stale.foreach(_.unpersist())
     syms.unpersist()
     merges.toSeq
   }

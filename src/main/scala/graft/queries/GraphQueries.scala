@@ -206,9 +206,13 @@ object GraphQueries {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // persisted: seeds sit under BOTH the anti-join and the union chain
+    // of every later round — uncached, the edge-distinct shuffle re-runs
+    // O(rounds^2) times through the visited/frontier lineage
     val seeds = edges.select(col("src").as("node")).distinct()
       .filter(col("node") > 0 && col("node") % 100 === 1)
       .withColumn("hop", lit(0))
+      .persist()
     var visited = seeds
     var frontier = seeds.select("node")
     for (h <- 1 to 3) {
@@ -246,12 +250,16 @@ object GraphQueries {
       .persist()
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(col("node") > 0 && col("node") % 100 === 1)
-      .withColumn("dist", lit(0L))
+      .withColumn("dist", lit(0L)).persist()
     for (_ <- 1 to 3) {
       val relaxed = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      // persist each round's node-sized state: dist feeds BOTH the next
+      // relaxation join and the union, so an unpersisted chain embeds
+      // 2^k copies of the round-0 subtree in round k's plan (the round-9
+      // bench read 4.4 s at sf0.1 from exactly that re-execution)
       dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
+        .groupBy("node").agg(min("dist").as("dist")).persist()
     }
     dist.orderBy("node")
   }

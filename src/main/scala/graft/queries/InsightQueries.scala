@@ -1,0 +1,476 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-10 analytics operators: market-basket association rules,
+  * geospatial distance / radius join, survival analysis (Kaplan–Meier),
+  * inequality (Gini), categorical independence (chi-square), seasonal
+  * backtesting, inverted-index construction, and ABC inventory
+  * classification — the classic BI/statistics shapes none of the other
+  * modules cover. No reference analogue (the reference is a
+  * price-regression ETL, SURVEY §8.4); engine extensions in the same
+  * spirit as TemporalQueries.
+  *
+  * Cross-engine float protocol (BASELINE.md): every emitted double is
+  * `round(x, k)`; ordered-frame running sums keep identical
+  * accumulation order in both engines; classification boundaries use
+  * integer cents so no boundary can flip on a last-bit double
+  * difference.
+  */
+object InsightQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- geo
+
+  /** Deterministic synthetic coordinates derived from an integer key —
+    * the same arithmetic runs in DuckDB, so geo queries stay
+    * oracle-checkable without a coordinates column in the testdata.
+    * Latitude is clamped to [-60, 59.9] so one 1° grid cell is never
+    * shorter than ~55.6 km of longitude (cos 60° = 0.5) — the radius
+    * join's 9-cell stencil is then provably complete for R ≤ 50 km. */
+  private def latOf(key: Column, mult: Int): Column =
+    (key * mult % 1200) / 10.0 - 60.0
+  private def lonOf(key: Column, mult: Int): Column =
+    (key * mult % 3600) / 10.0 - 180.0
+
+  /** Great-circle distance in km (haversine, R = 6371). Composed from
+    * codegen'd builtins (sin/cos/asin/sqrt/radians) — no UDF. */
+  private def haversineKm(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    asin(sqrt(a)) * lit(2 * 6371.0)
+  }
+
+  /** K nearest customers to a fixed point (Paris), by haversine
+    * distance over key-derived coordinates. Scale shape: per-row
+    * codegen arithmetic + a top-k TakeOrderedAndProject — no shuffle
+    * of the dimension beyond the k-row result. Ordering and the k
+    * boundary both use the ROUNDED distance (3 dp ≈ 1 m) so engine
+    * and oracle select the identical row set. */
+  private val geoKnn: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        latOf(col("c_custkey"), 37).as("lat"),
+        lonOf(col("c_custkey"), 73).as("lon"))
+    c.withColumn("dist_km",
+        round(haversineKm(col("lat"), col("lon"), lit(48.85), lit(2.35)), 3))
+      .orderBy(col("dist_km"), col("c_custkey"))
+      .limit(100)
+  }
+
+  /** Grid-bucketed radius join: customers within 50 km of each
+    * supplier. The scale path is NOT the cross join — each supplier
+    * explodes to its 9 neighboring 1° grid cells (a bounded stencil,
+    * complete for R ≤ 50 km given the latitude clamp above), the
+    * supplier side broadcasts (dimension-sized), and customers join on
+    * the cell key before the exact haversine verify runs on candidates
+    * only. The DuckDB oracle is the naive cross-join filter — fine at
+    * sf0.01, which is exactly why the engine doesn't run it.
+    * InsightSpec cross-checks grid-vs-cross equality on a random
+    * slice. */
+  private val geoRadiusJoin: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        latOf(col("s_suppkey"), 53).as("s_lat"),
+        lonOf(col("s_suppkey"), 97).as("s_lon"))
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+        (floor(col("s_lon")) + col("dx")).as("cx"),
+        (floor(col("s_lat")) + col("dy")).as("cy"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        latOf(col("c_custkey"), 37).as("c_lat"),
+        lonOf(col("c_custkey"), 73).as("c_lon"))
+      .withColumn("cx", floor(col("c_lon")))
+      .withColumn("cy", floor(col("c_lat")))
+    cust.join(broadcast(sup), Seq("cx", "cy"))
+      .withColumn("dist_km",
+        haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
+      .filter(col("dist_km") <= 50.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_within"),
+        round(min("dist_km"), 3).as("nearest_km"))
+      .orderBy("s_suppkey")
+  }
+
+  // ------------------------------------------------- association rules
+
+  /** Market-basket association rules over order baskets (items =
+    * distinct part brands per order): support, confidence, and lift
+    * for every ordered brand pair above a minimum pair count.
+    *
+    * Scale shape: baskets are small (≤7 lineitems), so the per-order
+    * pair expansion is k²-bounded per basket, never corpus²; the item
+    * dimension (brands) broadcasts into both support joins; all three
+    * aggregates are map-side-combined groupBys. The order count rides
+    * in as a broadcast 1-row cross join (the documented pattern). */
+  private val assocRules: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .persist()
+    val tot = items.select(countDistinct("ok").as("n_orders"))
+    val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 10)
+    pairs
+      .join(broadcast(supp.select(col("item").as("ante"),
+        col("n_item").as("n_ante"))), Seq("ante"))
+      .join(broadcast(supp.select(col("item").as("cons"),
+        col("n_item").as("n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(tot))
+      .select(col("ante"), col("cons"), col("n_pair"),
+        round(col("n_pair") / col("n_orders"), 6).as("support"),
+        round(col("n_pair") / col("n_ante"), 6).as("confidence"),
+        round(col("n_pair") * col("n_orders")
+          / (col("n_ante") * col("n_cons")), 6).as("lift"))
+      .orderBy(desc("lift"), col("ante"), col("cons"))
+  }
+
+  // ------------------------------------------------- survival analysis
+
+  /** Kaplan–Meier survival estimator over customer lifetimes (days
+    * between first and last order; a lifetime is an observed EVENT if
+    * the last order predates 2001-01-01, else right-censored). Emits
+    * the survival curve at each event time: deaths, number at risk,
+    * and Ŝ(t) = Π (1 − dᵢ/nᵢ).
+    *
+    * Scale shape: one customer-keyed aggregate (corpus-sized shuffle),
+    * then everything runs on the GROUPED duration axis (≤ a few
+    * thousand rows regardless of corpus size). n-at-risk is the
+    * reverse running sum over durations — no driver scalar; the
+    * product is exp∘sum∘ln as an ordered frame, so both engines
+    * accumulate in the same order. */
+  private val kaplanMeier: Q = (s, d) => {
+    val life = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        max("o_orderdate").as("last"))
+      .select(col("dur"),
+        when(col("last") < lit("2001-01-01").cast("date"), 1L)
+          .otherwise(0L).as("event"))
+    val grouped = life.groupBy("dur")
+      .agg(sum("event").as("deaths"), count(lit(1)).as("n_at"))
+    val atRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("n_risk", sum("n_at").over(atRisk))
+      .filter(col("deaths") > 0)
+      .withColumn("surv", round(exp(sum(
+        log(lit(1.0) - col("deaths") / col("n_risk"))).over(cum)), 6))
+      .select("dur", "deaths", "n_risk", "surv")
+      .orderBy("dur")
+  }
+
+  // -------------------------------------------------------- inequality
+
+  /** Gini coefficient of customer revenue (the inequality summary
+    * behind the Pareto query): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with
+    * x ascending. Rank ties (equal revenue) are broken by custkey;
+    * Σ i·xᵢ over a tie block is invariant to that order, so the
+    * statistic is tie-safe by construction. Single row out.
+    *
+    * Scale note: the global row_number runs on the CUSTOMER DIMENSION
+    * (key-grain aggregate), not the fact table — dimension-sized
+    * single-partition window, same class as q_sort's documented
+    * global-order queries. */
+  private val gini: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("r"))
+    val w = Window.orderBy("r", "o_custkey")
+    rev.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n"),
+        round(sum("r"), 2).as("total_rev"),
+        round(lit(2.0) * sum(col("i") * col("r"))
+          / (count(lit(1)) * sum("r"))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
+  // ------------------------------------------------------ independence
+
+  /** Pearson chi-square test of independence between order priority
+    * and order status, plus Cramér's V. The contingency table is a
+    * map-side-combined groupBy (≤ |priorities|×|statuses| rows);
+    * marginals are windows over that tiny grouped set; expected counts
+    * are exact integer ratios evaluated in doubles identically in both
+    * engines. Single row out. */
+  private val chiSquare: Q = (s, d) => {
+    val cont = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+    val rt = sum("obs").over(Window.partitionBy("o_orderpriority"))
+    val ct = sum("obs").over(Window.partitionBy("o_orderstatus"))
+    val n = sum("obs").over()
+    cont
+      .withColumn("exp", rt * ct / n.cast("double"))
+      .withColumn("cell", pow(col("obs") - col("exp"), 2) / col("exp"))
+      .agg(
+        round(sum("cell"), 6).as("chi2"),
+        ((countDistinct("o_orderpriority") - 1)
+          * (countDistinct("o_orderstatus") - 1)).as("dof"),
+        sum("obs").as("n"),
+        round(sqrt(sum("cell") / (sum("obs")
+          * least(countDistinct("o_orderpriority") - 1,
+            countDistinct("o_orderstatus") - 1))), 6).as("cramers_v"))
+  }
+
+  // ------------------------------------------------------- forecasting
+
+  /** Seasonal-naive backtest: forecast each month's revenue as the
+    * value 12 months prior and report the absolute percentage error —
+    * the baseline every forecasting pipeline must beat, and the
+    * data-drift smoke alarm when APE jumps. Month series is
+    * grid-sized; the lag is one ordered window over it. */
+  private val forecastSnaive: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("actual"))
+    val w = Window.orderBy("month")
+    m.withColumn("yhat", lag("actual", 12).over(w))
+      .filter(col("yhat").isNotNull)
+      .withColumn("ape",
+        round(abs(col("actual") - col("yhat")) / col("actual") * 100, 4))
+      .orderBy("month")
+  }
+
+  // ---------------------------------------------------- inverted index
+
+  /** Inverted-index construction over the documents corpus: for the 50
+    * highest-document-frequency terms (letters-only, length ≥ 4), the
+    * document frequency and the posting list — CAPPED at the first 100
+    * doc ids, rank computed per-term BEFORE collection, so per-term
+    * aggregation state is bounded no matter how common the term is
+    * (the stopword posting list that would otherwise OOM a 100 TB
+    * build). df still counts the full distinct set. */
+  private val invertedIndex: Q = (s, d) => {
+    val td = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 4)
+      .distinct()
+      .persist()
+    val df = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val rk = Window.partitionBy("term").orderBy("doc_id")
+    val postings = td
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= 100)
+      .groupBy("term")
+      .agg(concat_ws(",", sort_array(collect_list("doc_id"))).as("postings"))
+    df.join(postings, Seq("term"))
+      .orderBy(desc("df"), col("term"))
+      .limit(50)
+  }
+
+  // ------------------------------------------------ ABC classification
+
+  /** ABC inventory classification: parts ranked by revenue, class A =
+    * the head covering 80 % of cumulative revenue, B to 95 %, C the
+    * tail. All arithmetic in INTEGER CENTS (per-row round before the
+    * sum), so the running total and both class boundaries are exact —
+    * no double last-bit can flip a part's class between engines.
+    *
+    * Scale note: ranking runs on the PART DIMENSION after the fact
+    * table collapses to per-part revenue (one map-side-combined
+    * shuffle); the global cumsum window is dimension-sized, same
+    * documented class as q_gini. */
+  private val abcClass: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("l_partkey")
+      .agg(sum("cents").as("rev"))
+    val cum = Window.orderBy(desc("rev"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum("rev").over(cum))
+      .withColumn("total", sum("rev").over())
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").as("class_cents"),
+        round(sum("rev") / first("total").cast("double"), 6).as("share"))
+      .orderBy("cls")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_geo_knn" -> geoKnn,
+    "q_geo_radius_join" -> geoRadiusJoin,
+    "q_assoc_rules" -> assocRules,
+    "q_kaplan_meier" -> kaplanMeier,
+    "q_gini" -> gini,
+    "q_chi_square" -> chiSquare,
+    "q_forecast_snaive" -> forecastSnaive,
+    "q_inverted_index" -> invertedIndex,
+    "q_abc_class" -> abcClass,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_geo_knn" ->
+      """WITH c AS (SELECT c_custkey,
+                           (c_custkey * 37 % 1200) / 10.0 - 60.0 AS lat,
+                           (c_custkey * 73 % 3600) / 10.0 - 180.0 AS lon
+                    FROM customer)
+         SELECT c_custkey, lat, lon,
+                round(2 * 6371.0 * asin(sqrt(
+                  pow(sin(radians(48.85 - lat) / 2), 2)
+                  + cos(radians(lat)) * cos(radians(48.85))
+                    * pow(sin(radians(2.35 - lon) / 2), 2))), 3) AS dist_km
+         FROM c ORDER BY dist_km, c_custkey LIMIT 100""",
+    "q_geo_radius_join" ->
+      """WITH c AS (SELECT c_custkey,
+                           (c_custkey * 37 % 1200) / 10.0 - 60.0 AS lat,
+                           (c_custkey * 73 % 3600) / 10.0 - 180.0 AS lon
+                    FROM customer),
+         s AS (SELECT s_suppkey,
+                      (s_suppkey * 53 % 1200) / 10.0 - 60.0 AS lat,
+                      (s_suppkey * 97 % 3600) / 10.0 - 180.0 AS lon
+               FROM supplier),
+         p AS (SELECT s.s_suppkey,
+                      2 * 6371.0 * asin(sqrt(
+                        pow(sin(radians(s.lat - c.lat) / 2), 2)
+                        + cos(radians(c.lat)) * cos(radians(s.lat))
+                          * pow(sin(radians(s.lon - c.lon) / 2), 2))) AS dist
+               FROM c, s)
+         SELECT s_suppkey, count(*) AS n_within,
+                round(min(dist), 3) AS nearest_km
+         FROM p WHERE dist <= 50.0
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+         supp AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+         pairs AS (SELECT a.item AS ante, b.item AS cons, count(*) AS n_pair
+                   FROM items a JOIN items b
+                     ON a.ok = b.ok AND a.item < b.item
+                   GROUP BY 1, 2 HAVING count(*) >= 10)
+         SELECT p.ante, p.cons, p.n_pair,
+                round(p.n_pair / CAST(t.n_orders AS DOUBLE), 6) AS support,
+                round(p.n_pair / CAST(sa.n_item AS DOUBLE), 6) AS confidence,
+                round(p.n_pair * t.n_orders
+                  / (CAST(sa.n_item AS DOUBLE) * sc.n_item), 6) AS lift
+         FROM pairs p
+         JOIN supp sa ON sa.item = p.ante
+         JOIN supp sc ON sc.item = p.cons
+         CROSS JOIN tot t
+         ORDER BY lift DESC, p.ante, p.cons""",
+    "q_kaplan_meier" ->
+      """WITH life AS (SELECT date_diff('day', min(o_orderdate),
+                                        max(o_orderdate)) AS dur,
+                              CASE WHEN max(o_orderdate) < DATE '2001-01-01'
+                                   THEN 1 ELSE 0 END AS event
+                       FROM orders GROUP BY o_custkey),
+         g AS (SELECT dur, sum(event) AS deaths, count(*) AS n_at
+               FROM life GROUP BY dur),
+         r AS (SELECT dur, deaths,
+                      sum(n_at) OVER (ORDER BY dur
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS n_risk
+               FROM g)
+         SELECT dur, deaths, n_risk,
+                round(exp(sum(ln(1.0 - deaths / CAST(n_risk AS DOUBLE)))
+                  OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                  AS surv
+         FROM r WHERE deaths > 0 ORDER BY dur""",
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS r
+                      FROM orders GROUP BY o_custkey),
+         rk AS (SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i
+                FROM rev)
+         SELECT count(*) AS n, round(sum(r), 2) AS total_rev,
+                round(2.0 * sum(i * r) / (count(*) * sum(r))
+                  - (count(*) + 1.0) / count(*), 6) AS gini
+         FROM rk""",
+    "q_chi_square" ->
+      """WITH cont AS (SELECT o_orderpriority, o_orderstatus,
+                              count(*) AS obs
+                       FROM orders GROUP BY 1, 2),
+         m AS (SELECT o_orderpriority, o_orderstatus, obs,
+                      sum(obs) OVER (PARTITION BY o_orderpriority) AS rt,
+                      sum(obs) OVER (PARTITION BY o_orderstatus) AS ct,
+                      sum(obs) OVER () AS n
+               FROM cont),
+         cell AS (SELECT o_orderpriority, o_orderstatus, obs,
+                         pow(obs - rt * ct / CAST(n AS DOUBLE), 2)
+                           / (rt * ct / CAST(n AS DOUBLE)) AS cell
+                  FROM m)
+         SELECT round(sum(cell), 6) AS chi2,
+                (count(DISTINCT o_orderpriority) - 1)
+                  * (count(DISTINCT o_orderstatus) - 1) AS dof,
+                sum(obs) AS n,
+                round(sqrt(sum(cell) / (sum(obs)
+                  * least(count(DISTINCT o_orderpriority) - 1,
+                          count(DISTINCT o_orderstatus) - 1))), 6)
+                  AS cramers_v
+         FROM cell""",
+    "q_forecast_snaive" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS month,
+                           round(sum(o_totalprice), 2) AS actual
+                    FROM orders GROUP BY 1)
+         SELECT month, actual,
+                lag(actual, 12) OVER (ORDER BY month) AS yhat,
+                round(abs(actual - lag(actual, 12) OVER (ORDER BY month))
+                  / actual * 100, 4) AS ape
+         FROM m QUALIFY yhat IS NOT NULL ORDER BY month""",
+    "q_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, t.term
+                     FROM documents,
+                          unnest(string_split_regex(lower(text), '[^a-z]+'))
+                            AS t(term)
+                     WHERE length(t.term) >= 4),
+         df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         rk AS (SELECT term, doc_id,
+                       row_number() OVER (PARTITION BY term
+                         ORDER BY doc_id) AS rn
+                FROM td),
+         pl AS (SELECT term,
+                       string_agg(CAST(doc_id AS VARCHAR), ','
+                         ORDER BY doc_id) AS postings
+                FROM rk WHERE rn <= 100 GROUP BY term)
+         SELECT f.term, f.df, p.postings
+         FROM df f JOIN pl p USING (term)
+         ORDER BY f.df DESC, f.term LIMIT 50""",
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+                             sum(CAST(round(l_extendedprice
+                               * (1.0 - l_discount) * 100) AS BIGINT))
+                               AS rev
+                      FROM lineitem GROUP BY l_partkey),
+         c AS (SELECT rev,
+                      sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      sum(rev) OVER () AS total
+               FROM rev)
+         SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                     WHEN cum * 100 <= total * 95 THEN 'B'
+                     ELSE 'C' END AS cls,
+                count(*) AS n_parts,
+                sum(rev) AS class_cents,
+                round(sum(rev) / CAST(any_value(total) AS DOUBLE), 6)
+                  AS share
+         FROM c GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.InsightQueries
+
+/** Round-10 analytics operators. Exact values are oracle-checked by
+  * the driver's DuckDB gate; these specs pin the structural invariants
+  * and — for every operator whose naive form is collectable at
+  * sf0.001 — cross-check the distributed plan against an independent
+  * sequential brute-force reimplementation. */
+class InsightSpec extends SparkSpec {
+
+  private def q(name: String) = InsightQueries.queries(name)(spark, sf)
+
+  private def haversine(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1) / 2
+    val dLon = math.toRadians(lon2 - lon1) / 2
+    val a = math.pow(math.sin(dLat), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon), 2)
+    2 * 6371.0 * math.asin(math.sqrt(a))
+  }
+
+  private def latOf(k: Long, m: Int): Double = (k * m % 1200) / 10.0 - 60.0
+  private def lonOf(k: Long, m: Int): Double = (k * m % 3600) / 10.0 - 180.0
+
+  test("geo knn: 100 rows, nondecreasing distance, matches brute force") {
+    val got = q("q_geo_knn").collect()
+    assert(got.length == 100)
+    val dists = got.map(_.getDouble(3))
+    assert(dists.sameElements(dists.sorted), "distance must be nondecreasing")
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val brute = keys
+      .map { k =>
+        (k, BigDecimal(haversine(latOf(k, 37), lonOf(k, 73), 48.85, 2.35))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (k, d) => (d, k) }.take(100)
+    assert(got.map(r => (r.getLong(0), r.getDouble(3))).toSeq == brute.toSeq)
+  }
+
+  test("geo radius join: grid-stencil candidates reproduce the cross join") {
+    val got = q("q_geo_radius_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sup = Tables.supplier(spark, sf).select("s_suppkey")
+      .collect().map(_.getLong(0))
+    val cust = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val brute = sup.flatMap { sk =>
+      val ds = cust.map(ck => haversine(latOf(ck, 37), lonOf(ck, 73),
+        latOf(sk, 53), lonOf(sk, 97))).filter(_ <= 50.0)
+      if (ds.isEmpty) None
+      else Some((sk, ds.length.toLong,
+        BigDecimal(ds.min).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }.sortBy(_._1).toSeq
+    assert(brute.nonEmpty, "fixture must produce at least one in-radius pair")
+    assert(got == brute,
+      "the 9-cell grid stencil must find exactly the cross-join's pairs")
+  }
+
+  test("assoc rules: counts and lift match a sequential reimplementation") {
+    val items = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = items.map(_._1).distinct.length
+    val supp = items.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val baskets = items.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCount = baskets.toSeq
+      .flatMap(b => for (i <- b.indices; j <- i + 1 until b.length)
+        yield (b(i), b(j)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length }
+      .filter(_._2 >= 10)
+    val got = q("q_assoc_rules").collect()
+    assert(got.length == pairCount.size)
+    got.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(pairCount((a, b)) == n, s"pair ($a,$b)")
+      val lift = n.toDouble * nOrders / (supp(a).toDouble * supp(b))
+      assert(math.abs(r.getDouble(5) - lift) < 1e-4, s"lift ($a,$b)")
+    }
+  }
+
+  test("kaplan-meier: survival from a sequential estimator, monotone") {
+    val lifetimes = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        (max("o_orderdate") < lit("2001-01-01").cast("date"))
+          .cast("long").as("event"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val byDur = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = lifetimes.length.toLong
+    var s = 1.0
+    val expected = byDur.flatMap { case (dur, xs) =>
+      val deaths = xs.map(_._2).sum
+      val row = if (deaths > 0) {
+        s *= 1.0 - deaths.toDouble / atRisk
+        Some((dur, deaths, atRisk, s))
+      } else None
+      atRisk -= xs.length
+      row
+    }
+    val got = q("q_kaplan_meier").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((d1, k1, n1, s1), (d2, k2, n2, s2)) =>
+      assert(d1 == d2 && k1 == k2 && n1 == n2, s"row at dur=$d2")
+      assert(math.abs(s1 - s2) < 1e-6, s"survival at dur=$d2")
+    }
+    val curve = got.map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a + 1e-12 },
+      "survival must be nonincreasing")
+  }
+
+  test("gini: matches the sequential rank formula, in [0, 1)") {
+    val rev = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, r) => (r, k) }
+    val n = rev.length
+    val total = rev.map(_._2).sum
+    val expected = 2.0 * rev.zipWithIndex
+      .map { case ((_, r), i) => (i + 1) * r }.sum / (n * total) -
+      (n + 1.0) / n
+    val row = q("q_gini").collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-6)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
+
+  test("chi-square: statistic matches the sequential contingency pass") {
+    val cells = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val chi2 = cells.map { case ((p, st), obs) =>
+      val e = rt(p) * ct(st) / n
+      (obs - e) * (obs - e) / e
+    }.sum
+    val dof = (rt.size - 1) * (ct.size - 1)
+    val row = q("q_chi_square").collect().head
+    assert(math.abs(row.getDouble(0) - chi2) < 1e-4)
+    assert(row.getLong(1) == dof)
+    assert(row.getLong(2) == n.toLong)
+    val v = math.sqrt(chi2 / (n * math.min(rt.size - 1, ct.size - 1)))
+    assert(math.abs(row.getDouble(3) - v) < 1e-6)
+  }
+
+  test("seasonal-naive: every yhat is the actual from 12 months before") {
+    val out = q("q_forecast_snaive").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val actualByMonth = out.map(r => r._1 -> r._2).toMap
+    // rows whose lag-12 month is itself in the output must agree
+    var checked = 0
+    out.foreach { case (m, _, yhat) =>
+      val lagM = java.time.LocalDate.parse(m).minusMonths(12).toString
+      actualByMonth.get(lagM).foreach { a =>
+        assert(math.abs(yhat - a) < 1e-9, s"yhat at $m must equal actual at $lagM")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("inverted index: df counts the full set, postings capped and sorted") {
+    val got = q("q_inverted_index").collect()
+    val brute = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 4).distinct()
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(got.length == math.min(50, brute.size),
+      "top-k must cover min(50, vocabulary) terms")
+    got.foreach { r =>
+      val (term, df, postings) = (r.getString(0), r.getLong(1), r.getString(2))
+      val docs = brute(term)
+      assert(df == docs.length, s"df($term)")
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.sameElements(docs.take(100)),
+        s"postings($term) must be the first 100 sorted doc ids")
+    }
+    val dfs = got.map(_.getLong(1))
+    assert(dfs.sameElements(dfs.sorted.reverse), "ordered by df desc")
+  }
+
+  test("abc classes match a sequential cents-exact classification") {
+    val got = q("q_abc_class").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5, "shares sum to 1")
+    val perPart = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("l_partkey").agg(sum("cents").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, r) => (-r, k) }
+    val total = perPart.map(_._2).sum
+    var cum = 0L
+    val brute = perPart.map { case (_, r) =>
+      cum += r
+      val cls = if (cum * 100 <= total * 80) "A"
+        else if (cum * 100 <= total * 95) "B" else "C"
+      (cls, r)
+    }.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    assert(got.map(_._1).toSeq == brute.keys.toSeq.sorted)
+    got.foreach { case (c, nP, cents, _) =>
+      assert(brute(c) == ((nP, cents)), s"class $c")
+    }
+  }
+}

@@ -38,7 +38,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_rfm", "q_histogram_eqdepth", "q_rolling_distinct",
     // round 9 late: 1-row broadcasts — the KS statistic's sample sizes
     // and the overlap sketch's estimate row
-    "q_ks_test", "q_overlap_sketch")
+    "q_ks_test", "q_overlap_sketch",
+    // round 10: the order-count total rides into the rule metrics as
+    // the same documented 1-row broadcast cross join
+    "q_assoc_rules")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
