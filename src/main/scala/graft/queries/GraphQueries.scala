@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.plans.Checkpoints
 
@@ -264,12 +265,52 @@ object GraphQueries {
     dist.orderBy("node")
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), 3 rounds over the purchase graph: label₀(v) = v;
+    * label_{k+1}(v) = the MODE of v's neighbors' labels, ties broken
+    * by smallest label — the deterministic synchronous variant, so
+    * both engines converge identically (classic async LPA is
+    * order-dependent and unverifiable). Distinct from the
+    * ConnectedComponents min-label fixpoint: mode-voting respects
+    * edge DENSITY, splitting a connected blob into dense cores.
+    *
+    * Scale shape: per round, one edge-sized join against the
+    * node-sized label vector (broadcast-able), a map-side-combined
+    * (node, label) vote count, and a per-node window argmax —
+    * shuffles bound by the edge list, state by the node set; each
+    * round's vector is persisted so round k never replays round k−1
+    * (the q_sssp lineage lesson). The oracle unrolls the same three
+    * rounds as chained CTEs with QUALIFY argmax. */
+  private val labelProp: Q = (s, d) => {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    val argmax = Window.partitionBy("src").orderBy(desc("cnt"), asc("lbl"))
+    for (_ <- 1 to 3) {
+      labels = edges.join(labels, col("dst") === col("node"))
+        .groupBy("src", "lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .persist()
+    }
+    labels.orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
     "q_bfs_khop" -> bfsKhop,
     "q_sssp" -> sssp,
+    "q_label_prop" -> labelProp,
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +424,30 @@ object GraphQueries {
            WHERE b.hop < 3)
          SELECT node, min(dist) AS dist FROM walk
          GROUP BY node ORDER BY node""",
+    // three synchronous mode-vote rounds, unrolled; QUALIFY row_number
+    // is the (count desc, label asc) argmax the engine's window runs
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL
+                   SELECT dst AS src, src AS dst FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         l1 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.node = e.dst
+                GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY e.src
+                  ORDER BY count(*) DESC, l.lbl) = 1),
+         l2 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.node = e.dst
+                GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY e.src
+                  ORDER BY count(*) DESC, l.lbl) = 1),
+         l3 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l2 l ON l.node = e.dst
+                GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY e.src
+                  ORDER BY count(*) DESC, l.lbl) = 1)
+         SELECT node, lbl FROM l3 ORDER BY node""",
   )
 }

@@ -312,7 +312,93 @@ object InsightQueries {
       .orderBy("cls")
   }
 
+  // ----------------------------------------------------- recommendation
+
+  /** Item-based collaborative filtering — the recommender SERVING
+    * shape: item-item cosine similarity from order-basket
+    * co-occurrence (cos = n_ab/√(n_a·n_b), support ≥ 5), then each
+    * customer's top-3 unowned brands by summed similarity to what they
+    * already buy.
+    *
+    * Scale shape: the similarity matrix is ITEM-DIMENSION-sized
+    * (bounded by co-occurring pairs, never corpus²) and broadcasts
+    * into the scoring join; the customer profile shuffles once to
+    * (cust, item) grain; scoring is a map-side-combined groupBy on
+    * (cust, candidate); ownership exclusion is a left-anti join on the
+    * same key; the final top-3 is a per-customer window over ≤
+    * |items| rows. Scores are ROUNDED before ranking (≤ |items|
+    * doubles per sum, far under the 1e-6 grain) so both engines cut
+    * identical top-3 sets. */
+  private val recommendBrands: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .persist()
+    val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val half = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 5)
+      .join(broadcast(supp.select(col("item").as("i1"),
+        col("n_item").as("n1"))), Seq("i1"))
+      .join(broadcast(supp.select(col("item").as("i2"),
+        col("n_item").as("n2"))), Seq("i2"))
+      .select(col("i1"), col("i2"),
+        (col("nab") / sqrt(col("n1").cast("double") * col("n2"))).as("cos"))
+    val sim = half.select(col("i1").as("a"), col("i2").as("b"), col("cos"))
+      .unionByName(half.select(col("i2").as("a"), col("i1").as("b"),
+        col("cos")))
+    val ub = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("p_brand").as("item"))
+      .distinct()
+      .persist()
+    val scores = ub.join(broadcast(sim), col("item") === col("a"))
+      .groupBy(col("cust"), col("b").as("rec"))
+      .agg(round(sum("cos"), 6).as("score"))
+    val unowned = scores.join(
+      ub.select(col("cust"), col("item").as("rec")),
+      Seq("cust", "rec"), "left_anti")
+    val top = Window.partitionBy("cust").orderBy(desc("score"), col("rec"))
+    unowned.withColumn("rn", row_number().over(top))
+      .filter(col("rn") <= 3)
+      .orderBy("cust", "rn")
+  }
+
+  // ------------------------------------------------------- seasonality
+
+  /** Classic multiplicative seasonal index: per month-of-year, the
+    * mean monthly revenue and its ratio to the grand mean of the 12
+    * monthly means — the decomposition behind the seasonal-naive
+    * forecast. Everything past the one month-grain aggregate runs on
+    * a ≤12-row set. total_rev, not mean_rev: a SUM of 2-decimal
+    * values never sits at a .005 rounding midpoint, while an AVG
+    * (division by the group size) can — the engine/oracle round-half
+    * conventions differ exactly there (the q_fn_math scaladoc's
+    * documented hazard, observed live on this query's month 10). */
+  private val seasonalIndex: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+    m.groupBy(month(col("mon")).as("mo"))
+      .agg(count(lit(1)).as("n_months"),
+        round(sum("v"), 2).as("total_rev"),
+        avg("v").as("raw_mean"))
+      .withColumn("idx",
+        round(col("raw_mean") / avg("raw_mean").over(Window.partitionBy()), 6))
+      .select("mo", "n_months", "total_rev", "idx")
+      .orderBy("mo")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_recommend_brands" -> recommendBrands,
+    "q_seasonal_index" -> seasonalIndex,
     "q_geo_knn" -> geoKnn,
     "q_geo_radius_join" -> geoRadiusJoin,
     "q_assoc_rules" -> assocRules,
@@ -325,6 +411,48 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_recommend_brands" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         supp AS (SELECT item, count(*) AS n FROM items GROUP BY item),
+         pr AS (SELECT a.item AS i1, b.item AS i2, count(*) AS nab
+                FROM items a JOIN items b
+                  ON a.ok = b.ok AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         half AS (SELECT i1, i2,
+                         nab / sqrt(CAST(s1.n AS DOUBLE) * s2.n) AS cos
+                  FROM pr JOIN supp s1 ON s1.item = i1
+                          JOIN supp s2 ON s2.item = i2),
+         sim AS (SELECT i1 AS a, i2 AS b, cos FROM half
+                 UNION ALL
+                 SELECT i2 AS a, i1 AS b, cos FROM half),
+         ub AS (SELECT DISTINCT o_custkey AS cust, p_brand AS item
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                            JOIN part ON l_partkey = p_partkey),
+         sc AS (SELECT u.cust, s.b AS rec, round(sum(s.cos), 6) AS score
+                FROM ub u JOIN sim s ON s.a = u.item
+                GROUP BY 1, 2),
+         unowned AS (SELECT sc.cust, sc.rec, sc.score
+                     FROM sc LEFT JOIN ub o
+                       ON o.cust = sc.cust AND o.item = sc.rec
+                     WHERE o.item IS NULL)
+         SELECT cust, rec, score, rn
+         FROM (SELECT cust, rec, score,
+                      row_number() OVER (PARTITION BY cust
+                        ORDER BY score DESC, rec) AS rn
+               FROM unowned)
+         WHERE rn <= 3 ORDER BY cust, rn""",
+    "q_seasonal_index" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS mon,
+                           round(sum(o_totalprice), 2) AS v
+                    FROM orders GROUP BY 1),
+         g AS (SELECT month(mon) AS mo, count(*) AS n_months,
+                      round(sum(v), 2) AS total_rev, avg(v) AS raw_mean
+               FROM m GROUP BY 1)
+         SELECT mo, n_months, total_rev,
+                round(raw_mean / avg(raw_mean) OVER (), 6) AS idx
+         FROM g ORDER BY mo""",
     "q_geo_knn" ->
       """WITH c AS (SELECT c_custkey,
                            (c_custkey * 37 % 1200) / 10.0 - 60.0 AS lat,

@@ -190,6 +190,68 @@ class InsightSpec extends SparkSpec {
     assert(dfs.sameElements(dfs.sorted.reverse), "ordered by df desc")
   }
 
+  test("recommender: top-3 matches a sequential item-CF scorer") {
+    val itemRows = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val supp = itemRows.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val baskets = itemRows.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val nab = baskets.toSeq
+      .flatMap(b => for (i <- b.indices; j <- i + 1 until b.length)
+        yield (b(i), b(j)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length }
+      .filter(_._2 >= 5)
+    val sim = nab.toSeq.flatMap { case ((a, b), n) =>
+      val c = n / math.sqrt(supp(a).toDouble * supp(b))
+      Seq((a, b, c), (b, a, c))
+    }.groupBy(_._1).map { case (a, xs) =>
+      a -> xs.map(x => (x._2, x._3))
+    }
+    val ub = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val owned = ub.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val want = owned.toSeq.flatMap { case (cust, items) =>
+      val scores = items.toSeq.flatMap(i => sim.getOrElse(i, Nil))
+        .groupBy(_._1).map { case (cand, xs) =>
+          cand -> BigDecimal(xs.map(_._2).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        .filter { case (cand, _) => !items(cand) }
+      scores.toSeq.sortBy { case (cand, sc) => (-sc, cand) }.take(3)
+        .zipWithIndex.map { case ((cand, sc), i) => (cust, cand, sc, i + 1) }
+    }.toSet
+    val got = q("q_recommend_brands").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("seasonal index: 12 groups, indices average to 1, matches brute") {
+    val got = q("q_seasonal_index").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1 to 12),
+      "every month-of-year must appear exactly once, ordered")
+    val meanIdx = got.map(_._4).sum / got.length
+    assert(math.abs(meanIdx - 1.0) < 1e-4, s"indices must center on 1, got $meanIdx")
+    val monthly = Tables.orders(spark, sf)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate.getMonthValue, r.getDouble(1)))
+    val byMo = monthly.groupBy(_._1).map { case (mo, xs) =>
+      mo -> (xs.length.toLong, xs.map(_._2).sum / xs.length)
+    }
+    val grand = byMo.values.map(_._2).sum / byMo.size
+    got.foreach { case (mo, n, _, idx) =>
+      assert(byMo(mo)._1 == n, s"n_months($mo)")
+      assert(math.abs(idx - byMo(mo)._2 / grand) < 1e-5, s"idx($mo)")
+    }
+  }
+
   test("abc classes match a sequential cents-exact classification") {
     val got = q("q_abc_class").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

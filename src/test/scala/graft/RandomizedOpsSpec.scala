@@ -356,4 +356,38 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(got == want, s"seed=$seed got=$got want=$want")
     }
   }
+
+  test("label propagation equals sequential synchronous mode-voting") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(600 + seed)
+      val orders = (1L to 120L).map(i => (i, 1L + rnd.nextInt(300)))
+      val lines = (1 to 400).map(_ =>
+        (1L + rnd.nextInt(120), 1L + rnd.nextInt(15)))
+      val dir = scratch()
+      orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+      lines.toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q_label_prop")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: 3 synchronous rounds, new label = mode of
+      // neighbor labels with (count desc, label asc) tie-break
+      val custOf = orders.toMap
+      val pairs = lines.flatMap { case (ok, sk) =>
+        custOf.get(ok).map(ck => (ck, -sk))
+      }.distinct
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      var lbl = adj.keySet.map(n => n -> n).toMap
+      (1 to 3).foreach { _ =>
+        lbl = adj.map { case (node, nbrs) =>
+          val votes = nbrs.map(lbl).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          node -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == lbl, s"seed=$seed diff=${
+        got.collect { case (n, l) if lbl.get(n) != Some(l) => (n, l, lbl.get(n)) }.take(5)}")
+    }
+  }
 }
