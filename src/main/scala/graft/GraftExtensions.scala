@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotF, Fingerprint64, JaroWinkler, WinnowStats, ZOrder}
+import graft.functions.{DotF, Fingerprint64, Geohash, JaroWinkler, WinnowStats, ZOrder}
 
 /** Deployment-grade Catalyst extension point: `spark.sql.extensions=
   * graft.GraftExtensions` (or `builder.withExtensions`) wires the
@@ -19,9 +19,9 @@ import graft.functions.{DotF, Fingerprint64, JaroWinkler, WinnowStats, ZOrder}
   *
   * Two injections:
   *
-  *  1. the five SQL-registered codegen expressions (`dot_f`,
-  *     `jaro_winkler`, `fingerprint64`, `z_value`, `winnow_stats`) with
-  *     the same arity validation as the per-session
+  *  1. the six SQL-registered codegen expressions (`dot_f`,
+  *     `jaro_winkler`, `fingerprint64`, `z_value`, `geohash`,
+  *     `winnow_stats`) with the same arity validation as the per-session
   *     [[org.apache.spark.sql.graftshim.registerExpression]] path —
   *     session-independent, catalog-visible (DESCRIBE FUNCTION works),
   *     no imperative setup;
@@ -83,6 +83,8 @@ object GraftExtensions {
         Set(1), e => Fingerprint64(e.head)),
       d("z_value", "z_value(x, y) - Morton-interleaved Z-order key", Set(2),
         e => ZOrder(e(0), e(1))),
+      d("geohash", "geohash(lat, lon, precision) - base-32 geohash cell",
+        Set(3), e => Geohash(e(0), e(1), e(2))),
       d("winnow_stats", "winnow_stats(text[, gram, window]) - winnowing " +
         "fingerprint stats", Set(1, 3), {
           case Seq(text) => WinnowStats(text, 8, 4)

@@ -100,6 +100,24 @@ object InsightQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Spatial density by geohash-3 cell (the [[graft.functions.Geohash]]
+    * codegen expression): customers per ~1.4° grid cell. The DuckDB
+    * oracle replays the encoding in PURE INTEGER arithmetic — the
+    * synthetic 0.1° coordinate grid puts every point either exactly ON
+    * a cell boundary (an exactly-representable double, which both the
+    * bisection and the integer floor assign to the upper cell) or
+    * ≥ 1/160° away (10¹¹ ulps past any double error), so the two
+    * constructions provably agree on every row. */
+  private val geoDensity: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(latOf(col("c_custkey"), 37).as("lat"),
+        lonOf(col("c_custkey"), 73).as("lon"))
+    c.groupBy(graft.functions.Geohash
+        .geohashOf(col("lat"), col("lon"), lit(3)).as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------- association rules
 
   /** Market-basket association rules over order baskets (items =
@@ -349,14 +367,19 @@ object InsightQueries {
         col("n_item").as("n2"))), Seq("i2"))
       .select(col("i1"), col("i2"),
         (col("nab") / sqrt(col("n1").cast("double") * col("n2"))).as("cos"))
+      // persisted: the mirror union below consumes half TWICE, and
+      // without a cache each consumption replays the basket self-join
+      .persist()
     val sim = half.select(col("i1").as("a"), col("i2").as("b"), col("cos"))
       .unionByName(half.select(col("i2").as("a"), col("i1").as("b"),
         col("cos")))
-    val ub = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.part(s, d)),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("o_custkey").as("cust"), col("p_brand").as("item"))
+    // the customer profile REUSES the persisted basket relation — the
+    // orderkey→custkey hop is one join against the orders dimension,
+    // not a second lineitem⋈part pass
+    val ub = items
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("cust")), Seq("ok"))
+      .select(col("cust"), col("item"))
       .distinct()
       .persist()
     val scores = ub.join(broadcast(sim), col("item") === col("a"))
@@ -401,6 +424,7 @@ object InsightQueries {
     "q_seasonal_index" -> seasonalIndex,
     "q_geo_knn" -> geoKnn,
     "q_geo_radius_join" -> geoRadiusJoin,
+    "q_geo_density" -> geoDensity,
     "q_assoc_rules" -> assocRules,
     "q_kaplan_meier" -> kaplanMeier,
     "q_gini" -> gini,
@@ -483,6 +507,29 @@ object InsightQueries {
                 round(min(dist), 3) AS nearest_km
          FROM p WHERE dist <= 50.0
          GROUP BY s_suppkey ORDER BY s_suppkey""",
+    // geohash-3 = 15 interleaved bisection bits (lon first): lon bins
+    // are 360/256-wide, lat bins 180/128-wide, so bin indices come
+    // straight off the key-derived 0.1-degree integer grid — the whole
+    // encode replays as integer div/mod + base-32 substr
+    "q_geo_density" ->
+      """WITH c AS (SELECT (c_custkey * 73 % 3600) AS jx,
+                           (c_custkey * 37 % 1200) + 300 AS jy
+                    FROM customer),
+         b AS (SELECT (jx * 16) // 225 AS bx, (jy * 16) // 225 AS by
+               FROM c),
+         v AS (SELECT ((bx // 128) % 2) * 16384 + ((by // 64) % 2) * 8192
+                    + ((bx // 64) % 2) * 4096 + ((by // 32) % 2) * 2048
+                    + ((bx // 32) % 2) * 1024 + ((by // 16) % 2) * 512
+                    + ((bx // 16) % 2) * 256 + ((by // 8) % 2) * 128
+                    + ((bx // 8) % 2) * 64 + ((by // 4) % 2) * 32
+                    + ((bx // 4) % 2) * 16 + ((by // 2) % 2) * 8
+                    + ((bx // 2) % 2) * 4 + (by % 2) * 2 + (bx % 2) AS v
+               FROM b)
+         SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 1024) % 32 + 1, 1)
+             || substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) % 32 + 1, 1)
+             || substr('0123456789bcdefghjkmnpqrstuvwxyz', v % 32 + 1, 1) AS cell,
+                count(*) AS n
+         FROM v GROUP BY 1 ORDER BY 1""",
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
                         FROM lineitem JOIN part ON l_partkey = p_partkey),
