@@ -330,6 +330,19 @@ object InsightQueries {
       .orderBy("cls")
   }
 
+  /** Top-10 orders per priority through the NATIVE
+    * [[graft.plans.TopKPerKey]] physical operator (partial bounded
+    * heaps → key-clustered exchange of ≤ partitions×keys×k survivors →
+    * ranked merge) — the whole-operator Catalyst-extension rung, under
+    * the same row_number oracle as the window form it replaces. The
+    * fact table never sorts and never fully shuffles. */
+  private val topkNative: Q = (s, d) =>
+    graft.plans.TopKPerKey.topK(
+      Tables.orders(s, d)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 10)
+      .orderBy("o_orderpriority", "rank")
+
   // ----------------------------------------------------- recommendation
 
   /** Item-based collaborative filtering — the recommender SERVING
@@ -422,6 +435,7 @@ object InsightQueries {
   val queries: Map[String, Q] = Map(
     "q_recommend_brands" -> recommendBrands,
     "q_seasonal_index" -> seasonalIndex,
+    "q_topk_native" -> topkNative,
     "q_geo_knn" -> geoKnn,
     "q_geo_radius_join" -> geoRadiusJoin,
     "q_geo_density" -> geoDensity,
@@ -435,6 +449,13 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+               FROM orders)
+         WHERE rank <= 10 ORDER BY o_orderpriority, rank""",
     "q_recommend_brands" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
                         FROM lineitem JOIN part ON l_partkey = p_partkey),

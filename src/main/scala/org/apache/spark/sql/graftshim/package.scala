@@ -35,4 +35,25 @@ package object graftshim {
           s"expected $arity, got ${exprs.length}")
       builder(exprs)
     })
+
+  /** The analyzed logical plan behind a DataFrame — the input a custom
+    * logical operator wraps. */
+  def analyzedPlan(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame (classic.Dataset.ofRows
+    * is private[sql]; this shim is the sanctioned third-party seam). */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session (the runtime
+    * twin of SparkSessionExtensions.injectPlannerStrategy, for sessions
+    * built without the extension config). */
+  def addStrategy(spark: SparkSession,
+      strategy: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }
