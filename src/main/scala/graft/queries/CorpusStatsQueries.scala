@@ -29,43 +29,21 @@ object CorpusStatsQueries {
     * detector (low entropy = repeated filler, implausibly high = random
     * bytes; the Gopher-style "symbol soup" signal at character level).
     *
-    * Per-row O(len log len) expression work, no shuffle: sort the char
-    * array once and run-length-encode it (run starts = positions whose
-    * char differs from the previous), instead of one O(len) filter scan
-    * per distinct char. Runs are visited in ascending-char order — the
-    * SAME fold order as a sorted-distinct-chars formulation — so the
-    * double result (and its hash) is bit-identical to the naive form. */
+    * Per-row O(len) via the [[graft.functions.CharEntropyStats]]
+    * codegen expression (round 10 — replaces the r8 sort+run-length
+    * HOF chain and its three per-row array materializations): one
+    * histogram pass, fold over distinct codepoints ASCENDING — the
+    * same order as the oracle's sorted-distinct-chars formulation, so
+    * the double result (and its hash) is unchanged. No shuffle. */
   private val charEntropy: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("n", length(col("text")))
-      // split(text, '') builds the char array in ONE O(len) pass —
-      // per-index substring(text, i, 1) would re-scan the UTF-8 bytes
-      // from the start on every call (O(len²) per row)
-      .withColumn("sc", expr(
-        """CASE WHEN n >= 1 THEN array_sort(split(text, ''))
-           ELSE array() END"""))
-      // run starts in sorted order, with an n+1 sentinel so run lengths
-      // are adjacent-element differences (try_element_at: no guard
-      // needed for the i=1 boundary, null compares to false)
-      .withColumn("st", expr(
-        """CASE WHEN n >= 1
-             THEN concat(filter(sequence(1, n),
-                    i -> i = 1 OR try_element_at(sc, i - 1) <> try_element_at(sc, i)),
-                  array(n + 1))
-             ELSE array() END"""))
+      .select(col("doc_id"),
+        graft.functions.CharEntropyStats.charEntropyStats(col("text"))
+          .as("st"))
       .select(
         col("doc_id"),
-        when(col("n") >= 1, size(col("st")) - 1).otherwise(0)
-          .as("n_unique_chars"),
-        expr("""CASE WHEN n >= 1
-                  THEN round(0.0 - aggregate(
-                    transform(sequence(1, size(st) - 1),
-                      j -> try_element_at(st, j + 1) - try_element_at(st, j)),
-                    CAST(0.0 AS DOUBLE),
-                    (acc, k) -> acc + (k / CAST(n AS DOUBLE))
-                                      * log2(k / CAST(n AS DOUBLE))), 4)
-                  ELSE round(CAST(0.0 AS DOUBLE), 4) END""")
-          .as("entropy_bits"))
+        col("st.n_unique").as("n_unique_chars"),
+        round(lit(0.0) - col("st.entropy_sum"), 4).as("entropy_bits"))
       .orderBy("doc_id")
 
   /** Duplicated-n-gram coverage (Lee et al. 2021, "Deduplicating

@@ -432,7 +432,65 @@ object InsightQueries {
       .orderBy("mo")
   }
 
+  // --------------------------------------------------- experimentation
+
+  /** Two-sample A/B read-out (Welch z on per-user purchase value,
+    * variant = user_id parity — the deterministic hash-split every
+    * experiment platform runs): per-variant n/mean/variance and the
+    * Welch statistic, one row. The corpus collapses to per-user
+    * metrics in one shuffle; variant stats are conditional aggregates
+    * over that user-grain set (no second pass, no pivot join).
+    * Per-user sums are rounded before the stats so both engines feed
+    * identical doubles into the variance chain. */
+  private val abTest: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 4).as("m"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val m0 = avg(when(col("variant") === 0, col("m")))
+    val m1 = avg(when(col("variant") === 1, col("m")))
+    val v0 = var_samp(when(col("variant") === 0, col("m")))
+    val v1 = var_samp(when(col("variant") === 1, col("m")))
+    val n0 = count(when(col("variant") === 0, col("m")))
+    val n1 = count(when(col("variant") === 1, col("m")))
+    perUser.agg(
+      n0.as("n0"), n1.as("n1"),
+      round(m0, 4).as("mean0"), round(m1, 4).as("mean1"),
+      round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4).as("welch_z"),
+      (abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96).as("significant"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments"): the post-period
+    * metric adjusted by the pre-period covariate — θ = cov(post, pre)
+    * / var(pre), var_adj = var(post) − θ²·var(pre). Reports θ and the
+    * variance-reduction fraction the covariate buys, one row. Same
+    * scale shape as the A/B read-out: one user-grain collapse, then
+    * covar_pop/var_pop (codegen'd, the q_agg_corr precedent) over it. */
+  private val cuped: Q = (s, d) => {
+    val split = lit("2024-01-16").cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("ts") < split, col("value")).otherwise(0.0)), 4)
+          .as("pre"),
+        round(sum(when(col("ts") >= split, col("value")).otherwise(0.0)), 4)
+          .as("post"))
+    val theta = covar_pop(col("post"), col("pre")) / var_pop(col("pre"))
+    val varAdj = var_pop(col("post")) - theta * theta * var_pop(col("pre"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      round(theta, 6).as("theta"),
+      round(var_pop(col("post")), 4).as("var_post"),
+      round(varAdj, 4).as("var_adj"),
+      round(lit(1.0) - varAdj / var_pop(col("post")), 6).as("var_reduction"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ab_test" -> abTest,
+    "q_cuped" -> cuped,
     "q_recommend_brands" -> recommendBrands,
     "q_seasonal_index" -> seasonalIndex,
     "q_topk_native" -> topkNative,
@@ -449,6 +507,47 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id, round(sum(value), 4) AS m,
+                           CAST(user_id % 2 AS INTEGER) AS variant
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id)
+         SELECT count(m) FILTER (WHERE variant = 0) AS n0,
+                count(m) FILTER (WHERE variant = 1) AS n1,
+                round(avg(m) FILTER (WHERE variant = 0), 4) AS mean0,
+                round(avg(m) FILTER (WHERE variant = 1), 4) AS mean1,
+                round((avg(m) FILTER (WHERE variant = 1)
+                       - avg(m) FILTER (WHERE variant = 0))
+                  / sqrt(var_samp(m) FILTER (WHERE variant = 0)
+                           / count(m) FILTER (WHERE variant = 0)
+                         + var_samp(m) FILTER (WHERE variant = 1)
+                           / count(m) FILTER (WHERE variant = 1)), 4)
+                  AS welch_z,
+                abs((avg(m) FILTER (WHERE variant = 1)
+                     - avg(m) FILTER (WHERE variant = 0))
+                  / sqrt(var_samp(m) FILTER (WHERE variant = 0)
+                           / count(m) FILTER (WHERE variant = 0)
+                         + var_samp(m) FILTER (WHERE variant = 1)
+                           / count(m) FILTER (WHERE variant = 1))) > 1.96
+                  AS significant
+         FROM u""",
+    "q_cuped" ->
+      """WITH u AS (SELECT user_id,
+                           round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                          THEN value ELSE 0.0 END), 4) AS pre,
+                           round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                          THEN value ELSE 0.0 END), 4) AS post
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id)
+         SELECT count(*) AS n_users,
+                round(covar_pop(post, pre) / var_pop(pre), 6) AS theta,
+                round(var_pop(post), 4) AS var_post,
+                round(var_pop(post) - pow(covar_pop(post, pre)
+                  / var_pop(pre), 2) * var_pop(pre), 4) AS var_adj,
+                round(1.0 - (var_pop(post) - pow(covar_pop(post, pre)
+                  / var_pop(pre), 2) * var_pop(pre)) / var_pop(post), 6)
+                  AS var_reduction
+         FROM u""",
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -252,6 +252,53 @@ class InsightSpec extends SparkSpec {
     }
   }
 
+  test("ab test: Welch z matches a sequential two-sample computation") {
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(round(sum("value"), 4).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (g1, g0) = perUser.partition(_._1 % 2 == 1)
+    def stats(xs: Array[(Long, Double)]): (Long, Double, Double) = {
+      val v = xs.map(_._2); val n = v.length
+      val mean = v.sum / n
+      val varS = v.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      (n.toLong, mean, varS)
+    }
+    val (n0, m0, v0) = stats(g0); val (n1, m1, v1) = stats(g1)
+    val z = (m1 - m0) / math.sqrt(v0 / n0 + v1 / n1)
+    val row = q("q_ab_test").collect().head
+    assert(row.getLong(0) == n0 && row.getLong(1) == n1)
+    assert(math.abs(row.getDouble(2) - m0) < 1e-3)
+    assert(math.abs(row.getDouble(3) - m1) < 1e-3)
+    assert(math.abs(row.getDouble(4) - z) < 1e-3, s"welch_z got=${row.getDouble(4)} want=$z")
+    assert(row.getBoolean(5) == (math.abs(z) > 1.96))
+  }
+
+  test("cuped: theta and variance reduction match the closed form") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("ts") < lit(split), col("value")).otherwise(0.0)), 4).as("pre"),
+        round(sum(when(col("ts") >= lit(split), col("value")).otherwise(0.0)), 4).as("post"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = perUser.length
+    val mPre = perUser.map(_._1).sum / n
+    val mPost = perUser.map(_._2).sum / n
+    val varPre = perUser.map(p => (p._1 - mPre) * (p._1 - mPre)).sum / n
+    val varPost = perUser.map(p => (p._2 - mPost) * (p._2 - mPost)).sum / n
+    val cov = perUser.map(p => (p._1 - mPre) * (p._2 - mPost)).sum / n
+    val theta = cov / varPre
+    val varAdj = varPost - theta * theta * varPre
+    val row = q("q_cuped").collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - theta) < 1e-4, "theta")
+    assert(math.abs(row.getDouble(3) - varAdj) < 1e-2, "var_adj")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0,
+      "variance reduction must be a fraction (theta is the minimizer)")
+  }
+
   test("abc classes match a sequential cents-exact classification") {
     val got = q("q_abc_class").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
