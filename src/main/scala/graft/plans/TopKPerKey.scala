@@ -82,8 +82,22 @@ object TopKPerKey {
       val keyExprs = keys.map(BindReferences.bindReference(_, child.output))
       val boundOrd = BindReferences.bindReference(ord, child.output)
       val boundTie = BindReferences.bindReference(tie, child.output)
-      val ordOrdering = TypeUtils.getInterpretedOrdering(boundOrd.dataType)
-      val tieOrdering = TypeUtils.getInterpretedOrdering(boundTie.dataType)
+      // null-aware, matching the window form this operator replaces:
+      // ord DESC NULLS LAST (null = weakest), tie ASC NULLS FIRST
+      def nullAware(base: Ordering[Any], nullIsSmallest: Boolean): Ordering[Any] =
+        new Ordering[Any] {
+          override def compare(a: Any, b: Any): Int =
+            if (a == null && b == null) 0
+            else if (a == null) { if (nullIsSmallest) -1 else 1 }
+            else if (b == null) { if (nullIsSmallest) 1 else -1 }
+            else base.compare(a, b)
+        }
+      val ordOrdering = nullAware(TypeUtils
+        .getInterpretedOrdering(boundOrd.dataType)
+        .asInstanceOf[Ordering[Any]], nullIsSmallest = true)
+      val tieOrdering = nullAware(TypeUtils
+        .getInterpretedOrdering(boundTie.dataType)
+        .asInstanceOf[Ordering[Any]], nullIsSmallest = true)
       val isPartial = partial
       val kk = k
       val childOutput = child.output
@@ -104,14 +118,28 @@ object TopKPerKey {
           .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, Any, InternalRow)]]
         iter.foreach { row =>
           val key = keyProj(row)
-          val heap = heaps.getOrElseUpdate(key.copy(),
-            // PriorityQueue dequeues the MAX of its ordering; reversed
-            // strength puts the WEAKEST survivor at the head, giving
-            // the O(1) keep-or-drop probe a bounded heap needs
-            scala.collection.mutable.PriorityQueue
-              .empty[(Any, Any, InternalRow)](strength.reverse))
-          val o = boundOrd.eval(row)
-          val t = boundTie.eval(row)
+          // get-then-update: key.copy() only on first sight of a key,
+          // not per input row (the partial phase exists for exactly
+          // the low-|keys|, high-row case where per-row copies would
+          // be the dominant allocation)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              // PriorityQueue dequeues the MAX of its ordering;
+              // reversed strength puts the WEAKEST survivor at the
+              // head, giving the O(1) keep-or-drop probe a bounded
+              // heap needs
+              val h = scala.collection.mutable.PriorityQueue
+                .empty[(Any, Any, InternalRow)](strength.reverse)
+              heaps.put(key.copy(), h)
+              h
+          }
+          // copyValue: eval on a reused row buffer returns VIEWS for
+          // buffer-backed types (UTF8String, arrays, structs) — the
+          // heap must own its ord/tie values or they mutate as the
+          // iterator advances
+          val o = InternalRow.copyValue(boundOrd.eval(row))
+          val t = InternalRow.copyValue(boundTie.eval(row))
           if (heap.size < kk) {
             heap.enqueue((o, t, row.copy()))
           } else if (strength.compare((o, t, null), heap.head) > 0) {
@@ -156,8 +184,9 @@ object TopKPerKey {
     }
   }
 
-  /** Public entry point: top `k` rows per `keyCols` by (`ordCol` DESC,
-    * `tieCol` ASC), with a 1-based `rank` column appended. `tieCol`
+  /** Public entry point: top `k` rows per `keyCols` by (`ordCol` DESC
+    * NULLS LAST, `tieCol` ASC NULLS FIRST — the window form's default
+    * null placement), with a 1-based `rank` column appended. `tieCol`
     * must be unique within a key for deterministic output. */
   def topK(df: DataFrame, keyCols: Seq[String], ordCol: String,
       tieCol: String, k: Int): DataFrame = {

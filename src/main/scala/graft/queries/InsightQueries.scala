@@ -75,6 +75,11 @@ object InsightQueries {
     * InsightSpec cross-checks grid-vs-cross equality on a random
     * slice. */
   private val geoRadiusJoin: Q = (s, d) => {
+    // supplier stencil cells wrap at the ±180° antimeridian — without
+    // the mod-360 a customer in cell −180 and a supplier at +179.9°
+    // (stencil 178..180) never share a cell even though haversine (and
+    // the cross-join oracle) put them ~0.1° apart
+    def wrapLon(c: Column): Column = pmod(c + 180, lit(360)) - 180
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey"),
         latOf(col("s_suppkey"), 53).as("s_lat"),
@@ -82,7 +87,7 @@ object InsightQueries {
       .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
       .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
-        (floor(col("s_lon")) + col("dx")).as("cx"),
+        wrapLon(floor(col("s_lon")) + col("dx")).as("cx"),
         (floor(col("s_lat")) + col("dy")).as("cy"))
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"),
@@ -90,9 +95,13 @@ object InsightQueries {
         lonOf(col("c_custkey"), 73).as("c_lon"))
       .withColumn("cx", floor(col("c_lon")))
       .withColumn("cy", floor(col("c_lat")))
+    // the R-boundary cut runs on the ROUNDED distance in both engines
+    // (the file-header protocol: a libm last-ulp difference must not
+    // be able to flip a membership decision)
     cust.join(broadcast(sup), Seq("cx", "cy"))
-      .withColumn("dist_km",
-        haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
+      .withColumn("dist_km", round(
+        haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")),
+        6))
       .filter(col("dist_km") <= 50.0)
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_within"),
@@ -129,21 +138,33 @@ object InsightQueries {
     * dimension (brands) broadcasts into both support joins; all three
     * aggregates are map-side-combined groupBys. The order count rides
     * in as a broadcast 1-row cross join (the documented pattern). */
-  private val assocRules: Q = (s, d) => {
+  /** Shared basket machinery for the association/recommendation pair:
+    * the distinct (orderkey, brand) relation (persisted — both
+    * consumers hit it several times), per-item supports, and the
+    * a<b co-occurrence pair counts above `minPair`. */
+  private def basketPairs(s: SparkSession, d: String, minPair: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val items = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
       .distinct()
       .persist()
-    val tot = items.select(countDistinct("ok").as("n_orders"))
     val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok")
         && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
+      .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
       .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= 10)
+      .filter(col("n_pair") >= minPair)
+    (items, supp, pairs)
+  }
+
+  private val assocRules: Q = (s, d) => {
+    val (items, supp, rawPairs) = basketPairs(s, d, minPair = 10)
+    val tot = items.select(countDistinct("ok").as("n_orders"))
+    val pairs = rawPairs
+      .select(col("i1").as("ante"), col("i2").as("cons"), col("n_pair"))
     pairs
       .join(broadcast(supp.select(col("item").as("ante"),
         col("n_item").as("n_ante"))), Seq("ante"))
@@ -361,25 +382,14 @@ object InsightQueries {
     * doubles per sum, far under the 1e-6 grain) so both engines cut
     * identical top-3 sets. */
   private val recommendBrands: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-      .persist()
-    val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val half = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok")
-        && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
-      .agg(count(lit(1)).as("nab"))
-      .filter(col("nab") >= 5)
+    val (items, supp, rawPairs) = basketPairs(s, d, minPair = 5)
+    val half = rawPairs
       .join(broadcast(supp.select(col("item").as("i1"),
         col("n_item").as("n1"))), Seq("i1"))
       .join(broadcast(supp.select(col("item").as("i2"),
         col("n_item").as("n2"))), Seq("i2"))
       .select(col("i1"), col("i2"),
-        (col("nab") / sqrt(col("n1").cast("double") * col("n2"))).as("cos"))
+        (col("n_pair") / sqrt(col("n1").cast("double") * col("n2"))).as("cos"))
       // persisted: the mirror union below consumes half TWICE, and
       // without a cache each consumption replays the basket self-join
       .persist()
@@ -618,10 +628,11 @@ object InsightQueries {
                       (s_suppkey * 97 % 3600) / 10.0 - 180.0 AS lon
                FROM supplier),
          p AS (SELECT s.s_suppkey,
-                      2 * 6371.0 * asin(sqrt(
+                      round(2 * 6371.0 * asin(sqrt(
                         pow(sin(radians(s.lat - c.lat) / 2), 2)
                         + cos(radians(c.lat)) * cos(radians(s.lat))
-                          * pow(sin(radians(s.lon - c.lon) / 2), 2))) AS dist
+                          * pow(sin(radians(s.lon - c.lon) / 2), 2))), 6)
+                        AS dist
                FROM c, s)
          SELECT s_suppkey, count(*) AS n_within,
                 round(min(dist), 3) AS nearest_km

@@ -68,6 +68,45 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("string ord column: heap owns its values, not the row buffer") {
+    val s = spark
+    import s.implicits._
+    // buffer-backed ord values (UTF8String views into the reused
+    // iterator row) — without InternalRow.copyValue the heap's stored
+    // ord/tie silently mutate as the partition iterator advances
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 3000L).map { i =>
+      (i, s"k${rnd.nextInt(5)}", f"v${rnd.nextInt(900)}%03d")
+    }
+    val df = rows.toDF("id", "key", "sv").repartition(6)
+    val got = TopKPerKey.topK(df, Seq("key"), "sv", "id", 4)
+      .collect().map(r =>
+        (r.getString(1), r.getLong(0), r.getString(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("key").orderBy(desc("sv"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .collect().map(r =>
+        (r.getString(1), r.getLong(0), r.getString(2), r.getInt(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+  }
+
+  test("null ord values: matches the window form's desc-nulls-last") {
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Long, String, Option[Double])] =
+      (1L to 50L).map(i => (i, s"k${i % 2}",
+        if (i % 7 == 0) None else Some((i % 11).toDouble)))
+    val df = rows.toDF("id", "key", "v").repartition(4)
+    val got = TopKPerKey.topK(df, Seq("key"), "v", "id", 30)
+      .collect().map(r =>
+        (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    val w = Window.partitionBy("key").orderBy(desc("v"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 30)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+  }
+
   test("rejects unknown columns and non-positive k") {
     val s = spark
     import s.implicits._
