@@ -498,9 +498,67 @@ object InsightQueries {
       round(lit(1.0) - varAdj / var_pop(col("post")), 6).as("var_reduction"))
   }
 
+  /** Shapley-value channel attribution (Shapley 1953 applied to
+    * conversion credit, the data-driven scheme of Zhao et al. 2018):
+    * channels = {view, click, signup} touches before the user's first
+    * purchase; v(S) = conversion rate of users exposed to EXACTLY set
+    * S (unobserved sets count 0, documented); φ_c over n=3 unrolls to
+    * the closed 4-term weighted-marginal sum per channel. Reports the
+    * baseline v(∅), v(full), and the three φ — one row; the
+    * efficiency identity Σφ = v(full) − v(∅) is pinned in InsightSpec.
+    *
+    * Determinism: every v is a ratio of two integer counts picked out
+    * of disjoint mask rows by conditional aggregates — no double is
+    * ever the sum of more than one term, so both engines compute
+    * bit-identical φ before the final round. Scale shape: one
+    * user-grain collapse (corpus-sized shuffle), an 8-row mask
+    * aggregate, then literal arithmetic. */
+  private val shapley: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    // ALL users stay in the frame (a user whose only events are
+    // purchases carries mask 0 and populates the v(∅) baseline); the
+    // pre-first-purchase exposure window is the condition INSIDE each
+    // touch flag, not a row filter
+    val pre = col("fp").isNull || col("ts") < col("fp")
+    val sig = ev
+      .join(broadcast(fp), Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(
+        (max(when(col("event_type") === "view" && pre, 1).otherwise(0))
+          + max(when(col("event_type") === "click" && pre, 2).otherwise(0))
+          + max(when(col("event_type") === "signup" && pre, 4).otherwise(0)))
+          .as("mask"),
+        max(when(col("fp").isNotNull, 1L).otherwise(0L)).as("conv"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+    def v(m: Int): Column = coalesce(
+      max(when(col("mask") === m, col("nc") / col("n").cast("double"))),
+      lit(0.0))
+    // w(|S|) for n=3: 1/3, 1/6, 1/6, 1/3 over the four S not
+    // containing the channel; bits: view=1, click=2, signup=4
+    def phi(pairs: Seq[(Int, Int, Double)]): Column =
+      pairs.map { case (withC, without, w) =>
+        (v(withC) - v(without)) * lit(w)
+      }.reduce(_ + _)
+    val t = 1.0 / 3; val x = 1.0 / 6
+    sig.agg(
+      sum("n").as("n_users"),
+      round(v(0), 6).as("v_none"),
+      round(v(7), 6).as("v_all"),
+      round(phi(Seq((1, 0, t), (3, 2, x), (5, 4, x), (7, 6, t))), 6)
+        .as("phi_view"),
+      round(phi(Seq((2, 0, t), (3, 1, x), (6, 4, x), (7, 5, t))), 6)
+        .as("phi_click"),
+      round(phi(Seq((4, 0, t), (5, 1, x), (6, 2, x), (7, 3, t))), 6)
+        .as("phi_signup"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_cuped" -> cuped,
+    "q_attribution_shapley" -> shapley,
     "q_recommend_brands" -> recommendBrands,
     "q_seasonal_index" -> seasonalIndex,
     "q_topk_native" -> topkNative,
@@ -558,6 +616,49 @@ object InsightQueries {
                   / var_pop(pre), 2) * var_pop(pre)) / var_pop(post), 6)
                   AS var_reduction
          FROM u""",
+    // n=3 Shapley weights: k!(n-1-k)!/n! -> 1/3, 1/6, 1/6, 1/3; every
+    // v(S) is one integer ratio, so the phi arithmetic is bit-identical
+    "q_attribution_shapley" ->
+      """WITH fp AS (SELECT user_id, min(ts) AS fp FROM events
+                     WHERE event_type = 'purchase' GROUP BY user_id),
+         u AS (SELECT e.user_id,
+                      max(CASE WHEN e.event_type = 'view'
+                                AND (f.fp IS NULL OR e.ts < f.fp)
+                               THEN 1 ELSE 0 END)
+                    + max(CASE WHEN e.event_type = 'click'
+                                AND (f.fp IS NULL OR e.ts < f.fp)
+                               THEN 2 ELSE 0 END)
+                    + max(CASE WHEN e.event_type = 'signup'
+                                AND (f.fp IS NULL OR e.ts < f.fp)
+                               THEN 4 ELSE 0 END) AS mask,
+                      max(CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END)
+                        AS conv
+               FROM events e LEFT JOIN fp f ON f.user_id = e.user_id
+               GROUP BY e.user_id),
+         g AS (SELECT mask, count(*) AS n, sum(conv) AS nc
+               FROM u GROUP BY mask),
+         p AS (SELECT
+                 sum(n) AS n_users,
+                 coalesce(max(CASE WHEN mask = 0 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v0,
+                 coalesce(max(CASE WHEN mask = 1 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v1,
+                 coalesce(max(CASE WHEN mask = 2 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v2,
+                 coalesce(max(CASE WHEN mask = 3 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v3,
+                 coalesce(max(CASE WHEN mask = 4 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v4,
+                 coalesce(max(CASE WHEN mask = 5 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v5,
+                 coalesce(max(CASE WHEN mask = 6 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v6,
+                 coalesce(max(CASE WHEN mask = 7 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v7
+               FROM g)
+         SELECT n_users, round(v0, 6) AS v_none, round(v7, 6) AS v_all,
+                round((v1 - v0) * (1.0/3) + (v3 - v2) * (1.0/6)
+                    + (v5 - v4) * (1.0/6) + (v7 - v6) * (1.0/3), 6)
+                  AS phi_view,
+                round((v2 - v0) * (1.0/3) + (v3 - v1) * (1.0/6)
+                    + (v6 - v4) * (1.0/6) + (v7 - v5) * (1.0/3), 6)
+                  AS phi_click,
+                round((v4 - v0) * (1.0/3) + (v5 - v1) * (1.0/6)
+                    + (v6 - v2) * (1.0/6) + (v7 - v3) * (1.0/3), 6)
+                  AS phi_signup
+         FROM p""",
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -299,6 +299,45 @@ class InsightSpec extends SparkSpec {
       "variance reduction must be a fraction (theta is the minimizer)")
   }
 
+  test("shapley attribution: matches brute force and the efficiency identity") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val fp = events.filter(_._2 == "purchase")
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val byUser = events.groupBy(_._1).toSeq
+    val sig = byUser.map { case (u, xs) =>
+      val cut = fp.get(u)
+      def touched(t: String) = xs.exists(e =>
+        e._2 == t && cut.forall(c => e._3.before(c)))
+      val mask = (if (touched("view")) 1 else 0) +
+        (if (touched("click")) 2 else 0) + (if (touched("signup")) 4 else 0)
+      (mask, if (fp.contains(u)) 1 else 0)
+    }.toSeq
+    val g = sig.groupBy(_._1).map { case (m, xs) =>
+      m -> (xs.length, xs.map(_._2).sum)
+    }
+    def v(m: Int): Double = g.get(m).map { case (n, nc) =>
+      nc.toDouble / n
+    }.getOrElse(0.0)
+    val t = 1.0 / 3; val x = 1.0 / 6
+    val phiView = (v(1) - v(0)) * t + (v(3) - v(2)) * x +
+      (v(5) - v(4)) * x + (v(7) - v(6)) * t
+    val phiClick = (v(2) - v(0)) * t + (v(3) - v(1)) * x +
+      (v(6) - v(4)) * x + (v(7) - v(5)) * t
+    val phiSignup = (v(4) - v(0)) * t + (v(5) - v(1)) * x +
+      (v(6) - v(2)) * x + (v(7) - v(3)) * t
+    val row = q("q_attribution_shapley").collect().head
+    assert(row.getLong(0) == sig.length)
+    assert(math.abs(row.getDouble(3) - phiView) < 1e-6, "phi_view")
+    assert(math.abs(row.getDouble(4) - phiClick) < 1e-6, "phi_click")
+    assert(math.abs(row.getDouble(5) - phiSignup) < 1e-6, "phi_signup")
+    // efficiency: credit assigned equals the lift from no-touch to full
+    val phiSum = row.getDouble(3) + row.getDouble(4) + row.getDouble(5)
+    assert(math.abs(phiSum - (v(7) - v(0))) < 1e-5,
+      s"sum(phi)=$phiSum must equal v(full)-v(none)=${v(7) - v(0)}")
+  }
+
   test("abc classes match a sequential cents-exact classification") {
     val got = q("q_abc_class").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
