@@ -555,10 +555,84 @@ object InsightQueries {
         .as("phi_signup"))
   }
 
+  /** Difference-in-differences: the 2×2 causal workhorse — treatment
+    * (user parity) × period (pre/post 2024-01-16) cell means of
+    * per-user purchase value, DiD = (T_post − T_pre) − (C_post −
+    * C_pre). One user-grain collapse with conditional sums (every user
+    * carries both periods, 0 when absent), then four conditional
+    * averages — no pivot join. Per-user sums rounded before the means
+    * (the cross-engine protocol); DiD computed from the raw means and
+    * rounded once at 6. */
+  private val did: Q = (s, d) => {
+    val split = lit("2024-01-16").cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("ts") < split, col("value")).otherwise(0.0)), 4)
+          .as("pre"),
+        round(sum(when(col("ts") >= split, col("value")).otherwise(0.0)), 4)
+          .as("post"))
+      .withColumn("treat", (col("user_id") % 2).cast("int"))
+    val mtPre = avg(when(col("treat") === 1, col("pre")))
+    val mtPost = avg(when(col("treat") === 1, col("post")))
+    val mcPre = avg(when(col("treat") === 0, col("pre")))
+    val mcPost = avg(when(col("treat") === 0, col("post")))
+    perUser.agg(
+      count(when(col("treat") === 1, lit(1))).as("n_treat"),
+      count(when(col("treat") === 0, lit(1))).as("n_ctrl"),
+      round(mtPre, 4).as("treat_pre"), round(mtPost, 4).as("treat_post"),
+      round(mcPre, 4).as("ctrl_pre"), round(mcPost, 4).as("ctrl_post"),
+      round((mtPost - mtPre) - (mcPost - mcPre), 6).as("did"))
+  }
+
+  /** Deterministic bootstrap CI for the mean per-user purchase value:
+    * B = 200 replicas, each drawing n indices j = md5(b:i) mod n — a
+    * HASH-seeded resample, so both engines (and any rerun) draw the
+    * identical bootstrap sample with no RNG state. The 95% CI is the
+    * [5th, 196th] order statistic of the replica means, selected on
+    * ROUNDED means with the replica id as tie-break (no float cut).
+    *
+    * Scale shape: the resample is a B×n equi-join against the n-row
+    * user-grain aggregate (embarrassingly parallel, linear in B·n);
+    * replica means are a map-side-combined groupBy on b. At extreme n
+    * you'd switch to the Poisson bootstrap (per-user hash-derived
+    * weights, no index join) — documented trade, same statistical
+    * target. */
+  private val bootstrapCi: Q = (s, d) => {
+    val nB = 200
+    val u = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 4).as("m"))
+      .withColumn("rn", row_number().over(Window.orderBy("user_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .persist()
+    val draws = u.select(col("rn").as("i"), col("n"))
+      .withColumn("b", explode(sequence(lit(1), lit(nB))))
+      .withColumn("j",
+        conv(substring(md5(concat(col("b"), lit(":"), col("i"))), 1, 8),
+          16, 10).cast("long") % col("n") + 1)
+    val boot = draws
+      .join(u.select(col("rn").as("j"), col("m")), Seq("j"))
+      .groupBy("b").agg(round(avg("m"), 6).as("bm"))
+    val rk = Window.orderBy(col("bm"), col("b"))
+    val stats = boot.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 5 || col("r") === 196)
+      .agg(min("bm").as("lo_raw"), max("bm").as("hi_raw"))
+    u.agg(count(lit(1)).as("n_users"), round(avg("m"), 4).as("point"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_users"), col("point"),
+        round(col("lo_raw"), 4).as("ci_lo"),
+        round(col("hi_raw"), 4).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_cuped" -> cuped,
     "q_attribution_shapley" -> shapley,
+    "q_did" -> did,
+    "q_bootstrap_ci" -> bootstrapCi,
     "q_recommend_brands" -> recommendBrands,
     "q_seasonal_index" -> seasonalIndex,
     "q_topk_native" -> topkNative,
@@ -616,6 +690,48 @@ object InsightQueries {
                   / var_pop(pre), 2) * var_pop(pre)) / var_pop(post), 6)
                   AS var_reduction
          FROM u""",
+    "q_did" ->
+      """WITH u AS (SELECT user_id,
+                           round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                          THEN value ELSE 0.0 END), 4) AS pre,
+                           round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                          THEN value ELSE 0.0 END), 4) AS post,
+                           CAST(user_id % 2 AS INTEGER) AS treat
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id)
+         SELECT count(*) FILTER (WHERE treat = 1) AS n_treat,
+                count(*) FILTER (WHERE treat = 0) AS n_ctrl,
+                round(avg(pre) FILTER (WHERE treat = 1), 4) AS treat_pre,
+                round(avg(post) FILTER (WHERE treat = 1), 4) AS treat_post,
+                round(avg(pre) FILTER (WHERE treat = 0), 4) AS ctrl_pre,
+                round(avg(post) FILTER (WHERE treat = 0), 4) AS ctrl_post,
+                round((avg(post) FILTER (WHERE treat = 1)
+                       - avg(pre) FILTER (WHERE treat = 1))
+                    - (avg(post) FILTER (WHERE treat = 0)
+                       - avg(pre) FILTER (WHERE treat = 0)), 6) AS did
+         FROM u""",
+    // the hash-seeded resample replays verbatim: DuckDB's
+    // ('0x'||hex)::BIGINT equals Spark's conv(hex,16,10)
+    "q_bootstrap_ci" ->
+      """WITH u AS (SELECT user_id, round(sum(value), 4) AS m
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id),
+         idx AS (SELECT m, row_number() OVER (ORDER BY user_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM u),
+         draws AS (SELECT r.b, i.rn AS i, i.n,
+                          ('0x' || substring(md5(r.b || ':' || i.rn), 1, 8))::BIGINT
+                            % i.n + 1 AS j
+                   FROM (SELECT unnest(generate_series(1, 200)) AS b) r, idx i),
+         boot AS (SELECT d.b, round(avg(x.m), 6) AS bm
+                  FROM draws d JOIN idx x ON x.rn = d.j GROUP BY d.b),
+         rk AS (SELECT bm, row_number() OVER (ORDER BY bm, b) AS r FROM boot),
+         ci AS (SELECT min(bm) AS lo_raw, max(bm) AS hi_raw
+                FROM rk WHERE r = 5 OR r = 196)
+         SELECT (SELECT count(*) FROM u) AS n_users,
+                (SELECT round(avg(m), 4) FROM u) AS point,
+                round(lo_raw, 4) AS ci_lo, round(hi_raw, 4) AS ci_hi
+         FROM ci""",
     // n=3 Shapley weights: k!(n-1-k)!/n! -> 1/3, 1/6, 1/6, 1/3; every
     // v(S) is one integer ratio, so the phi arithmetic is bit-identical
     "q_attribution_shapley" ->

@@ -338,6 +338,54 @@ class InsightSpec extends SparkSpec {
       s"sum(phi)=$phiSum must equal v(full)-v(none)=${v(7) - v(0)}")
   }
 
+  test("did: the 2x2 cell means and estimator match brute force") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("ts") < lit(split), col("value")).otherwise(0.0)), 4).as("pre"),
+        round(sum(when(col("ts") >= lit(split), col("value")).otherwise(0.0)), 4).as("post"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val (t, c) = perUser.partition(_._1 % 2 == 1)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val want = (mean(t.map(_._3)) - mean(t.map(_._2))) -
+      (mean(c.map(_._3)) - mean(c.map(_._2)))
+    val row = q("q_did").collect().head
+    assert(row.getLong(0) == t.length && row.getLong(1) == c.length)
+    assert(math.abs(row.getDouble(6) - want) < 1e-5, "did estimator")
+  }
+
+  test("bootstrap ci: hash-seeded resample replicates sequentially") {
+    val users = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 4).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val m = users.map(_._2)
+    val n = m.length
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val bootMeans = (1 to 200).map { b =>
+      val mean = (1 to n).map { i =>
+        m((md5hex8(s"$b:$i") % n).toInt)
+      }.sum / n
+      (b, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val ranked = bootMeans.sortBy { case (b, bm) => (bm, b) }.map(_._2)
+    val (lo, hi) = (ranked(4), ranked(195))
+    val row = q("q_bootstrap_ci").collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(2) - lo) < 1e-3, s"ci_lo got=${row.getDouble(2)} want=$lo")
+    assert(math.abs(row.getDouble(3) - hi) < 1e-3, s"ci_hi got=${row.getDouble(3)} want=$hi")
+    assert(row.getDouble(2) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(3),
+      "point estimate must sit inside the 95% CI on this data")
+  }
+
   test("abc classes match a sequential cents-exact classification") {
     val got = q("q_abc_class").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

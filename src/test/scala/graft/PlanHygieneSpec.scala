@@ -40,8 +40,9 @@ class PlanHygieneSpec extends SparkSpec {
     // and the overlap sketch's estimate row
     "q_ks_test", "q_overlap_sketch",
     // round 10: the order-count total rides into the rule metrics as
-    // the same documented 1-row broadcast cross join
-    "q_assoc_rules")
+    // the same documented 1-row broadcast cross join; the bootstrap CI
+    // broadcasts its 1-row order-statistics frame the same way
+    "q_assoc_rules", "q_bootstrap_ci")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
