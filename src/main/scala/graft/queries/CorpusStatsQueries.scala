@@ -42,8 +42,12 @@ object CorpusStatsQueries {
           .as("st"))
       .select(
         col("doc_id"),
+        // NULL text: the oracle's convention is (NULL, 0.0) — struct
+        // field access propagates the null for n_unique, the coalesce
+        // mirrors the oracle's coalesce(list_sum(...), 0)
         col("st.n_unique").as("n_unique_chars"),
-        round(lit(0.0) - col("st.entropy_sum"), 4).as("entropy_bits"))
+        coalesce(round(lit(0.0) - col("st.entropy_sum"), 4), lit(0.0))
+          .as("entropy_bits"))
       .orderBy("doc_id")
 
   /** Duplicated-n-gram coverage (Lee et al. 2021, "Deduplicating

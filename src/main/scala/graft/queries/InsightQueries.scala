@@ -464,11 +464,15 @@ object InsightQueries {
     val v1 = var_samp(when(col("variant") === 1, col("m")))
     val n0 = count(when(col("variant") === 0, col("m")))
     val n1 = count(when(col("variant") === 1, col("m")))
+    // the significance cut runs on the ROUNDED statistic (file-header
+    // protocol: an accumulation-order last-ulp difference must not be
+    // able to flip a membership decision)
     perUser.agg(
       n0.as("n0"), n1.as("n1"),
       round(m0, 4).as("mean0"), round(m1, 4).as("mean1"),
       round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4).as("welch_z"),
-      (abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96).as("significant"))
+      (abs(round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4)) > 1.96)
+        .as("significant"))
   }
 
   /** CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -601,10 +605,16 @@ object InsightQueries {
     * target. */
   private val bootstrapCi: Q = (s, d) => {
     val nB = 200
+    // per-user metric carried as INTEGER ten-thousandths: replica sums
+    // are then exact longs, so the rank-5/196 order-statistic cut can
+    // never flip on an accumulation-order last bit (ranking on a
+    // rounded AVG would reintroduce the .xx5 midpoint hazard the
+    // seasonalIndex scaladoc documents); the one double division per
+    // OUTPUT value is a single deterministic op in both engines
     val u = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(round(sum("value"), 4).as("m"))
+      .agg(round(sum("value") * 10000).cast("long").as("mi"))
       .withColumn("rn", row_number().over(Window.orderBy("user_id")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy()))
       .persist()
@@ -614,17 +624,18 @@ object InsightQueries {
         conv(substring(md5(concat(col("b"), lit(":"), col("i"))), 1, 8),
           16, 10).cast("long") % col("n") + 1)
     val boot = draws
-      .join(u.select(col("rn").as("j"), col("m")), Seq("j"))
-      .groupBy("b").agg(round(avg("m"), 6).as("bm"))
-    val rk = Window.orderBy(col("bm"), col("b"))
+      .join(u.select(col("rn").as("j"), col("mi")), Seq("j"))
+      .groupBy("b").agg(sum("mi").as("bs"))
+    val rk = Window.orderBy(col("bs"), col("b"))
     val stats = boot.withColumn("r", row_number().over(rk))
       .filter(col("r") === 5 || col("r") === 196)
-      .agg(min("bm").as("lo_raw"), max("bm").as("hi_raw"))
-    u.agg(count(lit(1)).as("n_users"), round(avg("m"), 4).as("point"))
+      .agg(min("bs").as("lo_sum"), max("bs").as("hi_sum"))
+    u.agg(count(lit(1)).as("n_users"), sum("mi").as("tot"))
       .crossJoin(broadcast(stats))
-      .select(col("n_users"), col("point"),
-        round(col("lo_raw"), 4).as("ci_lo"),
-        round(col("hi_raw"), 4).as("ci_hi"))
+      .select(col("n_users"),
+        round(col("tot") / (col("n_users") * 10000.0), 4).as("point"),
+        round(col("lo_sum") / (col("n_users") * 10000.0), 4).as("ci_lo"),
+        round(col("hi_sum") / (col("n_users") * 10000.0), 4).as("ci_hi"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -665,12 +676,12 @@ object InsightQueries {
                          + var_samp(m) FILTER (WHERE variant = 1)
                            / count(m) FILTER (WHERE variant = 1)), 4)
                   AS welch_z,
-                abs((avg(m) FILTER (WHERE variant = 1)
+                abs(round((avg(m) FILTER (WHERE variant = 1)
                      - avg(m) FILTER (WHERE variant = 0))
                   / sqrt(var_samp(m) FILTER (WHERE variant = 0)
                            / count(m) FILTER (WHERE variant = 0)
                          + var_samp(m) FILTER (WHERE variant = 1)
-                           / count(m) FILTER (WHERE variant = 1))) > 1.96
+                           / count(m) FILTER (WHERE variant = 1)), 4)) > 1.96
                   AS significant
          FROM u""",
     "q_cuped" ->
@@ -713,24 +724,29 @@ object InsightQueries {
     // the hash-seeded resample replays verbatim: DuckDB's
     // ('0x'||hex)::BIGINT equals Spark's conv(hex,16,10)
     "q_bootstrap_ci" ->
-      """WITH u AS (SELECT user_id, round(sum(value), 4) AS m
+      """WITH u AS (SELECT user_id,
+                           CAST(round(sum(value) * 10000) AS BIGINT) AS mi
                     FROM events WHERE event_type = 'purchase'
                     GROUP BY user_id),
-         idx AS (SELECT m, row_number() OVER (ORDER BY user_id) AS rn,
+         idx AS (SELECT mi, row_number() OVER (ORDER BY user_id) AS rn,
                         count(*) OVER () AS n
                  FROM u),
          draws AS (SELECT r.b, i.rn AS i, i.n,
                           ('0x' || substring(md5(r.b || ':' || i.rn), 1, 8))::BIGINT
                             % i.n + 1 AS j
                    FROM (SELECT unnest(generate_series(1, 200)) AS b) r, idx i),
-         boot AS (SELECT d.b, round(avg(x.m), 6) AS bm
+         boot AS (SELECT d.b, CAST(sum(x.mi) AS BIGINT) AS bs
                   FROM draws d JOIN idx x ON x.rn = d.j GROUP BY d.b),
-         rk AS (SELECT bm, row_number() OVER (ORDER BY bm, b) AS r FROM boot),
-         ci AS (SELECT min(bm) AS lo_raw, max(bm) AS hi_raw
+         rk AS (SELECT bs, row_number() OVER (ORDER BY bs, b) AS r FROM boot),
+         ci AS (SELECT min(bs) AS lo_sum, max(bs) AS hi_sum
                 FROM rk WHERE r = 5 OR r = 196)
          SELECT (SELECT count(*) FROM u) AS n_users,
-                (SELECT round(avg(m), 4) FROM u) AS point,
-                round(lo_raw, 4) AS ci_lo, round(hi_raw, 4) AS ci_hi
+                (SELECT round(sum(mi) / (count(*) * 10000.0), 4) FROM u)
+                  AS point,
+                round(lo_sum / ((SELECT count(*) FROM u) * 10000.0), 4)
+                  AS ci_lo,
+                round(hi_sum / ((SELECT count(*) FROM u) * 10000.0), 4)
+                  AS ci_hi
          FROM ci""",
     // n=3 Shapley weights: k!(n-1-k)!/n! -> 1/3, 1/6, 1/6, 1/3; every
     // v(S) is one integer ratio, so the phi arithmetic is bit-identical

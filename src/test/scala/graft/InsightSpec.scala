@@ -48,9 +48,13 @@ class InsightSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     val cust = Tables.customer(spark, sf).select("c_custkey")
       .collect().map(_.getLong(0))
+    // mirror the engine's protocol exactly: membership and min run on
+    // the 6-dp ROUNDED distance, the reported nearest re-rounds at 3
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val brute = sup.flatMap { sk =>
-      val ds = cust.map(ck => haversine(latOf(ck, 37), lonOf(ck, 73),
-        latOf(sk, 53), lonOf(sk, 97))).filter(_ <= 50.0)
+      val ds = cust.map(ck => r6(haversine(latOf(ck, 37), lonOf(ck, 73),
+        latOf(sk, 53), lonOf(sk, 97)))).filter(_ <= 50.0)
       if (ds.isEmpty) None
       else Some((sk, ds.length.toLong,
         BigDecimal(ds.min).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -360,28 +364,28 @@ class InsightSpec extends SparkSpec {
     val users = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(round(sum("value"), 4).as("m"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .agg(round(sum("value") * 10000).cast("long").as("mi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
-    val m = users.map(_._2)
-    val n = m.length
+    val mi = users.map(_._2)
+    val n = mi.length
     def md5hex8(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
     }
-    val bootMeans = (1 to 200).map { b =>
-      val mean = (1 to n).map { i =>
-        m((md5hex8(s"$b:$i") % n).toInt)
-      }.sum / n
-      (b, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // exact-integer replica sums, ranked (sum, b) — the engine's cut
+    val bootSums = (1 to 200).map { b =>
+      (b, (1 to n).map(i => mi((md5hex8(s"$b:$i") % n).toInt)).sum)
     }
-    val ranked = bootMeans.sortBy { case (b, bm) => (bm, b) }.map(_._2)
-    val (lo, hi) = (ranked(4), ranked(195))
+    val ranked = bootSums.sortBy { case (b, bs) => (bs, b) }.map(_._2)
+    def out(sum: Long) = BigDecimal(sum / (n * 10000.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (lo, hi) = (out(ranked(4)), out(ranked(195)))
     val row = q("q_bootstrap_ci").collect().head
     assert(row.getLong(0) == n)
-    assert(math.abs(row.getDouble(2) - lo) < 1e-3, s"ci_lo got=${row.getDouble(2)} want=$lo")
-    assert(math.abs(row.getDouble(3) - hi) < 1e-3, s"ci_hi got=${row.getDouble(3)} want=$hi")
+    assert(math.abs(row.getDouble(2) - lo) < 1e-9, s"ci_lo got=${row.getDouble(2)} want=$lo")
+    assert(math.abs(row.getDouble(3) - hi) < 1e-9, s"ci_hi got=${row.getDouble(3)} want=$hi")
     assert(row.getDouble(2) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(3),
       "point estimate must sit inside the 95% CI on this data")
   }

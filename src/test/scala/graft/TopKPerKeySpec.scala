@@ -97,14 +97,20 @@ class TopKPerKeySpec extends SparkSpec {
       (1L to 50L).map(i => (i, s"k${i % 2}",
         if (i % 7 == 0) None else Some((i % 11).toDouble)))
     val df = rows.toDF("id", "key", "v").repartition(4)
-    val got = TopKPerKey.topK(df, Seq("key"), "v", "id", 30)
-      .collect().map(r =>
-        (r.getString(1), r.getLong(0), r.getInt(3))).toSet
-    val w = Window.partitionBy("key").orderBy(desc("v"), col("id"))
-    val want = df.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 30)
-      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
-    assert(got == want, s"missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+    // both regimes: k beyond the group size (nulls must surface, last)
+    // AND k well inside it (null rows contend against a FULL heap, so
+    // the eviction probe's null handling is on the hot path)
+    Seq(30, 3).foreach { k =>
+      val got = TopKPerKey.topK(df, Seq("key"), "v", "id", k)
+        .collect().map(r =>
+          (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+      val w = Window.partitionBy("key").orderBy(desc("v"), col("id"))
+      val want = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+      assert(got == want,
+        s"k=$k missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+    }
   }
 
   test("rejects unknown columns and non-positive k") {
