@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Round-10 analytics operators: market-basket association rules,
@@ -174,8 +175,10 @@ object InsightQueries {
       .select(col("ante"), col("cons"), col("n_pair"),
         round(col("n_pair") / col("n_orders"), 6).as("support"),
         round(col("n_pair") / col("n_ante"), 6).as("confidence"),
-        round(col("n_pair") * col("n_orders")
-          / (col("n_ante") * col("n_cons")), 6).as("lift"))
+        // lift as a product of two ratios: n_pair*n_orders as long*long
+        // wraps silently past ~3e9 orders; this form never overflows
+        round((col("n_pair") / col("n_ante").cast("double"))
+          * (col("n_orders") / col("n_cons").cast("double")), 6).as("lift"))
       .orderBy(desc("lift"), col("ante"), col("cons"))
   }
 
@@ -224,19 +227,20 @@ object InsightQueries {
     * Σ i·xᵢ over a tie block is invariant to that order, so the
     * statistic is tie-safe by construction. Single row out.
     *
-    * Scale note: the global row_number runs on the CUSTOMER DIMENSION
-    * (key-grain aggregate), not the fact table — dimension-sized
-    * single-partition window, same class as q_sort's documented
-    * global-order queries. */
+    * Scale note: the global rank runs through
+    * [[ScaledWindow.rankCum]]'s two-pass partition-offset form — no
+    * single-partition WindowExec even when the customer dimension is
+    * itself huge; ranks come from parallel range-slice windows plus
+    * broadcast offsets. */
   private val gini: Q = (s, d) => {
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("r"))
-    val w = Window.orderBy("r", "o_custkey")
-    rev.withColumn("i", row_number().over(w))
+    ScaledWindow.rankCum(rev, Seq(col("r").asc, col("o_custkey").asc), None)
+      .df
       .agg(count(lit(1)).as("n"),
         round(sum("r"), 2).as("total_rev"),
-        round(lit(2.0) * sum(col("i") * col("r"))
+        round(lit(2.0) * sum(col("rk") * col("r"))
           / (count(lit(1)) * sum("r"))
           - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
   }
@@ -257,7 +261,9 @@ object InsightQueries {
     val ct = sum("obs").over(Window.partitionBy("o_orderstatus"))
     val n = sum("obs").over()
     cont
-      .withColumn("exp", rt * ct / n.cast("double"))
+      // cast BEFORE the marginal product: rt*ct as long*long wraps past
+      // 2^63 (~1e10 orders); double-first matches the oracle's arithmetic
+      .withColumn("exp", rt.cast("double") * ct / n)
       .withColumn("cell", pow(col("obs") - col("exp"), 2) / col("exp"))
       .agg(
         round(sum("cell"), 6).as("chi2"),
@@ -324,10 +330,12 @@ object InsightQueries {
     * sum), so the running total and both class boundaries are exact —
     * no double last-bit can flip a part's class between engines.
     *
-    * Scale note: ranking runs on the PART DIMENSION after the fact
-    * table collapses to per-part revenue (one map-side-combined
-    * shuffle); the global cumsum window is dimension-sized, same
-    * documented class as q_gini. */
+    * Scale note: the fact table collapses to per-part revenue (one
+    * map-side-combined shuffle), then the global running total comes
+    * from [[ScaledWindow.rankCum]]'s two-pass partition-offset form —
+    * exact long arithmetic, no single-partition WindowExec, and the
+    * grand total is the driver-known pass-1 sum (a literal, not a
+    * partition-less `sum().over()`). */
   private val abcClass: Q = (s, d) => {
     val rev = Tables.lineitem(s, d)
       .select(col("l_partkey"),
@@ -335,19 +343,21 @@ object InsightQueries {
           .cast("long").as("cents"))
       .groupBy("l_partkey")
       .agg(sum("cents").as("rev"))
-    val cum = Window.orderBy(desc("rev"), col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev
-      .withColumn("cum", sum("rev").over(cum))
-      .withColumn("total", sum("rev").over())
+    val rnk = ScaledWindow.rankCum(rev,
+      Seq(col("rev").desc, col("l_partkey").asc), Some(col("rev")))
+    val total = lit(rnk.total).cast(DecimalType(38, 0))
+    rnk.df
+      // boundary test on DECIMAL(38,0): cum*100 as long*long wraps once
+      // total revenue passes ~9.2e16 cents (~25 TB lineitem); decimal is
+      // exact to 1e36, matching the oracle's int128 arithmetic
       .withColumn("cls",
-        when(col("cum") * 100 <= col("total") * 80, "A")
-          .when(col("cum") * 100 <= col("total") * 95, "B")
+        when(col("cum").cast(DecimalType(38, 0)) * 100 <= total * 80, "A")
+          .when(col("cum").cast(DecimalType(38, 0)) * 100 <= total * 95, "B")
           .otherwise("C"))
       .groupBy("cls")
       .agg(count(lit(1)).as("n_parts"),
         sum("rev").as("class_cents"),
-        round(sum("rev") / first("total").cast("double"), 6).as("share"))
+        round(sum("rev") / lit(rnk.total).cast("double"), 6).as("share"))
       .orderBy("cls")
   }
 
@@ -770,7 +780,7 @@ object InsightQueries {
          g AS (SELECT mask, count(*) AS n, sum(conv) AS nc
                FROM u GROUP BY mask),
          p AS (SELECT
-                 sum(n) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS n_users,
                  coalesce(max(CASE WHEN mask = 0 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v0,
                  coalesce(max(CASE WHEN mask = 1 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v1,
                  coalesce(max(CASE WHEN mask = 2 THEN nc / CAST(n AS DOUBLE) END), 0.0) AS v2,
@@ -794,8 +804,9 @@ object InsightQueries {
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
-                      row_number() OVER (PARTITION BY o_orderpriority
-                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                      CAST(row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey)
+                        AS INTEGER) AS rank
                FROM orders)
          WHERE rank <= 10 ORDER BY o_orderpriority, rank""",
     "q_recommend_brands" ->
@@ -825,8 +836,8 @@ object InsightQueries {
                      WHERE o.item IS NULL)
          SELECT cust, rec, score, rn
          FROM (SELECT cust, rec, score,
-                      row_number() OVER (PARTITION BY cust
-                        ORDER BY score DESC, rec) AS rn
+                      CAST(row_number() OVER (PARTITION BY cust
+                        ORDER BY score DESC, rec) AS INTEGER) AS rn
                FROM unowned)
          WHERE rn <= 3 ORDER BY cust, rn""",
     "q_seasonal_index" ->
@@ -834,7 +845,8 @@ object InsightQueries {
                             AS mon,
                            round(sum(o_totalprice), 2) AS v
                     FROM orders GROUP BY 1),
-         g AS (SELECT month(mon) AS mo, count(*) AS n_months,
+         g AS (SELECT CAST(month(mon) AS INTEGER) AS mo,
+                      count(*) AS n_months,
                       round(sum(v), 2) AS total_rev, avg(v) AS raw_mean
                FROM m GROUP BY 1)
          SELECT mo, n_months, total_rev,
@@ -906,25 +918,26 @@ object InsightQueries {
          SELECT p.ante, p.cons, p.n_pair,
                 round(p.n_pair / CAST(t.n_orders AS DOUBLE), 6) AS support,
                 round(p.n_pair / CAST(sa.n_item AS DOUBLE), 6) AS confidence,
-                round(p.n_pair * t.n_orders
-                  / (CAST(sa.n_item AS DOUBLE) * sc.n_item), 6) AS lift
+                round((p.n_pair / CAST(sa.n_item AS DOUBLE))
+                  * (t.n_orders / CAST(sc.n_item AS DOUBLE)), 6) AS lift
          FROM pairs p
          JOIN supp sa ON sa.item = p.ante
          JOIN supp sc ON sc.item = p.cons
          CROSS JOIN tot t
          ORDER BY lift DESC, p.ante, p.cons""",
     "q_kaplan_meier" ->
-      """WITH life AS (SELECT date_diff('day', min(o_orderdate),
-                                        max(o_orderdate)) AS dur,
+      """WITH life AS (SELECT CAST(date_diff('day', min(o_orderdate),
+                                        max(o_orderdate)) AS INTEGER) AS dur,
                               CASE WHEN max(o_orderdate) < DATE '2001-01-01'
                                    THEN 1 ELSE 0 END AS event
                        FROM orders GROUP BY o_custkey),
-         g AS (SELECT dur, sum(event) AS deaths, count(*) AS n_at
+         g AS (SELECT dur, CAST(sum(event) AS BIGINT) AS deaths,
+                      count(*) AS n_at
                FROM life GROUP BY dur),
          r AS (SELECT dur, deaths,
-                      sum(n_at) OVER (ORDER BY dur
+                      CAST(sum(n_at) OVER (ORDER BY dur
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                        AS n_risk
+                        AS BIGINT) AS n_risk
                FROM g)
          SELECT dur, deaths, n_risk,
                 round(exp(sum(ln(1.0 - deaths / CAST(n_risk AS DOUBLE)))
@@ -951,13 +964,13 @@ object InsightQueries {
                       sum(obs) OVER () AS n
                FROM cont),
          cell AS (SELECT o_orderpriority, o_orderstatus, obs,
-                         pow(obs - rt * ct / CAST(n AS DOUBLE), 2)
-                           / (rt * ct / CAST(n AS DOUBLE)) AS cell
+                         pow(obs - CAST(rt AS DOUBLE) * ct / n, 2)
+                           / (CAST(rt AS DOUBLE) * ct / n) AS cell
                   FROM m)
          SELECT round(sum(cell), 6) AS chi2,
                 (count(DISTINCT o_orderpriority) - 1)
                   * (count(DISTINCT o_orderstatus) - 1) AS dof,
-                sum(obs) AS n,
+                CAST(sum(obs) AS BIGINT) AS n,
                 round(sqrt(sum(cell) / (sum(obs)
                   * least(count(DISTINCT o_orderpriority) - 1,
                           count(DISTINCT o_orderstatus) - 1))), 6)
@@ -1007,7 +1020,7 @@ object InsightQueries {
                      WHEN cum * 100 <= total * 95 THEN 'B'
                      ELSE 'C' END AS cls,
                 count(*) AS n_parts,
-                sum(rev) AS class_cents,
+                CAST(sum(rev) AS BIGINT) AS class_cents,
                 round(sum(rev) / CAST(any_value(total) AS DOUBLE), 6)
                   AS share
          FROM c GROUP BY 1 ORDER BY 1""",

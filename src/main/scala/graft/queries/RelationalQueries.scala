@@ -758,30 +758,29 @@ object RelationalQueries {
   /** Revenue concentration (Pareto 80/20 report): how many customers
     * produce 80% of revenue, plus the top-1% revenue share — the
     * concentration diagnostic behind account tiering and risk
-    * reviews. The data collapses to the customer grain first; the
-    * cumulative-share window runs over that grain, global-ordered by
-    * (spend desc, custkey) — the same documented anchor shape as
-    * q_ks_test (pre-bin or two-pass offsets at a scale where even the
-    * customer grain overwhelms one sort). Threshold comparisons use
-    * ROUNDED shares so a last-ulp sum difference cannot flip a
-    * membership count. */
+    * reviews. The data collapses to the customer grain first (in
+    * INTEGER CENTS, so every running total is exact long arithmetic);
+    * the cumulative share and rank come from
+    * [[ScaledWindow.rankCum]]'s two-pass partition-offset form — no
+    * single-partition WindowExec even when the customer grain
+    * overwhelms one sort, and the grand totals are the driver-known
+    * pass-1 sums (literals, not partition-less `count/sum().over()`).
+    * Threshold comparisons use ROUNDED shares of exact integers, so a
+    * last-ulp difference cannot flip a membership count. */
   private val paretoRevenue: Q = (s, d) => {
-    val w = Window.orderBy(desc("spend"), asc("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wall = Window.partitionBy()
-    Tables.orders(s, d)
+    val g = Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(sum("o_totalprice").as("spend"))
-      .withColumn("cum_share",
-        round(sum("spend").over(w) / sum("spend").over(wall), 6))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(desc("spend"), asc("o_custkey"))))
-      .withColumn("n_cust", count(lit(1)).over(wall))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend"))
+    val rnk = ScaledWindow.rankCum(g,
+      Seq(col("spend").desc, col("o_custkey").asc), Some(col("spend")))
+    rnk.df
+      .withColumn("cum_share", round(col("cum") / lit(rnk.total), 6))
       .agg(
-        max("n_cust").as("n_customers"),
         sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)).as("n_top80"),
-        round(sum(when(col("rk") * 100 <= col("n_cust"), col("spend")))
-          / sum("spend"), 6).as("top1pct_share"))
+        round(sum(when(col("rk") * 100 <= lit(rnk.n), col("spend")))
+          / lit(rnk.total), 6).as("top1pct_share"))
+      .select(lit(rnk.n).as("n_customers"), col("n_top80"),
+        col("top1pct_share"))
   }
 
   /** Incremental aggregate maintenance (materialized-view delta): the
@@ -1275,9 +1274,12 @@ object RelationalQueries {
                 round((q - p) * ln(q / p), 6) AS psi_contrib
          FROM m ORDER BY bin""",
     // n_top80 = customers strictly below the 0.8 cumulative-share
-    // mark (rounded shares, so a last-ulp sum cannot flip membership)
+    // mark; per-customer spend in integer cents so the running total
+    // is exact and the rounded share cut cannot flip on a last ulp
     "q_pareto_revenue" ->
-      """WITH g AS (SELECT o_custkey, sum(o_totalprice) AS spend
+      """WITH g AS (SELECT o_custkey,
+                           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS spend
                     FROM orders GROUP BY 1),
          wdw AS (SELECT spend,
                         round(sum(spend) OVER (ORDER BY spend DESC, o_custkey
@@ -1288,8 +1290,8 @@ object RelationalQueries {
                         count(*) OVER () AS n_cust
                  FROM g)
          SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
-                sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END)
-                  AS n_top80,
+                CAST(sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_top80,
                 round(sum(CASE WHEN rk * 100 <= n_cust THEN spend END)
                   / sum(spend), 6) AS top1pct_share
          FROM wdw""",
@@ -1382,8 +1384,9 @@ object RelationalQueries {
          ORDER BY o_orderkey""",
     "q_rfm" ->
       """WITH m AS (SELECT o_custkey,
-                           date_diff('day', CAST(max(o_orderdate) AS DATE),
-                                     DATE '1998-12-31') AS rec_days,
+                           CAST(date_diff('day',
+                                  CAST(max(o_orderdate) AS DATE),
+                                  DATE '1998-12-31') AS INTEGER) AS rec_days,
                            count(*) AS freq,
                            round(sum(o_totalprice), 2) AS mon
                     FROM orders GROUP BY 1),

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global rank / cumulative sum — the two-pass
+  * partition-offset form of `row_number().over(Window.orderBy(...))`.
+  *
+  * A partition-less window moves EVERY row to one task (Spark's own
+  * `WindowExec: No Partition Defined` warning); fine on a month grid,
+  * fatal on a 100 TB dimension. This helper keeps the same semantics
+  * with no single-partition stage:
+  *
+  *  1. range-repartition on the sort key (explicit partition count, so
+  *     AQE never re-coalesces and partition ids stay stable) and stamp
+  *     each row with its partition id — partitions now hold disjoint,
+  *     ordered key ranges;
+  *  2. pass 1: per-partition count + sum (map-side combined; the
+  *     driver receives O(partitions) longs, the same bounded-collect
+  *     contract as [[RelationalQueries.selectQuantiles]]);
+  *  3. scanLeft those into per-partition starting rank / starting
+  *     cumsum offsets, broadcast them back;
+  *  4. pass 2: a window PARTITIONED BY partition id (parallel,
+  *     range-slice-sized) plus the broadcast offset = the global
+  *     rank / running total.
+  *
+  * The running sum is restricted to INTEGRAL metrics (the repo's
+  * integer-cents protocol): long addition is associative, so the
+  * offset decomposition is bit-identical to a sequential left-to-right
+  * scan — a double cumsum would change association and could flip a
+  * rounded boundary against the oracle.
+  *
+  * `sortCols` must totally order the rows (tie-break included), or the
+  * rank is nondeterministic — same contract as any ORDER BY rank.
+  */
+object ScaledWindow {
+
+  /** `df` + `rk` (1-based global rank, long) and, when `value` is set,
+    * `cum` (inclusive running sum, long); `n` and `total` are the
+    * driver-known grand totals (use them as literals instead of a
+    * partition-less `count().over()` / `sum().over()`). */
+  final case class Ranked(df: DataFrame, n: Long, total: Long)
+
+  def rankCum(df: DataFrame, sortCols: Seq[Column],
+      value: Option[Column], numParts: Int = 32): Ranked = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stamped = df
+      .repartitionByRange(numParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1: O(partitions) rows to the driver
+    val stats: Array[(Int, Long, Long)] = stamped
+      .groupBy("_pid")
+      .agg(count(lit(1)).as("_c"),
+        value.map(v => sum(v.cast("long"))).getOrElse(lit(0L)).as("_s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+    val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val cumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val offsets = stats.zipWithIndex
+      .map { case ((pid, _, _), i) => (pid, rankOff(i), cumOff(i)) }
+      .toSeq.toDF("_pid", "_roff", "_coff")
+    // pass 2: windows partitioned by pid run in parallel on range slices
+    val local = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val frame = local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = stamped
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rk", row_number().over(local).cast("long") + col("_roff"))
+    val withCum = value match {
+      case Some(v) =>
+        ranked.withColumn("cum", sum(v.cast("long")).over(frame) + col("_coff"))
+      case None => ranked
+    }
+    Ranked(withCum.drop("_pid", "_roff", "_coff"),
+      n = rankOff.last, total = cumOff.last)
+  }
+}

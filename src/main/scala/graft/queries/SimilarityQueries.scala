@@ -1075,7 +1075,8 @@ object SimilarityQueries {
     val iterCtes = (1 to 3).flatMap(n =>
       Seq(aN(n), gN(n)) ++ (if (n < 3) Seq(cN(n)) else Nil))
     s"""WITH seeds AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS cell,
                   embedding
            FROM (SELECT vec_id, embedding FROM embeddings
                  ORDER BY vec_id LIMIT 8)),

@@ -626,7 +626,8 @@ object TemporalQueries {
          fin AS (
            SELECT c_custkey,
                   max_by(op, seq) AS fop, max_by(v, seq) AS fv,
-                  sum(CASE WHEN seq >= 0 THEN 1 ELSE 0 END) AS n_ops
+                  CAST(sum(CASE WHEN seq >= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ops
            FROM ops GROUP BY 1)
          SELECT c_custkey, round(fv, 2) AS bal, n_ops
          FROM fin WHERE fop <> 'D' ORDER BY c_custkey""",
@@ -657,7 +658,7 @@ object TemporalQueries {
                            THEN 0 ELSE 1 END AS abandoned
                FROM c)
          SELECT count(*) AS n_carts,
-                sum(abandoned) AS n_abandoned,
+                CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
                 round(avg(CAST(abandoned AS DOUBLE)), 4)
                   AS abandonment_rate
          FROM f""",
@@ -666,10 +667,10 @@ object TemporalQueries {
                      FROM events),
          f AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY 1)
          SELECT du.day,
-                sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END)
-                  AS new_users,
-                sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END)
-                  AS returning_users
+                CAST(sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+                CAST(sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returning_users
          FROM du JOIN f ON du.user_id = f.user_id
          GROUP BY du.day ORDER BY du.day""",
     "q_event_paths" ->
@@ -709,7 +710,8 @@ object TemporalQueries {
                 round(active / cohort_size * 100, 4) AS retention_pct
          FROM m ORDER BY cohort_wk, off_wk""",
     "q_revenue_bridge" ->
-      """WITH y AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+      """WITH y AS (SELECT CAST(year(CAST(o_orderdate AS DATE))
+                             AS INTEGER) AS yr,
                            count(*) AS vol, sum(o_totalprice) AS rev
                     FROM orders GROUP BY 1),
          a AS (SELECT yr, vol, rev, rev / vol AS aov,

@@ -1682,7 +1682,7 @@ object TextQueries {
                    JOIN sizes sb ON sb.doc_id = d2
                    WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4)
          SELECT d1, d2,
-                levenshtein(da.text, db.text) AS lev,
+                CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
                 round(jaro_winkler_similarity(da.text, db.text), 6) AS jw,
                 CASE WHEN levenshtein(da.text, db.text) * 10
                           <= greatest(length(da.text), length(db.text))

@@ -50,6 +50,40 @@ object PlanAudit {
         "BroadcastNestedLoopJoin: non-equi join against a broadcast side — " +
           "fine only when the build side is provably tiny (dims, 1-row probes)")
 
+    // partition-less WindowExec: Spark itself warns ("No Partition
+    // Defined ... Moving all data to a single partition"); here it is a
+    // findable shape. WindowExec renders `Window [exprs]` + optional
+    // `[partitionSpec]` + optional `[orderSpec]` as top-level bracket
+    // groups; the window is GLOBAL when no partition spec is present —
+    // one group, or two where the second is an order spec (its entries
+    // carry ASC/DESC markers; a partition spec's never do). Legit uses
+    // (month grids, duration axes) go through the allow-list.
+    if (!allow("globalwindow")) {
+      planStr.linesIterator.foreach { line =>
+        val t = line.dropWhile(c => !c.isLetter && c != '!')
+        if (t.startsWith("Window [") || t.startsWith("!Window [")) {
+          val groups = Seq.newBuilder[String]
+          var depth = 0; val sb = new StringBuilder
+          t.foreach { c =>
+            if (c == '[') { if (depth == 0) sb.clear() else sb += c; depth += 1 }
+            else if (c == ']') {
+              depth -= 1
+              if (depth == 0) groups += sb.toString else sb += c
+            } else if (depth > 0) sb += c
+          }
+          val gs = groups.result()
+          val isGlobal = gs.length == 1 ||
+            (gs.length == 2 && (gs(1).contains(" ASC") || gs(1).contains(" DESC")))
+          if (isGlobal)
+            out += Finding("globalwindow",
+              "partition-less WindowExec: every row moves to ONE task — " +
+                "rewrite on the two-pass partition-offset form " +
+                "(ScaledWindow.rankCum) unless the input is provably " +
+                s"grid-sized: $t")
+        }
+      }
+    }
+
     // unpruned wide scans: a FileSourceScan reading far more columns
     // than the query returns usually means a missing projection
     if (!allow("widescan")) {

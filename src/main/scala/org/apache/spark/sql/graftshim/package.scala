@@ -53,7 +53,12 @@ package object graftshim {
   def addStrategy(spark: SparkSession,
       strategy: execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    // the contains/append pair is a read-modify-write on shared session
+    // state; unsynchronized, two concurrent callers can lose or double
+    // a registration
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
   }
 }

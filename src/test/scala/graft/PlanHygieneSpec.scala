@@ -141,7 +141,10 @@ class PlanHygieneSpec extends SparkSpec {
       // self-join shape; the pipeline flagship composes dedup +
       // shingle join + two windows behind the canonical checkpoint
       "q_dedup_minhash_oracle" -> Set.empty,
-      "q_corpus_pipeline" -> Set.empty,
+      // reviewed globalwindow: the rebalance cap is min().over() on the
+      // LANG-GRAIN count table — rows bounded by the number of
+      // languages, a genuine grid, not a data-sized dimension
+      "q_corpus_pipeline" -> Set("globalwindow"),
       "q_knn_batch" -> Set.empty,
       "q_knn_batch_ivf" -> Set("bnl"), // reviewed 16-row centroid broadcast
       "q_dedup_embedding_lsh_multi" -> Set.empty)

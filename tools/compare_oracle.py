@@ -47,14 +47,27 @@ def main(sf_dir, out_dir):
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
             got_cols = [d[0] for d in con.description]
+            got_types = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
             want = con.execute(sql).fetchall()
             want_cols = [d[0] for d in con.description]
+            want_types = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE {sql}").fetchall()}
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # the driver's hasher distinguishes result TYPES (HUGEINT vs
+        # BIGINT, INT32 vs INT64) that value canonicalization hides —
+        # compare DESCRIBE output of both sides and fail on any skew
+        type_skew = {c: (got_types.get(c), want_types.get(c))
+                     for c in want_types
+                     if c in got_types and got_types[c] != want_types[c]}
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+        elif type_skew:
+            print(f"FAIL {name}: result-type skew {type_skew}")
             n_fail += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
