@@ -362,8 +362,40 @@ object CorpusStatsQueries {
           .as("zipf_slope"))
   }
 
+  /** CountMin error audit — the exact-vs-estimate twin of
+    * [[heavyHitters]] (the q_sketch_error pattern): probe EVERY key
+    * against the sketch and compare to the exact per-key count. The
+    * CountMin guarantee is one-sided — est(k) ≥ exact(k) always — so
+    * `n_under` must be 0, and the total/max overestimate quantify the
+    * collision mass the 4×256 grid absorbs. All quantities are exact
+    * integers (no midpoint-rounding surface) and the md5-bucketed
+    * sketch replays bit-identically in the oracle, which recomputes
+    * every column from scratch. Same scale shape as the sketch itself:
+    * one map-side-combined aggregate + a key-grain join. */
+  private val heavyHittersError: Q = (s, d) => {
+    val rows4 = array((0 until 4).map(lit): _*)
+    val bucketed = Tables.orders(s, d)
+      .select(col("o_custkey"), explode(rows4).as("h_row"))
+      .withColumn("bucket", substring(
+        md5(concat_ws("|", col("h_row"), col("o_custkey"))), 1, 2))
+    val sketch = bucketed.groupBy("h_row", "bucket")
+      .agg(count(lit(1)).as("cell"))
+    val est = bucketed.distinct()
+      .join(broadcast(sketch), Seq("h_row", "bucket"))
+      .groupBy("o_custkey")
+      .agg(min("cell").as("est_n"))
+    val exact = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    est.join(exact, "o_custkey")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("est_n") < col("n"), 1L).otherwise(0L)).as("n_under"),
+        max(col("est_n") - col("n")).as("max_over"),
+        sum(col("est_n") - col("n")).as("total_over"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zipf_slope" -> zipfSlope,
+    "q_heavy_hitters_error" -> heavyHittersError,
     "q_pca_project" -> pcaProject,
     "q_pca_variance" -> pcaVariance,
     "q_char_entropy" -> charEntropy,
@@ -517,6 +549,27 @@ object CorpusStatsQueries {
          FROM probes JOIN sketch USING (h_row, bucket)
          GROUP BY o_custkey
          ORDER BY est_n DESC, o_custkey ASC LIMIT 20""",
+    "q_heavy_hitters_error" ->
+      """WITH b AS (SELECT o_custkey, h_row,
+                           substring(md5(CAST(h_row AS VARCHAR) || '|' ||
+                                         CAST(o_custkey AS VARCHAR)), 1, 2)
+                             AS bucket
+                    FROM orders CROSS JOIN (SELECT unnest([0, 1, 2, 3])
+                                            AS h_row)),
+         sketch AS (SELECT h_row, bucket, count(*) AS cell
+                    FROM b GROUP BY h_row, bucket),
+         probes AS (SELECT DISTINCT o_custkey, h_row, bucket FROM b),
+         est AS (SELECT o_custkey, CAST(min(cell) AS BIGINT) AS est_n
+                 FROM probes JOIN sketch USING (h_row, bucket)
+                 GROUP BY o_custkey),
+         exact AS (SELECT o_custkey, count(*) AS n
+                   FROM orders GROUP BY 1)
+         SELECT count(*) AS n_keys,
+                CAST(sum(CASE WHEN est_n < n THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_under,
+                CAST(max(est_n - n) AS BIGINT) AS max_over,
+                CAST(sum(est_n - n) AS BIGINT) AS total_over
+         FROM est JOIN exact USING (o_custkey)""",
     "q_label_centroids" ->
       """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                             unnest(embedding) AS x

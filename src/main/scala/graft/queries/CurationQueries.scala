@@ -327,9 +327,45 @@ object CurationQueries {
     bpeEncode(Tables.documents(s, d),
       trainedBpe(s, d).map { case (_, l, r, _) => (l, r) })
 
+  /** BPE training round 1 as a DRIVER-ARTIFACT ORACLE (the
+    * q_knn_ivf_recall pin pattern for the tokenizer family): the first
+    * merge is a pure corpus statistic — the most frequent adjacent
+    * symbol pair over char-split words + the `</w>` terminal, weighted
+    * by word frequency, tie-broken (freq desc, left asc, right asc) —
+    * so DuckDB recomputes it from scratch and the hash gate proves the
+    * engine's pair-count/argmax machinery end-to-end. Later rounds
+    * depend on the learned artifact (BpeSpec pins them against a
+    * sequential reimplementation). */
+  private val bpeFirstMerge: Q = (s, d) =>
+    bpeMerges(Tables.documents(s, d), 1)
+
+  /** Corpus-level encode invariants as a driver-artifact pin for
+    * [[bpeEnc]]: exact word and base-token (chars + terminal) totals —
+    * both recomputed by the oracle — plus the boolean bounds every
+    * correct BPE encode must satisfy: per-corpus token count never
+    * exceeds the unmerged base and never undercuts one token per word,
+    * and the encode's word accounting matches the exact count. */
+  private val bpeEncodePin: Q = (s, d) => {
+    val enc = bpeEncode(Tables.documents(s, d),
+      trainedBpe(s, d).map { case (_, l, r, _) => (l, r) })
+      .agg(sum("n_words").as("e_words"), sum("n_tokens").as("e_tokens"))
+    val exact = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")) + 1).as("base_tokens"))
+    exact.crossJoin(broadcast(enc))
+      .select(col("n_words"), col("base_tokens"),
+        (col("e_words") === col("n_words")).as("words_ok"),
+        (col("e_tokens") <= col("base_tokens")).as("tokens_le_ok"),
+        (col("e_tokens") >= col("n_words")).as("tokens_ge_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_merges" -> bpe,
     "q_bpe_encode" -> bpeEnc,
+    "q_bpe_first_merge" -> bpeFirstMerge,
+    "q_bpe_encode_pin" -> bpeEncodePin,
     "q_corpus_scan_flat" -> corpusScanFlat,
     "q_corpus_scan_pruned" -> corpusScanPruned,
     "q_bm25" -> bm25,
@@ -352,6 +388,30 @@ object CurationQueries {
     // change query results, and DuckDB replays on the flat parquet
     "q_corpus_scan_flat" -> corpusScanOracle,
     "q_corpus_scan_pruned" -> corpusScanOracle,
+    // round-1 BPE merge recomputed from scratch: char-split words +
+    // '</w>' terminal, adjacent-pair counts weighted by word freq,
+    // argmax tie-broken (freq desc, left, right)
+    "q_bpe_first_merge" ->
+      """WITH wf AS (SELECT word, count(*) AS freq
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word
+                           FROM documents)
+                     WHERE length(word) > 0 GROUP BY word),
+         sym AS (SELECT list_append(string_split(word, ''), '</w>') AS sym,
+                        freq
+                 FROM wf),
+         pairs AS (SELECT freq, sym[i] AS l, sym[i + 1] AS r
+                   FROM sym, unnest(range(1, len(sym))) AS t(i))
+         SELECT CAST(1 AS INTEGER) AS rank, l AS "left", r AS "right",
+                CAST(sum(freq) AS BIGINT) AS pair_freq
+         FROM pairs GROUP BY l, r
+         ORDER BY pair_freq DESC, l, r LIMIT 1""",
+    "q_bpe_encode_pin" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+         SELECT count(*) AS n_words,
+                CAST(sum(length(word) + 1) AS BIGINT) AS base_tokens,
+                true AS words_ok, true AS tokens_le_ok, true AS tokens_ge_ok
+         FROM w WHERE length(word) > 0""",
     "q_bm25" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                         FROM documents),

@@ -609,10 +609,12 @@ object InsightQueries {
     *
     * Scale shape: the resample is a B×n equi-join against the n-row
     * user-grain aggregate (embarrassingly parallel, linear in B·n);
-    * replica means are a map-side-combined groupBy on b. At extreme n
-    * you'd switch to the Poisson bootstrap (per-user hash-derived
-    * weights, no index join) — documented trade, same statistical
-    * target. */
+    * replica means are a map-side-combined groupBy on b; the user
+    * index comes from [[ScaledWindow.rankCum]] (no partition-less
+    * row_number). At extreme n the B×n join itself is the cost —
+    * [[bootstrapPoisson]] is the shipped scale path (per-user
+    * hash-derived weights, no index join), same statistical target;
+    * this form stays as the index-resample oracle anchor. */
   private val bootstrapCi: Q = (s, d) => {
     val nB = 200
     // per-user metric carried as INTEGER ten-thousandths: replica sums
@@ -621,18 +623,21 @@ object InsightQueries {
     // rounded AVG would reintroduce the .xx5 midpoint hazard the
     // seasonalIndex scaladoc documents); the one double division per
     // OUTPUT value is a single deterministic op in both engines
-    val u = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(round(sum("value") * 10000).cast("long").as("mi"))
-      .withColumn("rn", row_number().over(Window.orderBy("user_id")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .persist()
-    val draws = u.select(col("rn").as("i"), col("n"))
+    // user index via the two-pass partition-offset rank (no
+    // partition-less row_number over the user dimension); n is the
+    // driver-known pass-1 total, a literal instead of count().over()
+    val ranked = ScaledWindow.rankCum(
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(round(sum("value") * 10000).cast("long").as("mi")),
+      Seq(col("user_id").asc), None)
+    val u = ranked.df.withColumnRenamed("rk", "rn").persist()
+    val draws = u.select(col("rn").as("i"))
       .withColumn("b", explode(sequence(lit(1), lit(nB))))
       .withColumn("j",
         conv(substring(md5(concat(col("b"), lit(":"), col("i"))), 1, 8),
-          16, 10).cast("long") % col("n") + 1)
+          16, 10).cast("long") % lit(ranked.n) + 1)
     val boot = draws
       .join(u.select(col("rn").as("j"), col("mi")), Seq("j"))
       .groupBy("b").agg(sum("mi").as("bs"))
@@ -648,12 +653,61 @@ object InsightQueries {
         round(col("hi_sum") / (col("n_users") * 10000.0), 4).as("ci_hi"))
   }
 
+  /** Poisson-bootstrap CI — the SCALE PATH beside [[bootstrapCi]]: each
+    * replica resamples by giving every user an independent
+    * Poisson(1)-distributed WEIGHT instead of drawing n indices, the
+    * standard streaming/distributed bootstrap (per-user work only — no
+    * global row_number over users, no B×n index join; the 200-replica
+    * explode collapses map-side to B partial aggregates per partition,
+    * so the shuffle is B rows per task regardless of corpus size).
+    * Weights are hash-derived: h = first-8-hex of md5("b:user") as a
+    * 32-bit integer, mapped through the Poisson(1) inverse CDF with
+    * PRECOMPUTED INTEGER thresholds floor(cdf·2³²) — no float compare,
+    * so both engines draw bit-identical weights (truncated at k=10,
+    * tail mass ~1e-8). Replica means are exact-long ratios; the CI is
+    * the [5th, 196th] order statistic of those means over the B=200
+    * replica grid (grid-sized sort, like the month windows). */
+  private val bootstrapPoisson: Q = (s, d) => {
+    val nB = 200
+    // floor(cdf_Poisson(1)(k) * 2^32) for k = 0..9; k = 10 is the tail
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L,
+      4294962463L, 4294966817L)
+    val u = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value") * 10000).cast("long").as("mi"))
+    val h = conv(substring(md5(concat(col("b"), lit(":"), col("user_id"))),
+      1, 8), 16, 10).cast("long")
+    val w = thresholds.zipWithIndex.foldRight(lit(10L): Column) {
+      case ((t, k), tail) => when(h < t, k.toLong).otherwise(tail)
+    }
+    val boot = u
+      .withColumn("b", explode(sequence(lit(1), lit(nB))))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("mi")).as("bs"), sum("w").as("nb"))
+      .filter(col("nb") > 0)
+      .withColumn("mean", col("bs") / (col("nb") * 10000.0))
+    val rk = Window.orderBy(col("mean"), col("b"))
+    val stats = boot.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 5 || col("r") === 196)
+      .agg(min("mean").as("lo_mean"), max("mean").as("hi_mean"))
+    u.agg(count(lit(1)).as("n_users"), sum("mi").as("tot"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_users"),
+        round(col("tot") / (col("n_users") * 10000.0), 4).as("point"),
+        round(col("lo_mean"), 4).as("ci_lo"),
+        round(col("hi_mean"), 4).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_cuped" -> cuped,
     "q_attribution_shapley" -> shapley,
     "q_did" -> did,
     "q_bootstrap_ci" -> bootstrapCi,
+    "q_bootstrap_poisson" -> bootstrapPoisson,
     "q_recommend_brands" -> recommendBrands,
     "q_seasonal_index" -> seasonalIndex,
     "q_topk_native" -> topkNative,
@@ -757,6 +811,44 @@ object InsightQueries {
                   AS ci_lo,
                 round(hi_sum / ((SELECT count(*) FROM u) * 10000.0), 4)
                   AS ci_hi
+         FROM ci""",
+    // Poisson(1) weights from INTEGER threshold compares on the same
+    // 32-bit md5 prefix — the CDF constants are floor(cdf * 2^32), so
+    // the inverse-CDF draw is bit-identical in both engines
+    "q_bootstrap_poisson" ->
+      """WITH u AS (SELECT user_id,
+                           CAST(round(sum(value) * 10000) AS BIGINT) AS mi
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id),
+         draws AS (SELECT r.b, u.mi,
+                          ('0x' || substring(md5(r.b || ':' || u.user_id),
+                             1, 8))::BIGINT AS h
+                   FROM (SELECT unnest(generate_series(1, 200)) AS b) r, u),
+         wt AS (SELECT b, mi,
+                       CASE WHEN h < 1580030168 THEN 0
+                            WHEN h < 3160060337 THEN 1
+                            WHEN h < 3950075421 THEN 2
+                            WHEN h < 4213413783 THEN 3
+                            WHEN h < 4279248373 THEN 4
+                            WHEN h < 4292415291 THEN 5
+                            WHEN h < 4294609777 THEN 6
+                            WHEN h < 4294923276 THEN 7
+                            WHEN h < 4294962463 THEN 8
+                            WHEN h < 4294966817 THEN 9
+                            ELSE 10 END AS w
+                FROM draws),
+         boot AS (SELECT b, sum(w * mi) AS bs, sum(w) AS nb
+                  FROM wt GROUP BY b HAVING sum(w) > 0),
+         m AS (SELECT b, bs / (nb * 10000.0) AS mean FROM boot),
+         rk AS (SELECT mean, row_number() OVER (ORDER BY mean, b) AS r
+                FROM m),
+         ci AS (SELECT min(mean) AS lo_mean, max(mean) AS hi_mean
+                FROM rk WHERE r = 5 OR r = 196)
+         SELECT (SELECT count(*) FROM u) AS n_users,
+                (SELECT round(sum(mi) / (count(*) * 10000.0), 4) FROM u)
+                  AS point,
+                round(lo_mean, 4) AS ci_lo,
+                round(hi_mean, 4) AS ci_hi
          FROM ci""",
     // n=3 Shapley weights: k!(n-1-k)!/n! -> 1/3, 1/6, 1/6, 1/3; every
     // v(S) is one integer ratio, so the phi arithmetic is bit-identical

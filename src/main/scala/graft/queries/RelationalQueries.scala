@@ -728,31 +728,28 @@ object RelationalQueries {
     * grain first (both samples' counts in one conditional aggregate),
     * then one cumulative window over that grain yields both ECDFs.
     *
-    * Scale note: the cumulative window is global-ordered over the
-    * value grain — exact KS needs a total order. At a scale where the
-    * grain itself is huge, either pre-bin to B buckets (bounds the KS
-    * error by 1/B — the PSI cutoff pattern) or use the two-pass
-    * partition-offset cumsum; the exact form is kept here as the
-    * oracle-checkable anchor (the q_quantiles precedent). */
+    * Scale note: exact KS needs a total order over the value grain —
+    * and the value grain (distinct prices) is DATA-SIZED, so both
+    * ECDF cumsums run through [[ScaledWindow.rankCum]]'s two-pass
+    * partition-offset form (its first multi-metric user): parallel
+    * range-slice windows + broadcast offsets, exact long counts, no
+    * single-partition stage. Sample totals are the driver-known
+    * pass-1 sums (literals, not a 1-row cross join). */
   private val ksTest: Q = (s, d) => {
     val o = Tables.orders(s, d).select(col("o_totalprice").as("v"),
       (col("o_custkey") % 2 === 0).as("isa"))
-    val totals = o.agg(
-      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
-      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.groupBy("v")
+    val g = o.groupBy("v")
       .agg(
         sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
-      .withColumn("cuma", sum("ca").over(w))
-      .withColumn("cumb", sum("cb").over(w))
-      .crossJoin(broadcast(totals))
+    val rnk = ScaledWindow.rankCum(g, Seq(col("v").asc),
+      Seq("cuma" -> col("ca"), "cumb" -> col("cb")))
+    val (na, nb) = (rnk.totals("cuma"), rnk.totals("cumb"))
+    rnk.df
       .agg(
-        max(round(abs(col("cuma") / col("na") - col("cumb") / col("nb")), 6))
-          .as("ks_d"),
-        max("na").as("n_a"), max("nb").as("n_b"))
+        max(round(abs(col("cuma") / lit(na) - col("cumb") / lit(nb)), 6))
+          .as("ks_d"))
+      .select(col("ks_d"), lit(na).as("n_a"), lit(nb).as("n_b"))
   }
 
   /** Revenue concentration (Pareto 80/20 report): how many customers

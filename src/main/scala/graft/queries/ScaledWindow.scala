@@ -37,14 +37,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object ScaledWindow {
 
-  /** `df` + `rk` (1-based global rank, long) and, when `value` is set,
-    * `cum` (inclusive running sum, long); `n` and `total` are the
-    * driver-known grand totals (use them as literals instead of a
-    * partition-less `count().over()` / `sum().over()`). */
-  final case class Ranked(df: DataFrame, n: Long, total: Long)
+  /** `df` + `rk` (1-based global rank, long) and one inclusive running
+    * sum column (long) per `values` entry, named by its alias; `n` and
+    * `totals` are the driver-known grand totals (use them as literals
+    * instead of a partition-less `count().over()` / `sum().over()`). */
+  final case class Ranked(df: DataFrame, n: Long, totals: Map[String, Long]) {
+    /** The single-metric total (convenience for one-value callers). */
+    def total: Long = totals.values.headOption.getOrElse(0L)
+  }
+
+  /** Single-metric form: the running sum lands in a `cum` column. */
+  def rankCum(df: DataFrame, sortCols: Seq[Column],
+      value: Option[Column], numParts: Int): Ranked =
+    rankCum(df, sortCols, value.map("cum" -> _).toSeq, numParts)
 
   def rankCum(df: DataFrame, sortCols: Seq[Column],
-      value: Option[Column], numParts: Int = 32): Ranked = {
+      value: Option[Column]): Ranked =
+    rankCum(df, sortCols, value, 32)
+
+  def rankCum(df: DataFrame, sortCols: Seq[Column],
+      values: Seq[(String, Column)], numParts: Int = 32): Ranked = {
     val spark = df.sparkSession
     import spark.implicits._
     val stamped = df
@@ -52,31 +64,38 @@ object ScaledWindow {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: O(partitions) rows to the driver
-    val stats: Array[(Int, Long, Long)] = stamped
+    // pass 1: O(partitions × metrics) longs to the driver
+    val stats: Array[(Int, Long, IndexedSeq[Long])] = stamped
       .groupBy("_pid")
       .agg(count(lit(1)).as("_c"),
-        value.map(v => sum(v.cast("long"))).getOrElse(lit(0L)).as("_s"))
+        values.map { case (a, v) => sum(v.cast("long")).as(s"_s_$a") }: _*)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .map(r => (r.getInt(0), r.getLong(1),
+        values.indices.map(i =>
+          if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i))))
       .sortBy(_._1)
     val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
-    val cumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val cumOffs: Seq[Array[Long]] = values.indices.map(i =>
+      stats.map(_._3(i)).scanLeft(0L)(_ + _))
     val offsets = stats.zipWithIndex
-      .map { case ((pid, _, _), i) => (pid, rankOff(i), cumOff(i)) }
-      .toSeq.toDF("_pid", "_roff", "_coff")
+      .map { case ((pid, _, _), i) =>
+        (pid, rankOff(i), values.indices.map(j => cumOffs(j)(i)))
+      }
+      .toSeq.toDF("_pid", "_roff", "_coffs")
     // pass 2: windows partitioned by pid run in parallel on range slices
     val local = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val frame = local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = stamped
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn("rk", row_number().over(local).cast("long") + col("_roff"))
-    val withCum = value match {
-      case Some(v) =>
-        ranked.withColumn("cum", sum(v.cast("long")).over(frame) + col("_coff"))
-      case None => ranked
+    val withCums = values.zipWithIndex.foldLeft(ranked) {
+      case (acc, ((alias, v), i)) =>
+        acc.withColumn(alias,
+          sum(v.cast("long")).over(frame) + col("_coffs").getItem(i))
     }
-    Ranked(withCum.drop("_pid", "_roff", "_coff"),
-      n = rankOff.last, total = cumOff.last)
+    Ranked(withCums.drop("_pid", "_roff", "_coffs"),
+      n = rankOff.last,
+      totals = values.zipWithIndex
+        .map { case ((a, _), i) => a -> cumOffs(i).last }.toMap)
   }
 }

@@ -923,8 +923,37 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Cap invariants of [[clusterCap]] as a DRIVER-ARTIFACT row (the
+    * q_knn_ivf_recall pin pattern): KMeans cells are not
+    * oracle-expressible, but the contract of a cap is — every cell
+    * keeps at most `cap` survivors, every survivor is a real vector,
+    * cells never exceed the quantizer's k, and the kept set never
+    * exceeds the corpus. The one oracle-recomputable exact (total
+    * vector count) anchors the row; a cap/assignment bug flips a
+    * boolean and hash-mismatches. */
+  private val clusterCapPin: Q = (s, d) => {
+    val capped = clusterCap(s, d)
+    val stats = capped.agg(
+      count(lit(1)).as("n_kept"),
+      max("rn").as("max_rn"),
+      countDistinct("cell").as("n_cells"))
+    val orphans = capped
+      .join(Tables.embeddings(s, d).select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(orphans))
+      .select(col("n_vectors"),
+        (col("max_rn") <= 10).as("caps_ok"),
+        (col("n_cells") <= nCells).as("cells_ok"),
+        (col("n_orphans") === 0).as("subset_ok"),
+        (col("n_kept") <= col("n_vectors")).as("kept_le_total_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cluster_cap" -> clusterCap,
+    "q_cluster_cap_pin" -> clusterCapPin,
     "q_embed_quantize" -> embedQuantize,
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_recall" -> knnIvfRecall,
@@ -1089,6 +1118,10 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracleSql,
+    "q_cluster_cap_pin" ->
+      """SELECT count(*) AS n_vectors, true AS caps_ok, true AS cells_ok,
+                true AS subset_ok, true AS kept_le_total_ok
+         FROM embeddings""",
     "q_dedup_simhash_oracle" -> simhashOracleSql,
     // every stage of the md5-family MinHash replays: same "i:shingle"
     // hash inputs, same lexicographic minima, same '|'-joined band

@@ -491,6 +491,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Driver-artifact pin for [[compressionRatio]] (zlib is absent in
+    * the oracle engine, so the deflate OUTPUT can't be replayed — its
+    * contract can): the exact doc count and total UTF-8 byte length are
+    * recomputed by the oracle and must match the codec pass's own
+    * accounting byte-for-byte, and the booleans bound the codec: every
+    * ratio positive, and no document inflates beyond raw + 64 B of
+    * deflate framing overhead. A miscounted buffer, a lost row, or a
+    * broken reset flips a column and hash-mismatches the row. */
+  private val compressionRatioPin: Q = (s, d) => {
+    val stats = compressionRatio(s, d).agg(
+      count(lit(1)).as("e_docs"),
+      sum("raw_bytes").as("e_raw"),
+      sum(when(col("gz_bytes") > col("raw_bytes") + 64, 1L)
+        .otherwise(0L)).as("n_inflated"),
+      min("ratio").as("min_ratio"))
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("octet_length(text)")).as("total_raw_bytes"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_docs"), col("total_raw_bytes"),
+        (col("e_docs") === col("n_docs")).as("rows_ok"),
+        (col("e_raw") === col("total_raw_bytes")).as("bytes_ok"),
+        (col("n_inflated") === 0).as("overhead_ok"),
+        (col("min_ratio") > 0.0).as("positive_ok"))
+  }
+
   /** Within-document repetition ratio (the shingle-level Gopher-style
     * filter): distinct vs total word-3-grams per doc. Pure codegen'd
     * array expressions, integer counts so the oracle compares exactly.
@@ -1360,6 +1386,7 @@ object TextQueries {
     "q_vocab_build" -> vocabBuild,
     "q_tokenize" -> tokenize,
     "q_compression_ratio" -> compressionRatio,
+    "q_compression_ratio_pin" -> compressionRatioPin,
     "q_repetition_ratio" -> repetitionRatio,
     "q_doc_fingerprint" -> docFingerprint,
   )
@@ -1378,6 +1405,12 @@ object TextQueries {
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "q_compression_ratio_pin" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(strlen(text)) AS BIGINT) AS total_raw_bytes,
+                true AS rows_ok, true AS bytes_ok,
+                true AS overhead_ok, true AS positive_ok
+         FROM documents""",
     "q_pii_redact" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,

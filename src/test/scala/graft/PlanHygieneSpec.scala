@@ -42,7 +42,45 @@ class PlanHygieneSpec extends SparkSpec {
     // round 10: the order-count total rides into the rule metrics as
     // the same documented 1-row broadcast cross join; the bootstrap CI
     // broadcasts its 1-row order-statistics frame the same way
-    "q_assoc_rules", "q_bootstrap_ci")
+    "q_assoc_rules", "q_bootstrap_ci",
+    // round 11: the Poisson twin broadcasts the same 1-row
+    // order-statistics frame; the pin queries cross the exact 1-row
+    // aggregate with their 1-row invariant frames
+    "q_bootstrap_poisson", "q_cluster_cap_pin", "q_compression_ratio_pin",
+    "q_bpe_encode_pin")
+
+  // reviewed partition-less windows: every entry runs its global
+  // window over a provably BOUNDED grain, not a data-sized dimension —
+  // month/year grids (forecast_snaive, seasonal_index, mom_growth,
+  // revenue_bridge), the 9-digit Benford grid, 10 PSI bins, B=200
+  // bootstrap replicas, contingency cells (chi_square, mutual_info),
+  // the grouped duration axis (kaplan_meier), bucket minima after the
+  // two-level decomposition (skyline), the lang-grain rebalance cap
+  // (corpus_pipeline), bounded category vocab (label_encode), and the
+  // min-count-floored tokenizer vocabulary (vocab_build, tokenize,
+  // zipf_slope — the standard single-sort every tokenizer build runs;
+  // scaladocs name the salted alternative for no-floor builds).
+  // Data-sized ranks/cumsums go through ScaledWindow.rankCum instead
+  // (q_gini, q_abc_class, q_pareto_revenue, q_ks_test, and
+  // q_bootstrap_ci's user index, rewritten round 11).
+  private val globalWindowAllowed = Set(
+    "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
+    "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
+    "q_label_encode", "q_mom_growth", "q_mutual_info", "q_psi_drift",
+    "q_revenue_bridge", "q_seasonal_index", "q_skyline", "q_tokenize",
+    "q_vocab_build", "q_zipf_slope")
+
+  test("partition-less WindowExec appears only on bounded-grain inputs") {
+    import graft.scale.PlanAudit
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!globalWindowAllowed(name)) {
+        val fs = PlanAudit.findings(fn(spark, sf),
+          allow = Set("cartesian", "bnl", "widescan"))
+          .filter(_.kind == "globalwindow")
+        assert(fs.isEmpty, s"$name plans a partition-less window: $fs")
+      }
+    }
+  }
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

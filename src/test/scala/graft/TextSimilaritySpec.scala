@@ -594,8 +594,11 @@ class TextSimilaritySpec extends SparkSpec {
         cum += r.getLong(2)
       }
     }
-    // one lineage, audited clean on the AQE-finalized plan
-    assert(graft.scale.PlanAudit.finalFindings(df).isEmpty,
+    // one lineage, audited clean on the AQE-finalized plan (reviewed
+    // globalwindow: the rebalance cap is min().over() on the
+    // LANG-GRAIN count table — bounded by the number of languages)
+    assert(graft.scale.PlanAudit
+      .finalFindings(df, allow = Set("globalwindow")).isEmpty,
       graft.scale.PlanAudit.finalFindings(df).mkString("; "))
   }
 
