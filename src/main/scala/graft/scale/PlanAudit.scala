@@ -38,7 +38,7 @@ object PlanAudit {
     * through `children` before execution, while its toString renders
     * the full plan (and, post-execution, query stages render their
     * materialized subtrees). */
-  private def scan(planStr: String, nOut: Int,
+  private[graft] def scan(planStr: String, nOut: Int,
       allow: Set[String]): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     if (planStr.contains("CartesianProduct") && !allow("cartesian"))
@@ -87,7 +87,12 @@ object PlanAudit {
     // unpruned wide scans: a FileSourceScan reading far more columns
     // than the query returns usually means a missing projection
     if (!allow("widescan")) {
-      val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      // newline-bounded: Spark truncates long ReadSchema renders
+      // WITHOUT the closing '>', and an unbounded [^>]* would swallow
+      // the rest of the plan up to some later '>' — inflating the
+      // column count with other scans' text (a truncated schema simply
+      // doesn't match, which is the honest "can't assess" outcome)
+      val readSchemas = "ReadSchema: struct<([^>\n]*)>".r
         .findAllMatchIn(planStr).map(_.group(1)).toSeq
       readSchemas.foreach { rs =>
         val nRead = rs.count(_ == ':')

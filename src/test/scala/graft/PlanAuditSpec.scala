@@ -98,6 +98,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("widescan ignores truncated ReadSchema renders (no closing '>')") {
+    // Spark cuts long schema strings at maxMetadataStringLength and
+    // drops the closing '>'; an unbounded regex would swallow plan text
+    // up to a later '>' and inflate the column count across scans
+    val truncated =
+      "FileScan parquet [l_orderkey] ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate:tim...\n" +
+      "FileScan parquet [x] ReadSchema: struct<a:int,b:int,c:int,d:int,e:int,f:int,g:int,h:int,i:int,j:int,k:int,l:int,m:int,n:int,o:int,p:int,q:int,r:int>\n"
+    // 2-column output: the 18-col scan must flag, the truncated one is
+    // unassessable and must NOT contaminate the count
+    val fs = PlanAudit.scan(truncated, 2, Set("globalwindow"))
+    assert(fs.count(_.kind == "widescan") == 1, fs.toString)
+  }
+
   test("requireFinal throws with the finding text on a dirty plan") {
     val a = Tables.nation(spark, sf)
     val b = Tables.region(spark, sf)
