@@ -131,6 +131,26 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming count-min sketch — heavy-hitter detection over an
+    * unbounded key stream, the streaming face of the batch
+    * `q_heavy_hitters` family: the 4×256 additive-counter grid as a
+    * plain streaming aggregate. The sketch's MERGEABILITY is exactly
+    * why it is streaming-native — state is the 1024 cells and never
+    * anything else, no matter how many events arrive or how hot one
+    * key runs (the shape that makes per-key exact counting explode is
+    * absorbed by bounded collision buckets). Same md5-prefix row
+    * hashes as the batch sketch, so stream state ≡ the batch sketch
+    * over the same rows (pinned in StreamingSpec), and a sketch
+    * snapshot merges with any other by cell-wise addition. */
+  def cmSketchCells(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        explode(array((0 until 4).map(lit): _*)).as("h_row"))
+      .withColumn("bucket", substring(
+        md5(concat_ws("|", col("h_row"), col("user_id"))), 1, 2))
+      .groupBy("h_row", "bucket")
+      .agg(count(lit(1)).as("cell"))
+
   /** Stream-static decontamination — scrub-as-you-land: newly landed
     * documents explode to their word-3-gram shingles (the
     * [[graft.queries.TextQueries.shingleArraySql]] contract, xxhash64

@@ -107,6 +107,35 @@ class StreamingSpec extends SparkSpec {
       s"stream=${got.size} docs, batch=${want.size} docs")
   }
 
+  test("streaming CM sketch state equals the batch sketch, and is additive") {
+    // stream ≡ batch: the 1024-cell grid aggregated incrementally must
+    // match the one-shot batch aggregate over the same rows
+    val stream = EventStreams.cmSketchCells(EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, stream, "t_cm_cells", "complete")
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.cmSketchCells(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+    // additivity (the mergeable-sketch property): replaying the same
+    // file twice must exactly double every cell
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val doubled = EventStreams
+      .runToMemory(spark,
+        EventStreams.cmSketchCells(EventStreams.readEvents(spark, dir.toString)),
+        "t_cm_doubled", "complete")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = EventStreams.cmSketchCells(Tables.events(spark, sf))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(doubled.size == base.size)
+    base.foreach { case (k, v) =>
+      assert(doubled(k) == 2 * v, s"cell $k: ${doubled(k)} != 2*$v")
+    }
+  }
+
   test("streaming tumbling windows equal the batch twin (complete mode)") {
     val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, eventsDir))
     val got = EventStreams.runToMemory(spark, stream, "t_tumbling", "complete")
