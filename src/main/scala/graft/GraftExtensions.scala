@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => GraftExtensions.CartesianGuard)
+    // opt-in per-key rank-filter rewrite to the native top-k operator
+    // (spark.graft.rewrite.topk=true); the strategy registration is
+    // unconditional and inert unless a TopKPerKeyPlan reaches planning
+    ext.injectOptimizerRule(_ => graft.plans.TopKPerKey.RewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
   }
 }
 

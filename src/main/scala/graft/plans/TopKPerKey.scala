@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, LessThan, LessThanOrEqual, Literal, NullsFirst, NullsLast, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim
@@ -182,6 +183,64 @@ object TopKPerKey {
             planLater(child))) :: Nil
       case _ => Nil
     }
+  }
+
+  /** Opt-in optimizer rewrite (`spark.graft.rewrite.topk=true`,
+    * injected by [[graft.GraftExtensions]]): recognizes the canonical
+    * per-key rank-filter shape
+    * {{{ Filter(rn <= k, [Project,] Window(row_number() OVER
+    *     (PARTITION BY keys ORDER BY ord DESC, tie ASC) AS rn)) }}}
+    * and replaces it with the native [[TopKPerKeyPlan]] — the
+    * `injectOptimizerRule` rung between the expression registrations
+    * and the planner strategy. The rewrite is conservative by
+    * construction; it fires ONLY when the semantics are exactly the
+    * operator's contract:
+    *  - a single `row_number` window expression (no sibling windows),
+    *  - non-empty attribute partition keys,
+    *  - order = (attr DESC NULLS LAST, attr ASC NULLS FIRST) — the
+    *    window defaults, which are the operator's tie protocol,
+    *  - a literal integer rank bound `rn <= k` / `rn < k`,
+    *  - an optional attributes-only Project between Filter and Window.
+    * The minted rank attribute reuses the window alias's exprId and
+    * name, so downstream references resolve unchanged. Default OFF —
+    * high-cardinality keys favor the window form (see the class doc);
+    * the config is the same opt-in contract as the cartesian guard. */
+  object RewriteRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (!conf.getConfString("spark.graft.rewrite.topk", "false").toBoolean) plan
+      else plan.transformUp {
+        case f @ Filter(cond, w: LogicalWindow) =>
+          asTopK(cond, w).getOrElse(f)
+        case f @ Filter(cond, Project(projectList, w: LogicalWindow))
+            if projectList.forall(_.isInstanceOf[Attribute]) =>
+          asTopK(cond, w)
+            .map(t => Project(projectList, t))
+            .getOrElse(f)
+      }
+
+    private def asTopK(cond: Expression, w: LogicalWindow): Option[LogicalPlan] =
+      w.windowExpressions match {
+        case Seq(a @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(parts, Seq(
+              SortOrder(ord: Attribute, Descending, NullsLast, _),
+              SortOrder(tie: Attribute, Ascending, NullsFirst, _)), _)), _))
+            if parts.nonEmpty && parts.forall(_.isInstanceOf[Attribute]) =>
+          val rn = a.toAttribute
+          val k = cond match {
+            case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))
+                if r.semanticEquals(rn) => Some(v)
+            case LessThan(r: Attribute, Literal(v: Int, IntegerType))
+                if r.semanticEquals(rn) => Some(v - 1)
+            case _ => None
+          }
+          k.filter(_ > 0).map { kk =>
+            TopKPerKeyPlan(parts, ord, tie, kk,
+              AttributeReference(a.name, IntegerType, nullable = false)(
+                exprId = a.exprId),
+              w.child)
+          }
+        case _ => None
+      }
   }
 
   /** Public entry point: top `k` rows per `keyCols` by (`ordCol` DESC

@@ -118,4 +118,97 @@ class GraftExtensionsSpec extends AnyFunSuite {
       } finally s.conf.set("spark.graft.guard.cartesian", "false")
     }
   }
+
+  // --------------------------------------- opt-in top-k rewrite rule
+
+  import org.apache.spark.sql.expressions.Window
+
+  private def rankFiltered(s: SparkSession) = {
+    val df = s.range(0, 20000).select(
+      (col("id") % 7).as("key"),
+      (col("id") * 37 % 10007).as("v"),
+      col("id").as("tie"))
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+      .filter(col("rn") <= 5)
+  }
+
+  test("topk rewrite replaces the rank-filter window with the native operator") {
+    withExtSession { s =>
+      // OFF (default): the window form plans as WindowExec
+      val off = rankFiltered(s)
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("TopKPerKey"), offPlan)
+      val want = off.collect().map(_.toSeq).toSet
+      s.conf.set("spark.graft.rewrite.topk", "true")
+      try {
+        val on = rankFiltered(s)
+        val onPlan = on.queryExecution.executedPlan.toString
+        assert(onPlan.contains("TopKPerKey"), onPlan)
+        assert(!onPlan.contains("Window ["), onPlan)
+        // value equivalence, including the rank column under its name
+        assert(on.columns.contains("rn"))
+        assert(on.collect().map(_.toSeq).toSet == want)
+        // downstream references to the rank column still resolve
+        val agg = rankFiltered(s).groupBy("key")
+          .agg(sum("rn").as("srn")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(agg.values.forall(_ == 15L), agg.toString) // 1+2+3+4+5
+      } finally s.conf.set("spark.graft.rewrite.topk", "false")
+    }
+  }
+
+  test("topk rewrite leaves non-matching window shapes alone") {
+    withExtSession { s =>
+      s.conf.set("spark.graft.rewrite.topk", "true")
+      try {
+        val df = s.range(0, 1000).select(
+          (col("id") % 7).as("key"), col("id").as("v"), col("id").as("tie"))
+        // ASC primary order: not the operator's contract
+        val asc1 = df.withColumn("rn", row_number().over(
+            Window.partitionBy("key").orderBy(asc("v"), asc("tie"))))
+          .filter(col("rn") <= 3)
+        assert(!asc1.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        // global window (no partition keys): stays a window
+        val global = df.withColumn("rn", row_number().over(
+            Window.orderBy(desc("v"), asc("tie"))))
+          .filter(col("rn") <= 3)
+        assert(!global.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        // rank() instead of row_number(): stays a window
+        val rk = df.withColumn("rn", rank().over(
+            Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+          .filter(col("rn") <= 3)
+        assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        // sibling window expression: stays a window
+        val sib = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+          .withColumn("lagv", lag("v", 1).over(
+            Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+          .filter(col("rn") <= 3)
+        assert(sib.collect().nonEmpty) // correctness regardless of plan
+      } finally s.conf.set("spark.graft.rewrite.topk", "false")
+    }
+  }
+
+  test("topk rewrite handles the strict < bound and skips k <= 0") {
+    withExtSession { s =>
+      s.conf.set("spark.graft.rewrite.topk", "true")
+      try {
+        val df = s.range(0, 1000).select(
+          (col("id") % 7).as("key"), col("id").as("v"), col("id").as("tie"))
+        def rn(cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+            .filter(cond(col("rn")))
+        val strict = rn(_ < 4)
+        assert(strict.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(strict.groupBy("key").count().collect().forall(_.getLong(1) == 3L))
+        // rn < 1 selects nothing and must NOT become a k=0 operator
+        val empty = rn(_ < 1)
+        assert(!empty.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(empty.count() == 0)
+      } finally s.conf.set("spark.graft.rewrite.topk", "false")
+    }
+  }
 }
