@@ -347,14 +347,17 @@ object CorpusStatsQueries {
     * as covar_pop/var_pop on both engines (the q_agg_corr precedent),
     * deterministic rank ties broken by word. */
   private val zipfSlope: Q = (s, d) => {
-    val rk = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("n"), asc("word"))
-    Tables.documents(s, d)
+    // round 11: the top-1000 head via ScaledWindow.rankCum's two-pass
+    // partition-offset rank - the full-vocabulary row_number it
+    // replaces was the one data-sized single-partition stage here
+    val counted = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(rk))
-      .filter(col("rank") <= 1000)
-      .select(log(col("rank").cast("double")).as("lx"),
+    ScaledWindow.rankCum(counted,
+      Seq(col("n").desc, col("word").asc), None)
+      .df
+      .filter(col("rk") <= 1000)
+      .select(log(col("rk").cast("double")).as("lx"),
         log(col("n").cast("double")).as("ly"))
       .agg(
         count(lit(1)).as("n_words"),

@@ -599,20 +599,21 @@ object TextQueries {
     * from the corpus: global word counts, a min-count floor, then dense
     * ids by (count desc, word asc) — deterministic in both engines.
     * Scale shape: the corpus-sized stage is the word count (partial
-    * aggregation absorbs heavy hitters map-side); the global ORDER BY
-    * that assigns ids runs on the POST-FLOOR vocabulary only, which the
-    * min-count filter collapses to vocab size (≪ corpus — the standard
-    * single-sort every tokenizer build runs; a no-floor build would
-    * instead rank with the salted pattern). */
+    * aggregation absorbs heavy hitters map-side); id assignment runs on
+    * the POST-FLOOR vocabulary through [[ScaledWindow.rankCum]]'s
+    * two-pass partition-offset rank (round 11) — even a 100M-token
+    * vocabulary never funnels through one task. */
   private val vocabBuild: Q = (s, d) => {
     val minCount = 5
-    withWords(Tables.documents(s, d))
+    val counted = withWords(Tables.documents(s, d))
       .select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("token_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("n"), asc("word"))) - 1).cast("long"))
+    ScaledWindow.rankCum(counted,
+      Seq(col("n").desc, col("word").asc), None)
+      .df
+      .withColumn("token_id", col("rk") - 1)
+      .drop("rk")
       .orderBy("token_id")
   }
 

@@ -56,19 +56,16 @@ class PlanHygieneSpec extends SparkSpec {
   // bootstrap replicas, contingency cells (chi_square, mutual_info),
   // the grouped duration axis (kaplan_meier), bucket minima after the
   // two-level decomposition (skyline), the lang-grain rebalance cap
-  // (corpus_pipeline), bounded category vocab (label_encode), and the
-  // min-count-floored tokenizer vocabulary (vocab_build, tokenize,
-  // zipf_slope — the standard single-sort every tokenizer build runs;
-  // scaladocs name the salted alternative for no-floor builds).
+  // (corpus_pipeline), and bounded category vocab (label_encode).
   // Data-sized ranks/cumsums go through ScaledWindow.rankCum instead
-  // (q_gini, q_abc_class, q_pareto_revenue, q_ks_test, and
-  // q_bootstrap_ci's user index, rewritten round 11).
+  // (q_gini, q_abc_class, q_pareto_revenue, q_ks_test, q_vocab_build,
+  // q_tokenize, q_zipf_slope, and q_bootstrap_ci's user index — all
+  // rewritten round 11).
   private val globalWindowAllowed = Set(
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     "q_label_encode", "q_mom_growth", "q_mutual_info", "q_psi_drift",
-    "q_revenue_bridge", "q_seasonal_index", "q_skyline", "q_tokenize",
-    "q_vocab_build", "q_zipf_slope")
+    "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit
