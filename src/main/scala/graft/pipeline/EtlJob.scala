@@ -99,6 +99,63 @@ object EtlJob {
       .option("query", sql)
       .load()
 
+  /** Audited CSV scan — the malformed-row contract a 100 TB ingest
+    * needs stated explicitly instead of inherited by default: mode
+    * PERMISSIVE plus a named corrupt-record column, so every
+    * unparseable line survives AS ITS RAW TEXT alongside the rows that
+    * parsed. The caller splits on `_corrupt_record IS NULL` — good
+    * rows to the table, bad rows to a quarantine sink with their
+    * source text intact for replay after the upstream fix. The
+    * alternatives are both silent data loss at scale: DROPMALFORMED
+    * discards rows with no record, FAILFAST kills a day-long job on
+    * byte one of bad input (use it only in CI).
+    *
+    * Spark contract detail, test-pinned: the corrupt column must be
+    * declared in the schema (StringType) and rows where it is
+    * non-null have every data column null. */
+  val CorruptCol = "_corrupt_record"
+
+  def readCsvAudited(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withAudit = schema.add(CorruptCol,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withAudit)
+      .csv(path)
+  }
+
+  /** Split an audited scan into (clean rows, quarantine rows), through
+    * a persist boundary: Spark refuses any RAW-file query whose
+    * required schema collapses to only the corrupt column
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a count() on either
+    * split side, after pruning), and its sanctioned pattern is
+    * "cache or save the parsed results, then query". The persist here
+    * is that boundary for interactive use; a 100 TB ingest lands the
+    * audited scan to a staging table in ONE write and splits from
+    * there — same contract, durable boundary. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.filter(org.apache.spark.sql.functions.col(CorruptCol).isNull)
+      .drop(CorruptCol),
+      parsed.filter(org.apache.spark.sql.functions.col(CorruptCol).isNotNull)
+        .select(CorruptCol))
+  }
+
+  /** Schema-evolution parquet read: a long-lived corpus directory
+    * accumulates files written under several schema versions (a
+    * re-crawl adds a column; old files stay). `mergeSchema` unions the
+    * footers' schemas at planning time — files missing a column serve
+    * nulls for it, column pruning and filter pushdown still apply
+    * per-file. Off by default in Spark because footer-merging costs a
+    * planning pass over file metadata — turn it on per-read exactly
+    * when the directory is known to be mixed, or land a rewritten
+    * manifest instead. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** End-to-end: CSV in, partitioned parquet table out. */
   def run(spark: SparkSession, inCsv: String, outTable: String): Unit =
     writeTable(readCleanCsv(spark, inCsv), outTable)

@@ -72,4 +72,65 @@ class SourcesSpec extends SparkSpec {
     assert(types("c_acctbal") == "double")
     assert(types("c_name") == "string")
   }
+
+  test("audited CSV scan quarantines malformed rows with their raw text") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft-csv-audit")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "in.csv"),
+      ("id,price\n" +
+        "1,10.5\n" +
+        "2,not_a_number\n" +   // type failure
+        "3,7.25\n" +
+        "oops\n" +             // wrong column count
+        "4,1.0\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val scanned = graft.pipeline.EtlJob.readCsvAudited(spark, dir, schema)
+    val (clean, quar) = graft.pipeline.EtlJob.quarantine(scanned)
+    assert(clean.count() == 3)
+    assert(clean.agg(org.apache.spark.sql.functions.sum("price"))
+      .head().getDouble(0) == 18.75)
+    val bad = quar.collect().map(_.getString(0)).toSet
+    assert(bad == Set("2,not_a_number", "oops"), bad.toString)
+    // the alternatives, pinned: DROPMALFORMED silently discards,
+    // FAILFAST refuses the scan
+    val dropped = spark.read.option("header", "true")
+      .option("mode", "DROPMALFORMED").schema(schema).csv(dir)
+    // sharp edge worth pinning: a PRUNED count() parses no columns, so
+    // DROPMALFORMED drops nothing and counts the raw lines — exactly
+    // why the audited-PERMISSIVE path is the ingest default here
+    assert(dropped.count() == 5)
+    assert(dropped.collect().length == 3)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", "true")
+        .option("mode", "FAILFAST").schema(schema).csv(dir).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed")
+      || Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
+  test("mergeSchema read unions parquet schema versions, null-filling old files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft-evolve")
+    // v1 files: (doc_id, text); v2 adds a lang column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/v1")
+    Seq((3L, "gamma", "en"), (4L, "delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/v2")
+    val merged = graft.pipeline.EtlJob.readEvolved(spark, s"$dir/*")
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    assert(merged.count() == 4)
+    // old files serve null for the evolved column
+    assert(merged.filter(col("lang").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a plain (non-merge) read keyed off one footer would miss `lang`;
+    // the merged scan still prunes: projecting (doc_id, lang) reads
+    // no text bytes
+    val plan = merged.select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id") && !plan.contains("text"), plan)
+  }
 }
