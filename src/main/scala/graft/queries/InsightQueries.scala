@@ -701,8 +701,74 @@ object InsightQueries {
         round(col("hi_mean"), 4).as("ci_hi"))
   }
 
+  /** Distributed ROC-AUC — the rank statistic every model-quality gate
+    * computes, at corpus scale: AUC = P(score⁺ > score⁻) + ½P(=), the
+    * tie-corrected Mann–Whitney U. Label = order-key parity, score =
+    * order price (a deterministic stand-in; the estimator is
+    * label/score-agnostic). Shape: one map-side-combined collapse to
+    * the DISTINCT-SCORE grain (per score: positive and negative
+    * counts), then the negative-count running total through
+    * [[ScaledWindow.rankCum]] — the same two-pass multi-metric ECDF
+    * machinery as q_ks_test, so no partition-less window over the
+    * data-sized score grain. U accumulates in DECIMAL(38,0):
+    * 2U = Σᵢ nPᵢ·(2·cumN_{<i} + nNᵢ) is exact integer arithmetic in
+    * both engines (DuckDB int128, Spark decimal), one double division
+    * at the end. */
+  private val auc: Q = (s, d) => {
+    val g = Tables.orders(s, d)
+      .groupBy(col("o_totalprice").as("score"))
+      .agg(
+        sum(when(pmod(col("o_orderkey"), lit(2)) === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(pmod(col("o_orderkey"), lit(2)) === 0, 1L).otherwise(0L)).as("nn"))
+    val rnk = ScaledWindow.rankCum(g, Seq(col("score").asc),
+      Seq("cump" -> col("np"), "cumn" -> col("nn")))
+    val (nPos, nNeg) = (rnk.totals("cump"), rnk.totals("cumn"))
+    rnk.df
+      .agg(sum(col("np").cast(DecimalType(38, 0))
+        * (lit(2) * (col("cumn") - col("nn")) + col("nn"))).as("u2"))
+      .select(
+        lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
+        round(col("u2").cast("double") / lit(2.0 * nPos * nNeg), 6)
+          .as("auc"))
+  }
+
+  /** Decile lift / gains table — the targeting read-out beside AUC:
+    * rank by score desc, cut into 10 equal-population deciles, report
+    * per-decile response rate, lift over the base rate, and cumulative
+    * gain. Rank comes from [[ScaledWindow.rankCum]] (the score grain
+    * is data-sized); the decile cut is EXPLICIT integer arithmetic
+    * `((rk−1)·10) DIV n` — not ntile(), whose remainder placement
+    * would have to be replicated bit-for-bit — with n and the
+    * conversion total as driver-known pass-1 literals. The final
+    * cumulative window runs over the 10-row decile grid. */
+  private val liftDeciles: Q = (s, d) => {
+    val scored = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice").as("score"),
+      when(pmod(col("o_orderkey"), lit(2)) === 1, 1L).otherwise(0L)
+        .as("conv"))
+    val rnk = ScaledWindow.rankCum(scored,
+      Seq(col("score").desc, col("o_orderkey").asc),
+      Seq("cumconv" -> col("conv")))
+    val n = rnk.n
+    val baseRate = rnk.totals("cumconv").toDouble / n
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rnk.df
+      .withColumn("decile", expr(s"((rk - 1) * 10) DIV ${n}L") + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("conv").as("n_conv"))
+      .withColumn("conv_rate", round(col("n_conv") / col("n"), 6))
+      .withColumn("lift",
+        round((col("n_conv") / col("n")) / lit(baseRate), 6))
+      .withColumn("cum_gain", round(sum("n_conv").over(w)
+        / lit(rnk.totals("cumconv").toDouble), 6))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
+    "q_auc" -> auc,
+    "q_lift_deciles" -> liftDeciles,
     "q_cuped" -> cuped,
     "q_attribution_shapley" -> shapley,
     "q_did" -> did,
@@ -812,6 +878,55 @@ object InsightQueries {
                 round(hi_sum / ((SELECT count(*) FROM u) * 10000.0), 4)
                   AS ci_hi
          FROM ci""",
+    // tie-corrected Mann-Whitney AUC on the grouped score grain;
+    // 2U exact in int128/decimal, one double division at the end
+    "q_auc" ->
+      """WITH g AS (SELECT o_totalprice AS score,
+                           sum(CASE WHEN o_orderkey % 2 = 1
+                               THEN 1 ELSE 0 END) AS np,
+                           sum(CASE WHEN o_orderkey % 2 = 0
+                               THEN 1 ELSE 0 END) AS nn
+                    FROM orders GROUP BY 1),
+         c AS (SELECT np, nn,
+                      sum(nn) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumn
+               FROM g),
+         t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                      CAST(sum(nn) AS BIGINT) AS n_neg,
+                      sum(np * (2 * (cumn - nn) + nn)) AS u2
+               FROM c)
+         SELECT n_pos, n_neg,
+                round(u2 / (2.0 * n_pos * n_neg), 6) AS auc
+         FROM t""",
+    // explicit ((rk-1)*10)//n decile cut (not ntile) so both engines
+    // place remainders identically; base rate as one double division
+    "q_lift_deciles" ->
+      """WITH sc AS (SELECT o_orderkey, o_totalprice AS score,
+                            CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+                              AS conv
+                     FROM orders),
+         rk AS (SELECT conv,
+                       row_number() OVER (ORDER BY score DESC, o_orderkey)
+                         AS rk,
+                       count(*) OVER () AS n_tot,
+                       sum(conv) OVER () AS tc
+                FROM sc),
+         dec AS (SELECT ((rk - 1) * 10) // n_tot + 1 AS decile, conv,
+                        n_tot, tc
+                 FROM rk),
+         g AS (SELECT decile, count(*) AS n,
+                      CAST(sum(conv) AS BIGINT) AS n_conv,
+                      max(n_tot) AS n_tot, CAST(max(tc) AS BIGINT) AS tc
+               FROM dec GROUP BY 1)
+         SELECT CAST(decile AS BIGINT) AS decile, n, n_conv,
+                round(n_conv / CAST(n AS DOUBLE), 6) AS conv_rate,
+                round((n_conv / CAST(n AS DOUBLE))
+                  / (tc / CAST(n_tot AS DOUBLE)), 6) AS lift,
+                round(CAST(sum(n_conv) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / tc, 6) AS cum_gain
+         FROM g ORDER BY decile""",
     // Poisson(1) weights from INTEGER threshold compares on the same
     // 32-bit md5 prefix — the CDF constants are floor(cdf * 2^32), so
     // the inverse-CDF draw is bit-identical in both engines

@@ -416,4 +416,43 @@ class InsightSpec extends SparkSpec {
       assert(brute(c) == ((nP, cents)), s"class $c")
     }
   }
+
+  test("auc equals the brute-force tie-corrected pair probability") {
+    val row = q("q_auc").head()
+    val (nPos, nNeg, got) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // brute force over all (pos, neg) pairs: 1 if pos scores higher,
+    // 0.5 on a tie — the definition the grouped-cumsum form must equal
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), pmod(col("o_orderkey"), lit(2)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    var num = 0.0
+    // O(nP·nN) is fine at sf0.001
+    pos.foreach { p => neg.foreach { n =>
+      if (p > n) num += 1.0 else if (p == n) num += 0.5
+    } }
+    val brute = num / (nPos.toDouble * nNeg)
+    assert(math.abs(got - brute) < 1e-6, s"engine $got vs brute $brute")
+    assert(got > 0.0 && got < 1.0)
+  }
+
+  test("lift deciles: equal-population cut, conservation, final gain = 1") {
+    val rows = q("q_lift_deciles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val nTotal = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == nTotal)
+    // the explicit ((rk-1)*10) DIV n cut differs by at most 1 per decile
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // lift conservation: Σ n_i·lift_i = N (weighted mean lift is 1)
+    val conserved = rows.map { case (_, n, _, lift, _) => n * lift }.sum
+    assert(math.abs(conserved - nTotal) < nTotal * 1e-4, conserved.toString)
+    // cumulative gain is monotone and ends at exactly 1
+    val gains = rows.map(_._5)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last == 1.0)
+  }
 }

@@ -64,8 +64,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val globalWindowAllowed = Set(
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
-    "q_label_encode", "q_mom_growth", "q_mutual_info", "q_psi_drift",
-    "q_revenue_bridge", "q_seasonal_index", "q_skyline")
+    "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
+    "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit
