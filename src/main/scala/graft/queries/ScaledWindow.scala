@@ -53,14 +53,23 @@ object ScaledWindow {
 
   def rankCum(df: DataFrame, sortCols: Seq[Column],
       value: Option[Column]): Ranked =
-    rankCum(df, sortCols, value, 32)
+    rankCum(df, sortCols, value, -1)
 
+  /** `numParts <= 0` (the default) sizes the range repartition to the
+    * session's `spark.sql.shuffle.partitions` — the cluster-scaled
+    * parallelism knob — instead of a constant; the explicit count
+    * still matters because AQE never coalesces a user-specified
+    * repartition, which is what keeps the stamped partition ids
+    * stable between pass 1 and pass 2. */
   def rankCum(df: DataFrame, sortCols: Seq[Column],
-      values: Seq[(String, Column)], numParts: Int = 32): Ranked = {
+      values: Seq[(String, Column)], numParts: Int = -1): Ranked = {
     val spark = df.sparkSession
     import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val stamped = df
-      .repartitionByRange(numParts, sortCols: _*)
+      .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
