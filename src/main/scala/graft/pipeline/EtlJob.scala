@@ -156,6 +156,22 @@ object EtlJob {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Inline ingest metrics via Spark's Observation API — row count and
+    * per-column null counts computed DURING the write action itself
+    * (accumulator-backed, zero extra pass over the data), the way a
+    * 100 TB load reports its own data-quality tallies without a second
+    * scan. Returns the observation; read `obs.get` AFTER the action
+    * that consumes the returned DataFrame. */
+  def observeIngest(df: DataFrame, auditCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val metrics = count(lit(1)).as("n_rows") +:
+      auditCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** End-to-end: CSV in, partitioned parquet table out. */
   def run(spark: SparkSession, inCsv: String, outTable: String): Unit =
     writeTable(readCleanCsv(spark, inCsv), outTable)

@@ -133,4 +133,21 @@ class SourcesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("doc_id") && !plan.contains("text"), plan)
   }
+
+  test("observe() reports ingest metrics during the write with no extra pass") {
+    val dir = tmp("graft-observe")
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio"))
+    val (observed, obs) = graft.pipeline.EtlJob.observeIngest(
+      src, Seq("prio", "o_totalprice"))
+    observed.write.mode("overwrite").parquet(dir)
+    val m = obs.get
+    val n = Tables.orders(spark, sf).count()
+    assert(m("n_rows") == n)
+    assert(m("n_null_prio") ==
+      src.filter(col("prio").isNull).count())
+    assert(m("n_null_o_totalprice") == 0L)
+  }
 }
