@@ -244,6 +244,75 @@ object Multimodal {
       }.toDF("media_id", "payload", "new_width", "new_height")
   }
 
+  /** Perceptual average-hash (aHash) of each image — the signature
+    * that ties the multimodal BINARY column into the dedup family:
+    * decode → bilinear 8×8 grayscale thumbnail → 64-bit hash, bit i =
+    * cell i's luminance above the thumbnail mean. Uniform brightness
+    * shifts move every cell AND the mean together, so the hash is
+    * stable under global exposure changes — the invariance that makes
+    * re-encoded/re-exposed crawl duplicates collide while distinct
+    * images stay ~32 bits apart (random-bit expectation). Same
+    * mapPartitions codec seam as [[decodeImage]]. */
+  def imageAHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for media $id")
+          val thumb = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+          g.dispose()
+          val px = thumb.getRGB(0, 0, 8, 8, null, 0, 8)
+          val lum = px.map(rgb => 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff))
+          val mean = lum.sum / 64.0
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (lum(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Image near-dup pairs by banded aHash — the SimHash pigeonhole
+    * argument on the image signature: 4 bands × 16 bits, so any pair
+    * within Hamming ≤ 3 shares at least one EXACT band (3 flips
+    * cannot touch all 4 bands) and surfaces through a plain bucket
+    * equi-join; candidates then verify with the exact bit_count. At
+    * 100 TB the shuffle is bands × corpus — never all pairs — and a
+    * hot bucket (monochrome boilerplate thumbnails) is the same
+    * DF-cap candidate as a hot shingle. */
+  def dedupImages(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = imageAHash(spark, media)
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------------
   // REAL audio path: RIFF/PCM16 WAV via javax.sound.sampled — the
   // JDK's built-in WAV reader/writer (pure Java, headless-safe).

@@ -169,4 +169,48 @@ class MultimodalSpec extends SparkSpec {
       assert(frames == (0 until n).filter(_ % 5 == 0))
     }
   }
+
+  test("image aHash dedup finds exact and exposure-shifted dups, no random pairs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val imgs = Multimodal.synthesizeImages(spark, 40)
+    val base = imgs.filter(org.apache.spark.sql.functions.col("media_id") === 7L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    // exposure-shifted copy: +24 brightness per channel (clamped) —
+    // aHash bits are relative to the thumbnail mean, so the hash must
+    // survive the shift (the re-exposed re-crawl case)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bright = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      def c(v: Int) = math.min(255, v + 24)
+      bright.setRGB(x, y, (c((rgb >> 16) & 0xff) << 16)
+        | (c((rgb >> 8) & 0xff) << 8) | c(rgb & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bright, "png", bos)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1007L, base),          // exact byte duplicate of 7
+        Row(2007L, bos.toByteArray)), // exposure-shifted near-dup of 7
+      schema)
+    val all = imgs.select("media_id", "payload").unionByName(extra)
+    val pairs = Multimodal.dedupImages(spark, all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    // the exact duplicate collides at Hamming 0
+    assert(pairs.exists { case (a, b, h) => a == 7L && b == 1007L && h == 0L },
+      pairs.mkString(", "))
+    // the exposure shift stays within the near-dup cut
+    assert(pairs.exists { case (a, b, h) => a == 7L && b == 2007L && h <= 3L },
+      pairs.mkString(", "))
+    // distinct random images never collide: every reported pair
+    // involves doc 7's family
+    val fam = Set(7L, 1007L, 2007L)
+    assert(pairs.forall { case (a, b, _) => fam(a) && fam(b) },
+      pairs.mkString(", "))
+  }
 }
