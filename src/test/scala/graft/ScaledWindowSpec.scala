@@ -65,6 +65,55 @@ class ScaledWindowSpec extends SparkSpec {
     assert(!PlanAudit.findings(twoPass).exists(_.kind == "globalwindow"))
   }
 
+  test("property: rankCum equals the window form on random tied data") {
+    // randomized cross-check: heavy ties in the primary sort key (the
+    // tie-break column must resolve them), negative values, several
+    // metrics at once, assorted partition counts
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val n = 200 + rnd.nextInt(800)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong - 500,
+          rnd.nextInt(100).toLong)
+      }
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("id", "v", "m1", "m2")
+      val parts = 1 + rnd.nextInt(40)
+      val got = graft.queries.ScaledWindow.rankCum(df,
+        Seq(col("v").asc, col("id").asc),
+        Seq("c1" -> col("m1"), "c2" -> col("m2")), numParts = parts)
+      // sequential truth
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      var (a, b) = (0L, 0L)
+      val want = sorted.zipWithIndex.map { case ((id, _, m1, m2), i) =>
+        a += m1; b += m2
+        id -> ((i + 1).toLong, a, b)
+      }.toMap
+      val gotRows = got.df.select("id", "rk", "c1", "c2").collect()
+      assert(gotRows.length == n)
+      gotRows.foreach { r =>
+        val (id, rk, c1, c2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(want(id) == ((rk, c1, c2)),
+          s"trial $trial parts $parts id $id: got ($rk,$c1,$c2) want ${want(id)}")
+      }
+      assert(got.n == n.toLong)
+      assert(got.totals("c1") == rows.map(_._3).sum)
+      assert(got.totals("c2") == rows.map(_._4).sum)
+    }
+  }
+
+  test("rankCum on empty input yields an empty frame and zero totals") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val rnk = graft.queries.ScaledWindow.rankCum(empty,
+      Seq(col("v").asc, col("id").asc), Seq("c" -> col("v")), numParts = 8)
+    assert(rnk.df.count() == 0)
+    assert(rnk.n == 0L)
+    assert(rnk.totals("c") == 0L)
+  }
+
   test("the de-globalized queries plan no partition-less WindowExec") {
     Seq("q_gini", "q_abc_class", "q_pareto_revenue").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
