@@ -387,6 +387,79 @@ object Multimodal {
       }.toDF("media_id", "sample_rate", "n_frames", "rms")
   }
 
+  /** Energy-envelope fingerprint of each clip — the audio analogue of
+    * [[imageAHash]]: decode PCM16 → 64 equal time windows → RMS per
+    * window → 64-bit hash, bit i = window i's RMS above the clip mean.
+    * Uniform gain scales every window RMS and the mean together, so
+    * the hash survives volume normalization (the re-encoded/re-leveled
+    * crawl duplicate), while different content diverges toward the
+    * ~32-bit random-distance expectation. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+            !fmt.isBigEndian,
+            s"media $id: unsupported WAV format $fmt (need PCM16 mono LE)")
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          val rms = new Array[Double](64)
+          var w = 0
+          while (w < 64) {
+            val from = (w.toLong * n / 64).toInt
+            val until = ((w + 1).toLong * n / 64).toInt
+            var sumSq = 0.0
+            var i = from
+            while (i < until) {
+              val s = bb.getShort(i * 2).toDouble
+              sumSq += s * s
+              i += 1
+            }
+            rms(w) = math.sqrt(sumSq / math.max(1, until - from))
+            w += 1
+          }
+          val mean = rms.sum / 64.0
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (rms(k) > mean) hash |= (1L << k)
+            k += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "fp")
+  }
+
+  /** Audio near-dup pairs by the banded energy fingerprint — identical
+    * machinery to [[dedupImages]] (4×16-bit bands, pigeonhole-complete
+    * for Hamming ≤ 3, bucket equi-join + exact bit_count verify). */
+  def dedupAudio(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = audioFingerprint(spark, media)
+    val bands = hashes.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** REAL audio resample (integer decimation): keep every k-th PCM
     * frame, re-encode WAV at rate/k. Binary in, binary out — the
     * normalization pass an audio corpus runs before feature extraction

@@ -213,4 +213,53 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => fam(a) && fam(b) },
       pairs.mkString(", "))
   }
+
+  test("audio fingerprint dedup finds exact and re-leveled dups, no random pairs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val clips = Multimodal.synthesizeAudio(spark, 30)
+    val base = clips.filter(org.apache.spark.sql.functions.col("media_id") === 4L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    // volume-halved copy: every PCM sample scaled by 0.5 — envelope
+    // bits are relative to the clip mean, so the fingerprint must
+    // survive the gain change (the re-leveled re-crawl case)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = java.nio.ByteBuffer.allocate(bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until bytes.length / 2).foreach { i =>
+      out.putShort((bb.getShort(i * 2) / 2).toShort)
+    }
+    val quiet = {
+      val ais2 = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out.array()), fmt,
+        (bytes.length / 2).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais2, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1004L, base),   // exact byte duplicate of 4
+        Row(2004L, quiet)), // re-leveled near-dup of 4
+      schema)
+    val all = clips.select("media_id", "payload").unionByName(extra)
+    val pairs = Multimodal.dedupAudio(spark, all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(pairs.exists { case (a, b, h) => a == 4L && b == 1004L && h == 0L },
+      pairs.mkString(", "))
+    assert(pairs.exists { case (a, b, h) => a == 4L && b == 2004L && h <= 3L },
+      pairs.mkString(", "))
+    val fam = Set(4L, 1004L, 2004L)
+    assert(pairs.forall { case (a, b, _) => fam(a) && fam(b) },
+      pairs.mkString(", "))
+  }
 }
