@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Temporal warehouse operators: time-series regularization (resample
@@ -524,7 +525,66 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Autocorrelation function of daily revenue at lags 1–7 — the
+    * seasonality/persistence diagnostic behind every forecasting
+    * choice (a strong lag-7 says weekly cycle; near-zero everywhere
+    * says don't bother with an AR model). Collapses the fact table to
+    * the calendar-day grid once; each lag is one `lag()` over that
+    * grid (date-grain global window, the q_forecast_snaive class) and
+    * the sums are grid-sized. r_k = Σ(vₜ−m)(vₜ₊ₖ−m)/Σ(vₜ−m)²,
+    * identical expression shapes in both engines. */
+  private val acf: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val w = Window.orderBy("day")
+    val centered = daily
+      .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
+      .withColumn("c", col("v") - col("m"))
+    val withLags = (1 to 7).foldLeft(centered) { case (df, k) =>
+      df.withColumn(s"c$k", lag("c", k).over(w))
+    }
+    val outCols = count(lit(1)).as("n_days") +:
+      (1 to 7).map(k =>
+        round(sum(col("c") * col(s"c$k")) / sum(col("c") * col("c")), 6)
+          .as(s"r$k"))
+    withLags.agg(outCols.head, outCols.tail: _*)
+  }
+
+  /** CUSUM changepoint scan over the same daily series — the
+    * monitoring primitive that localizes WHEN a level shift happened
+    * (the anomaly/drift queries say THAT something is off). All
+    * arithmetic exact: daily cents are longs, and the scaled statistic
+    * n·Sₜ = n·Σᵢ≤ₜvᵢ − t·T needs no division — accumulated in
+    * DECIMAL(38,0)/int128 so the argmax compare can never flip on a
+    * float bit. The cumulative scan runs on the calendar-day grid.
+    * Emits the detected changepoint day, the normalized max |S| in
+    * dollars, and the day count. */
+  private val cusum: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum("v").over(w))
+      .crossJoin(broadcast(daily.agg(
+        count(lit(1)).as("n"), sum("v").as("tot"))))
+      .withColumn("ns", col("cum").cast(DecimalType(38, 0)) * col("n")
+        - col("t").cast(DecimalType(38, 0)) * col("tot"))
+      .withColumn("absns", abs(col("ns")))
+    scored
+      .orderBy(desc("absns"), asc("day"))
+      .limit(1)
+      .select(col("n").as("n_days"), col("day").as("cp_day"),
+        round(col("absns").cast("double")
+          / (col("n").cast("double") * 100.0), 2).as("max_cusum_usd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_acf" -> acf,
+    "q_cusum" -> cusum,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -546,6 +606,50 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_acf" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             round(sum(o_totalprice), 2) AS v
+                      FROM orders GROUP BY 1),
+         m AS (SELECT avg(v) AS m FROM dly),
+         c AS (SELECT day, v - m.m AS c FROM dly, m),
+         l AS (SELECT c,
+                      lag(c, 1) OVER (ORDER BY day) AS c1,
+                      lag(c, 2) OVER (ORDER BY day) AS c2,
+                      lag(c, 3) OVER (ORDER BY day) AS c3,
+                      lag(c, 4) OVER (ORDER BY day) AS c4,
+                      lag(c, 5) OVER (ORDER BY day) AS c5,
+                      lag(c, 6) OVER (ORDER BY day) AS c6,
+                      lag(c, 7) OVER (ORDER BY day) AS c7
+               FROM c)
+         SELECT count(*) AS n_days,
+                round(sum(c * c1) / sum(c * c), 6) AS r1,
+                round(sum(c * c2) / sum(c * c), 6) AS r2,
+                round(sum(c * c3) / sum(c * c), 6) AS r3,
+                round(sum(c * c4) / sum(c * c), 6) AS r4,
+                round(sum(c * c5) / sum(c * c), 6) AS r5,
+                round(sum(c * c6) / sum(c * c), 6) AS r6,
+                round(sum(c * c7) / sum(c * c), 6) AS r7
+         FROM l""",
+    // n*S_t = n*cum_t - t*total in exact int128/decimal: the argmax
+    // compare can never flip on a float bit
+    "q_cusum" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         tot AS (SELECT count(*) AS n, sum(v) AS tot FROM dly),
+         sc AS (SELECT day,
+                       row_number() OVER (ORDER BY day) AS t,
+                       sum(v) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM dly),
+         x AS (SELECT day, abs(cum * n - t * tot.tot) AS absns, n
+               FROM sc, tot)
+         SELECT CAST(n AS BIGINT) AS n_days, day AS cp_day,
+                round(CAST(absns AS DOUBLE) / (n * 100.0), 2)
+                  AS max_cusum_usd
+         FROM x ORDER BY absns DESC, day LIMIT 1""",
     "q_resample_fill" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
                            round(sum(value), 4) AS v

@@ -62,6 +62,7 @@ class PlanHygieneSpec extends SparkSpec {
   // q_tokenize, q_zipf_slope, and q_bootstrap_ci's user index — all
   // rewritten round 11).
   private val globalWindowAllowed = Set(
+    "q_acf", "q_cusum",
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
