@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.CorpusStatsQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.InsightQueries.queries
+      graft.queries.InsightQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** Queries excluded from Bench's TIMED set (they still run in Verify
     * and keep their correctness checks). q_dedup_minhash_mllib is a
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.CorpusStatsQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.SketchQueries.oracles ++
-      graft.queries.InsightQueries.oracles
+      graft.queries.InsightQueries.oracles ++
+      graft.queries.StatQueries.oracles
 }

@@ -951,7 +951,73 @@ object SimilarityQueries {
         (col("n_kept") <= col("n_vectors")).as("kept_le_total_ok"))
   }
 
+  /** Hybrid retrieval with Reciprocal-Rank Fusion — the modern search
+    * stack's default: a keyword (BM25) ranking and a dense-vector
+    * (cosine) ranking fused as Σ 1/(60+rank) (Cormack et al. 2009;
+    * rank-based, so the two incomparable score scales never need
+    * calibration). Query: three keyword terms + the vec_id=0 probe
+    * vector over the aligned doc_id=vec_id corpus.
+    *
+    * Determinism: per-term BM25 scores are rounded to integer
+    * ten-thousandths BEFORE the per-doc sum (exact long addition — a
+    * 3-float sum's association order could flip a rank), cosine is
+    * rounded at 6 (the q_knn_exact contract), and both ranks tie-break
+    * on doc_id, so the fused ordering is bit-identical cross-engine.
+    *
+    * Scale shape: each retriever is its own scale-safe plan (the tf
+    * side filters to the query terms BEFORE grouping; the vector side
+    * is the broadcast-probe class — at corpus scale the LSH/IVF paths
+    * substitute), each emits a TakeOrdered top-50; the fusion is a
+    * full-outer join of two 50-row frames with bounded-grid windows. */
+  private val hybridSearch: Q = (s, d) => {
+    val kTop = 50
+    val terms = Seq("join", "hash", "scan")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = words.distinct().filter(col("word").isin(terms: _*))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.agg(count(lit(1)).as("n_words")))
+      .select(col("n_docs"),
+        (col("n_words").cast("double") / col("n_docs")).as("avgdl"))
+    val termScore =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val kw = tf.join(dl, "doc_id").join(broadcast(dfq), "word")
+      .crossJoin(broadcast(corpus))
+      .withColumn("ts", round(termScore * 10000).cast("long"))
+      .groupBy("doc_id").agg(sum("ts").as("iscore"))
+    val kRankW = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("iscore"), asc("doc_id"))
+    val kwTop = kw.orderBy(desc("iscore"), asc("doc_id")).limit(kTop)
+      .withColumn("k_rank", row_number().over(kRankW).cast("long"))
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val vRankW = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cs"), asc("doc_id"))
+    val vecTop = e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("doc_id")).limit(kTop)
+      .withColumn("v_rank", row_number().over(vRankW).cast("long"))
+    kwTop.select("doc_id", "k_rank")
+      .join(vecTop.select("doc_id", "v_rank"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("k_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("v_rank")), lit(0.0)), 6))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("k_rank"), col("v_rank"), col("rrf"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hybrid_search" -> hybridSearch,
     "q_cluster_cap" -> clusterCap,
     "q_cluster_cap_pin" -> clusterCapPin,
     "q_embed_quantize" -> embedQuantize,
@@ -1117,6 +1183,49 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // both retrievers fully replayed: BM25 term scores as integer
+    // ten-thousandths summed exactly, cosine at 6 (the q_knn_exact
+    // contract), RRF = 1/(60+rank) fused over the two top-50 lists
+    "q_hybrid_search" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                        FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+                WHERE word IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+         df AS (SELECT word, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, word FROM words
+                      WHERE word IN ('join', 'hash', 'scan')) GROUP BY 1),
+         corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                           CAST((SELECT count(*) FROM words) AS DOUBLE)
+                             / (SELECT count(*) FROM documents) AS avgdl),
+         kw AS (SELECT tf.doc_id,
+                       CAST(sum(CAST(round(
+                         ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                         * 10000) AS BIGINT)) AS BIGINT) AS iscore
+                FROM tf JOIN dl USING (doc_id) JOIN df USING (word)
+                CROSS JOIN corpus GROUP BY 1),
+         kt AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY iscore DESC, doc_id)
+                         AS k_rank
+                FROM kw ORDER BY iscore DESC, doc_id LIMIT 50),
+         vs AS (SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) AS cs
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+         vt AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY cs DESC, doc_id) AS v_rank
+                FROM vs ORDER BY cs DESC, doc_id LIMIT 50),
+         f AS (SELECT COALESCE(kt.doc_id, vt.doc_id) AS doc_id,
+                      kt.k_rank, vt.v_rank,
+                      round(COALESCE(1.0 / (60 + kt.k_rank), 0.0)
+                        + COALESCE(1.0 / (60 + vt.v_rank), 0.0), 6) AS rrf
+               FROM kt FULL OUTER JOIN vt ON kt.doc_id = vt.doc_id)
+         SELECT doc_id, k_rank, v_rank, rrf
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_kmeans" -> kmeansOracleSql,
     "q_cluster_cap_pin" ->
       """SELECT count(*) AS n_vectors, true AS caps_ok, true AS cells_ok,

@@ -120,13 +120,92 @@ object SketchQueries {
           col("exact_overlap") * 0.15 + 30).as("sketch_ok"))
   }
 
+  /** HDR-histogram-style log-bucketed quantile sketch — the mergeable,
+    * DETERMINISTIC quantile structure (KLL/t-digest are merge-ORDER-
+    * dependent, so their state can't hash-match an oracle; power-of-two
+    * bucket counts are order-free and merge by addition, the HLL-rollup
+    * property for quantiles). Bucket id is the value's BINARY LENGTH in
+    * cents (`length(bin(cents))` — pure integer, no float log2 at the
+    * 2^k boundaries), ~35 buckets cover every revenue scale, and the
+    * quantile estimate is the bucket midpoint — relative error ≤ 2× by
+    * construction, pinned per quantile against the exact percentile the
+    * oracle recomputes from scratch. The bucket pick is the pure
+    * integer compare cum·100 ≥ q100·n (no float rank); the cumulative
+    * scan runs on the ~35-row bucket grid. The exact anchors come from
+    * the shared selection-form machinery
+    * ([[RelationalQueries.selectQuantiles]], the q_quantiles_sel scale
+    * path) — a `percentile` aggregate here buffered every value and
+    * read 8.5× between SFs; the selection form keeps the query
+    * sub-linear. */
+  private val hdrQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val qs = RelationalQueries.selectQuantiles(v, "c", Seq(0.5, 0.9, 0.99))
+      .getOrElse(Seq(0.0, 0.0, 0.0))
+    val b = v.groupBy(length(bin(col("c"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = b.withColumn("cum", sum("n").over(w))
+      .withColumn("ntot", sum("n").over(Window.partitionBy()))
+      .withColumn("q100", explode(array(lit(50), lit(90), lit(99))))
+      .filter(col("cum") * 100 >= col("q100") * col("ntot"))
+      .groupBy("q100").agg(min("bucket").as("bucket"))
+    val lo = expr("shiftleft(1L, cast(bucket - 1 as int))")
+    val hi = expr("shiftleft(1L, cast(bucket as int))") - 1
+    val est = (lo + hi).cast("double") / 200.0
+    val ex = when(col("q100") === 50, lit(qs(0)))
+      .when(col("q100") === 90, lit(qs(1)))
+      .otherwise(lit(qs(2))) / 100.0
+    picked.select(col("q100"), col("bucket"),
+      round(est, 4).as("est_usd"),
+      round(ex, 4).as("exact_usd"),
+      (est <= ex * 2 && ex <= est * 2).as("within_2x"))
+      .orderBy("q100")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hdr_quantiles" -> hdrQuantiles,
     "q_sketch_error" -> sketchError,
     "q_hll_rollup" -> hllRollup,
     "q_overlap_sketch" -> overlapSketch,
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch itself is deterministic (binary-length buckets), so
+    // bucket ids and estimates hash-compare exactly; the within-2x
+    // boolean is the error pin, exact percentiles recomputed from
+    // scratch
+    "q_hdr_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+         b AS (SELECT CAST(length(bin(c)) AS BIGINT) AS bucket,
+                      count(*) AS n
+               FROM v GROUP BY 1),
+         e AS (SELECT count(*) AS ntot,
+                      quantile_cont(c, 0.5) AS x50,
+                      quantile_cont(c, 0.9) AS x90,
+                      quantile_cont(c, 0.99) AS x99
+               FROM v),
+         cumb AS (SELECT bucket,
+                         CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                           AS cum
+                  FROM b),
+         p AS (SELECT q.q100, min(bucket) AS bucket
+               FROM cumb, e, (SELECT unnest([50, 90, 99]) AS q100) q
+               WHERE cum * 100 >= q.q100 * e.ntot
+               GROUP BY 1)
+         SELECT p.q100, p.bucket,
+                round(CAST((1::BIGINT << ((bucket - 1)::INTEGER))
+                  + (1::BIGINT << (bucket::INTEGER)) - 1 AS DOUBLE)
+                  / 200.0, 4) AS est_usd,
+                round(CASE WHEN q100 = 50 THEN x50
+                           WHEN q100 = 90 THEN x90
+                           ELSE x99 END / 100.0, 4) AS exact_usd,
+                true AS within_2x
+         FROM p, e ORDER BY q100""",
     // exact columns recomputed from scratch; the TRUE constants are the
     // error pins — a sketch outside its bound hash-mismatches
     "q_sketch_error" ->

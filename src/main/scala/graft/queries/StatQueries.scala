@@ -1,0 +1,818 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Rank statistics, robust trend estimation, and dataset-quality
+  * profiling — the analyst's nonparametric toolbox (Spearman's rho,
+  * Mann–Kendall, Theil–Sen), the ML-prep encoders/read-outs the
+  * relational surface lacked (leave-one-out target encoding,
+  * calibration/ECE bins, Cramér's V effect size), and a
+  * functional-dependency profiler for ingest validation.
+  *
+  * Cross-engine float protocol (the repo standard): every statistic
+  * accumulates in exact integer/decimal arithmetic — average ranks are
+  * carried DOUBLED so they stay integral, chi-square cell
+  * contributions are rounded to integer micro-units before the sum so
+  * float association order can never flip a digit — with one
+  * deterministic double division / sqrt at the very end, then an
+  * explicit `round`.
+  *
+  * Scale notes:
+  *  - data-sized global ranks go through [[ScaledWindow.rankCum]]
+  *    (two-pass partition-offset; no partition-less WindowExec);
+  *  - the trend estimators pair ONLY the calendar-day grid (bounded by
+  *    the time range, not the data volume: 2 399 days at every SF), a
+  *    reviewed broadcast nested-loop;
+  *  - everything else is map-side-combined groupBy plus broadcast of
+  *    dimension- or 1-row aggregates.
+  */
+object StatQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(38, 0)
+
+  /** Daily revenue in exact integer cents — the shared series grain of
+    * the trend estimators (same construction as q_cusum/q_acf). */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+
+  /** Spearman rank correlation between quantity and price on the fact
+    * table — the monotone-association twin of Pearson [[q_agg_corr]]:
+    * immune to outliers and nonlinearity because it correlates RANKS.
+    * Tie handling is the textbook average rank, carried DOUBLED
+    * (2·avgrank = 2·cum_before + count + 1 is always an integer, so
+    * the five moment sums are exact in DECIMAL(38,0)/int128 — exact up
+    * to ~2e9 rows; one double division + sqrt at the end).
+    *
+    * Shape: collapse each variable to its DISTINCT-VALUE grain, global
+    * cumulative counts via [[ScaledWindow.rankCum]] (two-pass, no
+    * partition-less window), broadcast/shuffle the tiny rank maps back
+    * onto the rows, one map-side-combined moment aggregate. */
+  private val spearman: Q = (s, d) => {
+    val t = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def rankMap(cn: String, out: String): (DataFrame, Long) = {
+      val g = t.groupBy(col(cn)).agg(count(lit(1)).as("c"))
+      val r = ScaledWindow.rankCum(g, Seq(col(cn).asc), Seq("cum" -> col("c")))
+      (r.df.select(col(cn), (lit(2) * col("cum") - col("c") + 1).as(out)),
+        r.totals("cum"))
+    }
+    val (rx, n) = rankMap("x", "dx")
+    val (ry, _) = rankMap("y", "dy")
+    val sums = t.join(rx, "x").join(ry, "y").agg(
+      sum(col("dx").cast(dec)).as("sx"),
+      sum(col("dy").cast(dec)).as("sy"),
+      sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+      sum(col("dy").cast(dec) * col("dy")).as("syy"),
+      sum(col("dx").cast(dec) * col("dy")).as("sxy"))
+    sums.select(
+      lit(n).as("n_rows"),
+      round((lit(n) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((lit(n) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((lit(n) * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("rho"))
+  }
+
+  /** Mann–Kendall trend test on daily revenue — the standard
+    * nonparametric "is this series trending?" monitor (no distribution
+    * assumption, ties handled exactly). S = Σ_{i<j} sign(vⱼ−vᵢ) over
+    * the DAY GRID, whose size is bounded by the calendar (2 399 days
+    * at every SF — the pairwise join is a reviewed broadcast
+    * nested-loop over ~2.9M grid pairs, constant in data volume). All
+    * of S, the tie counts, and the variance polynomial are exact
+    * longs; z (continuity-corrected) and Kendall's tau-b take one
+    * double sqrt each. */
+  private val mannKendall: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val b = daily.select(col("day").as("d2"), col("v").as("v2"))
+    val p = daily.join(broadcast(b), col("day") < col("d2"))
+      .agg(
+        sum(when(col("v2") > col("v"), 1L)
+          .when(col("v2") < col("v"), -1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("m"))
+    val nr = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy("v").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(
+        coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("t3"),
+        coalesce(sum(expr("t * (t - 1) DIV 2")), lit(0L)).as("t2"))
+    p.crossJoin(broadcast(nr)).crossJoin(broadcast(ties))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .select(
+        col("n").as("n_days"),
+        col("m").as("n_pairs"),
+        col("s"),
+        round(
+          when(col("s") > 0, col("s") - 1)
+            .when(col("s") < 0, col("s") + 1).otherwise(0L).cast("double")
+            / sqrt((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+              - col("t3")) / lit(18.0)), 4).as("z"),
+        round(col("s").cast("double")
+          / sqrt((col("n0") - col("t2")).cast("double")
+            * col("n0").cast("double")), 6).as("tau_b"))
+  }
+
+  /** Theil–Sen robust trend slope on the same daily series — the
+    * median of all pairwise slopes (up to 29% gross outliers cannot
+    * move it, unlike the OLS slope in q_regr_group). Pair generation
+    * is the same bounded day-grid broadcast as [[mannKendall]]; the
+    * median is the exact order statistic of the ~2.9M slopes selected
+    * through [[ScaledWindow.rankCum]] (no partition-less window, no
+    * driver-side sort), with the even-count midpoint as
+    * (min+max)/2 of the two middle elements. Each slope is ONE double
+    * division of exact integers — deterministic in both engines. */
+  private val theilSen: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val b = daily.select(col("day").as("d2"), col("v").as("v2"))
+    val pairs = daily.join(broadcast(b), col("day") < col("d2"))
+      .select(col("day").as("d1"), col("d2"),
+        ((col("v2") - col("v")).cast("double")
+          / (datediff(col("d2"), col("day")) * lit(100.0))).as("slope"))
+    val rnk = ScaledWindow.rankCum(pairs,
+      Seq(col("slope").asc, col("d1").asc, col("d2").asc), None)
+    val m = rnk.n
+    val (k1, k2) = ((m + 1) / 2, m / 2 + 1)
+    rnk.df.filter(col("rk") === k1 || col("rk") === k2)
+      .agg(round((min("slope") + max("slope")) / 2, 6).as("slope_usd_day"))
+      .select(lit(m).as("n_pairs"), col("slope_usd_day"))
+  }
+
+  /** Leave-one-out smoothed target encoding of market segment — the
+    * standard high-cardinality categorical encoder for gradient
+    * models, in its LEAKAGE-FREE form: each row's own label is removed
+    * from its category mean, shrunk toward the global prior with
+    * weight m=20. For a BINARY target the encoding takes only two
+    * values per category, so the emitted relation is the (category ×
+    * label) grid — category-vocabulary-sized, not row-sized.
+    * enc = (N·(s_cat − y) + m·S) / (N·(n_cat − 1 + m)) with both sides
+    * of the division exact integers (cleared of the global-mean
+    * denominator), one double division, round 6. */
+  private val targetEncode: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        pmod(col("o_orderkey"), lit(2)).as("conv"))
+    val g = oc.groupBy("segment")
+      .agg(count(lit(1)).as("n_cat"), sum("conv").as("s_cat"))
+    val tot = oc.agg(count(lit(1)).as("tot_n"), sum("conv").as("tot_conv"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("y", explode(array(lit(0L), lit(1L))))
+      .select(
+        col("segment"), col("y"),
+        when(col("y") === 1, col("s_cat"))
+          .otherwise(col("n_cat") - col("s_cat")).as("n"),
+        round((col("tot_n").cast(dec) * (col("s_cat") - col("y"))
+          + lit(20) * col("tot_conv")).cast("double")
+          / (col("tot_n").cast(dec) * (col("n_cat") - 1 + 20)).cast("double"),
+          6).as("enc"))
+      .orderBy("segment", "y")
+  }
+
+  /** Calibration / reliability table with per-bin ECE contributions —
+    * the read-out that says whether a model's scores are PROBABILITIES
+    * (AUC says ranking is right; calibration says the values are).
+    * Score is a deterministic md5-derived uniform in [0,1] (16 bits),
+    * label an independent parity — so the expected gap is acc−conf
+    * and the table exposes it per decile bin. The bin cut is integer
+    * (h·10 DIV 2¹⁶); conf/acc/gap are single divisions of exact
+    * integer sums (gap's numerator np·65535−Σh is exact, NOT
+    * acc−conf as two rounded doubles); wgap = n·|gap|/N is the bin's
+    * ECE term, N via a window over the 10-row bin grid. */
+  private val calibration: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long").as("h"),
+      pmod(col("o_custkey"), lit(2)).as("lab"))
+    val bins = o.groupBy(expr("(h * 10) DIV 65536").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("h").as("sh"), sum("lab").as("np"))
+    val gapNum = col("np").cast(dec) * 65535 - col("sh").cast(dec)
+    bins
+      .withColumn("ntot", sum("n").over(Window.partitionBy()))
+      .select(
+        col("bin"), col("n"),
+        round(col("sh").cast("double") / (col("n") * lit(65535.0)), 6)
+          .as("conf"),
+        round(col("np").cast("double") / col("n"), 6).as("acc"),
+        round(gapNum.cast("double") / (col("n") * lit(65535.0)), 6).as("gap"),
+        round(abs(gapNum.cast("double")) / (col("ntot") * lit(65535.0)), 6)
+          .as("wgap"))
+      .orderBy("bin")
+  }
+
+  /** Cramér's V — the EFFECT-SIZE companion to the q_chi_square
+    * significance test (chi² grows with n; V∈[0,1] does not), on the
+    * segment × priority contingency. The full r×c grid (including
+    * empty cells) comes from crossing the two marginal vectors —
+    * dimension-sized broadcasts. Each cell contribution
+    * (o·n − rt·ct)²/(n·rt·ct) is computed as ONE deterministic double
+    * expression and rounded to integer MICRO-units before the sum, so
+    * the Σ over cells is exact long addition (float association order
+    * can never flip a reported digit). */
+  private val cramersV: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val cells = oc.groupBy("seg", "pri").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("seg").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("pri").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("nn"),
+      countDistinct("seg").as("r"), countDistinct("pri").as("c"))
+    val numd = (col("obs").cast(dec) * col("nn")
+      - col("rt").cast(dec) * col("ct")).cast("double")
+    val cm = rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("seg", "pri"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("r"), col("c"),
+        round(numd * numd
+          / (col("nn").cast("double") * col("rt").cast("double")
+            * col("ct").cast("double")) * 1000000).cast("long").as("c_micro"))
+    cm.groupBy("nn", "r", "c").agg(sum("c_micro").as("sm"))
+      .select(
+        col("nn").as("n"), col("r"), col("c"),
+        round(col("sm") / lit(1000000.0), 4).as("chi2"),
+        round(sqrt((col("sm") / lit(1000000.0))
+          / ((least(col("r"), col("c")) - 1) * col("nn")).cast("double")), 6)
+          .as("v"))
+  }
+
+  /** Functional-dependency / determinancy profiler — the ingest-time
+    * data-quality check behind key discovery and denormalization
+    * decisions: for each candidate FD lhs→rhs, how many lhs values map
+    * to MORE than one rhs value. One map-side-combined groupBy +
+    * count-distinct per FD, a 1-row aggregate each — scales to any
+    * fact size. A key FD (nationkey→regionkey) is included as the
+    * positive control. */
+  private val fdCheck: Q = (s, d) => {
+    def fd(df: DataFrame, name: String, l: String, r: String): DataFrame =
+      df.groupBy(col(l)).agg(countDistinct(col(r)).as("k"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"))
+    fd(Tables.nation(s, d), "nation.nationkey->regionkey",
+      "n_nationkey", "n_regionkey")
+      .unionAll(fd(Tables.part(s, d), "part.brand->type", "p_brand", "p_type"))
+      .unionAll(fd(Tables.customer(s, d), "customer.nationkey->mktsegment",
+        "c_nationkey", "c_mktsegment"))
+      .unionAll(fd(Tables.orders(s, d), "orders.custkey->orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .select(col("fd"), col("n_lhs"), col("n_violating"),
+        round(col("n_violating").cast("double") / col("n_lhs"), 6)
+          .as("violation_rate"),
+        (col("n_violating") === 0).as("holds"))
+      .orderBy("fd")
+  }
+
+  /** Two-group log-rank test — the significance companion to
+    * [[InsightQueries]]'s Kaplan–Meier curve (KM says WHAT the
+    * survival looks like; log-rank says whether two arms DIFFER):
+    * customer lifetimes split by key parity, observed-minus-expected
+    * deaths accumulated over the distinct-duration axis (calendar-
+    * bounded grain, the q_kaplan_meier class). At-risk counts are
+    * reverse cumulative sums over that axis; each time point's
+    * hypergeometric expectation/variance is ONE double expression
+    * rounded to integer MICRO-units before the sum, so the Σ over
+    * times is exact long addition. χ² = (O−E)²/V takes the last
+    * division. */
+  private val logrank: Q = (s, d) => {
+    val life = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        max("o_orderdate").as("last"))
+      .select(col("dur"),
+        when(col("last") < lit("2001-01-01").cast("date"), 1L)
+          .otherwise(0L).as("event"),
+        pmod(col("o_custkey"), lit(2)).as("grp"))
+    val g = life.groupBy("dur").agg(
+      sum(when(col("grp") === 1, col("event")).otherwise(0L)).as("d1"),
+      sum("event").as("dt"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+      count(lit(1)).as("ct"))
+    val atRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val n1d = col("n1").cast("double")
+    val terms = g
+      .withColumn("n1", sum("c1").over(atRisk))
+      .withColumn("nt", sum("ct").over(atRisk))
+      .filter(col("dt") > 0 && col("nt") > 1)
+      .select(col("d1"),
+        round(col("dt").cast("double") * col("n1") / col("nt")
+          * lit(1000000)).cast("long").as("e_micro"),
+        round(col("dt").cast("double") * (n1d / col("nt"))
+          * (lit(1.0) - n1d / col("nt"))
+          * ((col("nt") - col("dt")).cast("double") / (col("nt") - 1))
+          * lit(1000000)).cast("long").as("v_micro"))
+    terms
+      .agg(count(lit(1)).as("n_times"), sum("d1").as("o1"),
+        sum("e_micro").as("e1m"), sum("v_micro").as("vm"))
+      .select(col("n_times"), col("o1"),
+        round(col("e1m") / lit(1000000.0), 4).as("e1"),
+        round(pow(col("o1") - col("e1m") / lit(1000000.0), 2)
+          / (col("vm") / lit(1000000.0)), 4).as("chi2"))
+  }
+
+  /** Propensity-stratified ATT — the matching estimator beside the
+    * DiD/CUPED family: units stratified into 10 propensity bins
+    * (md5-derived 16-bit score, the deterministic stand-in — the
+    * estimator is score-agnostic), treatment = BUILDING segment,
+    * outcome = customer spend in exact cents. Within-bin treated-vs-
+    * control mean gaps weighted by the treated count (the ATT weights)
+    * with each bin's term rounded to integer MILLI-cents before the
+    * exact sum over the 10-row grid; bins missing either arm drop out
+    * (no off-support extrapolation — the standard common-support
+    * rule). One groupBy + one grid aggregate, no windows, no joins
+    * beyond the unit build. */
+  private val psmAtt: Q = (s, d) => {
+    val spend = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val units = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("t"),
+        col("y"),
+        conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("bin", expr("(h * 10) DIV 65536"))
+    val bins = units.groupBy("bin").agg(
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("t") === 1, col("y")).otherwise(0L)).as("st"),
+      sum(when(col("t") === 0, col("y")).otherwise(0L)).as("sc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .withColumn("m", round((col("st").cast("double")
+        - col("nt").cast("double") * col("sc") / col("nc"))
+        * lit(1000)).cast("long"))
+    bins.agg(count(lit(1)).as("n_bins"), sum("nt").as("n_treat"),
+      sum("nc").as("n_ctrl"), sum("m").as("sm"))
+      .select(col("n_bins"), col("n_treat"), col("n_ctrl"),
+        round(col("sm") / (col("n_treat") * lit(100000.0)), 4).as("att_usd"))
+  }
+
+  /** Two-proportion A/B sample-size calculator — the planning read-out
+    * beside the q_ab_test/q_cuped analysis ops: per-arm n to detect a
+    * 1-point absolute lift on the observed baseline per-event purchase
+    * rate (~20% at every SF — the user-grain "ever purchased" rate
+    * saturates at 1.0 on this corpus, where the formula is undefined)
+    * at α=0.05 (two-sided) / 80% power,
+    * n = (z_{0.975}+z_{0.8})²·(p₁(1−p₁)+p₂(1−p₂))/δ². One 1-row
+    * aggregate, then pure closed-form expression work. */
+  private val powerZsum = 1.959963985 + 0.8416212336
+  private val powerZsumSq = powerZsum * powerZsum
+  private val powerDeltaSq = 0.01 * 0.01
+
+  private val powerAnalysis: Q = (s, d) => {
+    val p1 = col("n_conv").cast("double") / col("n_events")
+    val p2 = p1 + lit(0.01)
+    Tables.events(s, d)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_conv"))
+      .select(col("n_events"), round(p1, 6).as("p_base"),
+        lit(0.01).as("mde"),
+        ceil(lit(powerZsumSq)
+          * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+          / lit(powerDeltaSq)).as("n_per_arm"))
+  }
+
+  /** Qini / uplift-by-decile curve — the targeting read-out for
+    * INCREMENTAL response (q_lift_deciles ranks raw responders; Qini
+    * ranks where the TREATMENT changed behavior): treatment from key
+    * parity, conversion from an integer hash-threshold draw with a
+    * built-in +10-point treated lift (13107/65536 control,
+    * 19661/65536 treated — exact integer compares, so both engines
+    * draw identical outcomes), score an independent 16-bit hash. Rank
+    * through [[ScaledWindow.rankCum]], explicit `((rk−1)·10) DIV n`
+    * decile cut (the q_lift_deciles contract), per-decile arm
+    * counts/conversions exact longs, cumulative sums over the 10-row
+    * grid; Qini_k = cumConvT − cumConvC·cumNT/cumNC takes one double
+    * multiply-divide per output row. */
+  private val qini: Q = (s, d) => {
+    val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val h2 = conv(substring(md5(concat(lit("c:"), col("o_orderkey"))), 1, 4),
+      16, 10).cast("long")
+    val units = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      pmod(col("o_custkey"), lit(2)).as("t"),
+      h.as("score"), h2.as("h2"))
+      .withColumn("conv",
+        when(col("h2") < lit(13107L) + lit(6554L) * col("t"), 1L)
+          .otherwise(0L))
+    val rnk = ScaledWindow.rankCum(units,
+      Seq(col("score").desc, col("o_orderkey").asc), None)
+    val n = rnk.n
+    val g = rnk.df
+      .withColumn("decile", expr(s"((rk - 1) * 10) DIV ${n}L") + 1)
+      .groupBy("decile")
+      .agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("convt"),
+        sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("convc"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cnt", sum("nt").over(w))
+      .withColumn("cnc", sum("nc").over(w))
+      .withColumn("cct", sum("convt").over(w))
+      .withColumn("ccc", sum("convc").over(w))
+      .select(col("decile"), col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+        round(col("convt").cast("double") / col("nt"), 6).as("rate_t"),
+        round(col("convc").cast("double") / col("nc"), 6).as("rate_c"),
+        round(col("convt").cast("double") / col("nt")
+          - col("convc").cast("double") / col("nc"), 6).as("uplift"),
+        round(col("cct") - col("ccc").cast("double") * col("cnt") / col("cnc"),
+          4).as("qini"))
+      .orderBy("decile")
+  }
+
+  /** Jensen–Shannon divergence of each source's word distribution from
+    * the corpus marginal — the SYMMETRIC, bounded (≤ ln 2) drift
+    * measure beside q_source_divergence's KL (KL explodes on
+    * vocabulary a source lacks; JS never does). Decomposed over the
+    * SPARSE (source, word) support: for words the source lacks the
+    * integrand collapses to q·ln2, so
+    * JS = ½(Σp·ln(2p/(p+q)) + Σ_{p>0}q·ln(2q/(p+q)) + (1−Σ_{p>0}q)·ln2)
+    * — one sparse join, vocab-sized shuffle, never vocab × sources. */
+  private val jsDivergence: Q = (s, d) => {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n_sw"))
+    val perSource = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+    val marginal = sw.groupBy("word").agg(sum("n_sw").as("n_w"))
+    val total = sw.agg(sum("n_sw").as("n_total"))
+    val p = col("n_sw").cast("double") / col("n_s")
+    val q = col("n_w").cast("double") / col("n_total")
+    sw.join(broadcast(perSource), Seq("source"))
+      .join(marginal, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("vocab_size"),
+        round(
+          (sum(p * log(lit(2.0) * p / (p + q))
+            + q * log(lit(2.0) * q / (p + q)))
+            + (lit(1.0) - sum(q)) * lit(math.log(2.0))) / 2, 4)
+          .as("js_nats"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_logrank" -> logrank,
+    "q_qini" -> qini,
+    "q_psm_att" -> psmAtt,
+    "q_power_analysis" -> powerAnalysis,
+    "q_js_divergence" -> jsDivergence,
+    "q_spearman" -> spearman,
+    "q_mann_kendall" -> mannKendall,
+    "q_theil_sen" -> theilSen,
+    "q_target_encode" -> targetEncode,
+    "q_calibration" -> calibration,
+    "q_cramers_v" -> cramersV,
+    "q_fd_check" -> fdCheck,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // hypergeometric E/V per time point rounded to integer micro-units
+    // BEFORE the sum (exact long addition over the duration axis)
+    "q_logrank" ->
+      """WITH life AS (SELECT CAST(date_diff('day', min(o_orderdate),
+                                        max(o_orderdate)) AS INTEGER) AS dur,
+                              CASE WHEN max(o_orderdate) < DATE '2001-01-01'
+                                   THEN 1 ELSE 0 END AS event,
+                              o_custkey % 2 AS grp
+                       FROM orders GROUP BY o_custkey),
+         g AS (SELECT dur,
+                      CAST(sum(CASE WHEN grp = 1 THEN event ELSE 0 END)
+                        AS BIGINT) AS d1,
+                      CAST(sum(event) AS BIGINT) AS dt,
+                      CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                      count(*) AS ct
+               FROM life GROUP BY dur),
+         r AS (SELECT d1, dt,
+                      CAST(sum(c1) OVER (ORDER BY dur ROWS BETWEEN
+                        CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                        AS n1,
+                      CAST(sum(ct) OVER (ORDER BY dur ROWS BETWEEN
+                        CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                        AS nt
+               FROM g),
+         t AS (SELECT d1,
+                      CAST(round(CAST(dt AS DOUBLE) * n1 / nt * 1000000)
+                        AS BIGINT) AS e_micro,
+                      CAST(round(CAST(dt AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / nt)
+                        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                        * (CAST(nt - dt AS DOUBLE) / (nt - 1))
+                        * 1000000) AS BIGINT) AS v_micro
+               FROM r WHERE dt > 0 AND nt > 1),
+         f AS (SELECT count(*) AS n_times, CAST(sum(d1) AS BIGINT) AS o1,
+                      CAST(sum(e_micro) AS BIGINT) AS e1m,
+                      CAST(sum(v_micro) AS BIGINT) AS vm
+               FROM t)
+         SELECT n_times, o1, round(e1m / 1000000.0, 4) AS e1,
+                round(pow(o1 - e1m / 1000000.0, 2) / (vm / 1000000.0), 4)
+                  AS chi2
+         FROM f""",
+    // integer hash-threshold outcome draw (+10-point treated lift),
+    // explicit DIV decile cut, exact cumulative arm counts
+    "q_qini" ->
+      """WITH u AS (SELECT o_orderkey, o_custkey % 2 AS t,
+                           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                              1, 4))::BIGINT AS score,
+                           ('0x' || substring(md5('c:' || o_orderkey),
+                              1, 4))::BIGINT AS h2
+                    FROM orders),
+         c AS (SELECT o_orderkey, t, score,
+                      CASE WHEN h2 < 13107 + 6554 * t THEN 1 ELSE 0 END
+                        AS conv
+               FROM u),
+         rk AS (SELECT t, conv,
+                       row_number() OVER (ORDER BY score DESC, o_orderkey)
+                         AS rk,
+                       count(*) OVER () AS n
+                FROM c),
+         g AS (SELECT ((rk - 1) * 10) // n + 1 AS decile,
+                      CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS nt,
+                      CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS nc,
+                      CAST(sum(CASE WHEN t = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) AS convt,
+                      CAST(sum(CASE WHEN t = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) AS convc
+               FROM rk GROUP BY 1),
+         cc AS (SELECT g.*,
+                       CAST(sum(nt) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cnt,
+                       CAST(sum(nc) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cnc,
+                       CAST(sum(convt) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cct,
+                       CAST(sum(convc) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS ccc
+                FROM g)
+         SELECT CAST(decile AS BIGINT) AS decile, nt AS n_treat,
+                nc AS n_ctrl,
+                round(CAST(convt AS DOUBLE) / nt, 6) AS rate_t,
+                round(CAST(convc AS DOUBLE) / nc, 6) AS rate_c,
+                round(CAST(convt AS DOUBLE) / nt
+                  - CAST(convc AS DOUBLE) / nc, 6) AS uplift,
+                round(cct - CAST(ccc AS DOUBLE) * cnt / cnc, 4) AS qini
+         FROM cc ORDER BY decile""",
+    // within-bin ATT terms rounded to integer milli-cents before the
+    // exact grid sum; off-support bins (missing an arm) drop out
+    "q_psm_att" ->
+      """WITH spend AS (SELECT o_custkey,
+                               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                 AS y
+                        FROM orders GROUP BY 1),
+         u AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                        AS t,
+                      y,
+                      ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+                         1, 4))::BIGINT AS h
+               FROM customer JOIN spend ON c_custkey = o_custkey),
+         b AS (SELECT (h * 10) // 65536 AS bin,
+                      CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS nt,
+                      CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS nc,
+                      CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                        AS st,
+                      CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                        AS sc
+               FROM u GROUP BY 1),
+         m AS (SELECT nt, nc,
+                      CAST(round((CAST(st AS DOUBLE)
+                        - CAST(nt AS DOUBLE) * sc / nc) * 1000) AS BIGINT)
+                        AS m
+               FROM b WHERE nt > 0 AND nc > 0),
+         f AS (SELECT count(*) AS n_bins, CAST(sum(nt) AS BIGINT) AS n_treat,
+                      CAST(sum(nc) AS BIGINT) AS n_ctrl,
+                      CAST(sum(m) AS BIGINT) AS sm
+               FROM m)
+         SELECT n_bins, n_treat, n_ctrl,
+                round(sm / (n_treat * 100000.0), 4) AS att_usd
+         FROM f""",
+    // z-constants and delta squared in Scala double arithmetic,
+    // interpolated so both engines evaluate the identical literals
+    "q_power_analysis" ->
+      s"""WITH a AS (SELECT count(*) AS n_events,
+                            CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+                     FROM events),
+         p AS (SELECT n_events,
+                      CAST(n_conv AS DOUBLE) / n_events AS p1,
+                      CAST(n_conv AS DOUBLE) / n_events
+                        + CAST(0.01 AS DOUBLE) AS p2
+               FROM a)
+         SELECT n_events, round(p1, 6) AS p_base,
+                CAST(0.01 AS DOUBLE) AS mde,
+                CAST(ceil(${powerZsumSq}
+                  * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                  / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
+         FROM p""",
+    // JS over the sparse (source, word) support: absent-word mass
+    // collapses to (1 - sum(q)) * ln 2
+    "q_js_divergence" ->
+      """WITH sw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+         c AS (SELECT source, word, count(*) AS n_sw FROM sw GROUP BY 1, 2),
+         ps AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s
+                FROM c GROUP BY 1),
+         mg AS (SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_w
+                FROM c GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_sw) AS BIGINT) AS n_total FROM c),
+         j AS (SELECT c.source,
+                      CAST(c.n_sw AS DOUBLE) / ps.n_s AS p,
+                      CAST(mg.n_w AS DOUBLE) / tt.n_total AS q
+               FROM c JOIN ps USING (source) JOIN mg USING (word)
+               CROSS JOIN tt)
+         SELECT source, CAST(count(*) AS INTEGER) AS vocab_size,
+                round((sum(p * ln(2.0 * p / (p + q))
+                  + q * ln(2.0 * q / (p + q)))
+                  + (1.0 - sum(q)) * ln(2.0)) / 2, 4) AS js_nats
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // average ranks carried doubled (2r = 2*cum_before + c + 1 is an
+    // integer), five exact hugeint moment sums, one double div + sqrt
+    "q_spearman" ->
+      """WITH t AS (SELECT l_quantity AS x, l_extendedprice AS y
+                    FROM lineitem),
+         gx AS (SELECT x, count(*) AS c FROM t GROUP BY 1),
+         rx AS (SELECT x, 2 * sum(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1 AS dx
+                FROM gx),
+         gy AS (SELECT y, count(*) AS c FROM t GROUP BY 1),
+         ry AS (SELECT y, 2 * sum(c) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1 AS dy
+                FROM gy),
+         j AS (SELECT dx, dy FROM t JOIN rx USING (x) JOIN ry USING (y)),
+         m AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                      sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+                      sum(dx * dy) AS sxy
+               FROM j)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         FROM m""",
+    // S, tie polynomial, and n0 exact integers; continuity-corrected z
+    // and tau_b take one double sqrt each
+    "q_mann_kendall" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         p AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                    WHEN b.v < a.v THEN -1
+                                    ELSE 0 END) AS BIGINT) AS s,
+                      count(*) AS m
+               FROM dly a JOIN dly b ON a.day < b.day),
+         nr AS (SELECT count(*) AS n FROM dly),
+         ties AS (SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS t3,
+                         CAST(COALESCE(sum(t * (t - 1) // 2), 0)
+                    AS BIGINT) AS t2
+                  FROM (SELECT count(*) AS t FROM dly GROUP BY v
+                        HAVING count(*) > 1))
+         SELECT CAST(nr.n AS BIGINT) AS n_days, p.m AS n_pairs, p.s AS s,
+                round((CASE WHEN p.s > 0 THEN p.s - 1
+                            WHEN p.s < 0 THEN p.s + 1
+                            ELSE 0 END)
+                  / sqrt((nr.n * (nr.n - 1) * (2 * nr.n + 5) - ties.t3)
+                    / 18.0), 4) AS z,
+                round(p.s / sqrt(
+                  CAST(nr.n * (nr.n - 1) // 2 - ties.t2 AS DOUBLE)
+                  * CAST(nr.n * (nr.n - 1) // 2 AS DOUBLE)), 6) AS tau_b
+         FROM p, nr, ties""",
+    // median pairwise slope by exact order statistic; each slope is one
+    // double division of exact integers
+    "q_theil_sen" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         p AS (SELECT a.day AS d1, b.day AS d2,
+                      CAST(b.v - a.v AS DOUBLE)
+                        / ((b.day - a.day) * 100.0) AS slope
+               FROM dly a JOIN dly b ON a.day < b.day),
+         r AS (SELECT slope,
+                      row_number() OVER (ORDER BY slope, d1, d2) AS rk,
+                      count(*) OVER () AS m
+               FROM p)
+         SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+                round((min(slope) + max(slope)) / 2, 6) AS slope_usd_day
+         FROM r WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1""",
+    // LOO encoding cleared of the global-mean denominator: both sides
+    // of the one division are exact integers
+    "q_target_encode" ->
+      """WITH oc AS (SELECT c_mktsegment AS segment, o_orderkey % 2 AS conv
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT segment, count(*) AS n_cat,
+                      CAST(sum(conv) AS BIGINT) AS s_cat
+               FROM oc GROUP BY 1),
+         tot AS (SELECT count(*) AS tot_n,
+                        CAST(sum(conv) AS BIGINT) AS tot_conv
+                 FROM oc)
+         SELECT segment, CAST(y AS BIGINT) AS y,
+                CAST(CASE WHEN y = 1 THEN s_cat
+                          ELSE n_cat - s_cat END AS BIGINT) AS n,
+                round(CAST(tot_n * (s_cat - y) + 20 * tot_conv AS DOUBLE)
+                  / CAST(tot_n * (n_cat - 1 + 20) AS DOUBLE), 6) AS enc
+         FROM g CROSS JOIN tot
+         CROSS JOIN (SELECT unnest([0, 1]) AS y)
+         ORDER BY segment, y""",
+    // integer bin cut (h*10 // 2^16); gap numerator np*65535 - sum(h)
+    // exact; wgap is the per-bin ECE term over the 10-row grid
+    "q_calibration" ->
+      """WITH o AS (SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                             1, 4))::BIGINT AS h,
+                           o_custkey % 2 AS lab
+                    FROM orders),
+         b AS (SELECT (h * 10) // 65536 AS bin, count(*) AS n,
+                      CAST(sum(h) AS BIGINT) AS sh,
+                      CAST(sum(lab) AS BIGINT) AS np
+               FROM o GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM b)
+         SELECT CAST(bin AS BIGINT) AS bin, n,
+                round(CAST(sh AS DOUBLE) / (n * 65535.0), 6) AS conf,
+                round(CAST(np AS DOUBLE) / n, 6) AS acc,
+                round(CAST(np * 65535 - sh AS DOUBLE) / (n * 65535.0), 6)
+                  AS gap,
+                round(abs(CAST(np * 65535 - sh AS DOUBLE))
+                  / (ntot * 65535.0), 6) AS wgap
+         FROM b, t ORDER BY bin""",
+    // full r x c grid from crossing the marginals; each cell rounded to
+    // integer micro-units BEFORE the sum (exact long addition)
+    "q_cramers_v" ->
+      """WITH oc AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT seg, pri, count(*) AS o FROM oc GROUP BY 1, 2),
+         rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         ct AS (SELECT pri, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                        count(DISTINCT seg) AS r, count(DISTINCT pri) AS c
+                 FROM cells),
+         grid AS (SELECT rt.seg, ct.pri, rt.rt, ct.ct,
+                         COALESCE(cells.o, 0) AS obs
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON cells.seg = rt.seg
+                                 AND cells.pri = ct.pri),
+         cm AS (SELECT CAST(round(
+                  CAST(obs * nn - rt * ct AS DOUBLE)
+                  * CAST(obs * nn - rt * ct AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE)
+                    * CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS c_micro,
+                       nn, r, c
+                FROM grid, tot),
+         f AS (SELECT nn, r, c, CAST(sum(c_micro) AS BIGINT) AS sm
+               FROM cm GROUP BY 1, 2, 3)
+         SELECT nn AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+                round(sm / 1000000.0, 4) AS chi2,
+                round(sqrt((sm / 1000000.0)
+                  / CAST((least(r, c) - 1) * nn AS DOUBLE)), 6) AS v
+         FROM f""",
+    "q_fd_check" ->
+      """WITH u AS (
+           SELECT 'nation.nationkey->regionkey' AS fd, count(*) AS n_lhs,
+                  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+           FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS k
+                 FROM nation GROUP BY 1)
+           UNION ALL
+           SELECT 'part.brand->type', count(*),
+                  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT p_brand, count(DISTINCT p_type) AS k
+                 FROM part GROUP BY 1)
+           UNION ALL
+           SELECT 'customer.nationkey->mktsegment', count(*),
+                  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS k
+                 FROM customer GROUP BY 1)
+           UNION ALL
+           SELECT 'orders.custkey->orderpriority', count(*),
+                  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+                 FROM orders GROUP BY 1))
+         SELECT fd, n_lhs, n_violating,
+                round(CAST(n_violating AS DOUBLE) / n_lhs, 6)
+                  AS violation_rate,
+                n_violating = 0 AS holds
+         FROM u ORDER BY fd""",
+  )
+}

@@ -47,7 +47,21 @@ class PlanHygieneSpec extends SparkSpec {
     // order-statistics frame; the pin queries cross the exact 1-row
     // aggregate with their 1-row invariant frames
     "q_bootstrap_poisson", "q_cluster_cap_pin", "q_compression_ratio_pin",
-    "q_bpe_encode_pin")
+    "q_bpe_encode_pin",
+    // round 11 late: the trend estimators pair the CALENDAR-DAY grid
+    // (2 399 days at every SF — bounded by the time range, not data
+    // volume) via an inequality broadcast join; target_encode /
+    // cramers_v broadcast their 1-row totals (and cramers_v crosses
+    // the two dimension-sized marginal vectors to build the r x c
+    // contingency grid)
+    "q_mann_kendall", "q_theil_sen", "q_target_encode", "q_cramers_v",
+    // round 11 late: the series diagnostics broadcast their 1-row
+    // day-grid aggregates (ACF's grand mean; CUSUM's count + total)
+    "q_acf", "q_cusum",
+    // round 11 late: hybrid search inherits the 1-row corpus-stats and
+    // query-vector broadcasts of its two retrievers (q_bm25/q_knn_exact);
+    // JS divergence broadcasts the same 1-row token total as its KL twin
+    "q_hybrid_search", "q_js_divergence")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -63,6 +77,15 @@ class PlanHygieneSpec extends SparkSpec {
   // rewritten round 11).
   private val globalWindowAllowed = Set(
     "q_acf", "q_cusum",
+    // round 11 late: calibration's N rides a window over the 10-row
+    // bin grid (the q_psi_drift class); hybrid search ranks its two
+    // top-50 frames (bounded by the preceding TakeOrdered limit);
+    // logrank's at-risk reverse cumsums run on the grouped duration
+    // axis (the q_kaplan_meier class); qini's cumulative arms run on
+    // the 10-row decile grid (the q_lift_deciles class); the HDR
+    // sketch's cumulative scan runs on the ~35-row bucket grid
+    "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
+    "q_hdr_quantiles",
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",

@@ -35,7 +35,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.CorpusStatsQueries.queries,
       graft.queries.CurationQueries.queries,
       graft.queries.SketchQueries.queries,
-      graft.queries.InsightQueries.queries)
+      graft.queries.InsightQueries.queries,
+      graft.queries.StatQueries.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"query name collides across modules: $dupes")

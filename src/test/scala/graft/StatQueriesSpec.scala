@@ -1,0 +1,339 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.StatQueries
+
+/** Rank-statistics / trend / ML-prep operators: every query is
+  * cross-checked against an independent sequential brute-force
+  * reimplementation on sf0.001 (the driver's DuckDB gate pins exact
+  * values at sf0.01; these specs pin the MATH). */
+class StatQueriesSpec extends SparkSpec {
+
+  private def q(name: String) = StatQueries.queries(name)(spark, sf)
+
+  /** Sequential average-rank vector (doubled, so it stays integral). */
+  private def doubledRanks(xs: Array[Double]): Map[Double, Long] = {
+    val sorted = xs.sorted
+    sorted.zipWithIndex.groupBy(_._1).map { case (v, hits) =>
+      // 2*avgrank over a run of consecutive 1-based positions = lo + hi
+      v -> (hits.map(_._2 + 1L).min + hits.map(_._2 + 1L).max)
+    }
+  }
+
+  test("spearman matches a sequential average-rank brute force") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val (dxm, dym) = (doubledRanks(rows.map(_._1)), doubledRanks(rows.map(_._2)))
+    val n = rows.length.toDouble
+    val (dx, dy) = (rows.map(r => dxm(r._1).toDouble), rows.map(r => dym(r._2).toDouble))
+    val (sx, sy) = (dx.sum, dy.sum)
+    val sxx = dx.map(v => v * v).sum
+    val syy = dy.map(v => v * v).sum
+    val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = q("q_spearman").collect()(0)
+    assert(got.getLong(0) == rows.length)
+    assert(math.abs(got.getDouble(1) - rho) < 1e-6 + 1e-9,
+      s"spearman ${got.getDouble(1)} vs brute $rho")
+  }
+
+  private def dailyCents(): Array[Long] =
+    Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1))
+
+  test("mann-kendall S, z, tau_b match the O(n^2) brute force") {
+    val v = dailyCents()
+    val n = v.length
+    var s = 0L; var m = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      m += 1
+      s += java.lang.Long.signum(v(j) - v(i))
+    }
+    val t3 = v.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val t2 = v.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) / 2).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - t3) / 18.0
+    val z = (if (s > 0) s - 1 else if (s < 0) s + 1 else 0L) / math.sqrt(varS)
+    val n0 = n.toLong * (n - 1) / 2
+    val tau = s / math.sqrt((n0 - t2).toDouble * n0.toDouble)
+    val got = q("q_mann_kendall").collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == m && got.getLong(2) == s)
+    assert(math.abs(got.getDouble(3) - z) < 1e-4 + 1e-9)
+    assert(math.abs(got.getDouble(4) - tau) < 1e-6 + 1e-9)
+  }
+
+  test("theil-sen median slope matches the brute-force order statistic") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val slopes = (for {
+      i <- daily.indices; j <- i + 1 until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        ((daily(j)._1 - daily(i)._1) * 100.0)).sorted
+    val m = slopes.length
+    val med =
+      if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2
+    val got = q("q_theil_sen").collect()(0)
+    assert(got.getLong(0) == m)
+    assert(math.abs(got.getDouble(1) - med) < 1e-6 + 1e-9)
+  }
+
+  test("target encoding is the leakage-free LOO formula, 2 rows per segment") {
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), pmod(col("o_orderkey"), lit(2)).as("conv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totN = oc.length.toLong
+    val totC = oc.map(_._2).sum
+    val bySeg = oc.groupBy(_._1)
+    val got = q("q_target_encode").collect()
+    assert(got.length == bySeg.size * 2)
+    got.foreach { r =>
+      val (seg, y) = (r.getString(0), r.getLong(1))
+      val rows = bySeg(seg)
+      val (nCat, sCat) = (rows.length.toLong, rows.map(_._2).sum)
+      assert(r.getLong(2) == (if (y == 1) sCat else nCat - sCat))
+      val enc = (totN.toDouble * (sCat - y) + 20.0 * totC) /
+        (totN.toDouble * (nCat - 1 + 20))
+      assert(math.abs(r.getDouble(3) - enc) < 1e-6 + 1e-9, s"$seg y=$y")
+      // leakage-free: removing a positive row lowers the mean vs
+      // removing a negative one
+      if (y == 1) {
+        val enc0 = got.find(o => o.getString(0) == seg && o.getLong(1) == 0L)
+          .get.getDouble(3)
+        assert(r.getDouble(3) < enc0)
+      }
+    }
+  }
+
+  test("calibration bins partition the orders; conf stays inside its bin") {
+    val got = q("q_calibration").collect()
+    assert(got.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(got.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    got.foreach { r =>
+      val (bin, conf, acc, gap) =
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // bin cut is h*10 DIV 65536 on h/65535 scores: the mean score of a
+      // bin sits inside [bin*65536/10, (bin+1)*65536/10) / 65535
+      assert(conf >= bin * 65536.0 / 10 / 65535 - 1e-6)
+      assert(conf < (bin + 1) * 65536.0 / 10 / 65535 + 1e-6)
+      assert(math.abs((acc - conf) - gap) < 2e-6, "gap = acc - conf")
+      assert(r.getDouble(5) >= 0, "wgap is an absolute ECE term")
+    }
+  }
+
+  test("cramers v matches the brute-force contingency chi2; v in [0,1]") {
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = oc.length.toDouble
+    val rt = oc.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val ct = oc.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    val cells = oc.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val chi2 = (for (s <- rt.keys; p <- ct.keys) yield {
+      val e = rt(s) * ct(p) / n
+      val o = cells.getOrElse((s, p), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    val got = q("q_cramers_v").collect()(0)
+    assert(got.getLong(0) == oc.length)
+    assert(got.getLong(1) == rt.size && got.getLong(2) == ct.size)
+    // per-cell micro-rounding moves the total by at most cells * 5e-7
+    assert(math.abs(got.getDouble(3) - chi2) < rt.size * ct.size * 5e-7 + 1e-4)
+    val v = math.sqrt(chi2 / (n * (math.min(rt.size, ct.size) - 1)))
+    assert(math.abs(got.getDouble(4) - v) < 1e-4)
+    assert(got.getDouble(4) >= 0 && got.getDouble(4) <= 1)
+  }
+
+  test("logrank O/E/V/chi2 match a sequential survival recompute") {
+    val life = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        max("o_orderdate").as("last"))
+      .select(col("o_custkey"), col("dur"),
+        when(col("last") < lit("2001-01-01").cast("date"), 1L)
+          .otherwise(0L).as("event"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0) % 2))
+    val durs = life.map(_._1).distinct.sorted
+    var o1 = 0L; var e1m = 0L; var vm = 0L; var nTimes = 0L
+    durs.foreach { t =>
+      val d1 = life.count(x => x._1 == t && x._2 == 1 && x._3 == 1).toLong
+      val dt = life.count(x => x._1 == t && x._2 == 1).toLong
+      val n1 = life.count(x => x._1 >= t && x._3 == 1).toLong
+      val nt = life.count(_._1 >= t).toLong
+      if (dt > 0 && nt > 1) {
+        nTimes += 1; o1 += d1
+        e1m += math.round(dt.toDouble * n1 / nt * 1000000)
+        vm += math.round(dt.toDouble * (n1.toDouble / nt)
+          * (1.0 - n1.toDouble / nt)
+          * ((nt - dt).toDouble / (nt - 1)) * 1000000)
+      }
+    }
+    val got = q("q_logrank").collect()(0)
+    assert(got.getLong(0) == nTimes && got.getLong(1) == o1)
+    assert(math.abs(got.getDouble(2) - e1m / 1e6) < 1e-4 + 1e-9)
+    val chi2 = math.pow(o1 - e1m / 1e6, 2) / (vm / 1e6)
+    assert(math.abs(got.getDouble(3) - chi2) < 1e-4 + 1e-9)
+  }
+
+  test("psm att matches the brute-force stratified estimator; support rule holds") {
+    val spend = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val units = Tables.customer(spark, sf)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("y"))
+      .collect()
+      .map { r =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(r.getLong(0).toString).substring(0, 4), 16)
+        (h * 10 / 65536, if (r.getString(1) == "BUILDING") 1 else 0,
+          r.getLong(2))
+      }
+    val byBin = units.groupBy(_._1).filter { case (_, rows) =>
+      rows.exists(_._2 == 1) && rows.exists(_._2 == 0)
+    }
+    var sm = 0L; var nTreat = 0L; var nCtrl = 0L
+    byBin.values.foreach { rows =>
+      val t = rows.filter(_._2 == 1); val c = rows.filter(_._2 == 0)
+      nTreat += t.length; nCtrl += c.length
+      sm += math.round((t.map(_._3).sum.toDouble
+        - t.length.toDouble * c.map(_._3).sum / c.length) * 1000)
+    }
+    val got = q("q_psm_att").collect()(0)
+    assert(got.getLong(0) == byBin.size)
+    assert(got.getLong(1) == nTreat && got.getLong(2) == nCtrl)
+    assert(math.abs(got.getDouble(3) - sm / (nTreat * 100000.0))
+      < 1e-4 + 1e-9)
+  }
+
+  test("power analysis reproduces the closed form from the observed rate") {
+    val ev = Tables.events(spark, sf).select("event_type").collect()
+      .map(_.getString(0))
+    val n = ev.length.toDouble
+    val p1 = ev.count(_ == "purchase") / n
+    val p2 = p1 + 0.01
+    val zsum = 1.959963985 + 0.8416212336
+    val want = math.ceil(zsum * zsum * (p1 * (1 - p1) + p2 * (1 - p2))
+      / (0.01 * 0.01)).toLong
+    val got = q("q_power_analysis").collect()(0)
+    assert(got.getLong(0) == ev.length)
+    assert(math.abs(got.getDouble(1) - p1) < 1e-6 + 1e-9)
+    assert(got.getLong(3) == want)
+    // sanity: a 1-point lift on a ~20% base rate needs thousands per arm
+    assert(got.getLong(3) > 1000)
+  }
+
+  test("js divergence is symmetric-bounded and matches brute force per source") {
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ")))
+    val counts = docs.flatMap { case (s, ws) => ws.map(w => (s, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nS = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nW = counts.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nTot = counts.values.sum.toDouble
+    val got = q("q_js_divergence").collect()
+    got.foreach { r =>
+      val src = r.getString(0)
+      val present = counts.keys.filter(_._1 == src).map(_._2).toSeq
+      assert(r.getInt(1) == present.length)
+      var acc = 0.0; var qSum = 0.0
+      present.foreach { w =>
+        val p = counts((src, w)).toDouble / nS(src)
+        val qq = nW(w).toDouble / nTot
+        acc += p * math.log(2.0 * p / (p + qq)) +
+          qq * math.log(2.0 * qq / (p + qq))
+        qSum += qq
+      }
+      val js = (acc + (1.0 - qSum) * math.log(2.0)) / 2
+      assert(math.abs(r.getDouble(2) - js) < 1e-4 + 1e-9, src)
+      assert(r.getDouble(2) >= -1e-9 && r.getDouble(2) <= math.log(2.0) + 1e-9)
+    }
+  }
+
+  private def md5hex16(s: String, off: Int = 0): Long =
+    java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s).substring(off, off + 4), 16)
+
+  test("qini deciles match a sequential uplift recompute; lift is built in") {
+    val units = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map { r =>
+        val k = r.getLong(0)
+        val t = r.getLong(1) % 2
+        val conv =
+          if (md5hex16(s"c:$k") < 13107 + 6554 * t) 1L else 0L
+        (k, t, md5hex16(k.toString), conv)
+      }
+    val n = units.length
+    val ranked = units.sortBy { case (k, _, h, _) => (-h, k) }
+    val got = StatQueries.queries("q_qini")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 10L))
+    var cct = 0L; var ccc = 0L; var cnt = 0L; var cnc = 0L
+    (1 to 10).foreach { dec =>
+      val rows = ranked.zipWithIndex
+        .filter { case (_, i) => i.toLong * 10 / n + 1 == dec }
+        .map(_._1)
+      val t1 = rows.filter(_._2 == 1); val t0 = rows.filter(_._2 == 0)
+      cnt += t1.length; cnc += t0.length
+      cct += t1.map(_._4).sum; ccc += t0.map(_._4).sum
+      val r = got(dec - 1)
+      assert(r.getLong(1) == t1.length && r.getLong(2) == t0.length, s"d$dec")
+      assert(math.abs(r.getDouble(3) - t1.map(_._4).sum.toDouble / t1.length)
+        < 1e-6 + 1e-9)
+      val qini = cct - ccc.toDouble * cnt / cnc
+      assert(math.abs(r.getDouble(6) - qini) < 1e-4 + 1e-9, s"d$dec qini")
+    }
+    // the outcome draw builds in a +10-point treated lift; the overall
+    // uplift (last cumulative point scaled) must be decisively positive
+    assert(cct.toDouble / cnt - ccc.toDouble / cnc > 0.05)
+  }
+
+  test("hdr sketch picks the exact-rank bucket; estimates within 2x of exact") {
+    val cents = Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val got = graft.queries.SketchQueries.queries("q_hdr_quantiles")(spark, sf)
+      .collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    got.foreach { r =>
+      val q100 = r.getInt(0)
+      // brute pick: smallest bucket whose cumulative count covers q*n
+      val byBucket = cents.groupBy(c => java.lang.Long.toBinaryString(c).length)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val bucket = byBucket.collectFirst {
+        case (b, vs) if { cum += vs.length; cum * 100 >= q100 * n } => b
+      }.get
+      assert(r.getLong(1) == bucket.toLong, s"q$q100 bucket")
+      val est = ((1L << (bucket - 1)) + (1L << bucket) - 1).toDouble / 200.0
+      assert(math.abs(r.getDouble(2) - est) < 1e-4 + 1e-9)
+      assert(r.getBoolean(4), s"q$q100 within 2x")
+      assert(r.getDouble(2) <= 2 * r.getDouble(3) + 1e-9 &&
+        r.getDouble(3) <= 2 * r.getDouble(2) + 1e-9)
+    }
+  }
+
+  test("fd check: key FD holds, non-keys report exact violation counts") {
+    val got = q("q_fd_check").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got("nation.nationkey->regionkey")._3, "a key FD must hold")
+    assert(got("nation.nationkey->regionkey")._2 == 0)
+    val brandTypes = Tables.part(spark, sf).select("p_brand", "p_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).distinct.length }
+    assert(got("part.brand->type")._1 == brandTypes.size)
+    assert(got("part.brand->type")._2 == brandTypes.values.count(_ > 1))
+  }
+}

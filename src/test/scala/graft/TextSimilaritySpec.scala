@@ -738,4 +738,53 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got(3L) == ("lone doc", 1L), s"doc 3: ${got(3L)}")
     assert(got(4L) == ("", 0L), s"doc 4: ${got(4L)}")
   }
+
+  test("hybrid search fuses the two rankings by exact RRF; keyword side matches brute force") {
+    val got = SimilarityQueries.queries("q_hybrid_search")(spark, sf)
+      .collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    // fused order: rrf desc with doc_id tie-break, rrf recomputable
+    // from the row's own ranks
+    got.foreach { r =>
+      val k = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(k.nonEmpty || v.nonEmpty)
+      (k ++ v).foreach(rk => assert(rk >= 1 && rk <= 50))
+      val rrf = k.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        v.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - rrf) < 1e-6 + 1e-9)
+    }
+    val order = got.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(order.sameElements(order.sorted), "rrf desc, doc_id asc")
+    // the probe vector matches itself: doc 0 carries v_rank = 1
+    val d0 = got.find(_.getLong(0) == 0L)
+    assert(d0.exists(r => !r.isNullAt(2) && r.getLong(2) == 1L))
+    // keyword side vs a sequential BM25 reimplementation
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val terms = Seq("join", "hash", "scan")
+    val nDocs = texts.length.toDouble
+    val avgdl = texts.map(_._2.length).sum / nDocs
+    val dfm = terms.map(t =>
+      t -> texts.count(_._2.contains(t)).toDouble).toMap
+    val iscore = texts
+      .filter { case (_, ws) => terms.exists(ws.contains) }
+      .map { case (id, ws) =>
+        id -> terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) 0L
+          else {
+            val raw = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+              (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ws.length / avgdl))
+            math.round(raw * 10000)
+          }
+        }.sum
+      }
+    val bruteRanks = iscore.sortBy { case (id, sc) => (-sc, id) }
+      .take(50).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    got.filter(!_.isNullAt(1)).foreach { r =>
+      assert(bruteRanks.get(r.getLong(0)).contains(r.getLong(1)),
+        s"doc ${r.getLong(0)} k_rank ${r.getLong(1)} vs ${bruteRanks.get(r.getLong(0))}")
+    }
+  }
 }
