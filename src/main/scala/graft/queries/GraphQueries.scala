@@ -304,7 +304,47 @@ object GraphQueries {
     labels.orderBy("node")
   }
 
+  /** k-core decomposition (k=20) of the purchase graph — the density
+    * filter behind community mining and fraud-ring detection: peel
+    * every node of degree < k, recompute degrees, repeat. The peel
+    * runs a FIXED 4 rounds (matching the unrolled-CTE oracle, the
+    * q_label_prop contract) with a `converged` pin asserting rounds 3
+    * and 4 retain the same node set — on this graph the fixpoint
+    * arrives in 2, so the pin is structural headroom; production use
+    * loops the identical round body to convergence. Each round is one
+    * map-side-combined degree count + two semi-join-shaped equi-joins
+    * against the surviving-node set (node-sized, broadcast-able);
+    * lineage cut per round through [[Checkpoints.cut]], the q_sssp
+    * discipline. The k-core is a unique fixpoint — peel order cannot
+    * change it — so the result is deterministic by construction. */
+  private val kcore: Q = (s, d) => {
+    val kMin = 20
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    var edges = Checkpoints.cut(
+      pairs.select(col("c").as("src"), (-col("sk")).as("dst"))
+        .unionAll(pairs.select((-col("sk")).as("src"), col("c").as("dst"))))
+    var nodesAfter = Array.empty[Long]
+    (1 to 4).foreach { _ =>
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kMin).select("src")
+      edges = Checkpoints.cut(
+        edges.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select("src", "dst"))
+      nodesAfter :+= edges.select("src").distinct().count()
+    }
+    edges.agg(count(lit(1)).as("ne"))
+      .select(lit(kMin).as("k"),
+        lit(nodesAfter(3)).as("n_core"),
+        expr("ne DIV 2").as("n_core_edges"),
+        lit(nodesAfter(2) == nodesAfter(3)).as("converged"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kcore" -> kcore,
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
@@ -314,6 +354,32 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // 4 peel rounds unrolled into chained CTEs; converged compares the
+    // round-3 and round-4 node sets (the fixpoint is unique, so the
+    // oracle's round count only needs to be >= the data's depth)
+    "q_kcore" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+                        FROM orders JOIN lineitem
+                          ON o_orderkey = l_orderkey),
+         e0 AS (SELECT c AS src, -sk AS dst FROM pairs
+                UNION ALL SELECT -sk, c FROM pairs),
+         k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 20),
+         e1 AS (SELECT e.src, e.dst FROM e0 e
+                JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+         k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 20),
+         e2 AS (SELECT e.src, e.dst FROM e1 e
+                JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+         k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 20),
+         e3 AS (SELECT e.src, e.dst FROM e2 e
+                JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
+         k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 20),
+         e4 AS (SELECT e.src, e.dst FROM e3 e
+                JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src)
+         SELECT 20 AS k,
+                (SELECT count(DISTINCT src) FROM e4) AS n_core,
+                (SELECT count(*) FROM e4) // 2 AS n_core_edges,
+                (SELECT count(DISTINCT src) FROM e3)
+                  = (SELECT count(DISTINCT src) FROM e4) AS converged""",
     // The 3 iterations unroll into chained CTEs — plain SQL, exact.
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst

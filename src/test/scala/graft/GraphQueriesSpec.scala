@@ -37,4 +37,31 @@ class GraphQueriesSpec extends SparkSpec {
     val b = run().collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("k-core matches a sequential peel to fixpoint; core degrees >= k") {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var done = false
+    while (!done) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 20).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      done = next == edges
+      edges = next
+    }
+    val core = edges.map(_._1)
+    val got = GraphQueries.queries("q_kcore")(spark, sf).collect()(0)
+    assert(got.getInt(0) == 20)
+    assert(got.getLong(1) == core.size, "core node count")
+    assert(got.getLong(2) == edges.size / 2, "core edge count")
+    assert(got.getBoolean(3), "fixpoint within the 4 unrolled rounds")
+    // the defining invariant: every surviving node keeps degree >= k
+    // inside the core (vacuously true if the core is empty)
+    val degIn = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+    assert(degIn.values.forall(_ >= 20))
+  }
 }
