@@ -361,7 +361,44 @@ object CurationQueries {
         (col("e_tokens") >= col("n_words")).as("tokens_ge_ok"))
   }
 
+  /** Bigram language-model scoring with add-k smoothing — the
+    * context-aware twin of q_lm_score's unigram scorer (a unigram LM
+    * cannot see scrambled word ORDER; a bigram perplexity spike can):
+    * train p(w₂|w₁) = (n₁₂ + 0.5)/(n₁· + 0.5·V) on the corpus itself,
+    * score every document by mean bigram log-probability and
+    * perplexity. Bigrams are space-joined token pairs (the shingle
+    * convention, so the oracle rebuilds identical keys); the model
+    * join shuffles on the bigram key (sparse observed-bigram state,
+    * never V²), context counts and V are vocabulary-sized/1-row
+    * broadcasts. */
+  private val bigramLm: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+      .as("big"))
+    val model = bi.groupBy("big").agg(count(lit(1)).as("n12"))
+    val ctx = model
+      .groupBy(substring_index(col("big"), " ", 1).as("w1"))
+      .agg(sum("n12").as("nc"))
+    val vocab = toks.select(explode(col("w")).as("word"))
+      .agg(countDistinct("word").as("v"))
+    val logp = log((col("n12") + lit(0.5))
+      / (col("nc") + lit(0.5) * col("v")))
+    bi.join(model, "big")
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+      .join(broadcast(ctx), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(logp), 4).as("bigram_lm"),
+        round(exp(-avg(logp)), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bigram_lm" -> bigramLm,
     "q_bpe_merges" -> bpe,
     "q_bpe_encode" -> bpeEnc,
     "q_bpe_first_merge" -> bpeFirstMerge,
@@ -384,6 +421,31 @@ object CurationQueries {
        GROUP BY source ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
+    // identical space-joined bigram keys; add-0.5 smoothing over the
+    // sparse observed-bigram state; perplexity from the same mean
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS big
+                FROM toks),
+         model AS (SELECT big, count(*) AS n12 FROM bi GROUP BY 1),
+         ctx AS (SELECT string_split(big, ' ')[1] AS w1,
+                        CAST(sum(n12) AS BIGINT) AS nc
+                 FROM model GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT word) AS v
+                   FROM (SELECT unnest(w) AS word FROM toks))
+         SELECT bi.doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+                round(avg(ln((n12 + 0.5) / (nc + 0.5 * v))), 4)
+                  AS bigram_lm,
+                round(exp(-avg(ln((n12 + 0.5) / (nc + 0.5 * v)))), 4)
+                  AS ppl
+         FROM bi
+         JOIN model USING (big)
+         JOIN ctx ON ctx.w1 = string_split(bi.big, ' ')[1]
+         CROSS JOIN vocab
+         GROUP BY bi.doc_id ORDER BY bi.doc_id""",
     // the SAME oracle for both layout halves: physical layout must not
     // change query results, and DuckDB replays on the flat parquet
     "q_corpus_scan_flat" -> corpusScanOracle,

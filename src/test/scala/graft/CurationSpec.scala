@@ -100,4 +100,29 @@ class CurationSpec extends SparkSpec {
     val pmis = r.map(_.getDouble(3)).toSeq
     assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
   }
+
+  test("bigram lm matches a sequential add-k recompute; ppl = exp(-lm)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (_, w) =>
+      w.dropRight(1).zip(w.drop(1)).map { case (a, b) => s"$a $b" } }
+    val n12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nc = n12.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w1, m) => w1 -> m.map(_._2).sum }
+    val v = docs.flatMap(_._2).distinct.length
+    val got = CurationQueries.queries("q_bigram_lm")(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.take(20).foreach { r =>
+      val w = docs.find(_._1 == r.getLong(0)).get._2
+      val lps = w.dropRight(1).zip(w.drop(1)).map { case (a, b) =>
+        math.log((n12(s"$a $b") + 0.5) / (nc(a) + 0.5 * v))
+      }
+      assert(r.getInt(1) == lps.length)
+      val mean = lps.sum / lps.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-4 + 1e-9, s"doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - math.exp(-mean)) < 1e-3)
+      assert(r.getDouble(3) > 1.0, "perplexity of a proper LM exceeds 1")
+    }
+  }
 }

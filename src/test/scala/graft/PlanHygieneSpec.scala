@@ -60,8 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_acf", "q_cusum",
     // round 11 late: hybrid search inherits the 1-row corpus-stats and
     // query-vector broadcasts of its two retrievers (q_bm25/q_knn_exact);
-    // JS divergence broadcasts the same 1-row token total as its KL twin
-    "q_hybrid_search", "q_js_divergence")
+    // JS divergence broadcasts the same 1-row token total as its KL
+    // twin; the bigram LM broadcasts its 1-row vocabulary size
+    "q_hybrid_search", "q_js_divergence", "q_bigram_lm")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
