@@ -582,9 +582,62 @@ object TemporalQueries {
           / (col("n").cast("double") * 100.0), 2).as("max_cusum_usd"))
   }
 
+  /** Binary-segmentation changepoint scan — [[cusum]] localizes ONE
+    * level shift; binary segmentation recurses: split at the global
+    * CUSUM argmax, re-run the identical exact-integer statistic inside
+    * each half (depth 1 here ⇒ up to 3 changepoints ranked by level).
+    * The level-0 argmax rides a 1-row broadcast back onto the grid (no
+    * driver value), segment-local cumsums are windows PARTITIONED BY
+    * the two segment ids over the calendar-day grid, and every compare
+    * stays in DECIMAL(38,0)/int128 — the split day and both
+    * sub-changepoints can never flip on a float bit. */
+  private val binseg: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val cumW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sc = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum("v").over(cumW))
+      .crossJoin(broadcast(daily.agg(
+        count(lit(1)).as("n"), sum("v").as("tot"))))
+      .withColumn("absns", abs(col("cum").cast(dec) * col("n")
+        - col("t").cast(dec) * col("tot")))
+    val cp1 = sc.orderBy(desc("absns"), asc("day")).limit(1)
+    val level0 = cp1.select(lit(0L).as("level"), lit(0L).as("segment"),
+      col("n").as("n_days"), col("day").as("cp_day"),
+      round(col("absns").cast("double") / (col("n").cast("double") * 100.0),
+        2).as("max_cusum_usd"))
+    val seg = sc.select(col("day"), col("v"), col("t"))
+      .crossJoin(broadcast(cp1.select(col("t").as("t1"))))
+      .withColumn("sg", when(col("t") <= col("t1"), 0L).otherwise(1L))
+    val st = seg.groupBy("sg")
+      .agg(count(lit(1)).as("n_s"), sum("v").as("tot_s"))
+    val sgW = Window.partitionBy("sg").orderBy("day")
+    val sgCumW = sgW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored2 = seg
+      .withColumn("t2", row_number().over(sgW))
+      .withColumn("cum2", sum("v").over(sgCumW))
+      .join(broadcast(st), "sg")
+      .withColumn("absns2", abs(col("cum2").cast(dec) * col("n_s")
+        - col("t2").cast(dec) * col("tot_s")))
+    val level1 = scored2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sg").orderBy(desc("absns2"), asc("day"))))
+      .filter(col("rk") === 1)
+      .select(lit(1L).as("level"), col("sg").as("segment"),
+        col("n_s").as("n_days"), col("day").as("cp_day"),
+        round(col("absns2").cast("double")
+          / (col("n_s").cast("double") * 100.0), 2).as("max_cusum_usd"))
+    level0.unionAll(level1).orderBy("level", "segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_acf" -> acf,
     "q_cusum" -> cusum,
+    "q_binseg" -> binseg,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -630,6 +683,59 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // depth-1 binary segmentation: global argmax splits the grid, the
+    // identical exact-int128 statistic re-runs inside each half
+    "q_binseg" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         tot AS (SELECT count(*) AS n, sum(v) AS tot FROM dly),
+         sc AS (SELECT day, v,
+                       row_number() OVER (ORDER BY day) AS t,
+                       sum(v) OVER (ORDER BY day ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM dly),
+         x AS (SELECT day, v, t, abs(cum * n - t * tot.tot) AS absns, n
+               FROM sc, tot),
+         cp1 AS (SELECT day, t, absns, n FROM x
+                 ORDER BY absns DESC, day LIMIT 1),
+         lvl0 AS (SELECT CAST(0 AS BIGINT) AS level,
+                         CAST(0 AS BIGINT) AS segment,
+                         CAST(n AS BIGINT) AS n_days, day AS cp_day,
+                         round(CAST(absns AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 100.0), 2)
+                           AS max_cusum_usd
+                  FROM cp1),
+         seg AS (SELECT x.day, x.v,
+                        CASE WHEN x.t <= cp1.t THEN 0 ELSE 1 END AS sg
+                 FROM x, cp1),
+         st AS (SELECT sg, count(*) AS n_s, sum(v) AS tot_s
+                FROM seg GROUP BY 1),
+         sc2 AS (SELECT sg, day,
+                        row_number() OVER (PARTITION BY sg ORDER BY day)
+                          AS t2,
+                        sum(v) OVER (PARTITION BY sg ORDER BY day ROWS
+                          BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum2
+                 FROM seg),
+         x2 AS (SELECT sc2.sg, sc2.day,
+                       abs(cum2 * st.n_s - t2 * st.tot_s) AS absns2,
+                       st.n_s
+                FROM sc2 JOIN st USING (sg)),
+         lvl1 AS (SELECT CAST(1 AS BIGINT) AS level,
+                         CAST(sg AS BIGINT) AS segment,
+                         CAST(n_s AS BIGINT) AS n_days, day AS cp_day,
+                         round(CAST(absns2 AS DOUBLE)
+                           / (CAST(n_s AS DOUBLE) * 100.0), 2)
+                           AS max_cusum_usd
+                  FROM (SELECT sg, day, absns2, n_s,
+                               row_number() OVER (PARTITION BY sg
+                                 ORDER BY absns2 DESC, day) AS rk
+                        FROM x2)
+                  WHERE rk = 1)
+         SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+         ORDER BY level, segment""",
     // n*S_t = n*cum_t - t*total in exact int128/decimal: the argmax
     // compare can never flip on a float bit
     "q_cusum" ->

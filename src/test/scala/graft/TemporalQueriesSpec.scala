@@ -56,4 +56,46 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(bad.count() == 0, "old version must close at the new valid_from")
     out.unpersist()
   }
+
+  test("binseg reproduces a sequential depth-1 segmentation") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    def argmax(seg: Array[(String, Long)]): (String, BigInt, Int) = {
+      val n = seg.length
+      val tot = seg.map(v => BigInt(v._2)).sum
+      var cum = BigInt(0)
+      seg.zipWithIndex.map { case ((day, v), i) =>
+        cum += v
+        (day, (cum * n - BigInt(i + 1) * tot).abs, i)
+      }.maxBy(x => (x._2, -x._3.toLong))(
+        Ordering.Tuple2(Ordering.BigInt, Ordering.Long))
+    }
+    val (d0, a0, i0) = argmax(daily)
+    val (left, right) = daily.splitAt(i0 + 1)
+    val got = TemporalQueriesSpecHelper.rows(
+      TemporalQueries.queries("q_binseg")(spark, sf))
+    assert(got.length == 3)
+    assert((got(0)._1, got(0)._2, got(0)._3, got(0)._4)
+      == ((0L, 0L, daily.length.toLong, d0)))
+    assert(math.abs(got(0)._5
+      - (BigDecimal(a0) / (daily.length * 100.0)).toDouble) < 0.01)
+    Seq((1, left), (2, right)).foreach { case (idx, seg) =>
+      val (dd, aa, _) = argmax(seg)
+      val r = got(idx)
+      assert(r._2 == (idx - 1).toLong && r._3 == seg.length.toLong)
+      assert(r._4 == dd, s"segment ${idx - 1} changepoint")
+      assert(math.abs(r._5 - (BigDecimal(aa) / (seg.length * 100.0)).toDouble)
+        < 0.01, s"segment ${idx - 1} stat")
+    }
+  }
+}
+
+private object TemporalQueriesSpecHelper {
+  def rows(df: org.apache.spark.sql.DataFrame)
+      : Array[(Long, Long, Long, String, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDate(3).toString, r.getDouble(4)))
 }
