@@ -432,6 +432,28 @@ object StatQueries {
       .orderBy("decile")
   }
 
+  /** Sample-ratio-mismatch guardrail — the first check on any A/B
+    * readout (a biased assignment invalidates every downstream
+    * statistic before the analysis even starts): chi-square
+    * goodness-of-fit of the two arm counts against the designed 50/50
+    * split, which collapses to χ² = (n_a−n_b)²/(n_a+n_b) — exact
+    * integers, one double division, flag at the α=0.05 critical value
+    * 3.841. One user-grain distinct + one 1-row aggregate. */
+  private val srm: Q = (s, d) => {
+    val u = Tables.events(s, d).select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2)).as("arm"))
+    u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+          / (col("n_a") + col("n_b")).cast("double"), 4).as("chi2"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double")
+          / (col("n_a") + col("n_b")).cast("double") > 3.841)
+          .as("srm_flag"))
+  }
+
   /** Jensen–Shannon divergence of each source's word distribution from
     * the corpus marginal — the SYMMETRIC, bounded (≤ ln 2) drift
     * measure beside q_source_divergence's KL (KL explodes on
@@ -467,6 +489,7 @@ object StatQueries {
     "q_qini" -> qini,
     "q_psm_att" -> psmAtt,
     "q_power_analysis" -> powerAnalysis,
+    "q_srm" -> srm,
     "q_js_divergence" -> jsDivergence,
     "q_spearman" -> spearman,
     "q_mann_kendall" -> mannKendall,
@@ -623,6 +646,21 @@ object StatQueries {
                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
          FROM p""",
+    // chi-square GoF against the designed 50/50 split; exact integer
+    // counts, one double division, alpha=0.05 critical value
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+               FROM u)
+         SELECT n_a, n_b,
+                round((n_a - n_b) * (n_a - n_b)
+                  / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
+                (n_a - n_b) * (n_a - n_b)
+                  / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
+         FROM a""",
     // JS over the sparse (source, word) support: absent-word mass
     // collapses to (1 - sum(q)) * ln 2
     "q_js_divergence" ->

@@ -634,10 +634,77 @@ object TemporalQueries {
     level0.unionAll(level1).orderBy("level", "segment")
   }
 
+  /** Multiplicative seasonal decomposition (classical STL shape) of
+    * monthly revenue: trend = centered 2×12 moving average, seasonal =
+    * month-of-year mean of the detrended ratio, residual = the rest.
+    * Exact protocol: the MA numerator 2·Σ₋₅..₊₅ + x₋₆ + x₊₆ is an
+    * exact long in cents, the detrended ratio r = 24·v/num is ONE
+    * double division rounded at 6 before the (grid-sized) seasonal
+    * averaging, and the residual divides the already-rounded pair —
+    * no float accumulation anywhere. Edge months without a full
+    * 13-month window drop out (the classical convention). All windows
+    * run on the month grid. */
+  private val stlDecompose: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("month")
+    val inner = Window.orderBy("month").rowsBetween(-5, 5)
+    val detr = m
+      .withColumn("num", lit(2) * sum("v").over(inner)
+        + lag("v", 6).over(w) + lead("v", 6).over(w))
+      .filter(col("num").isNotNull)
+      .withColumn("trend_usd",
+        round(col("num") / lit(2400.0), 4))
+      .withColumn("rr",
+        round(col("v") * 24 / col("num").cast("double"), 6))
+      .withColumn("moy", month(col("month")))
+    val seasonal = detr.groupBy("moy")
+      .agg(round(avg("rr"), 6).as("seasonal"))
+    detr.join(broadcast(seasonal), "moy")
+      .select(col("month"),
+        round(col("v") / lit(100.0), 2).as("rev_usd"),
+        col("trend_usd"), col("seasonal"),
+        round(col("rr") / col("seasonal"), 6).as("resid"))
+      .orderBy("month")
+  }
+
+  /** Time-decay multi-touch attribution — the recency-weighted member
+    * of the attribution family (last-touch credits one event,
+    * position/Shapley split statically; time-decay says a touch
+    * yesterday matters more than one last month): every pre-purchase
+    * touch earns weight 2^(−Δdays/7) toward the user's first purchase.
+    * Each weight is ONE pow() rounded to integer MICRO-units, so the
+    * per-channel credit sums are exact long addition; shares divide by
+    * the 1-row broadcast total. */
+  private val attributionDecay: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val firstBuy = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("pt"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("tt"))
+      .join(firstBuy, "user_id")
+      .filter(col("tt") < col("pt"))
+      .withColumn("w_micro",
+        round(pow(lit(2.0), -(col("pt") - col("tt"))
+          / lit(7.0 * 86400000000L)) * 1000000).cast("long"))
+    val byChannel = touches.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum("w_micro").as("wm"))
+    byChannel
+      .crossJoin(broadcast(byChannel.agg(sum("wm").as("wtot"))))
+      .select(col("channel"), col("n_touches"),
+        round(col("wm") / lit(1000000.0), 4).as("credit"),
+        round(col("wm") / col("wtot").cast("double"), 6).as("share"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_acf" -> acf,
     "q_cusum" -> cusum,
     "q_binseg" -> binseg,
+    "q_stl_decompose" -> stlDecompose,
+    "q_attribution_decay" -> attributionDecay,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -683,6 +750,52 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // exact-long MA numerator, one rounded division for the detrended
+    // ratio, seasonal mean over the rounded ratios, residual divides
+    // the rounded pair
+    "q_stl_decompose" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS month,
+                           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS v
+                    FROM orders GROUP BY 1),
+         d AS (SELECT month, v,
+                      2 * sum(v) OVER (ORDER BY month ROWS BETWEEN
+                        5 PRECEDING AND 5 FOLLOWING)
+                        + lag(v, 6) OVER (ORDER BY month)
+                        + lead(v, 6) OVER (ORDER BY month) AS num
+               FROM m QUALIFY num IS NOT NULL),
+         r AS (SELECT month, v, num,
+                      round(num / 2400.0, 4) AS trend_usd,
+                      round((v * 24) / CAST(num AS DOUBLE), 6) AS rr,
+                      month(month) AS moy
+               FROM d),
+         se AS (SELECT moy, round(avg(rr), 6) AS seasonal
+                FROM r GROUP BY 1)
+         SELECT month, round(v / 100.0, 2) AS rev_usd, trend_usd,
+                seasonal, round(rr / seasonal, 6) AS resid
+         FROM r JOIN se USING (moy) ORDER BY month""",
+    // one pow() per touch rounded to integer micro-units; channel
+    // credits are exact long sums
+    "q_attribution_decay" ->
+      """WITH fb AS (SELECT user_id, min(epoch_us(ts)) AS pt
+                     FROM events WHERE event_type = 'purchase'
+                     GROUP BY 1),
+         t AS (SELECT e.user_id, e.event_type AS channel,
+                      CAST(round(pow(2.0, -(fb.pt - epoch_us(e.ts))
+                        / (7.0 * 86400000000)) * 1000000) AS BIGINT)
+                        AS w_micro
+               FROM events e JOIN fb USING (user_id)
+               WHERE e.event_type IN ('view', 'click')
+                 AND epoch_us(e.ts) < fb.pt),
+         c AS (SELECT channel, count(*) AS n_touches,
+                      CAST(sum(w_micro) AS BIGINT) AS wm
+               FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(wm) AS BIGINT) AS wtot FROM c)
+         SELECT channel, n_touches,
+                round(wm / 1000000.0, 4) AS credit,
+                round(wm / CAST(wtot AS DOUBLE), 6) AS share
+         FROM c, tot ORDER BY channel""",
     // depth-1 binary segmentation: global argmax splits the grid, the
     // identical exact-int128 statistic re-runs inside each half
     "q_binseg" ->

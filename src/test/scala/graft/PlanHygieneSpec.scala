@@ -60,6 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
     // binseg additionally broadcasts the 1-row level-0 argmax and the
     // 2-row segment stats)
     "q_acf", "q_cusum", "q_binseg",
+    // round 11 late: time-decay attribution broadcasts its 1-row
+    // credit total
+    "q_attribution_decay",
     // round 11 late: hybrid search inherits the 1-row corpus-stats and
     // query-vector broadcasts of its two retrievers (q_bm25/q_knn_exact);
     // JS divergence broadcasts the same 1-row token total as its KL
@@ -88,7 +91,7 @@ class PlanHygieneSpec extends SparkSpec {
     // the 10-row decile grid (the q_lift_deciles class); the HDR
     // sketch's cumulative scan runs on the ~35-row bucket grid
     "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
-    "q_hdr_quantiles", "q_binseg",
+    "q_hdr_quantiles", "q_binseg", "q_stl_decompose",
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",

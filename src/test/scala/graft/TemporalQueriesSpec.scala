@@ -57,6 +57,67 @@ class TemporalQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("stl decomposition: multiplicative identity holds; seasonal centers on 1") {
+    val got = TemporalQueries.queries("q_stl_decompose")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rev, trend, seasonal, resid) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // rev = trend * seasonal * resid by construction, up to the three
+      // independent roundings
+      assert(math.abs(trend * seasonal * resid - rev) < rev * 1e-3 + 0.02,
+        s"${r.getDate(0)}: $trend * $seasonal * $resid vs $rev")
+      assert(seasonal > 0.5 && seasonal < 2.0, "sane multiplicative index")
+    }
+    val seasonals = got.map(r => (r.getDate(0).toLocalDate.getMonthValue,
+      r.getDouble(3))).distinct
+    val mean = seasonals.map(_._2).sum / seasonals.length
+    assert(math.abs(mean - 1.0) < 0.1, s"seasonal indices center on 1: $mean")
+  }
+
+  test("time-decay attribution matches a sequential micro-weight recompute") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstBuy = evs.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val credits = evs
+      .filter(e => Set("view", "click")(e._2))
+      .flatMap { case (u, ch, t) =>
+        firstBuy.get(u).filter(t < _).map { pt =>
+          ch -> math.round(
+            math.pow(2.0, -(pt - t) / (7.0 * 86400000000L)) * 1000000)
+        }
+      }
+    val byCh = credits.groupBy(_._1)
+      .map { case (ch, ws) => ch -> ((ws.length.toLong, ws.map(_._2).sum)) }
+    val wtot = byCh.values.map(_._2).sum.toDouble
+    val got = TemporalQueries.queries("q_attribution_decay")(spark, sf)
+      .collect()
+    assert(got.map(_.getString(0)).sorted.sameElements(
+      byCh.keys.toArray.sorted))
+    got.foreach { r =>
+      val (n, wm) = byCh(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - wm / 1e6) < 1e-4 + 1e-9)
+      assert(math.abs(r.getDouble(3) - wm / wtot) < 1e-6 + 1e-9)
+    }
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+  }
+
+  test("srm guardrail reproduces the goodness-of-fit arithmetic") {
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val na = users.count(_ % 2 == 0).toLong
+    val nb = users.count(_ % 2 == 1).toLong
+    val got = graft.queries.StatQueries.queries("q_srm")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+    assert(math.abs(got.getDouble(2) - chi2) < 1e-4 + 1e-9)
+    assert(got.getBoolean(3) == chi2 > 3.841)
+  }
+
   test("binseg reproduces a sequential depth-1 segmentation") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
