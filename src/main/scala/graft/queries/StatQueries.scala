@@ -432,6 +432,67 @@ object StatQueries {
       .orderBy("decile")
   }
 
+  /** k-anonymity / l-diversity profile — the privacy pre-flight a
+    * dataset release runs before export: how many quasi-identifier
+    * equivalence classes (nationkey × mktsegment) have fewer than k
+    * members (re-identifiable), and how many lack l distinct values of
+    * the sensitive attribute (attribute-disclosable even at size ≥ k).
+    * One groupBy to the class grain, one 1-row aggregate — everything
+    * exact integers. */
+  private val kAnonymity: Q = (s, d) => {
+    val k = 10
+    val classes = Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_acctbal") > 0).as("ldiv"))
+    classes.agg(
+      lit(k.toLong).as("k"),
+      sum("sz").as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min("sz").as("min_class"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+      sum(when(col("ldiv") < 2, 1L).otherwise(0L)).as("n_low_ldiv"))
+  }
+
+  /** Information gain per candidate feature — the split criterion
+    * behind every tree learner, as a feature-selection read-out:
+    * IG(f) = H(y) − Σ_g (n_g/n)·H(y|f=g) for the binary target. Each
+    * group's weighted entropy term n_g·H_g is ONE expression over
+    * exact integer counts, rounded to MICRO-bits before the
+    * (contingency-sized) sum — exact long addition, no float
+    * association. Pure-group p∈{0,1} terms are zero by the CASE guard
+    * (the 0·log 0 = 0 convention, never NaN). */
+  private val infoGain: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("c_nationkey").cast("string").as("nation"),
+        pmod(col("o_orderkey"), lit(2)).as("y"))
+    def h(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n
+      when(pos === 0 || pos === n, lit(0.0))
+        .otherwise(-(p * log2(p) + (lit(1.0) - p) * log2(lit(1.0) - p)))
+    }
+    val tot = oc.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .select(col("n"), round(h(col("pos"), col("n")), 6).as("h_y"))
+    def ig(feature: String, name: String): DataFrame =
+      oc.groupBy(col(feature).as("g"))
+        .agg(count(lit(1)).as("ng"), sum("y").as("posg"))
+        .select(col("ng"),
+          round(h(col("posg"), col("ng")) * col("ng") * 1000000)
+            .cast("long").as("hm"))
+        .agg(count(lit(1)).as("n_groups"), sum("hm").as("shm"))
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("feature"), col("n_groups"), col("h_y"),
+          round(col("h_y") - col("shm") / (col("n") * lit(1000000.0)), 6)
+            .as("info_gain"))
+    ig("c_mktsegment", "mktsegment")
+      .unionAll(ig("o_orderpriority", "orderpriority"))
+      .unionAll(ig("nation", "nationkey"))
+      .orderBy("feature")
+  }
+
   /** Sample-ratio-mismatch guardrail — the first check on any A/B
     * readout (a biased assignment invalidates every downstream
     * statistic before the analysis even starts): chi-square
@@ -490,6 +551,8 @@ object StatQueries {
     "q_psm_att" -> psmAtt,
     "q_power_analysis" -> powerAnalysis,
     "q_srm" -> srm,
+    "q_k_anonymity" -> kAnonymity,
+    "q_info_gain" -> infoGain,
     "q_js_divergence" -> jsDivergence,
     "q_spearman" -> spearman,
     "q_mann_kendall" -> mannKendall,
@@ -646,6 +709,65 @@ object StatQueries {
                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
          FROM p""",
+    // equivalence classes of the quasi-identifier pair; all counts
+    // exact integers; l-diversity on the sensitive sign bucket
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+                           count(DISTINCT c_acctbal > 0) AS ldiv
+                    FROM customer GROUP BY 1, 2)
+         SELECT CAST(10 AS BIGINT) AS k,
+                CAST(sum(sz) AS BIGINT) AS n_rows,
+                count(*) AS n_classes,
+                CAST(min(sz) AS BIGINT) AS min_class,
+                CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_small_classes,
+                CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+                  AS n_rows_at_risk,
+                CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_low_ldiv
+         FROM c""",
+    // per-group weighted entropy terms in integer micro-bits before
+    // the contingency-sized sum; 0*log0 = 0 by the CASE guard
+    "q_info_gain" ->
+      """WITH oc AS (SELECT c_mktsegment, o_orderpriority,
+                            CAST(c_nationkey AS VARCHAR) AS nation,
+                            o_orderkey % 2 AS y
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         tot AS (SELECT count(*) AS n,
+                        round(CASE WHEN sum(y) = 0 OR sum(y) = count(*)
+                              THEN 0.0
+                              ELSE -((CAST(sum(y) AS DOUBLE) / count(*))
+                                  * log2(CAST(sum(y) AS DOUBLE) / count(*))
+                                + (1.0 - CAST(sum(y) AS DOUBLE) / count(*))
+                                  * log2(1.0 - CAST(sum(y) AS DOUBLE)
+                                         / count(*)))
+                              END, 6) AS h_y
+                 FROM oc),
+         u AS (
+           SELECT 'mktsegment' AS feature, c_mktsegment AS g, count(*) AS ng,
+                  CAST(sum(y) AS BIGINT) AS posg
+           FROM oc GROUP BY 1, 2
+           UNION ALL
+           SELECT 'orderpriority', o_orderpriority, count(*),
+                  CAST(sum(y) AS BIGINT)
+           FROM oc GROUP BY 1, 2
+           UNION ALL
+           SELECT 'nationkey', nation, count(*), CAST(sum(y) AS BIGINT)
+           FROM oc GROUP BY 1, 2),
+         hm AS (SELECT feature,
+                       CAST(round(CASE WHEN posg = 0 OR posg = ng THEN 0.0
+                            ELSE -((CAST(posg AS DOUBLE) / ng)
+                                * log2(CAST(posg AS DOUBLE) / ng)
+                              + (1.0 - CAST(posg AS DOUBLE) / ng)
+                                * log2(1.0 - CAST(posg AS DOUBLE) / ng))
+                            END * ng * 1000000) AS BIGINT) AS hm
+                FROM u),
+         f AS (SELECT feature, count(*) AS n_groups,
+                      CAST(sum(hm) AS BIGINT) AS shm
+               FROM hm GROUP BY 1)
+         SELECT feature, n_groups, h_y,
+                round(h_y - shm / (n * 1000000.0), 6) AS info_gain
+         FROM f, tot ORDER BY feature""",
     // chi-square GoF against the designed 50/50 split; exact integer
     // counts, one double division, alpha=0.05 critical value
     "q_srm" ->

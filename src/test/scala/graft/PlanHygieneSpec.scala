@@ -66,8 +66,9 @@ class PlanHygieneSpec extends SparkSpec {
     // round 11 late: hybrid search inherits the 1-row corpus-stats and
     // query-vector broadcasts of its two retrievers (q_bm25/q_knn_exact);
     // JS divergence broadcasts the same 1-row token total as its KL
-    // twin; the bigram LM broadcasts its 1-row vocabulary size
-    "q_hybrid_search", "q_js_divergence", "q_bigram_lm")
+    // twin; the bigram LM broadcasts its 1-row vocabulary size; info
+    // gain broadcasts its 1-row global-entropy frame
+    "q_hybrid_search", "q_js_divergence", "q_bigram_lm", "q_info_gain")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —

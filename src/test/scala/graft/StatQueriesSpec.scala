@@ -324,6 +324,62 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity profile matches a sequential class recompute") {
+    val rows = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2) > 0))
+    val classes = rows.groupBy(_._1).values.toSeq.map(v =>
+      (v.length.toLong, v.map(_._2).distinct.length))
+    val got = StatQueries.queries("q_k_anonymity")(spark, sf).collect()(0)
+    assert(got.getLong(0) == 10L)
+    assert(got.getLong(1) == rows.length)
+    assert(got.getLong(2) == classes.size)
+    assert(got.getLong(3) == classes.map(_._1).min)
+    assert(got.getLong(4) == classes.count(_._1 < 10))
+    assert(got.getLong(5) == classes.filter(_._1 < 10).map(_._1).sum)
+    assert(got.getLong(6) == classes.count(_._2 < 2))
+  }
+
+  test("info gain matches a sequential entropy recompute; bounded by H(y)") {
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("c_nationkey").cast("string"),
+        pmod(col("o_orderkey"), lit(2)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def h(pos: Long, n: Long): Double = {
+      if (pos == 0 || pos == n) 0.0
+      else {
+        val p = pos.toDouble / n
+        -(p * (math.log(p) / math.log(2.0))
+          + (1 - p) * (math.log(1 - p) / math.log(2.0)))
+      }
+    }
+    val n = oc.length.toLong
+    val hy = BigDecimal(h(oc.map(_._4).sum, n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val feats = Map[String, ((String, String, String, Long)) => String](
+      "mktsegment" -> (_._1), "orderpriority" -> (_._2),
+      "nationkey" -> (_._3))
+    val got = StatQueries.queries("q_info_gain")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    feats.foreach { case (name, f) =>
+      val groups = oc.groupBy(f).values.toSeq.map(v =>
+        (v.length.toLong, v.map(_._4).sum))
+      val shm = groups.map { case (ng, pg) =>
+        math.round(h(pg, ng) * ng * 1000000)
+      }.sum
+      val ig = hy - shm / (n * 1000000.0)
+      val (gN, gHy, gIg) = got(name)
+      assert(gN == groups.size, name)
+      assert(math.abs(gHy - hy) < 1e-6 + 1e-9, name)
+      assert(math.abs(gIg - ig) < 1e-5, name)
+      assert(gIg >= -1e-6 && gIg <= gHy + 1e-6, s"$name gain in [0, H(y)]")
+    }
+  }
+
   test("fd check: key FD holds, non-keys report exact violation counts") {
     val got = q("q_fd_check").collect()
       .map(r => r.getString(0) ->
