@@ -699,12 +699,46 @@ object TemporalQueries {
       .orderBy("channel")
   }
 
+  /** Cohort LTV triangle — the revenue twin of [[cohortMatrix]]'s
+    * retention counts: users grouped by first-activity WEEK (integer
+    * epoch-week, the q_rolling_distinct grain — the corpus spans one
+    * month, so weekly cohorts give a real triangle where monthly would
+    * collapse to one cell), purchase revenue accumulated by week-age,
+    * cumulative LTV per cohort member. Revenue stays in exact long
+    * cents through the cumulative window (partitioned by cohort over
+    * the bounded week-age axis); the single division to USD-per-user
+    * happens at emission. (On the synthetic corpus every user is
+    * active from week 1, so the triangle has one cohort row per age —
+    * the estimator is arrival-agnostic.) */
+  private val cohortLtv: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("wk", expr("unix_micros(ts) DIV 604800000000"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cwk"))
+    val cohortSize = cohort.groupBy("cwk").agg(count(lit(1)).as("n_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(cohort, "user_id")
+      .withColumn("age", col("wk") - col("cwk"))
+      .groupBy("cwk", "age").agg(sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cwk").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(cohortSize), "cwk")
+      .withColumn("cum_cents", sum("rev_cents").over(w))
+      .select(col("cwk").as("cohort_week"), col("age"), col("n_users"),
+        round(col("rev_cents") / lit(100.0), 2).as("rev_usd"),
+        round(col("cum_cents") / (col("n_users") * lit(100.0)), 4)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_acf" -> acf,
     "q_cusum" -> cusum,
     "q_binseg" -> binseg,
     "q_stl_decompose" -> stlDecompose,
     "q_attribution_decay" -> attributionDecay,
+    "q_cohort_ltv" -> cohortLtv,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -750,6 +784,30 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // exact long cents through the cohort-partitioned cumulative
+    // window; integer epoch-week age arithmetic
+    "q_cohort_ltv" ->
+      """WITH ew AS (SELECT user_id, event_type, value,
+                            epoch_us(ts) // 604800000000 AS wk
+                     FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cwk FROM ew GROUP BY 1),
+         cs AS (SELECT cwk, count(*) AS n_users FROM cohort GROUP BY 1),
+         rev AS (SELECT c.cwk, e.wk - c.cwk AS age,
+                        CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                          AS BIGINT) AS rev_cents
+                 FROM ew e JOIN cohort c USING (user_id)
+                 WHERE e.event_type = 'purchase'
+                 GROUP BY 1, 2),
+         cum AS (SELECT rev.cwk, rev.age, cs.n_users, rev.rev_cents,
+                        CAST(sum(rev.rev_cents) OVER (PARTITION BY rev.cwk
+                          ORDER BY rev.age ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS BIGINT)
+                          AS cum_cents
+                 FROM rev JOIN cs USING (cwk))
+         SELECT cwk AS cohort_week, age, n_users,
+                round(rev_cents / 100.0, 2) AS rev_usd,
+                round(cum_cents / (n_users * 100.0), 4) AS ltv_per_user
+         FROM cum ORDER BY cohort_week, age""",
     // exact-long MA numerator, one rounded division for the detrended
     // ratio, seasonal mean over the rounded ratios, residual divides
     // the rounded pair

@@ -118,6 +118,36 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(got.getBoolean(3) == chi2 > 3.841)
   }
 
+  test("cohort ltv triangle matches a sequential recompute; cum is monotone") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) DIV 604800000000").as("wk"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val cohort = evs.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val cs = cohort.groupBy(_._2).map { case (w, m) => w -> m.size.toLong }
+    val cells = evs.filter(_._2 == "purchase")
+      .map(e => ((cohort(e._1), e._3 - cohort(e._1)),
+        math.round(e._4 * 100)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val got = TemporalQueries.queries("q_cohort_ltv")(spark, sf).collect()
+    assert(got.length == cells.size)
+    val byCohort = got.groupBy(_.getLong(0))
+    byCohort.foreach { case (cwk, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        val cents = cells((cwk, r.getLong(1)))
+        cum += cents
+        assert(r.getLong(2) == cs(cwk))
+        assert(math.abs(r.getDouble(3) - cents / 100.0) < 1e-6)
+        assert(math.abs(r.getDouble(4) - cum / (cs(cwk) * 100.0)) < 1e-4)
+      }
+      val ltvs = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a },
+        "cumulative LTV is monotone")
+    }
+  }
+
   test("binseg reproduces a sequential depth-1 segmentation") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
