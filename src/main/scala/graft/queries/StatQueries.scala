@@ -432,6 +432,73 @@ object StatQueries {
       .orderBy("decile")
   }
 
+  /** Grouped WEIGHTED median — the robust aggregate ordinary medians
+    * can't give (every unit of quantity votes, not every row):
+    * smallest price p per return-flag with 2·Σ_{≤p}w ≥ Σw, all in
+    * exact integers (cents × integral quantity). Scale shape: collapse
+    * to the distinct (flag, price) grain, ONE global
+    * [[ScaledWindow.rankCum]] pass over (flag, price) carrying the
+    * weight metric, then per-flag cum = global cum − flag offset where
+    * the offsets ride a window over the 3-row flag grid — grouped
+    * weighted quantiles without a single data-sized partition (a plain
+    * `Window.partitionBy(flag)` would put a third of the fact table in
+    * one task). */
+  private val weightedMedian: Q = (s, d) => {
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
+    val rnk = ScaledWindow.rankCum(g,
+      Seq(col("flag").asc, col("cents").asc), Seq("cumw" -> col("w")))
+    val offW = Window.orderBy("flag").rowsBetween(
+      Window.unboundedPreceding, -1)
+    val offsets = rnk.df.groupBy("flag").agg(sum("w").as("ft"))
+      .withColumn("off", coalesce(sum("ft").over(offW), lit(0L)))
+    rnk.df.join(broadcast(offsets), "flag")
+      .withColumn("lc", col("cumw") - col("off"))
+      .filter(col("lc") * 2 >= col("ft"))
+      .groupBy("flag")
+      .agg(min("cents").as("mc"), max("ft").as("ftw"))
+      .select(col("flag"), col("ftw").as("total_weight"),
+        round(col("mc") / lit(100.0), 2).as("w_median_usd"))
+      .orderBy("flag")
+  }
+
+  /** Train/test GROUP-leakage check — the classic split bug every ML
+    * pipeline must guard against: a row-level hash split (the
+    * q_sample_hash convention, md5 of the ORDER key) puts different
+    * orders of the same CUSTOMER on both sides, so any
+    * customer-derived feature leaks test information into training.
+    * Reports how many customers span both sides and the row mass they
+    * cover — plus the same check for a GROUP-level split (md5 of the
+    * customer key), whose leak count must be zero by construction (the
+    * built-in control). All exact integers. */
+  private val splitLeakage: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") < 52429L).as("train_row"),
+      (conv(substring(md5(col("o_custkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") < 52429L).as("train_grp"))
+    val perUser = o.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct("train_row").as("sides_row"),
+      countDistinct("train_grp").as("sides_grp"))
+    perUser.agg(
+      count(lit(1)).as("n_customers"),
+      sum("n_orders").as("n_orders"),
+      sum(when(col("sides_row") > 1, 1L).otherwise(0L))
+        .as("n_leaking_row_split"),
+      sum(when(col("sides_row") > 1, col("n_orders")).otherwise(0L))
+        .as("rows_in_leaking_groups"),
+      sum(when(col("sides_grp") > 1, 1L).otherwise(0L))
+        .as("n_leaking_group_split"))
+      .withColumn("leak_rate",
+        round(col("n_leaking_row_split").cast("double")
+          / col("n_customers"), 6))
+      .withColumn("group_split_clean", col("n_leaking_group_split") === 0)
+  }
+
   /** k-anonymity / l-diversity profile — the privacy pre-flight a
     * dataset release runs before export: how many quasi-identifier
     * equivalence classes (nationkey × mktsegment) have fewer than k
@@ -551,6 +618,8 @@ object StatQueries {
     "q_psm_att" -> psmAtt,
     "q_power_analysis" -> powerAnalysis,
     "q_srm" -> srm,
+    "q_weighted_median" -> weightedMedian,
+    "q_split_leakage" -> splitLeakage,
     "q_k_anonymity" -> kAnonymity,
     "q_info_gain" -> infoGain,
     "q_js_divergence" -> jsDivergence,
@@ -709,6 +778,51 @@ object StatQueries {
                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
          FROM p""",
+    // row-level hash split leaks customers across sides; the
+    // group-level split is clean by construction (the control)
+    "q_split_leakage" ->
+      """WITH o AS (SELECT o_custkey,
+                           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                              1, 4))::BIGINT < 52429 AS train_row,
+                           ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                              1, 4))::BIGINT < 52429 AS train_grp
+                    FROM orders),
+         pu AS (SELECT o_custkey, count(*) AS n_orders,
+                       count(DISTINCT train_row) AS sides_row,
+                       count(DISTINCT train_grp) AS sides_grp
+                FROM o GROUP BY 1)
+         SELECT count(*) AS n_customers,
+                CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                CAST(sum(CASE WHEN sides_row > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_leaking_row_split,
+                CAST(sum(CASE WHEN sides_row > 1 THEN n_orders ELSE 0 END)
+                  AS BIGINT) AS rows_in_leaking_groups,
+                CAST(sum(CASE WHEN sides_grp > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_leaking_group_split,
+                round(CAST(sum(CASE WHEN sides_row > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS leak_rate,
+                sum(CASE WHEN sides_grp > 1 THEN 1 ELSE 0 END) = 0
+                  AS group_split_clean
+         FROM pu""",
+    // lower weighted median: smallest price with 2*cum_weight >=
+    // total_weight per flag, exact integer compares throughout
+    "q_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS cents,
+                           CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                             AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT flag, cents, w,
+                      CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS lc,
+                      CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS ft
+               FROM g)
+         SELECT flag, CAST(max(ft) AS BIGINT) AS total_weight,
+                round(min(cents) / 100.0, 2) AS w_median_usd
+         FROM c WHERE lc * 2 >= ft
+         GROUP BY flag ORDER BY flag""",
     // equivalence classes of the quasi-identifier pair; all counts
     // exact integers; l-diversity on the sensitive sign bucket
     "q_k_anonymity" ->

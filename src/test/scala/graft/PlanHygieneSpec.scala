@@ -93,6 +93,9 @@ class PlanHygieneSpec extends SparkSpec {
     // sketch's cumulative scan runs on the ~35-row bucket grid
     "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
     "q_hdr_quantiles", "q_binseg", "q_stl_decompose",
+    // weighted median's flag offsets ride a window over the 3-row
+    // flag grid (the data-sized cum goes through ScaledWindow)
+    "q_weighted_median",
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",

@@ -324,6 +324,54 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("weighted median matches a sequential weight scan per flag") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = StatQueries.queries("q_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.groupBy(_._1).foreach { case (flag, fs) =>
+      val tot = fs.map(_._3).sum
+      val byPrice = fs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = byPrice.collectFirst {
+        case (c, w) if { cum += w; cum * 2 >= tot } => c
+      }.get
+      assert(got(flag)._1 == tot, s"$flag total weight")
+      assert(math.abs(got(flag)._2 - med / 100.0) < 1e-9, s"$flag median")
+    }
+    // the weighted median must also satisfy the defining property:
+    // at most half the weight strictly below, at least half at-or-below
+    rows.groupBy(_._1).foreach { case (flag, fs) =>
+      val tot = fs.map(_._3).sum
+      val mc = math.round(got(flag)._2 * 100)
+      val below = fs.filter(_._2 < mc).map(_._3).sum
+      val atOrBelow = fs.filter(_._2 <= mc).map(_._3).sum
+      assert(below * 2 < tot && atOrBelow * 2 >= tot, flag)
+    }
+  }
+
+  test("split leakage: row split leaks customers, group split is clean") {
+    val got = StatQueries.queries("q_split_leakage")(spark, sf).collect()(0)
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = orders.groupBy(_._1)
+    assert(got.getLong(0) == byUser.size)
+    assert(got.getLong(1) == orders.length)
+    val leaking = byUser.count { case (_, os) =>
+      os.map(o => md5hex16(o._2.toString) < 52429).distinct.length > 1
+    }
+    assert(got.getLong(2) == leaking, "row-split leaking customers")
+    assert(got.getLong(4) == 0 && got.getBoolean(6),
+      "group split leaks nobody by construction")
+    // with ~10 orders per customer, a row split almost surely leaks
+    assert(got.getDouble(5) > 0.5, "row split leak rate is material")
+  }
+
   test("k-anonymity profile matches a sequential class recompute") {
     val rows = Tables.customer(spark, sf)
       .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
