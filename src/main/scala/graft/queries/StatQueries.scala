@@ -464,6 +464,41 @@ object StatQueries {
       .orderBy("flag")
   }
 
+  /** Laspeyres / Paasche / Fisher price indices between the 1995 and
+    * 1996 part baskets — the index-number family behind every
+    * inflation/pricing dashboard. Per part-year, value and quantity
+    * collapse to exact longs; each cross-valued term (v₁·q₀/q₁ — the
+    * base basket at current unit prices) is ONE double expression
+    * rounded to integer cents before the exact sum, and Σp₀q₀ / Σp₁q₁
+    * are just the exact value sums. Fisher is the geometric mean, one
+    * sqrt at emission. Parts present in both years only (the matched
+    * basket). */
+  private val priceIndex: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .withColumn("yr", year(col("l_shipdate")))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy(col("l_partkey"), col("yr"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"),
+        sum(round(col("l_quantity")).cast("long")).as("q"))
+    val base = li.filter(col("yr") === 1995)
+      .select(col("l_partkey"), col("v").as("v0"), col("q").as("q0"))
+    val cur = li.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("v").as("v1"), col("q").as("q1"))
+    base.join(cur, "l_partkey")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("v0").as("sv0"), sum("v1").as("sv1"),
+        sum(round(col("v1").cast("double") * col("q0") / col("q1"))
+          .cast("long")).as("l_num"),
+        sum(round(col("v0").cast("double") * col("q1") / col("q0"))
+          .cast("long")).as("p_den"))
+      .select(col("n_parts"),
+        round(col("l_num") / col("sv0").cast("double"), 6).as("laspeyres"),
+        round(col("sv1") / col("p_den").cast("double"), 6).as("paasche"),
+        round(sqrt((col("l_num") / col("sv0").cast("double"))
+          * (col("sv1") / col("p_den").cast("double"))), 6).as("fisher"))
+  }
+
   /** Train/test GROUP-leakage check — the classic split bug every ML
     * pipeline must guard against: a row-level hash split (the
     * q_sample_hash convention, md5 of the ORDER key) puts different
@@ -620,6 +655,7 @@ object StatQueries {
     "q_srm" -> srm,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
+    "q_price_index" -> priceIndex,
     "q_k_anonymity" -> kAnonymity,
     "q_info_gain" -> infoGain,
     "q_js_divergence" -> jsDivergence,
@@ -778,6 +814,33 @@ object StatQueries {
                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
          FROM p""",
+    // cross-valued basket terms rounded to integer cents before the
+    // exact sums; Fisher = sqrt(L * P) at emission
+    "q_price_index" ->
+      """WITH li AS (SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+                            CAST(sum(CAST(round(l_extendedprice * 100)
+                              AS BIGINT)) AS BIGINT) AS v,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS BIGINT) AS q
+                     FROM lineitem
+                     WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996)
+                     GROUP BY 1, 2),
+         b AS (SELECT l_partkey, v AS v0, q AS q0 FROM li WHERE yr = 1995),
+         c AS (SELECT l_partkey, v AS v1, q AS q1 FROM li WHERE yr = 1996),
+         j AS (SELECT count(*) AS n_parts,
+                      CAST(sum(v0) AS BIGINT) AS sv0,
+                      CAST(sum(v1) AS BIGINT) AS sv1,
+                      CAST(sum(CAST(round(CAST(v1 AS DOUBLE) * q0 / q1)
+                        AS BIGINT)) AS BIGINT) AS l_num,
+                      CAST(sum(CAST(round(CAST(v0 AS DOUBLE) * q1 / q0)
+                        AS BIGINT)) AS BIGINT) AS p_den
+               FROM b JOIN c USING (l_partkey))
+         SELECT n_parts,
+                round(l_num / CAST(sv0 AS DOUBLE), 6) AS laspeyres,
+                round(sv1 / CAST(p_den AS DOUBLE), 6) AS paasche,
+                round(sqrt((l_num / CAST(sv0 AS DOUBLE))
+                  * (sv1 / CAST(p_den AS DOUBLE))), 6) AS fisher
+         FROM j""",
     // row-level hash split leaks customers across sides; the
     // group-level split is clean by construction (the control)
     "q_split_leakage" ->

@@ -732,6 +732,37 @@ object TemporalQueries {
       .orderBy("cohort_week", "age")
   }
 
+  /** Truncated geometric adstock (λ=0.7, 14-day carryover) of daily
+    * revenue — the marketing-mix transform that models lingering
+    * campaign effect: adstockₜ = Σ_{k<14} λᵏ·vₜ₋ₖ. The recursion is
+    * unrolled into a FIXED 14-term expression chain evaluated strictly
+    * left-to-right (a fold, not an aggregate — float association order
+    * is pinned by the expression tree, and the λᵏ literals are
+    * computed once in Scala and interpolated into the oracle so both
+    * engines multiply identical doubles). Only days with a full
+    * 14-day history emit (no partial-window bias). Day-grid windows
+    * throughout. */
+  private val adstockLambdas: IndexedSeq[Double] =
+    (0 until 14).map(k => math.pow(0.7, k))
+
+  private val adstock: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("day")
+    val terms = adstockLambdas.zipWithIndex.map { case (l, k) =>
+      lit(l) * lag(col("v"), k).over(w)
+    }
+    daily
+      .withColumn("ad", terms.reduceLeft(_ + _))
+      .withColumn("l13", lag(col("v"), 13).over(w))
+      .filter(col("l13").isNotNull)
+      .select(col("day"),
+        round(col("v") / lit(100.0), 2).as("rev_usd"),
+        round(col("ad") / lit(100.0), 4).as("adstock_usd"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_acf" -> acf,
     "q_cusum" -> cusum,
@@ -739,6 +770,7 @@ object TemporalQueries {
     "q_stl_decompose" -> stlDecompose,
     "q_attribution_decay" -> attributionDecay,
     "q_cohort_ltv" -> cohortLtv,
+    "q_adstock" -> adstock,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -784,6 +816,24 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // 14-term left-to-right expression chain with Scala-interpolated
+    // lambda^k literals — identical double trees in both engines
+    "q_adstock" -> {
+      val terms = adstockLambdas.zipWithIndex.map { case (l, k) =>
+        s"$l * lag(v, $k) OVER (ORDER BY day)"
+      }.mkString("\n                  + ")
+      s"""WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         a AS (SELECT day, v,
+                      $terms AS ad,
+                      lag(v, 13) OVER (ORDER BY day) AS l13
+               FROM dly)
+         SELECT day, round(v / 100.0, 2) AS rev_usd,
+                round(ad / 100.0, 4) AS adstock_usd
+         FROM a WHERE l13 IS NOT NULL ORDER BY day"""
+    },
     // exact long cents through the cohort-partitioned cumulative
     // window; integer epoch-week age arithmetic
     "q_cohort_ltv" ->

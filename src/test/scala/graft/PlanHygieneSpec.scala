@@ -92,7 +92,7 @@ class PlanHygieneSpec extends SparkSpec {
     // the 10-row decile grid (the q_lift_deciles class); the HDR
     // sketch's cumulative scan runs on the ~35-row bucket grid
     "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
-    "q_hdr_quantiles", "q_binseg", "q_stl_decompose",
+    "q_hdr_quantiles", "q_binseg", "q_stl_decompose", "q_adstock",
     // weighted median's flag offsets ride a window over the 3-row
     // flag grid (the data-sized cum goes through ScaledWindow)
     "q_weighted_median",

@@ -372,6 +372,35 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.getDouble(5) > 0.5, "row split leak rate is material")
   }
 
+  test("price indices match a sequential matched-basket recompute") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .filter(col("yr").isin(1995, 1996)).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    val agg = li.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    val parts = agg.keys.map(_._1).toSeq.distinct
+      .filter(p => agg.contains((p, 1995)) && agg.contains((p, 1996)))
+    var sv0 = 0L; var sv1 = 0L; var lNum = 0L; var pDen = 0L
+    parts.foreach { p =>
+      val (v0, q0) = agg((p, 1995)); val (v1, q1) = agg((p, 1996))
+      sv0 += v0; sv1 += v1
+      lNum += math.round(v1.toDouble * q0 / q1)
+      pDen += math.round(v0.toDouble * q1 / q0)
+    }
+    val (l, pp) = (lNum.toDouble / sv0, sv1.toDouble / pDen)
+    val got = StatQueries.queries("q_price_index")(spark, sf).collect()(0)
+    assert(got.getLong(0) == parts.length)
+    assert(math.abs(got.getDouble(1) - l) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(2) - pp) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(3) - math.sqrt(l * pp)) < 1e-6 + 1e-9)
+    // Fisher is the geometric mean: between Laspeyres and Paasche
+    val (lo, hi) = (math.min(l, pp), math.max(l, pp))
+    assert(got.getDouble(3) >= lo - 1e-6 && got.getDouble(3) <= hi + 1e-6)
+  }
+
   test("k-anonymity profile matches a sequential class recompute") {
     val rows = Tables.customer(spark, sf)
       .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()

@@ -148,6 +148,26 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("adstock matches a sequential 14-term unroll; carryover dominates") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val lambdas = (0 until 14).map(k => math.pow(0.7, k))
+    val got = TemporalQueries.queries("q_adstock")(spark, sf).collect()
+    assert(got.length == daily.length - 13)
+    got.foreach { r =>
+      val i = daily.indexWhere(_._1 == r.getDate(0).toString)
+      val ad = lambdas.zipWithIndex
+        .map { case (l, k) => l * daily(i - k)._2 }
+        .reduceLeft(_ + _)
+      assert(math.abs(r.getDouble(2) - ad / 100.0) < 1e-3, daily(i)._1)
+      assert(r.getDouble(2) >= r.getDouble(1) - 1e-9,
+        "adstock includes today's revenue plus nonnegative carryover")
+    }
+  }
+
   test("binseg reproduces a sequential depth-1 segmentation") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
