@@ -464,6 +464,38 @@ object StatQueries {
       .orderBy("flag")
   }
 
+  /** Simpson's-paradox screen — the aggregation trap detector every
+    * dashboard comparison needs: does the treated-vs-control rate gap
+    * REVERSE inside every stratum of a confounder? Reports the overall
+    * gap, how many priority strata flip its sign, and the full-reversal
+    * flag (the paradox proper). All rates are single divisions of
+    * exact integer counts; sign compares happen on those raw ratios —
+    * identical expression shapes cross-engine. */
+  private val simpson: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("pri"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("t"),
+        pmod(col("o_orderkey"), lit(2)).as("y"))
+    def arms(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("ct"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("cc"))
+    val diff = (col("ct").cast("double") / col("nt")) -
+      (col("cc").cast("double") / col("nc"))
+    val tot = arms(oc.groupBy())
+      .select(diff.as("d_all"))
+    arms(oc.groupBy("pri"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rev", (diff > 0) =!= (col("d_all") > 0))
+      .agg(count(lit(1)).as("n_strata"),
+        round(max("d_all"), 6).as("overall_diff"),
+        sum(when(col("rev"), 1L).otherwise(0L)).as("n_reversed"))
+      .withColumn("simpson_flag", col("n_reversed") === col("n_strata"))
+  }
+
   /** Laspeyres / Paasche / Fisher price indices between the 1995 and
     * 1996 part baskets — the index-number family behind every
     * inflation/pricing dashboard. Per part-year, value and quantity
@@ -656,6 +688,7 @@ object StatQueries {
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
+    "q_simpson" -> simpson,
     "q_k_anonymity" -> kAnonymity,
     "q_info_gain" -> infoGain,
     "q_js_divergence" -> jsDivergence,
@@ -814,6 +847,37 @@ object StatQueries {
                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
                   / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
          FROM p""",
+    // per-stratum sign compares on raw exact-count ratios; the flag
+    // fires only on a FULL reversal (the paradox proper)
+    "q_simpson" ->
+      """WITH oc AS (SELECT o_orderpriority AS pri,
+                            CASE WHEN c_mktsegment = 'BUILDING'
+                                 THEN 1 ELSE 0 END AS t,
+                            o_orderkey % 2 AS y
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         tot AS (SELECT CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                          AS DOUBLE)
+                        / sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                        - CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                            AS DOUBLE)
+                        / sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS d_all
+                 FROM oc),
+         st AS (SELECT pri,
+                       CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                         AS DOUBLE)
+                       / sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                       - CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                           AS DOUBLE)
+                       / sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS d_s
+                FROM oc GROUP BY 1),
+         f AS (SELECT count(*) AS n_strata,
+                      round(max(tot.d_all), 6) AS overall_diff,
+                      CAST(sum(CASE WHEN (d_s > 0) <> (tot.d_all > 0)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed
+               FROM st, tot)
+         SELECT n_strata, overall_diff, n_reversed,
+                n_reversed = n_strata AS simpson_flag
+         FROM f""",
     // cross-valued basket terms rounded to integer cents before the
     // exact sums; Fisher = sqrt(L * P) at emission
     "q_price_index" ->

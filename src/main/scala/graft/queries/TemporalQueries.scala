@@ -732,6 +732,38 @@ object TemporalQueries {
       .orderBy("cohort_week", "age")
   }
 
+  /** Ljung–Box portmanteau test on daily revenue — the diagnostic that
+    * turns q_acf's lag correlations into ONE decision number: is the
+    * series white noise? Q = n(n+2)·Σ_{k≤7} r²ₖ/(n−k), χ²₇ under H₀.
+    * Each rₖ is the SAME expression as q_acf rounded at 6 first, so
+    * the 7-term sum (a fixed left-to-right expression chain over the
+    * 1-row aggregate, not a float aggregate) is bit-identical
+    * cross-engine. Day-grid windows throughout. */
+  private val ljungBox: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val w = Window.orderBy("day")
+    val centered = daily
+      .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
+      .withColumn("c", col("v") - col("m"))
+    val withLags = (1 to 7).foldLeft(centered) { case (df, k) =>
+      df.withColumn(s"c$k", lag("c", k).over(w))
+    }
+    val rks = (1 to 7).map(k =>
+      round(sum(col("c") * col(s"c$k")) / sum(col("c") * col("c")), 6)
+        .as(s"r$k"))
+    val aggCols = count(lit(1)).as("n") +: rks
+    val agged = withLags.agg(aggCols.head, aggCols.tail: _*)
+    val q = (1 to 7).map(k =>
+      col(s"r$k") * col(s"r$k") / (col("n") - k).cast("double"))
+      .reduceLeft(_ + _) * col("n") * (col("n") + 2)
+    agged.select(col("n").as("n_days"),
+      round(q, 4).as("lb_stat"),
+      lit(7L).as("df"),
+      (q > 14.067).as("reject_white_noise"))
+  }
+
   /** Truncated geometric adstock (λ=0.7, 14-day carryover) of daily
     * revenue — the marketing-mix transform that models lingering
     * campaign effect: adstockₜ = Σ_{k<14} λᵏ·vₜ₋ₖ. The recursion is
@@ -771,6 +803,7 @@ object TemporalQueries {
     "q_attribution_decay" -> attributionDecay,
     "q_cohort_ltv" -> cohortLtv,
     "q_adstock" -> adstock,
+    "q_ljung_box" -> ljungBox,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -816,6 +849,46 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // round-6 autocorrelations first (the q_acf contract), then a
+    // fixed 7-term expression chain — no float aggregate in Q
+    "q_ljung_box" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             round(sum(o_totalprice), 2) AS v
+                      FROM orders GROUP BY 1),
+         m AS (SELECT avg(v) AS m FROM dly),
+         c AS (SELECT day, v - m.m AS c FROM dly, m),
+         l AS (SELECT c,
+                      lag(c, 1) OVER (ORDER BY day) AS c1,
+                      lag(c, 2) OVER (ORDER BY day) AS c2,
+                      lag(c, 3) OVER (ORDER BY day) AS c3,
+                      lag(c, 4) OVER (ORDER BY day) AS c4,
+                      lag(c, 5) OVER (ORDER BY day) AS c5,
+                      lag(c, 6) OVER (ORDER BY day) AS c6,
+                      lag(c, 7) OVER (ORDER BY day) AS c7
+               FROM c),
+         a AS (SELECT count(*) AS n,
+                      round(sum(c * c1) / sum(c * c), 6) AS r1,
+                      round(sum(c * c2) / sum(c * c), 6) AS r2,
+                      round(sum(c * c3) / sum(c * c), 6) AS r3,
+                      round(sum(c * c4) / sum(c * c), 6) AS r4,
+                      round(sum(c * c5) / sum(c * c), 6) AS r5,
+                      round(sum(c * c6) / sum(c * c), 6) AS r6,
+                      round(sum(c * c7) / sum(c * c), 6) AS r7
+               FROM l),
+         q AS (SELECT n,
+                      (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                        + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                        + r3 * r3 / CAST(n - 3 AS DOUBLE)
+                        + r4 * r4 / CAST(n - 4 AS DOUBLE)
+                        + r5 * r5 / CAST(n - 5 AS DOUBLE)
+                        + r6 * r6 / CAST(n - 6 AS DOUBLE)
+                        + r7 * r7 / CAST(n - 7 AS DOUBLE))
+                        * n * (n + 2) AS q
+               FROM a)
+         SELECT n AS n_days, round(q, 4) AS lb_stat,
+                CAST(7 AS BIGINT) AS df,
+                q > 14.067 AS reject_white_noise
+         FROM q""",
     // 14-term left-to-right expression chain with Scala-interpolated
     // lambda^k literals — identical double trees in both engines
     "q_adstock" -> {

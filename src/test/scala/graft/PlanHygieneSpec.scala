@@ -61,8 +61,9 @@ class PlanHygieneSpec extends SparkSpec {
     // 2-row segment stats)
     "q_acf", "q_cusum", "q_binseg",
     // round 11 late: time-decay attribution broadcasts its 1-row
-    // credit total
-    "q_attribution_decay",
+    // credit total; Ljung-Box the 1-row grand mean (the q_acf shape);
+    // the Simpson screen the 1-row overall-gap frame
+    "q_attribution_decay", "q_ljung_box", "q_simpson",
     // round 11 late: hybrid search inherits the 1-row corpus-stats and
     // query-vector broadcasts of its two retrievers (q_bm25/q_knn_exact);
     // JS divergence broadcasts the same 1-row token total as its KL
@@ -93,6 +94,7 @@ class PlanHygieneSpec extends SparkSpec {
     // sketch's cumulative scan runs on the ~35-row bucket grid
     "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
     "q_hdr_quantiles", "q_binseg", "q_stl_decompose", "q_adstock",
+    "q_ljung_box",
     // weighted median's flag offsets ride a window over the 3-row
     // flag grid (the data-sized cum goes through ScaledWindow)
     "q_weighted_median",

@@ -372,6 +372,27 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.getDouble(5) > 0.5, "row split leak rate is material")
   }
 
+  test("simpson screen matches a sequential per-stratum sign recompute") {
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority"),
+        (col("c_mktsegment") === "BUILDING").cast("long"),
+        pmod(col("o_orderkey"), lit(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def gap(rows: Seq[(String, Long, Long)]): Double = {
+      val t = rows.filter(_._2 == 1); val c = rows.filter(_._2 == 0)
+      t.map(_._3).sum.toDouble / t.length - c.map(_._3).sum.toDouble / c.length
+    }
+    val dAll = gap(oc.toSeq)
+    val strata = oc.groupBy(_._1).values.toSeq
+    val reversed = strata.count(s => (gap(s.toSeq) > 0) != (dAll > 0))
+    val got = StatQueries.queries("q_simpson")(spark, sf).collect()(0)
+    assert(got.getLong(0) == strata.length)
+    assert(math.abs(got.getDouble(1) - dAll) < 1e-6 + 1e-9)
+    assert(got.getLong(2) == reversed)
+    assert(got.getBoolean(3) == (reversed == strata.length))
+  }
+
   test("price indices match a sequential matched-basket recompute") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),

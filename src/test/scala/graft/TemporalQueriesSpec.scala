@@ -148,6 +148,21 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ljung-box reproduces the portmanteau sum over the acf lags") {
+    val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
+    val n = acf.getLong(0)
+    val q = (1 to 7).map { k =>
+      val r = acf.getDouble(k)
+      r * r / (n - k)
+    }.reduceLeft(_ + _) * n * (n + 2)
+    val got = TemporalQueries.queries("q_ljung_box")(spark, sf).collect()(0)
+    assert(got.getLong(0) == n)
+    assert(math.abs(got.getDouble(1) - q) < 1e-4 + 1e-9,
+      s"lb ${got.getDouble(1)} vs $q")
+    assert(got.getLong(2) == 7L)
+    assert(got.getBoolean(3) == (q > 14.067))
+  }
+
   test("adstock matches a sequential 14-term unroll; carryover dominates") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
