@@ -764,6 +764,36 @@ object TemporalQueries {
       (q > 14.067).as("reject_white_noise"))
   }
 
+  /** 30-day rolling OLS trend slope of daily revenue — the windowed
+    * twin of the global trend estimators (Theil–Sen/Mann–Kendall say
+    * whether the WHOLE series trends; the rolling slope localizes
+    * WHEN momentum turns): slope = (nΣtv − ΣtΣv)/(nΣt² − (Σt)²) from
+    * four exact-integer rolling sums over the day grid, the numerator
+    * in DECIMAL(38,0)/int128, ONE double division per emitted day.
+    * Only full 30-day windows emit. */
+  private val rollingSlope: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("day").rowsBetween(-29, 0)
+    val g = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("st", sum("t").over(w))
+      .withColumn("sv", sum("v").over(w))
+      .withColumn("stv", sum(col("t") * col("v")).over(w))
+      .withColumn("stt", sum(col("t") * col("t")).over(w))
+      .filter(col("nw") === 30)
+    g.select(col("day"),
+      round(col("v") / lit(100.0), 2).as("rev_usd"),
+      round((lit(30).cast(dec) * col("stv") - col("st").cast(dec) * col("sv"))
+        .cast("double")
+        / ((lit(30) * col("stt") - col("st") * col("st")) * lit(100L))
+          .cast("double"), 6).as("slope_usd_day"))
+      .orderBy("day")
+  }
+
   /** Truncated geometric adstock (λ=0.7, 14-day carryover) of daily
     * revenue — the marketing-mix transform that models lingering
     * campaign effect: adstockₜ = Σ_{k<14} λᵏ·vₜ₋ₖ. The recursion is
@@ -804,6 +834,7 @@ object TemporalQueries {
     "q_cohort_ltv" -> cohortLtv,
     "q_adstock" -> adstock,
     "q_ljung_box" -> ljungBox,
+    "q_rolling_slope" -> rollingSlope,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -849,6 +880,30 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // four exact-integer rolling sums, int128 numerator, one double
+    // division per full 30-day window
+    "q_rolling_slope" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         g AS (SELECT day, v,
+                      row_number() OVER (ORDER BY day) AS t
+               FROM dly),
+         r AS (SELECT day, v,
+                      count(*) OVER w AS nw,
+                      sum(t) OVER w AS st,
+                      sum(v) OVER w AS sv,
+                      sum(t * v) OVER w AS stv,
+                      sum(t * t) OVER w AS stt
+               FROM g
+               WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT day, round(v / 100.0, 2) AS rev_usd,
+                round(CAST(30 * stv - st * sv AS DOUBLE)
+                  / CAST((30 * stt - st * st) * 100 AS DOUBLE), 6)
+                  AS slope_usd_day
+         FROM r WHERE nw = 30 ORDER BY day""",
     // round-6 autocorrelations first (the q_acf contract), then a
     // fixed 7-term expression chain — no float aggregate in Q
     "q_ljung_box" ->

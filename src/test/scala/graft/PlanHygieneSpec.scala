@@ -94,7 +94,7 @@ class PlanHygieneSpec extends SparkSpec {
     // sketch's cumulative scan runs on the ~35-row bucket grid
     "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
     "q_hdr_quantiles", "q_binseg", "q_stl_decompose", "q_adstock",
-    "q_ljung_box",
+    "q_ljung_box", "q_rolling_slope",
     // weighted median's flag offsets ride a window over the 3-row
     // flag grid (the data-sized cum goes through ScaledWindow)
     "q_weighted_median",

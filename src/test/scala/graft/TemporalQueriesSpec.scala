@@ -148,6 +148,27 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("rolling slope matches a sequential 30-day OLS recompute") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val got = TemporalQueries.queries("q_rolling_slope")(spark, sf).collect()
+    assert(got.length == daily.length - 29)
+    got.take(30).foreach { r =>
+      val i = daily.indexWhere(_._1 == r.getDate(0).toString)
+      val win = (i - 29 to i).map(j => ((j + 1).toLong, daily(j)._2))
+      val n = 30L
+      val st = win.map(_._1).sum; val sv = win.map(_._2).sum
+      val stv = win.map { case (t, v) => BigInt(t) * v }.sum
+      val stt = win.map(t => t._1 * t._1).sum
+      val slope = (BigInt(n) * stv - BigInt(st) * sv).toDouble /
+        ((n * stt - st * st) * 100L).toDouble
+      assert(math.abs(r.getDouble(2) - slope) < 1e-6 + 1e-9, daily(i)._1)
+    }
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
