@@ -219,6 +219,42 @@ object InsightQueries {
       .orderBy("dur")
   }
 
+  /** Nelson–Aalen cumulative hazard — the estimator-twin of
+    * [[kaplanMeier]] on the SAME life table: H(t) = Σ_{s≤t} d_s/n_s
+    * (KM multiplies survival factors; NA sums hazard increments, the
+    * preferred small-risk-set estimator, and exp(−H) is the Breslow
+    * survival curve). Cross-engine float protocol: each per-time
+    * increment d/n is ONE double division rounded to integer
+    * MICRO-hazard units before the cumulative sum, so the running
+    * total is an exact long in both engines; the exp at emission is a
+    * single mirrored call. Windows ride the grouped duration axis
+    * (time-range-bounded, the q_kaplan_meier class). */
+  private val nelsonAalen: Q = (s, d) => {
+    val life = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        max("o_orderdate").as("last"))
+      .select(col("dur"),
+        when(col("last") < lit("2001-01-01").cast("date"), 1L)
+          .otherwise(0L).as("event"))
+    val grouped = life.groupBy("dur")
+      .agg(sum("event").as("deaths"), count(lit(1)).as("n_at"))
+    val atRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("n_risk", sum("n_at").over(atRisk))
+      .filter(col("deaths") > 0)
+      .withColumn("hm",
+        round(lit(1000000.0) * col("deaths") / col("n_risk")).cast("long"))
+      .withColumn("cumh", sum("hm").over(cum))
+      .select(col("dur"), col("deaths"), col("n_risk"),
+        round(col("cumh") / lit(1000000.0), 6).as("cum_hazard"),
+        round(exp(-(col("cumh") / lit(1000000.0))), 6).as("surv_breslow"))
+      .orderBy("dur")
+  }
+
   // -------------------------------------------------------- inequality
 
   /** Gini coefficient of customer revenue (the inequality summary
@@ -243,6 +279,36 @@ object InsightQueries {
         round(lit(2.0) * sum(col("rk") * col("r"))
           / (count(lit(1)) * sum("r"))
           - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
+  /** Herfindahl–Hirschman concentration index of customer revenue
+    * within each nation — the antitrust/market-structure summary
+    * beside [[gini]] (Gini reads inequality of the whole distribution;
+    * HHI reads how close a market is to monopoly, in the 0–10 000
+    * points regulators quote). Per-customer share terms are rounded to
+    * integer 1e-8 units BEFORE the per-nation sum (exact long
+    * addition, float association can never flip a digit); HHI and the
+    * equivalent-competitor count 1/Σs² are one mirrored division each
+    * at emission. Shape: two map-side-combined aggregates + one
+    * 25-row broadcast join back — no window at all. */
+  private val hhi: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val nat = rev.groupBy("c_nationkey")
+      .agg(sum("r").as("tot"), count(lit(1)).as("n_customers"))
+    rev.join(broadcast(nat), "c_nationkey")
+      .withColumn("term",
+        round(lit(100000000.0) * (col("r") / col("tot"))
+          * (col("r") / col("tot"))).cast("long"))
+      .groupBy(col("c_nationkey"), col("n_customers"), col("tot"))
+      .agg(sum("term").as("sm"))
+      .select(col("c_nationkey"), col("n_customers"),
+        round(col("tot") / lit(100.0), 2).as("rev_usd"),
+        round(col("sm") / lit(10000.0), 4).as("hhi_points"),
+        round(lit(100000000.0) / col("sm"), 4).as("n_effective"))
+      .orderBy("c_nationkey")
   }
 
   // ------------------------------------------------------ independence
@@ -782,7 +848,9 @@ object InsightQueries {
     "q_geo_density" -> geoDensity,
     "q_assoc_rules" -> assocRules,
     "q_kaplan_meier" -> kaplanMeier,
+    "q_nelson_aalen" -> nelsonAalen,
     "q_gini" -> gini,
+    "q_hhi" -> hhi,
     "q_chi_square" -> chiSquare,
     "q_forecast_snaive" -> forecastSnaive,
     "q_inverted_index" -> invertedIndex,
@@ -1152,6 +1220,58 @@ object InsightQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                   AS surv
          FROM r WHERE deaths > 0 ORDER BY dur""",
+    // each hazard increment d/n rounded to integer micro-units BEFORE
+    // the cumulative sum — exact long running total in both engines
+    "q_nelson_aalen" ->
+      """WITH life AS (SELECT CAST(date_diff('day', min(o_orderdate),
+                                        max(o_orderdate)) AS INTEGER) AS dur,
+                              CASE WHEN max(o_orderdate) < DATE '2001-01-01'
+                                   THEN 1 ELSE 0 END AS event
+                       FROM orders GROUP BY o_custkey),
+         g AS (SELECT dur, CAST(sum(event) AS BIGINT) AS deaths,
+                      count(*) AS n_at
+               FROM life GROUP BY dur),
+         r AS (SELECT dur, deaths,
+                      CAST(sum(n_at) OVER (ORDER BY dur
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_risk
+               FROM g),
+         e AS (SELECT dur, deaths, n_risk,
+                      CAST(round(1000000.0 * deaths / n_risk) AS BIGINT)
+                        AS hm
+               FROM r WHERE deaths > 0),
+         c AS (SELECT dur, deaths, n_risk,
+                      CAST(sum(hm) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumh
+               FROM e)
+         SELECT dur, deaths, n_risk,
+                round(cumh / 1000000.0, 6) AS cum_hazard,
+                round(exp(-(cumh / 1000000.0)), 6) AS surv_breslow
+         FROM c ORDER BY dur""",
+    // per-customer share-squared terms in integer 1e-8 units BEFORE
+    // the per-nation sum; HHI on the regulators' 0-10000 points scale
+    "q_hhi" ->
+      """WITH rev AS (SELECT c_nationkey, o_custkey,
+                             CAST(sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS r
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      GROUP BY 1, 2),
+         nat AS (SELECT c_nationkey, CAST(sum(r) AS BIGINT) AS tot,
+                        count(*) AS n_customers
+                 FROM rev GROUP BY 1),
+         t AS (SELECT rev.c_nationkey, n_customers, tot,
+                      CAST(round(100000000.0 * (r / CAST(tot AS DOUBLE))
+                        * (r / CAST(tot AS DOUBLE))) AS BIGINT) AS term
+               FROM rev JOIN nat ON rev.c_nationkey = nat.c_nationkey),
+         g AS (SELECT c_nationkey, n_customers, tot,
+                      CAST(sum(term) AS BIGINT) AS sm
+               FROM t GROUP BY 1, 2, 3)
+         SELECT c_nationkey, n_customers,
+                round(tot / 100.0, 2) AS rev_usd,
+                round(sm / 10000.0, 4) AS hhi_points,
+                round(100000000.0 / sm, 4) AS n_effective
+         FROM g ORDER BY c_nationkey""",
     "q_gini" ->
       """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS r
                       FROM orders GROUP BY o_custkey),

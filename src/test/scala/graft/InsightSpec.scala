@@ -119,6 +119,68 @@ class InsightSpec extends SparkSpec {
       "survival must be nonincreasing")
   }
 
+  test("nelson-aalen: hazard from a sequential estimator, bounds KM") {
+    val lifetimes = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
+        (max("o_orderdate") < lit("2001-01-01").cast("date"))
+          .cast("long").as("event"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val byDur = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = lifetimes.length.toLong
+    var cumMicro = 0L
+    val expected = byDur.flatMap { case (dur, xs) =>
+      val deaths = xs.map(_._2).sum
+      val row = if (deaths > 0) {
+        cumMicro += math.round(1000000.0 * deaths / atRisk)
+        Some((dur, deaths, atRisk, cumMicro / 1000000.0))
+      } else None
+      atRisk -= xs.length
+      row
+    }
+    val got = q("q_nelson_aalen").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((d1, k1, n1, h1, _), (d2, k2, n2, h2)) =>
+      assert(d1 == d2 && k1 == k2 && n1 == n2, s"row at dur=$d2")
+      assert(math.abs(h1 - h2) < 1e-6, s"hazard at dur=$d2")
+    }
+    val hz = got.map(_._4)
+    assert(hz.zip(hz.tail).forall { case (a, b) => b >= a - 1e-12 },
+      "cumulative hazard must be nondecreasing")
+    // exp(-d/n) >= 1 - d/n, so the Breslow curve dominates KM everywhere
+    val km = q("q_kaplan_meier").collect().map(r => r.getDouble(3))
+    got.map(_._5).zip(km).foreach { case (b, k) =>
+      assert(b >= k - 1e-6, "Breslow survival must dominate KM")
+    }
+  }
+
+  test("hhi: matches a sequential share-squared pass, sane bounds") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (nk, xs) =>
+      val tot = xs.map(_._2).sum
+      val sm = xs.map { case (_, r) =>
+        math.round(1.0e8 * (r.toDouble / tot) * (r.toDouble / tot))
+      }.sum
+      nk -> (xs.length.toLong, sm / 10000.0, 1.0e8 / sm)
+    }
+    val got = q("q_hhi").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, hhi, neff) = expected(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(3) - hhi) < 1e-4, s"hhi n=${r.getInt(0)}")
+      assert(math.abs(r.getDouble(4) - neff) < 1e-3, s"neff n=${r.getInt(0)}")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 10000.0)
+      assert(r.getDouble(4) >= 1.0 - 1e-9 && r.getDouble(4) <= n + 1e-6)
+    }
+  }
+
   test("gini: matches the sequential rank formula, in [0, 1)") {
     val rev = Tables.orders(spark, sf)
       .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("r"))

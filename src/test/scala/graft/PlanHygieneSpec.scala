@@ -100,6 +100,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_weighted_median",
     "q_benford", "q_bootstrap_ci", "q_bootstrap_poisson", "q_chi_square",
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
+    // nelson-aalen rides the same grouped duration axis as KM
+    "q_nelson_aalen",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 
