@@ -831,9 +831,53 @@ object InsightQueries {
       .orderBy("decile")
   }
 
+  /** Thresholded confusion matrices — the operating-point companion to
+    * [[auc]] (AUC ranks the scorer; deployment needs ONE cut, and this
+    * reports the cost of each candidate cut): tp/fp/fn/tn at three
+    * fixed score thresholds from a single map-side-combined pass of
+    * conditional sums (no per-threshold rescan), unpivoted to one row
+    * per threshold with precision/recall/F1/accuracy/MCC as mirrored
+    * expressions over the exact counts. MCC casts to double BEFORE the
+    * marginal products (long×long wraps past ~3e9 rows — the
+    * q_chi_square overflow lesson). */
+  private val confusion: Q = (s, d) => {
+    val thresholds = Seq(100000.0, 150000.0, 200000.0)
+    val t = Tables.orders(s, d).select(
+      col("o_totalprice").as("score"),
+      when(pmod(col("o_orderkey"), lit(2)) === 1, 1L).otherwise(0L).as("y"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (th, i) => Seq(
+      sum(when(col("score") >= th && col("y") === 1, 1L).otherwise(0L))
+        .as(s"tp$i"),
+      sum(when(col("score") >= th && col("y") === 0, 1L).otherwise(0L))
+        .as(s"fp$i"),
+      sum(when(col("score") < th && col("y") === 1, 1L).otherwise(0L))
+        .as(s"fn$i"),
+      sum(when(col("score") < th && col("y") === 0, 1L).otherwise(0L))
+        .as(s"tn$i")) }
+    val one = t.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      "stack(3, " + thresholds.zipWithIndex.map { case (th, i) =>
+        s"CAST($th AS DOUBLE), tp$i, fp$i, fn$i, tn$i" }.mkString(", ")
+        + ") AS (threshold, tp, fp, fn, tn)"))
+    stacked.select(col("threshold"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round(col("tp") / (col("tp") + col("fp")), 6).as("prec"),
+      round(col("tp") / (col("tp") + col("fn")), 6).as("recall"),
+      round(lit(2.0) * col("tp")
+        / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+      round((col("tp") + col("tn"))
+        / (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+      round((col("tp").cast("double") * col("tn")
+        - col("fp").cast("double") * col("fn"))
+        / sqrt((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn"))
+          * (col("tn") + col("fp")) * (col("tn") + col("fn"))), 6).as("mcc"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_auc" -> auc,
+    "q_confusion" -> confusion,
     "q_lift_deciles" -> liftDeciles,
     "q_cuped" -> cuped,
     "q_attribution_shapley" -> shapley,
@@ -1220,6 +1264,54 @@ object InsightQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                   AS surv
          FROM r WHERE deaths > 0 ORDER BY dur""",
+    // one pass of conditional sums, unpivoted to a row per threshold;
+    // MCC casts to double before the marginal products
+    "q_confusion" ->
+      """WITH t AS (SELECT o_totalprice AS score,
+                           CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+                             AS y
+                    FROM orders),
+         a AS (SELECT
+                 CAST(sum(CASE WHEN score >= 100000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tp0,
+                 CAST(sum(CASE WHEN score >= 100000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fp0,
+                 CAST(sum(CASE WHEN score < 100000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fn0,
+                 CAST(sum(CASE WHEN score < 100000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tn0,
+                 CAST(sum(CASE WHEN score >= 150000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tp1,
+                 CAST(sum(CASE WHEN score >= 150000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fp1,
+                 CAST(sum(CASE WHEN score < 150000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fn1,
+                 CAST(sum(CASE WHEN score < 150000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tn1,
+                 CAST(sum(CASE WHEN score >= 200000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tp2,
+                 CAST(sum(CASE WHEN score >= 200000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fp2,
+                 CAST(sum(CASE WHEN score < 200000.0 AND y = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS fn2,
+                 CAST(sum(CASE WHEN score < 200000.0 AND y = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS tn2
+               FROM t),
+         s AS (SELECT CAST(100000.0 AS DOUBLE) AS threshold, tp0 AS tp,
+                      fp0 AS fp, fn0 AS fn, tn0 AS tn FROM a
+               UNION ALL
+               SELECT CAST(150000.0 AS DOUBLE), tp1, fp1, fn1, tn1 FROM a
+               UNION ALL
+               SELECT CAST(200000.0 AS DOUBLE), tp2, fp2, fn2, tn2 FROM a)
+         SELECT threshold, tp, fp, fn, tn,
+                round(tp / (tp + fp), 6) AS prec,
+                round(tp / (tp + fn), 6) AS recall,
+                round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+                round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy,
+                round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                  / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 6) AS mcc
+         FROM s ORDER BY threshold""",
     // each hazard increment d/n rounded to integer micro-units BEFORE
     // the cumulative sum — exact long running total in both engines
     "q_nelson_aalen" ->

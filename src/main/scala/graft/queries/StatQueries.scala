@@ -634,6 +634,56 @@ object StatQueries {
     * split, which collapses to χ² = (n_a−n_b)²/(n_a+n_b) — exact
     * integers, one double division, flag at the α=0.05 critical value
     * 3.841. One user-grain distinct + one 1-row aggregate. */
+  /** Benjamini–Hochberg FDR correction — the multiple-testing
+    * guardrail every per-segment experiment read-out needs (screen 25
+    * nations at α=0.05 and ~1 sham "winner" appears by chance; BH
+    * caps the expected FALSE-DISCOVERY share instead of the
+    * family-wise error, so it keeps power at many tests). One
+    * two-proportion z-test per nation (urgent-order share vs the rest,
+    * exact counts, one mirrored expression), a logistic approximation
+    * of the two-sided normal p (2/(1+e^{1.702|z|}), identical shape
+    * both engines, round-8 BEFORE the ordering so the rank can never
+    * flip cross-engine), then the step-up on the 25-row grid:
+    * reject iff rank ≤ max{i : pᵢ ≤ i·α/m}; adjusted
+    * p = min_{j≥i}(pⱼ·m/j) ∧ 1 via a trailing-min window. Every
+    * window rides the nation grid (≤ 25 rows). */
+  private val fdrBh: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("x"),
+        count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val t = oc
+      .withColumn("xt", sum("x").over(all))
+      .withColumn("nt", sum("n").over(all))
+      .withColumn("m", count(lit(1)).over(all))
+    val zv = (col("x") / col("n") - (col("xt") - col("x"))
+        / (col("nt") - col("n"))) /
+      sqrt(col("xt") / col("nt") * (lit(1.0) - col("xt") / col("nt"))
+        * (lit(1.0) / col("n") + lit(1.0) / (col("nt") - col("n"))))
+    val p = t.withColumn("zv", zv)
+      .withColumn("pv", round(lit(2.0)
+        / (lit(1.0) + exp(lit(1.702) * abs(col("zv")))), 8))
+    val r = p.withColumn("i",
+      row_number().over(Window.orderBy("pv", "c_nationkey")).cast("long"))
+    val tail = Window.orderBy("i")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r
+      .withColumn("kmax",
+        max(when(col("pv") <= col("i") * lit(0.05) / col("m"), col("i"))
+          .otherwise(0L)).over(all))
+      .withColumn("tadj",
+        min(col("pv") * col("m") / col("i")).over(tail))
+      .select(col("c_nationkey"), col("x"), col("n"),
+        round(col("zv"), 4).as("z"),
+        col("pv").as("p_value"),
+        round(least(col("tadj"), lit(1.0)), 6).as("p_adj"),
+        (col("i") <= col("kmax")).as("reject"))
+      .orderBy("c_nationkey")
+  }
+
   private val srm: Q = (s, d) => {
     val u = Tables.events(s, d).select(col("user_id")).distinct()
       .select(pmod(col("user_id"), lit(2)).as("arm"))
@@ -685,6 +735,7 @@ object StatQueries {
     "q_psm_att" -> psmAtt,
     "q_power_analysis" -> powerAnalysis,
     "q_srm" -> srm,
+    "q_fdr_bh" -> fdrBh,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1024,6 +1075,44 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // per-nation two-proportion z from exact counts; logistic-approx p
+    // rounded to 8 BEFORE ordering; BH step-up + trailing-min adjusted
+    // p on the 25-row nation grid
+    "q_fdr_bh" ->
+      """WITH oc AS (SELECT c_nationkey,
+                            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                            count(*) AS n
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1),
+         t AS (SELECT c_nationkey, x, n,
+                      CAST(sum(x) OVER () AS BIGINT) AS xt,
+                      CAST(sum(n) OVER () AS BIGINT) AS nt,
+                      count(*) OVER () AS m
+               FROM oc),
+         z AS (SELECT c_nationkey, x, n, m,
+                      (x / n - (xt - x) / (nt - n))
+                        / sqrt(xt / nt * (1.0 - xt / nt)
+                          * (1.0 / n + 1.0 / (nt - n))) AS zv
+               FROM t),
+         p AS (SELECT c_nationkey, x, n, m, zv,
+                      round(2.0 / (1.0 + exp(1.702 * abs(zv))), 8) AS pv
+               FROM z),
+         r AS (SELECT c_nationkey, x, n, m, zv, pv,
+                      CAST(row_number() OVER (ORDER BY pv, c_nationkey)
+                        AS BIGINT) AS i
+               FROM p),
+         k AS (SELECT c_nationkey, x, n, zv, pv, i,
+                      max(CASE WHEN pv <= i * 0.05 / m THEN i ELSE 0 END)
+                        OVER () AS kmax,
+                      min(pv * m / i) OVER (ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS tadj
+               FROM r)
+         SELECT c_nationkey, x, n, round(zv, 4) AS z, pv AS p_value,
+                round(least(tadj, 1.0), 6) AS p_adj,
+                i <= kmax AS reject
+         FROM k ORDER BY c_nationkey""",
     // JS over the sparse (source, word) support: absent-word mass
     // collapses to (1 - sum(q)) * ln 2
     "q_js_divergence" ->

@@ -119,6 +119,31 @@ class InsightSpec extends SparkSpec {
       "survival must be nonincreasing")
   }
 
+  test("confusion: counts match brute force, metrics coherent") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getDouble(1), r.getLong(0) % 2 == 1))
+    val got = InsightQueries.queries("q_confusion")(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val th = r.getDouble(0)
+      val tp = rows.count { case (sc, y) => sc >= th && y }
+      val fp = rows.count { case (sc, y) => sc >= th && !y }
+      val fn = rows.count { case (sc, y) => sc < th && y }
+      val tn = rows.count { case (sc, y) => sc < th && !y }
+      assert(r.getLong(1) == tp && r.getLong(2) == fp
+        && r.getLong(3) == fn && r.getLong(4) == tn, s"counts at $th")
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+        == rows.length)
+      val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+      assert(math.abs(r.getDouble(7) - f1) < 1e-6, s"f1 at $th")
+      assert(r.getDouble(9) >= -1.0 - 1e-9 && r.getDouble(9) <= 1.0 + 1e-9)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    val tps = got.sortBy(_.getDouble(0)).map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+  }
+
   test("nelson-aalen: hazard from a sequential estimator, bounds KM") {
     val lifetimes = Tables.orders(spark, sf)
       .groupBy("o_custkey")

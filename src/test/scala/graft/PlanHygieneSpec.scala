@@ -102,6 +102,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_corpus_pipeline", "q_forecast_snaive", "q_kaplan_meier",
     // nelson-aalen rides the same grouped duration axis as KM
     "q_nelson_aalen",
+    // BH step-up windows all ride the 25-row nation grid
+    "q_fdr_bh",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 

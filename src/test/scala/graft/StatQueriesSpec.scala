@@ -490,4 +490,43 @@ class StatQueriesSpec extends SparkSpec {
     assert(got("part.brand->type")._1 == brandTypes.size)
     assert(got("part.brand->type")._2 == brandTypes.values.count(_ > 1))
   }
+
+  test("fdr-bh matches a sequential step-up over per-nation z-tests") {
+    val counts = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("x"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val xt = counts.map(_._2).sum; val nt = counts.map(_._3).sum
+    val m = counts.length
+    val ps = counts.map { case (nk, x, n) =>
+      val pp = xt.toDouble / nt
+      val z = (x.toDouble / n - (xt - x).toDouble / (nt - n)) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (nt - n)))
+      val pv = BigDecimal(2.0 / (1.0 + math.exp(1.702 * math.abs(z))))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (nk, z, pv)
+    }
+    val byI = ps.sortBy { case (nk, _, pv) => (pv, nk) }.zipWithIndex
+      .map { case ((nk, z, pv), i0) => (nk, z, pv, i0 + 1L) }
+    val kmax = byI.filter { case (_, _, pv, i) => pv <= i * 0.05 / m }
+      .map(_._4).maxOption.getOrElse(0L)
+    val tailMin = byI.map { case (_, _, pv, i) => pv * m / i }
+      .scanRight(Double.MaxValue)(math.min).init
+    val expected = byI.zip(tailMin).map { case ((nk, z, pv, i), adj) =>
+      nk -> ((z, pv, math.min(adj, 1.0), i <= kmax))
+    }.toMap
+    val got = StatQueries.queries("q_fdr_bh")(spark, sf).collect()
+    assert(got.length == m)
+    got.foreach { r =>
+      val (z, pv, adj, rej) = expected(r.getInt(0))
+      assert(math.abs(r.getDouble(3) - z) < 1e-4 + 1e-9, s"z ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(4) - pv) < 1e-8 + 1e-12)
+      assert(math.abs(r.getDouble(5) - adj) < 1e-6 + 1e-9)
+      assert(r.getBoolean(6) == rej, s"reject at nation ${r.getInt(0)}")
+      // BH adjusted p always dominates the raw p
+      assert(r.getDouble(5) >= r.getDouble(4) - 1e-9)
+    }
+  }
 }
