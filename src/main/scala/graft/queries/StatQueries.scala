@@ -634,6 +634,77 @@ object StatQueries {
     * split, which collapses to χ² = (n_a−n_b)²/(n_a+n_b) — exact
     * integers, one double division, flag at the α=0.05 critical value
     * 3.841. One user-grain distinct + one 1-row aggregate. */
+  /** Kendall's tau-b between two VALUE series on the calendar-day grid
+    * (daily revenue vs daily order volume) — the bivariate concordance
+    * twin of [[mannKendall]] (which correlates one series against
+    * TIME): do high-revenue days and busy days move together, robust
+    * to outliers and any monotone rescaling? All pair classifications
+    * (concordant / discordant / x-tied / y-tied) are exact long counts
+    * from ONE pass over the day-pair grid; tau-b's tie-corrected
+    * denominator is two mirrored sqrt calls at emission. The pair join
+    * rides the 2 399-day calendar grid (time-range-bounded, the
+    * q_theil_sen broadcast class — NOT data-sized). */
+  private val kendallTau: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"),
+        count(lit(1)).as("c"))
+    val b = daily.select(col("day").as("d2"), col("v").as("v2"),
+      col("c").as("c2"))
+    daily.join(broadcast(b), col("day") < col("d2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when((col("v2") > col("v") && col("c2") > col("c"))
+          || (col("v2") < col("v") && col("c2") < col("c")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("v2") > col("v") && col("c2") < col("c"))
+          || (col("v2") < col("v") && col("c2") > col("c")), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("v2") === col("v"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("c2") === col("c"), 1L).otherwise(0L)).as("ty"))
+      .select(col("n_pairs"), col("nc"), col("nd"),
+        round((col("nc") - col("nd")).cast("double")
+          / (sqrt((col("n_pairs") - col("tx")).cast("double"))
+            * sqrt((col("n_pairs") - col("ty")).cast("double"))), 6)
+          .as("tau_b"))
+  }
+
+  /** Theil T inequality index of customer revenue, decomposed into
+    * within-nation + between-nation shares — the property [[gini]]
+    * lacks (Gini does not decompose additively; Theil answers "how
+    * much inequality is BETWEEN segments vs INSIDE them", the
+    * population-drilldown question). Float protocol: each entropy term
+    * (x/μ)·ln(x/μ) is ONE mirrored expression rounded to integer
+    * MICRO-nats before its exact long sum (customer-grain for T_total,
+    * 25-nation grain for T_between); T_within is the difference of the
+    * two micro totals. Shape: one customer-grain aggregate + two
+    * 1-row-broadcast cross joins — no window. */
+  private val theilIndex: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val tot = rev.agg(sum("r").as("st"), count(lit(1)).as("n"))
+    val ratio = col("r") / (col("st") / col("n"))
+    val tt = rev.crossJoin(broadcast(tot))
+      .select(round(lit(1000000.0) * ratio * log(ratio)).cast("long")
+        .as("term"))
+      .agg(sum("term").as("tm"))
+    val ng = rev.groupBy("c_nationkey")
+      .agg(sum("r").as("rg"), count(lit(1)).as("cg"))
+    val sg = col("rg") / col("st")
+    val tb = ng.crossJoin(broadcast(tot))
+      .select(round(lit(1000000.0) * sg
+        * log(sg / (col("cg") / col("n")))).cast("long").as("term"))
+      .agg(sum("term").as("tbm"))
+    tot.crossJoin(broadcast(tt)).crossJoin(broadcast(tb))
+      .select(col("n").as("n_customers"),
+        round(col("tm") / (lit(1000000.0) * col("n")), 6).as("t_total"),
+        round(col("tbm") / lit(1000000.0), 6).as("t_between"),
+        round(col("tm") / (lit(1000000.0) * col("n"))
+          - col("tbm") / lit(1000000.0), 6).as("t_within"))
+  }
+
   /** Benjamini–Hochberg FDR correction — the multiple-testing
     * guardrail every per-segment experiment read-out needs (screen 25
     * nations at α=0.05 and ~1 sham "winner" appears by chance; BH
@@ -736,6 +807,8 @@ object StatQueries {
     "q_power_analysis" -> powerAnalysis,
     "q_srm" -> srm,
     "q_fdr_bh" -> fdrBh,
+    "q_kendall_tau" -> kendallTau,
+    "q_theil_index" -> theilIndex,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1075,6 +1148,59 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // all four pair classes as exact long counts from one pass over
+    // the day-pair grid; two mirrored sqrts at emission
+    "q_kendall_tau" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             CAST(sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS v,
+                             count(*) AS c
+                      FROM orders GROUP BY 1),
+         p AS (SELECT a.v AS v, a.c AS c, b.v AS v2, b.c AS c2
+               FROM dly a JOIN dly b ON a.day < b.day),
+         g AS (SELECT count(*) AS n_pairs,
+                      CAST(sum(CASE WHEN (v2 > v AND c2 > c)
+                        OR (v2 < v AND c2 < c) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nc,
+                      CAST(sum(CASE WHEN (v2 > v AND c2 < c)
+                        OR (v2 < v AND c2 > c) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nd,
+                      CAST(sum(CASE WHEN v2 = v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tx,
+                      CAST(sum(CASE WHEN c2 = c THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ty
+               FROM p)
+         SELECT n_pairs, nc, nd,
+                round(CAST(nc - nd AS DOUBLE)
+                  / (sqrt(CAST(n_pairs - tx AS DOUBLE))
+                    * sqrt(CAST(n_pairs - ty AS DOUBLE))), 6) AS tau_b
+         FROM g""",
+    // each (x/mu)ln(x/mu) term rounded to integer micro-nats BEFORE
+    // its exact long sum; T_within is the difference of micro totals
+    "q_theil_index" ->
+      """WITH rev AS (SELECT c_nationkey, o_custkey,
+                             CAST(sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS r
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS st, count(*) AS n
+                 FROM rev),
+         tt AS (SELECT CAST(sum(CAST(round(1000000.0 * (r / (st / n))
+                         * ln(r / (st / n))) AS BIGINT)) AS BIGINT) AS tm
+                FROM rev, tot),
+         ng AS (SELECT c_nationkey, CAST(sum(r) AS BIGINT) AS rg,
+                       count(*) AS cg
+                FROM rev GROUP BY 1),
+         tb AS (SELECT CAST(sum(CAST(round(1000000.0 * (rg / st)
+                         * ln((rg / st) / (cg / n))) AS BIGINT))
+                  AS BIGINT) AS tbm
+                FROM ng, tot)
+         SELECT n AS n_customers,
+                round(tm / (1000000.0 * n), 6) AS t_total,
+                round(tbm / 1000000.0, 6) AS t_between,
+                round(tm / (1000000.0 * n) - tbm / 1000000.0, 6)
+                  AS t_within
+         FROM tot, tt, tb""",
     // per-nation two-proportion z from exact counts; logistic-approx p
     // rounded to 8 BEFORE ordering; BH step-up + trailing-min adjusted
     // p on the 25-row nation grid

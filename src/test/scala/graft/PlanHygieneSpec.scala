@@ -55,6 +55,9 @@ class PlanHygieneSpec extends SparkSpec {
     // the two dimension-sized marginal vectors to build the r x c
     // contingency grid)
     "q_mann_kendall", "q_theil_sen", "q_target_encode", "q_cramers_v",
+    // kendall-tau pairs the same calendar-day grid; theil crosses its
+    // 1-row total frames
+    "q_kendall_tau", "q_theil_index",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the

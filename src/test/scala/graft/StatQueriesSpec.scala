@@ -491,6 +491,58 @@ class StatQueriesSpec extends SparkSpec {
     assert(got("part.brand->type")._2 == brandTypes.values.count(_ > 1))
   }
 
+  test("kendall tau-b matches the O(n^2) pair brute force, in [-1,1]") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"),
+        count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (nc, nd, tx, ty, np) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- daily.indices; j <- i + 1 until daily.length) {
+      val (_, v1, c1) = daily(i); val (_, v2, c2) = daily(j)
+      np += 1
+      if ((v2 > v1 && c2 > c1) || (v2 < v1 && c2 < c1)) nc += 1
+      else if ((v2 > v1 && c2 < c1) || (v2 < v1 && c2 > c1)) nd += 1
+      if (v2 == v1) tx += 1
+      if (c2 == c1) ty += 1
+    }
+    val expected = (nc - nd).toDouble /
+      (math.sqrt((np - tx).toDouble) * math.sqrt((np - ty).toDouble))
+    val r = StatQueries.queries("q_kendall_tau")(spark, sf).collect().head
+    assert(r.getLong(0) == np && r.getLong(1) == nc && r.getLong(2) == nd)
+    assert(math.abs(r.getDouble(3) - expected) < 1e-6 + 1e-9)
+    assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
+
+  test("theil index matches brute force; decomposition + bounds hold") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val n = rows.length; val st = rows.map(_._2).sum
+    val mu = st.toDouble / n
+    val tm = rows.map { case (_, r) =>
+      math.round(1.0e6 * (r / mu) * math.log(r / mu))
+    }.sum
+    val tbm = rows.groupBy(_._1).map { case (_, xs) =>
+      val sg = xs.map(_._2).sum.toDouble / st
+      val pg = xs.length.toDouble / n
+      math.round(1.0e6 * sg * math.log(sg / pg))
+    }.sum
+    val row = StatQueries.queries("q_theil_index")(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - tm / (1.0e6 * n)) < 1e-6 + 1e-9)
+    assert(math.abs(row.getDouble(2) - tbm / 1.0e6) < 1e-6 + 1e-9)
+    // T = T_between + T_within by construction; both components
+    // nonnegative (within up to micro-rounding), total below ln(n)
+    assert(math.abs(row.getDouble(1) - row.getDouble(2) - row.getDouble(3))
+      < 1e-6)
+    assert(row.getDouble(2) >= -1e-6 && row.getDouble(3) >= -1e-6)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= math.log(n.toDouble))
+  }
+
   test("fdr-bh matches a sequential step-up over per-nation z-tests") {
     val counts = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
