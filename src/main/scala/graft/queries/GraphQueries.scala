@@ -343,8 +343,44 @@ object GraphQueries {
         lit(nodesAfter(2) == nodesAfter(3)).as("converged"))
   }
 
+  /** Adamic–Adar link prediction over supplier pairs — the classic
+    * common-neighbor score behind "suppliers serving the same buyers":
+    * for suppliers (s1, s2) the score sums 1/ln(deg(c)) over shared
+    * customers c, down-weighting promiscuous buyers (a customer who
+    * buys from everyone says little). Each 1/ln(deg) weight is ONE
+    * mirrored division rounded to integer micro-units, so pair scores
+    * are exact long sums and the global top-20 ordering (score desc,
+    * pair asc) can never flip on a float bit.
+    *
+    * Scale: the pair generation self-joins the (customer, supplier)
+    * adjacency on the customer key — shuffle ∝ Σ C(deg_c, 2), bounded
+    * by per-customer BASKET WIDTH (purchasing behavior), not corpus
+    * size; the documented deg ≤ 100 hub cap makes that bound hard
+    * (standard AA practice: a hub's 1/ln weight is negligible but its
+    * k² pair cost is not). Top-20 via TakeOrdered, no window. */
+  private val linkPredict: Q = (s, d) => {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= 100)
+      .select(col("cust"),
+        round(lit(1000000.0) / log(col("deg"))).cast("long").as("w"))
+    val adj = pairs.join(w, "cust")
+    val b = adj.select(col("cust"), col("supp").as("s2"))
+    adj.join(b, "cust").filter(col("supp") < col("s2"))
+      .groupBy(col("supp").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"), sum("w").as("aam"))
+      .orderBy(col("aam").desc, col("s1"), col("s2"))
+      .limit(20)
+      .select(col("s1"), col("s2"), col("n_common"),
+        round(col("aam") / lit(1000000.0), 6).as("aa_score"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kcore" -> kcore,
+    "q_link_predict" -> linkPredict,
     "q_pagerank" -> pageRank,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
@@ -354,6 +390,27 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // each 1/ln(deg) weight micro-rounded before the exact pair sum;
+    // top-20 on (exact long score desc, pair asc) — order can't flip
+    "q_link_predict" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS cust,
+                               l_suppkey AS supp
+                        FROM orders JOIN lineitem
+                          ON o_orderkey = l_orderkey),
+         w AS (SELECT cust,
+                      CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS w
+               FROM pairs GROUP BY cust
+               HAVING count(*) >= 2 AND count(*) <= 100),
+         adj AS (SELECT p.cust, p.supp, w.w
+                 FROM pairs p JOIN w ON p.cust = w.cust),
+         pp AS (SELECT a.supp AS s1, b.s2, a.w
+                FROM adj a JOIN (SELECT cust, supp AS s2 FROM adj) b
+                  ON a.cust = b.cust AND a.supp < b.s2),
+         g AS (SELECT s1, s2, count(*) AS n_common,
+                      CAST(sum(w) AS BIGINT) AS aam
+               FROM pp GROUP BY 1, 2)
+         SELECT s1, s2, n_common, round(aam / 1000000.0, 6) AS aa_score
+         FROM g ORDER BY aam DESC, s1, s2 LIMIT 20""",
     // 4 peel rounds unrolled into chained CTEs; converged compares the
     // round-3 and round-4 node sets (the fixpoint is unique, so the
     // oracle's round count only needs to be >= the data's depth)

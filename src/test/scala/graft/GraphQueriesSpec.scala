@@ -64,4 +64,33 @@ class GraphQueriesSpec extends SparkSpec {
     val degIn = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
     assert(degIn.values.forall(_ >= 20))
   }
+
+  test("adamic-adar link prediction matches a sequential scorer") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scores = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    pairs.groupBy(_._1).foreach { case (_, es) =>
+      val supps = es.map(_._2).sorted
+      if (supps.length >= 2 && supps.length <= 100) {
+        val w = math.round(1000000.0 / math.log(supps.length.toDouble))
+        for (i <- supps.indices; j <- i + 1 until supps.length) {
+          val k = (supps(i), supps(j))
+          val (n0, a0) = scores.getOrElse(k, (0L, 0L))
+          scores(k) = (n0 + 1, a0 + w)
+        }
+      }
+    }
+    val expected = scores.toSeq
+      .sortBy { case ((s1, s2), (_, aam)) => (-aam, s1, s2) }.take(20)
+    val got = GraphQueries.queries("q_link_predict")(spark, sf).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, ((s1, s2), (nc, aam))) =>
+      assert(r.getLong(0) == s1 && r.getLong(1) == s2,
+        s"pair order at (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getLong(2) == nc, s"common count at ($s1,$s2)")
+      assert(math.abs(r.getDouble(3) - aam / 1e6) < 1e-9)
+    }
+  }
 }
