@@ -794,6 +794,40 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Inter-arrival profile per event type — the burstiness read behind
+    * rate limiting, anomaly baselines, and session design: consecutive
+    * same-user gaps in EXACT microseconds (lag over the per-user event
+    * sequence, classified by the later event's type), then per type
+    * the mean gap, dispersion, coefficient of variation, and the
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (−1 metronome, 0 Poisson,
+    * →1 bursty). Moment sums accumulate in DECIMAL(38,0)/int128 (Σg
+    * alone can pass 2⁶³ at corpus scale); μ and σ are mirrored double
+    * expressions at emission. The per-user window partitions on
+    * user_id — bounded by a user's activity span, not corpus size. */
+  private val interarrival: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .withColumn("pts", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("pts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - col("pts")).as("g"))
+    val agged = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec)).as("sg"),
+        sum(col("g").cast(dec) * col("g")).as("sgg"))
+    val meanUs = col("sg").cast("double") / col("n_gaps")
+    val sdUs = sqrt((col("n_gaps").cast(dec) * col("sgg") -
+      col("sg") * col("sg")).cast("double") /
+      (col("n_gaps").cast("double") * (col("n_gaps") - 1)))
+    agged.select(col("event_type"), col("n_gaps"),
+      round(meanUs / lit(1000000.0), 3).as("mean_s"),
+      round(sdUs / lit(1000000.0), 3).as("sd_s"),
+      round(sdUs / meanUs, 4).as("cv"),
+      round((sdUs - meanUs) / (sdUs + meanUs), 4).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** Truncated geometric adstock (λ=0.7, 14-day carryover) of daily
     * revenue — the marketing-mix transform that models lingering
     * campaign effect: adstockₜ = Σ_{k<14} λᵏ·vₜ₋ₖ. The recursion is
@@ -835,6 +869,7 @@ object TemporalQueries {
     "q_adstock" -> adstock,
     "q_ljung_box" -> ljungBox,
     "q_rolling_slope" -> rollingSlope,
+    "q_interarrival" -> interarrival,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -880,6 +915,35 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // exact-microsecond gaps; moment sums in int128; mirrored mu/sigma
+    // doubles only at emission
+    "q_interarrival" ->
+      """WITH g0 AS (SELECT event_type,
+                            epoch_us(ts) - lag(epoch_us(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS g
+                     FROM events),
+         g AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL),
+         a AS (SELECT event_type, count(*) AS n_gaps,
+                      sum(g) AS sg,
+                      sum(CAST(g AS HUGEINT) * g) AS sgg
+               FROM g GROUP BY event_type)
+         SELECT event_type, n_gaps,
+                round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 3)
+                  AS mean_s,
+                round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                  / 1000000.0, 3) AS sd_s,
+                round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                  / (CAST(sg AS DOUBLE) / n_gaps), 4) AS cv,
+                round((sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                  - CAST(sg AS DOUBLE) / n_gaps)
+                  / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                  + CAST(sg AS DOUBLE) / n_gaps), 4) AS burstiness
+         FROM a ORDER BY event_type""",
     // four exact-integer rolling sums, int128 numerator, one double
     // division per full 30-day window
     "q_rolling_slope" ->

@@ -77,6 +77,40 @@ object TextQueries {
         round(avg(size(col("w"))), 4).as("avg_words"))
       .orderBy("lang", "source")
 
+  /** Flesch reading-ease profile per (lang, source) — the readability
+    * member of the quality-scoring family (q_quality_score gates on
+    * structural ratios; Flesch is the classic audience-level read):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the syllable count approximated by VOWEL GROUPS (the standard
+    * dictionary-free heuristic). words/sentences/syllables are exact
+    * integers per doc; the per-doc score is ONE mirrored double
+    * expression rounded to 1e-4 units before the corpus-level exact
+    * long sum. One map-side-combined aggregate, no window. */
+  private val readability: Q = (s, d) => {
+    val t = Tables.documents(s, d).select(col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("wds"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+        lit(0))), lit(1)).cast("long").as("sents"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+        lit(0))).cast("long").as("syl"))
+    val score = lit(206.835) - lit(1.015) * (col("wds") / col("sents")) -
+      lit(84.6) * (col("syl") / col("wds"))
+    t.withColumn("m", round(lit(10000.0) * score).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("m").as("sm"),
+        sum(when(col("m") >= 600000L, 1L).otherwise(0L)).as("se"))
+      // round the INTEGER quotient sm/n (its only midpoints are exact
+      // dyadic .5 doubles, rounded identically by both engines), then
+      // one division with no further rounding — round(sm/(n·1e4), 4)
+      // can land on a non-representable midpoint and flip cross-engine
+      .select(col("lang"), col("source"), col("n_docs"),
+        (round(col("sm") / col("n_docs")).cast("long") / lit(10000.0))
+          .as("avg_flesch"),
+        round(col("se") / col("n_docs"), 4).as("easy_share"))
+      .orderBy("lang", "source")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letters | digits | single punctuation). */
   private val tokenCount: Q = (s, d) =>
@@ -1358,6 +1392,7 @@ object TextQueries {
     "q_doc_winnow" -> docWinnow,
     "q_doc_winnow_oracle" -> docWinnowOracle,
     "q_text_stats" -> textStats,
+    "q_readability" -> readability,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -1457,6 +1492,31 @@ object TextQueries {
                 CAST(max(length(text)) AS INTEGER) AS max_chars,
                 round(avg(len(string_split(text, ' '))), 4) AS avg_words
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // per-doc Flesch score as ONE mirrored double expression rounded
+    // to 1e-4 units before the corpus-level exact long sum
+    "q_readability" ->
+      """WITH t AS (SELECT lang, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS wds,
+                           CAST(greatest(len(regexp_extract_all(text,
+                             '[.!?]+')), 1) AS BIGINT) AS sents,
+                           CAST(len(regexp_extract_all(lower(text),
+                             '[aeiouy]+')) AS BIGINT) AS syl
+                    FROM documents),
+         m AS (SELECT lang, source,
+                      CAST(round(10000.0 * (206.835
+                        - 1.015 * (wds / sents)
+                        - 84.6 * (syl / wds))) AS BIGINT) AS m
+               FROM t),
+         g AS (SELECT lang, source, count(*) AS n_docs,
+                      CAST(sum(m) AS BIGINT) AS sm,
+                      CAST(sum(CASE WHEN m >= 600000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS se
+               FROM m GROUP BY lang, source)
+         SELECT lang, source, n_docs,
+                CAST(round(sm / n_docs) AS BIGINT) / 10000.0 AS avg_flesch,
+                round(se / n_docs, 4) AS easy_share
+         FROM g ORDER BY lang, source""",
     "q_token_count" ->
       """SELECT doc_id,
                 CAST(length(text) AS INTEGER) AS n_chars2,

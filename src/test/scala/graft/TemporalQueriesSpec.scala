@@ -169,6 +169,38 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("interarrival matches a sequential per-user gap recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (a, b) => (b._4, b._2 - a._2) }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.length.toLong
+      val sg = xs.map(x => BigInt(x._2)).sum
+      val sgg = xs.map(x => BigInt(x._2) * x._2).sum
+      val mean = sg.toDouble / n
+      val sd = math.sqrt((BigInt(n) * sgg - sg * sg).toDouble /
+        (n.toDouble * (n - 1)))
+      t -> ((n, mean / 1e6, sd / 1e6, (sd - mean) / (sd + mean)))
+    }
+    val got = TemporalQueries.queries("q_interarrival")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, mean, sd, b) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"n at ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - mean) < 1e-3 + 1e-9)
+      assert(math.abs(r.getDouble(3) - sd) < 1e-3 + 1e-9)
+      assert(math.abs(r.getDouble(5) - b) < 1e-4 + 1e-9)
+      // burstiness lives in (-1, 1) by construction
+      assert(r.getDouble(5) > -1.0 && r.getDouble(5) < 1.0)
+    }
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)

@@ -42,6 +42,33 @@ class TextModelSpec extends SparkSpec {
     assert(n == Map(1L -> 3, 2L -> 1))
   }
 
+  test("readability reproduces Flesch in closed form on known text") {
+    // doc 1: 4 words, 2 sentences, 4 vowel groups -> w/s=2, syl/w=1
+    //   flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205 (easy: >= 60)
+    // doc 2: 2 words, 1 sentence ("..." counts once), 6 vowel groups
+    //   -> w/s=2, syl/w=3: 206.835 - 2.03 - 253.8 = -48.995 (hard)
+    val d = writeDocs(Seq(
+      (1L, "go up. go up.", "en", "s"),
+      (2L, "banana banana...", "en", "s")))
+    val got = TextQueries.queries("q_readability")(spark, d)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) == 2)
+    val exp = (120.205 + -48.995) / 2
+    assert(math.abs(r.getDouble(3) - exp) < 1e-3, s"avg=${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9, "one of two is easy")
+  }
+
+  test("readability on the corpus: shares in [0,1], sane score range") {
+    val got = TextQueries.queries("q_readability")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(3) > -1000.0 && r.getDouble(3) < 206.836)
+    }
+  }
+
   test("source divergence is zero for identically-distributed sources") {
     val d = writeDocs(Seq(
       (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
