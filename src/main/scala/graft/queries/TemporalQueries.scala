@@ -794,6 +794,48 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Gumbel extreme-value fit on monthly block maxima of daily revenue
+    * — the tail-risk read behind capacity planning ("what daily peak
+    * should we provision for?"): method-of-moments fit β = σ√6/π,
+    * μ = mean − γβ, and the T-month return levels
+    * x_T = μ − β·ln(−ln(1−1/T)) for T = 12 and 120. Block maxima are
+    * exact long cents; the two moment sums ride DECIMAL(38,0)/int128
+    * (Σv² overflows int64 at ~$50M-days); γ, √6/π and the two Gumbel
+    * quantiles y_T are Scala-computed literals interpolated into BOTH
+    * engines (the q_adstock λᵏ protocol), so μ/β/levels are the same
+    * few mirrored double ops. Single row out; the month grain is
+    * time-range-bounded. */
+  private val gumbel: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val kBeta = math.sqrt(6.0) / math.Pi
+    val gamma = 0.5772156649
+    val y12 = -math.log(-math.log(1.0 - 1.0 / 12.0))
+    val y120 = -math.log(-math.log(1.0 - 1.0 / 120.0))
+    val monthly = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .groupBy(trunc(col("day"), "month").as("mth"))
+      .agg(max("v").as("mx"))
+    val a = monthly.agg(count(lit(1)).as("n"),
+      sum(col("mx").cast(dec)).as("sv"),
+      sum(col("mx").cast(dec) * col("mx")).as("svv"),
+      max("mx").as("peak"))
+    val mean = col("sv").cast("double") / col("n")
+    val sd = sqrt((col("n").cast(dec) * col("svv") -
+      col("sv") * col("sv")).cast("double") /
+      (col("n").cast("double") * (col("n") - 1)))
+    val beta = sd * lit(kBeta)
+    val mu = mean - lit(gamma) * (sd * lit(kBeta))
+    a.select(col("n").as("n_months"),
+      round(col("peak") / lit(100.0), 2).as("peak_usd"),
+      round(beta / lit(100.0), 2).as("beta_usd"),
+      round(mu / lit(100.0), 2).as("mu_usd"),
+      round((mu + (sd * lit(kBeta)) * lit(y12)) / lit(100.0), 2)
+        .as("rl12_usd"),
+      round((mu + (sd * lit(kBeta)) * lit(y120)) / lit(100.0), 2)
+        .as("rl120_usd"))
+  }
+
   /** Inter-arrival profile per event type — the burstiness read behind
     * rate limiting, anomaly baselines, and session design: consecutive
     * same-user gaps in EXACT microseconds (lag over the per-user event
@@ -870,6 +912,7 @@ object TemporalQueries {
     "q_ljung_box" -> ljungBox,
     "q_rolling_slope" -> rollingSlope,
     "q_interarrival" -> interarrival,
+    "q_gumbel" -> gumbel,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -915,6 +958,37 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // block maxima exact cents, moment sums int128; gamma / sqrt(6)/pi
+    // / Gumbel quantiles are Scala literals shared with the engine
+    "q_gumbel" -> {
+      val kBeta = math.sqrt(6.0) / math.Pi
+      val gamma = 0.5772156649
+      val y12 = -math.log(-math.log(1.0 - 1.0 / 12.0))
+      val y120 = -math.log(-math.log(1.0 - 1.0 / 120.0))
+      val sd = "sqrt(CAST(n * svv - sv * sv AS DOUBLE)" +
+        " / (CAST(n AS DOUBLE) * (n - 1)))"
+      val mean = "CAST(sv AS DOUBLE) / n"
+      s"""WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         m AS (SELECT date_trunc('month', day) AS mth, max(v) AS mx
+               FROM dly GROUP BY 1),
+         a AS (SELECT count(*) AS n, sum(mx) AS sv,
+                      sum(CAST(mx AS HUGEINT) * mx) AS svv,
+                      CAST(max(mx) AS BIGINT) AS peak
+               FROM m)
+         SELECT n AS n_months,
+                round(peak / 100.0, 2) AS peak_usd,
+                round($sd * $kBeta / 100.0, 2) AS beta_usd,
+                round(($mean - $gamma * ($sd * $kBeta)) / 100.0, 2)
+                  AS mu_usd,
+                round(($mean - $gamma * ($sd * $kBeta)
+                  + ($sd * $kBeta) * $y12) / 100.0, 2) AS rl12_usd,
+                round(($mean - $gamma * ($sd * $kBeta)
+                  + ($sd * $kBeta) * $y120) / 100.0, 2) AS rl120_usd
+         FROM a"""
+    },
     // exact-microsecond gaps; moment sums in int128; mirrored mu/sigma
     // doubles only at emission
     "q_interarrival" ->

@@ -111,6 +111,53 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** Multinomial naive-Bayes language classifier, trained and scored
+    * in one query (resubstitution read-out — the sanity check a corpus
+    * team runs BEFORE trusting a heuristic labeler like q_lang_id):
+    * per-language add-1-smoothed word log-probabilities
+    * ln((c_lw+1)/(c_l+V)) each rounded ONCE to integer micro-nats,
+    * multiplied by the doc's integer term count and summed exactly, so
+    * the per-(doc, language) score is an exact long and the argmax
+    * (score desc, language asc) can never flip cross-engine. Output is
+    * the (true lang × predicted lang) confusion grid.
+    *
+    * Scale: the score join fans the doc-term grain out by |languages|
+    * (a small constant) and shuffles on the word key; the argmax
+    * window partitions per doc over |languages| rows. */
+  private val naiveBayes: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val dw = words.groupBy("doc_id", "lang", "word")
+      .agg(count(lit(1)).as("c"))
+    val lw = words.groupBy(col("lang").as("cand"), col("word"))
+      .agg(count(lit(1)).as("clw"))
+    val langs = words.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("cl"))
+      .join(docs.groupBy(col("lang").as("cand"))
+        .agg(count(lit(1)).as("ndl")), "cand")
+      .crossJoin(broadcast(words.agg(countDistinct("word").as("vocab"))))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndocs"))))
+    val scored = dw.crossJoin(broadcast(langs))
+      .join(lw, Seq("cand", "word"), "left")
+      .na.fill(0L, Seq("clw"))
+      .withColumn("term", col("c") * round(lit(1000000.0) *
+        log((col("clw") + 1) / (col("cl") + col("vocab")))).cast("long"))
+    val docScore = scored
+      .groupBy(col("doc_id"), col("lang"), col("cand"),
+        col("ndl"), col("ndocs"))
+      .agg(sum("term").as("llm"))
+      .withColumn("score", col("llm") + round(lit(1000000.0) *
+        log(col("ndl") / col("ndocs"))).cast("long"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    docScore.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letters | digits | single punctuation). */
   private val tokenCount: Q = (s, d) =>
@@ -1393,6 +1440,7 @@ object TextQueries {
     "q_doc_winnow_oracle" -> docWinnowOracle,
     "q_text_stats" -> textStats,
     "q_readability" -> readability,
+    "q_naive_bayes" -> naiveBayes,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -1492,6 +1540,45 @@ object TextQueries {
                 CAST(max(length(text)) AS INTEGER) AS max_chars,
                 round(avg(len(string_split(text, ' '))), 4) AS avg_words
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // each smoothed log-prob rounded ONCE to micro-nats, multiplied by
+    // the integer term count — per-(doc, lang) scores are exact longs,
+    // argmax on (score desc, lang asc) cannot flip cross-engine
+    "q_naive_bayes" ->
+      """WITH w AS (SELECT doc_id, lang,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         dw AS (SELECT doc_id, lang, word, count(*) AS c
+                FROM w GROUP BY 1, 2, 3),
+         lw AS (SELECT lang AS cand, word, count(*) AS clw
+                FROM w GROUP BY 1, 2),
+         langs AS (SELECT lt.cand, lt.cl, nd.ndl, v.vocab, na.ndocs
+                   FROM (SELECT lang AS cand, count(*) AS cl
+                         FROM w GROUP BY 1) lt
+                   JOIN (SELECT lang AS cand, count(*) AS ndl
+                         FROM documents GROUP BY 1) nd
+                     ON lt.cand = nd.cand
+                   CROSS JOIN (SELECT count(DISTINCT word) AS vocab
+                               FROM w) v
+                   CROSS JOIN (SELECT count(*) AS ndocs
+                               FROM documents) na),
+         sc AS (SELECT dw.doc_id, dw.lang, langs.cand,
+                       CAST(sum(c * CAST(round(1000000.0
+                           * ln((coalesce(clw, 0) + 1)
+                             / (cl + vocab))) AS BIGINT)) AS BIGINT)
+                         + CAST(round(1000000.0 * ln(ndl / ndocs))
+                             AS BIGINT) AS score
+                FROM dw CROSS JOIN langs
+                LEFT JOIN lw ON lw.cand = langs.cand
+                  AND lw.word = dw.word
+                GROUP BY dw.doc_id, dw.lang, langs.cand, langs.ndl,
+                         langs.ndocs),
+         p AS (SELECT doc_id, lang, cand,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, cand ASC) AS rn
+               FROM sc)
+         SELECT lang, cand AS pred_lang, count(*) AS n_docs
+         FROM p WHERE rn = 1
+         GROUP BY lang, cand ORDER BY lang, pred_lang""",
     // per-doc Flesch score as ONE mirrored double expression rounded
     // to 1e-4 units before the corpus-level exact long sum
     "q_readability" ->

@@ -58,6 +58,9 @@ class PlanHygieneSpec extends SparkSpec {
     // kendall-tau pairs the same calendar-day grid; theil crosses its
     // 1-row total frames
     "q_kendall_tau", "q_theil_index",
+    // naive bayes fans the doc-term grain out by the |languages|-row
+    // broadcast candidate frame (a small constant, not data-sized)
+    "q_naive_bayes",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the

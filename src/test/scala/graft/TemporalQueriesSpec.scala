@@ -201,6 +201,33 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("gumbel fit matches a sequential moment recompute; levels ordered") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toString.substring(0, 7), r.getLong(1)))
+    val maxima = daily.groupBy(_._1).map(_._2.map(_._2).max).toSeq
+    val n = maxima.length
+    val sv = maxima.map(BigInt(_)).sum
+    val svv = maxima.map(x => BigInt(x) * x).sum
+    val mean = sv.toDouble / n
+    val sd = math.sqrt((BigInt(n) * svv - sv * sv).toDouble /
+      (n.toDouble * (n - 1)))
+    val beta = sd * (math.sqrt(6.0) / math.Pi)
+    val mu = mean - 0.5772156649 * beta
+    val y12 = -math.log(-math.log(1.0 - 1.0 / 12.0))
+    val r = TemporalQueries.queries("q_gumbel")(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - maxima.max / 100.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - beta / 100.0) < 1e-2 + 1e-9)
+    assert(math.abs(r.getDouble(3) - mu / 100.0) < 1e-2 + 1e-9)
+    assert(math.abs(r.getDouble(4) - (mu + beta * y12) / 100.0)
+      < 1e-2 + 1e-9)
+    // longer horizons demand higher provisioning; 12-month level sits
+    // above the location parameter (y12 > 0)
+    assert(r.getDouble(5) > r.getDouble(4) && r.getDouble(4) > r.getDouble(3))
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)

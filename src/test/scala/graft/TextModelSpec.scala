@@ -69,6 +69,28 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  test("naive bayes separates two languages with disjoint vocab") {
+    val en = (0L until 3L).map(i => (i, "the cat sat on the mat", "en", "s"))
+    val es = (10L until 13L).map(i => (i, "el gato se sento en la", "es", "s"))
+    val d = writeDocs(en ++ es)
+    val got = TextQueries.queries("q_naive_bayes")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // disjoint vocab + resubstitution => a perfect confusion diagonal
+    assert(got == Map(("en", "en") -> 3L, ("es", "es") -> 3L), got.toString)
+  }
+
+  test("naive bayes on the corpus conserves docs; labels from the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextQueries.queries("q_naive_bayes")(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum == docs.count())
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    got.foreach { r =>
+      assert(langs(r.getString(0)) && langs(r.getString(1)))
+    }
+  }
+
   test("source divergence is zero for identically-distributed sources") {
     val d = writeDocs(Seq(
       (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
