@@ -311,6 +311,40 @@ object InsightQueries {
       .orderBy("c_nationkey")
   }
 
+  /** Lorenz curve by population deciles — the PLOTTABLE inequality
+    * companion to [[gini]] (Gini is the scalar; the Lorenz points say
+    * WHERE the concentration lives: "the top decile holds X% of
+    * revenue"): customers ranked by revenue ascending, cut into 10
+    * equal-population deciles by the EXPLICIT `((rk−1)·10) DIV n`
+    * integer cut (the q_lift_deciles contract — ntile()'s remainder
+    * placement would have to be replicated bit-for-bit), cumulative
+    * revenue share from exact long cents. Rank rides
+    * [[graft.queries.ScaledWindow.rankCum]]; the cumulative window
+    * runs on the 10-row decile grid. */
+  private val lorenz: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val rnk = ScaledWindow.rankCum(rev,
+      Seq(col("r").asc, col("o_custkey").asc), Seq("cumr" -> col("r")))
+    val n = rnk.n
+    val total = rnk.totals("cumr")
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rnk.df
+      .withColumn("decile", expr(s"((rk - 1) * 10) DIV ${n}L") + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("r").as("rc"))
+      .withColumn("rev_usd", round(col("rc") / lit(100.0), 2))
+      .withColumn("pop_share_cum",
+        round(sum(col("n_customers")).over(w) / lit(n.toDouble), 6))
+      .withColumn("rev_share_cum",
+        round(sum(col("rc")).over(w) / lit(total.toDouble), 6))
+      .select("decile", "n_customers", "rev_usd", "pop_share_cum",
+        "rev_share_cum")
+      .orderBy("decile")
+  }
+
   // ------------------------------------------------------ independence
 
   /** Pearson chi-square test of independence between order priority
@@ -894,6 +928,7 @@ object InsightQueries {
     "q_kaplan_meier" -> kaplanMeier,
     "q_nelson_aalen" -> nelsonAalen,
     "q_gini" -> gini,
+    "q_lorenz" -> lorenz,
     "q_hhi" -> hhi,
     "q_chi_square" -> chiSquare,
     "q_forecast_snaive" -> forecastSnaive,
@@ -1341,6 +1376,36 @@ object InsightQueries {
                 round(cumh / 1000000.0, 6) AS cum_hazard,
                 round(exp(-(cumh / 1000000.0)), 6) AS surv_breslow
          FROM c ORDER BY dur""",
+    // explicit ((i-1)*10) // n decile cut (the q_lift_deciles
+    // contract); cumulative shares from exact long cents
+    "q_lorenz" ->
+      """WITH rev AS (SELECT o_custkey,
+                             CAST(sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS r
+                      FROM orders GROUP BY 1),
+         rk AS (SELECT r, o_custkey,
+                       row_number() OVER (ORDER BY r, o_custkey) AS i
+                FROM rev),
+         nn AS (SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS total
+                FROM rev),
+         dd AS (SELECT ((i - 1) * 10) // n + 1 AS decile, r
+                FROM rk, nn),
+         g AS (SELECT decile, count(*) AS n_customers,
+                      CAST(sum(r) AS BIGINT) AS rc
+               FROM dd GROUP BY 1),
+         c AS (SELECT decile, n_customers, rc,
+                      CAST(sum(n_customers) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cp,
+                      CAST(sum(rc) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cr
+               FROM g)
+         SELECT decile, n_customers,
+                round(rc / 100.0, 2) AS rev_usd,
+                round(cp / CAST(n AS DOUBLE), 6) AS pop_share_cum,
+                round(cr / CAST(total AS DOUBLE), 6) AS rev_share_cum
+         FROM c, nn ORDER BY decile""",
     // per-customer share-squared terms in integer 1e-8 units BEFORE
     // the per-nation sum; HHI on the regulators' 0-10000 points scale
     "q_hhi" ->

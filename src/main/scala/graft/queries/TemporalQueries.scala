@@ -794,6 +794,44 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** First-order Markov entropy rate of the per-user event stream —
+    * the predictability read on top of [[eventTransitions]] (the
+    * transition matrix says WHERE users go; the entropy rate says how
+    * PREDICTABLE the next step is, the bits a sequence model can hope
+    * to save): per from-state the conditional entropy
+    * H(next|s) = −Σ p(j|s)·ln p(j|s) and the rate contribution
+    * π_s·H(next|s) with empirical π_s = n_s/N. Every entropy term
+    * −(n_ij/·)·ln(n_ij/n_i) is ONE mirrored expression rounded to
+    * integer MICRO-nats before its exact long sum over the ≤k²
+    * transition-cell grid; Σ rate_nats over states is the entropy
+    * rate. Windows ride the tiny state grid. */
+  private val markovEntropy: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("nij"))
+    val wp = Window.partitionBy("prev")
+    val all = Window.partitionBy()
+    t.withColumn("ni", sum("nij").over(wp))
+      .withColumn("nt", sum("nij").over(all))
+      .withColumn("hm",
+        round(lit(-1000000.0) * (col("nij") / col("ni"))
+          * log(col("nij") / col("ni"))).cast("long"))
+      .withColumn("rm",
+        round(lit(-1000000.0) * (col("nij") / col("nt"))
+          * log(col("nij") / col("ni"))).cast("long"))
+      .groupBy(col("prev").as("state"), col("ni"), col("nt"))
+      .agg(sum("hm").as("hms"), sum("rm").as("rms"))
+      .select(col("state"), col("ni").as("n_from"),
+        round(col("ni") / col("nt"), 6).as("pi"),
+        round(col("hms") / lit(1000000.0), 6).as("h_cond_nats"),
+        round(col("rms") / lit(1000000.0), 6).as("rate_nats"))
+      .orderBy("state")
+  }
+
   /** Gumbel extreme-value fit on monthly block maxima of daily revenue
     * — the tail-risk read behind capacity planning ("what daily peak
     * should we provision for?"): method-of-moments fit β = σ√6/π,
@@ -913,6 +951,7 @@ object TemporalQueries {
     "q_rolling_slope" -> rollingSlope,
     "q_interarrival" -> interarrival,
     "q_gumbel" -> gumbel,
+    "q_markov_entropy" -> markovEntropy,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -958,6 +997,35 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // each entropy term micro-rounded before its exact long sum over
+    // the transition-cell grid; one division per emitted state
+    "q_markov_entropy" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                    FROM events),
+         t AS (SELECT prev, event_type AS next, count(*) AS nij
+               FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT prev, nij,
+                      CAST(sum(nij) OVER (PARTITION BY prev) AS BIGINT)
+                        AS ni,
+                      CAST(sum(nij) OVER () AS BIGINT) AS nt
+               FROM t),
+         c AS (SELECT prev, ni, nt,
+                      CAST(round(-1000000.0 * (nij / ni)
+                        * ln(nij / ni)) AS BIGINT) AS hm,
+                      CAST(round(-1000000.0 * (nij / nt)
+                        * ln(nij / ni)) AS BIGINT) AS rm
+               FROM m),
+         g AS (SELECT prev AS state, ni, nt,
+                      CAST(sum(hm) AS BIGINT) AS hms,
+                      CAST(sum(rm) AS BIGINT) AS rms
+               FROM c GROUP BY 1, 2, 3)
+         SELECT state, ni AS n_from,
+                round(ni / nt, 6) AS pi,
+                round(hms / 1000000.0, 6) AS h_cond_nats,
+                round(rms / 1000000.0, 6) AS rate_nats
+         FROM g ORDER BY state""",
     // block maxima exact cents, moment sums int128; gamma / sqrt(6)/pi
     // / Gumbel quantiles are Scala literals shared with the engine
     "q_gumbel" -> {

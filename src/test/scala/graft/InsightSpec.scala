@@ -206,6 +206,33 @@ class InsightSpec extends SparkSpec {
     }
   }
 
+  test("lorenz deciles match brute force; curve sits under the diagonal") {
+    val rev = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, r) => (r, k) }
+    val n = rev.length; val total = rev.map(_._2).sum
+    val byDecile = rev.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+    val got = InsightQueries.queries("q_lorenz")(spark, sf).collect()
+    assert(got.length == byDecile.size)
+    var (cp, cr) = (0L, 0L)
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val xs = byDecile(d)
+      cp += xs.length; cr += xs.map(_._1._2).sum
+      assert(r.getLong(1) == xs.length, s"pop at decile $d")
+      assert(math.abs(r.getDouble(3) - cp.toDouble / n) < 1e-6 + 1e-9)
+      assert(math.abs(r.getDouble(4) - cr.toDouble / total) < 1e-6 + 1e-9)
+      // ascending-revenue deciles: cumulative revenue share can never
+      // exceed cumulative population share
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, s"diagonal at $d")
+    }
+    assert(math.abs(got.last.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(got.last.getDouble(4) - 1.0) < 1e-9)
+  }
+
   test("gini: matches the sequential rank formula, in [0, 1)") {
     val rev = Tables.orders(spark, sf)
       .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("r"))

@@ -110,6 +110,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_nelson_aalen",
     // BH step-up windows all ride the 25-row nation grid
     "q_fdr_bh",
+    // markov entropy's marginals ride the <=k^2 transition-cell grid;
+    // lorenz's cumulative shares ride the 10-row decile grid
+    "q_markov_entropy", "q_lorenz",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 

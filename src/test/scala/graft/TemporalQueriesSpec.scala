@@ -228,6 +228,49 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(r.getDouble(5) > r.getDouble(4) && r.getDouble(4) > r.getDouble(3))
   }
 
+  test("markov entropy matches a sequential transition recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val nt = trans.length.toLong
+    val byCell = trans.groupBy(identity).view.mapValues(_.length.toLong)
+    val byState = trans.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val expected = byState.map { case (st, ni) =>
+      val cells = byCell.filter(_._1._1 == st)
+      val hms = cells.map { case (_, nij) =>
+        math.round(-1e6 * (nij.toDouble / ni) *
+          math.log(nij.toDouble / ni))
+      }.sum
+      val rms = cells.map { case (_, nij) =>
+        math.round(-1e6 * (nij.toDouble / nt) *
+          math.log(nij.toDouble / ni))
+      }.sum
+      st -> ((ni, ni.toDouble / nt, hms / 1e6, rms / 1e6))
+    }
+    val got = TemporalQueries.queries("q_markov_entropy")(spark, sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (ni, pi, h, rate) = expected(r.getString(0))
+      assert(r.getLong(1) == ni, s"n_from at ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - pi) < 1e-6 + 1e-9)
+      assert(math.abs(r.getDouble(3) - h) < 1e-6 + 1e-9)
+      assert(math.abs(r.getDouble(4) - rate) < 1e-6 + 1e-9)
+      assert(r.getDouble(3) >= 0.0, "conditional entropy is nonnegative")
+    }
+    // the rate decomposition: sum of state contributions is the
+    // sequence's entropy rate, bounded by ln(#states)
+    val rateSum = got.map(_.getDouble(4)).sum
+    assert(rateSum >= 0.0 && rateSum <= math.log(expected.size.toDouble))
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
