@@ -832,6 +832,87 @@ object TemporalQueries {
       .orderBy("state")
   }
 
+  /** Wald–Wolfowitz runs test on daily revenue around its median — the
+    * nonparametric randomness check beside [[ljungBox]] (Ljung–Box
+    * reads LINEAR autocorrelation; the runs test catches any
+    * above/below-median clustering, level shifts included, with no
+    * distributional assumption): R = 1 + #sign changes along the day
+    * grid, E[R] and Var[R] closed-form from the exact above/below
+    * counts, one mirrored z at emission. The median is the (k1,k2)
+    * midpoint of the day-grid order statistics (the q_theil_sen
+    * contract), carried in-plan as a 1-row broadcast; median-equal
+    * days are dropped (the textbook rule). All windows ride the
+    * bounded day grid. */
+  private val runsTest: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("v").asc, col("day").asc), None)
+    val n = rnk.n
+    val (k1, k2) = ((n + 1) / 2, n / 2 + 1)
+    val med = rnk.df.filter(col("rk") === k1 || col("rk") === k2)
+      .agg(((min("v") + max("v")) / lit(2.0)).as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("med"))
+      .select(col("day"), (col("v") > col("med")).cast("long").as("up"))
+    val w = Window.orderBy("day")
+    val runs = signs
+      .withColumn("chg",
+        when(lag("up", 1).over(w).isNull, 1L)
+          .when(col("up") =!= lag("up", 1).over(w), 1L).otherwise(0L))
+      .agg(sum(when(col("up") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("up") === 0, 1L).otherwise(0L)).as("n2"),
+        sum("chg").as("r"))
+    val mean = lit(2.0) * col("n1") * col("n2") /
+      (col("n1") + col("n2")) + lit(1.0)
+    val vr = lit(2.0) * col("n1") * col("n2") *
+      (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+      ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2")) *
+        (col("n1") + col("n2") - 1))
+    runs.select(col("n1"), col("n2"), col("r").as("runs"),
+      round((col("r") - mean) / sqrt(vr), 4).as("z"),
+      (abs((col("r") - mean) / sqrt(vr)) > 1.96).as("reject_random"))
+  }
+
+  /** SAX symbolization of daily revenue — the Lin et al. symbolic
+    * aggregate approximation behind motif/novelty mining on time
+    * series at scale (reduce each ~24-day window to one letter, then
+    * string algorithms do the rest): global z-normalization from exact
+    * int128 moment sums, 100 equal-population segments via the
+    * explicit `((rk−1)·100) DIV n` cut (the q_lift_deciles contract),
+    * per-segment PAA mean z-scored and mapped to a 4-symbol alphabet
+    * at the standard Gaussian breakpoints ±0.6745 (quartiles). Every
+    * input to the breakpoint compare is the same mirrored double from
+    * exact integers. Windows ride the bounded day grid. */
+  private val sax: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum(col("v").cast(dec) * col("v")).as("svv"))
+    val mu = col("sv").cast("double") / col("n")
+    val sg = sqrt((col("n").cast(dec) * col("svv") -
+      col("sv") * col("sv")).cast("double") /
+      (col("n").cast("double") * (col("n") - 1)))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val n = rnk.n
+    val z = (col("segv").cast("double") / col("n_days") - mu) / sg
+    rnk.df
+      .withColumn("seg", expr(s"((rk - 1) * 100) DIV ${n}L") + 1)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_days"), sum("v").as("segv"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_days"),
+        round(z, 4).as("paa_z"),
+        when(z < -0.6745, "a").when(z < 0.0, "b")
+          .when(z < 0.6745, "c").otherwise("d").as("symbol"))
+      .orderBy("seg")
+  }
+
   /** Gumbel extreme-value fit on monthly block maxima of daily revenue
     * — the tail-risk read behind capacity planning ("what daily peak
     * should we provision for?"): method-of-moments fit β = σ√6/π,
@@ -952,6 +1033,8 @@ object TemporalQueries {
     "q_interarrival" -> interarrival,
     "q_gumbel" -> gumbel,
     "q_markov_entropy" -> markovEntropy,
+    "q_runs_test" -> runsTest,
+    "q_sax" -> sax,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -997,6 +1080,74 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // day-grid order statistics give the median; runs/E/Var closed
+    // form from exact counts, one mirrored z
+    "q_runs_test" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         rk AS (SELECT day, v, row_number() OVER (ORDER BY v, day) AS i
+                FROM dly),
+         nn AS (SELECT count(*) AS n FROM dly),
+         med AS (SELECT (min(v) + max(v)) / 2.0 AS med
+                 FROM rk, nn WHERE i = (n + 1) // 2 OR i = n // 2 + 1),
+         s AS (SELECT day, CASE WHEN v > med THEN 1 ELSE 0 END AS up
+               FROM dly, med WHERE v <> med),
+         c AS (SELECT up,
+                      CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                             THEN 1
+                           WHEN up <> lag(up) OVER (ORDER BY day)
+                             THEN 1
+                           ELSE 0 END AS chg
+               FROM s),
+         a AS (SELECT CAST(sum(CASE WHEN up = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN up = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2,
+                      CAST(sum(chg) AS BIGINT) AS r
+               FROM c)
+         SELECT n1, n2, r AS runs,
+                round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                  / sqrt(2.0 * n1 * n2
+                      * (2.0 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                      * (n1 + n2 - 1))), 4) AS z,
+                abs((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                  / sqrt(2.0 * n1 * n2
+                      * (2.0 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                      * (n1 + n2 - 1)))) > 1.96 AS reject_random
+         FROM a""",
+    // global z-normalization from int128 moments; explicit
+    // ((i-1)*100) // n segment cut; Gaussian quartile breakpoints
+    "q_sax" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         tot AS (SELECT count(*) AS n, sum(v) AS sv,
+                        sum(CAST(v AS HUGEINT) * v) AS svv
+                 FROM dly),
+         rk AS (SELECT v, row_number() OVER (ORDER BY day) AS i
+                FROM dly),
+         sg AS (SELECT ((i - 1) * 100) // n + 1 AS seg, v
+                FROM rk, tot),
+         g AS (SELECT seg, count(*) AS n_days,
+                      CAST(sum(v) AS BIGINT) AS segv
+               FROM sg GROUP BY 1),
+         z AS (SELECT seg, n_days,
+                      (CAST(segv AS DOUBLE) / n_days
+                          - CAST(sv AS DOUBLE) / n)
+                        / sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (n - 1))) AS zz
+               FROM g, tot)
+         SELECT seg, n_days, round(zz, 4) AS paa_z,
+                CASE WHEN zz < -0.6745 THEN 'a'
+                     WHEN zz < 0.0 THEN 'b'
+                     WHEN zz < 0.6745 THEN 'c'
+                     ELSE 'd' END AS symbol
+         FROM z ORDER BY seg""",
     // each entropy term micro-rounded before its exact long sum over
     // the transition-cell grid; one division per emitted state
     "q_markov_entropy" ->

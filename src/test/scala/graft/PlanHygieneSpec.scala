@@ -61,6 +61,8 @@ class PlanHygieneSpec extends SparkSpec {
     // naive bayes fans the doc-term grain out by the |languages|-row
     // broadcast candidate frame (a small constant, not data-sized)
     "q_naive_bayes",
+    // runs test / sax broadcast their 1-row median / moment frames
+    "q_runs_test", "q_sax",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the
@@ -113,6 +115,8 @@ class PlanHygieneSpec extends SparkSpec {
     // markov entropy's marginals ride the <=k^2 transition-cell grid;
     // lorenz's cumulative shares ride the 10-row decile grid
     "q_markov_entropy", "q_lorenz",
+    // the runs test's lag rides the bounded day grid
+    "q_runs_test",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
 

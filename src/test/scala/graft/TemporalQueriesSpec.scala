@@ -271,6 +271,52 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(rateSum >= 0.0 && rateSum <= math.log(expected.size.toDouble))
   }
 
+  test("runs test matches a sequential sign-run recompute") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val sorted = daily.map(_._2).sorted
+    val n = sorted.length
+    val med = (sorted((n + 1) / 2 - 1) + sorted(n / 2)) / 2.0
+    val signs = daily.filter(_._2 != med).map(_._2 > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val r = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val mean = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    val vr = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+      ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1))
+    val got = TemporalQueries.queries("q_runs_test")(spark, sf)
+      .collect().head
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(got.getLong(2) == r, "run count")
+    assert(math.abs(got.getDouble(3) - (r - mean) / math.sqrt(vr))
+      < 1e-4 + 1e-9)
+    assert(got.getBoolean(4) ==
+      (math.abs((r - mean) / math.sqrt(vr)) > 1.96))
+  }
+
+  test("sax: 100 segments partition the days; symbols match the z cut") {
+    val got = TemporalQueries.queries("q_sax")(spark, sf).collect()
+    assert(got.length == math.min(100,
+      got.map(_.getLong(1)).sum).toInt || got.length == 100)
+    assert(got.map(_.getLong(0)).toSeq == (1L to got.length).toSeq)
+    got.foreach { r =>
+      val z = r.getDouble(2); val sym = r.getString(3)
+      val expected =
+        if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      // paa_z is the rounded z; symbols can only disagree with the
+      // recomputed cut within rounding distance of a breakpoint
+      assert(sym == expected ||
+        Seq(-0.6745, 0.0, 0.6745).exists(b => math.abs(z - b) < 1e-4),
+        s"segment ${r.getLong(0)}: z=$z sym=$sym")
+    }
+    // z-normalized PAA means must straddle zero over the full series
+    assert(got.exists(_.getDouble(2) < 0) && got.exists(_.getDouble(2) > 0))
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
