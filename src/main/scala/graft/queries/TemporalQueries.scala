@@ -832,6 +832,44 @@ object TemporalQueries {
       .orderBy("state")
   }
 
+  /** Haar wavelet energy spectrum of daily revenue — multi-resolution
+    * variance analysis (which TIME SCALE carries the variation: 2-day
+    * noise, weekly cycle, quarterly drift?) over the first 2048 days
+    * of the grid. Key identity: every Haar approximation coefficient
+    * is the plain SUM of its subtree (even the lone trailing element
+    * of a ragged level), so the level-k detail d is a SIGNED BLOCK SUM
+    * of the ORIGINAL series — +v over the first half of its 2^k-day
+    * block, −v over the second. That turns 11 iterative lifting
+    * rounds into ONE 11-way explode + one (level, block) aggregate
+    * (one shuffle of ~2·n tiny rows, no per-level materialization);
+    * coefficients stay EXACT LONGS (|d| ≤ 2048·maxv ≈ 10¹³), each
+    * level's energy Σd² is an exact int128 sum, and the only float op
+    * is the final USD² scaling. */
+  private val haar: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    rnk.df.filter(col("rk") <= 2048)
+      .select(col("rk").as("i"), col("v"))
+      .withColumn("level", explode(sequence(lit(1), lit(11))))
+      .select(col("level"),
+        expr("(i - 1) DIV shiftleft(1, level) + 1").as("block"),
+        expr("CASE WHEN ((i - 1) DIV shiftleft(1, level - 1)) % 2 = 0" +
+          " THEN v ELSE -v END").as("sv"))
+      .groupBy("level", "block")
+      .agg(sum("sv").as("d"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_coeffs"),
+        sum(col("d").cast(dec) * col("d")).as("en"))
+      .select(col("level"), col("n_coeffs"),
+        round(col("en").cast("double") / lit(100000000.0), 4)
+          .as("energy_usd2"))
+      .orderBy("level")
+  }
+
   /** Wald–Wolfowitz runs test on daily revenue around its median — the
     * nonparametric randomness check beside [[ljungBox]] (Ljung–Box
     * reads LINEAR autocorrelation; the runs test catches any
@@ -1035,6 +1073,7 @@ object TemporalQueries {
     "q_markov_entropy" -> markovEntropy,
     "q_runs_test" -> runsTest,
     "q_sax" -> sax,
+    "q_haar" -> haar,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -1080,6 +1119,29 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // every detail coefficient is a signed block sum of the original
+    // series: 11-way unnest + one (level, block) aggregate, exact-long
+    // coefficients, int128 energies; one USD^2 scaling at emission
+    "q_haar" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         l0 AS (SELECT row_number() OVER (ORDER BY day) AS i, v
+                FROM dly),
+         b0 AS (SELECT i, v FROM l0 WHERE i <= 2048),
+         x AS (SELECT CAST(level AS INTEGER) AS level,
+                      (i - 1) // (1 << level) + 1 AS block,
+                      CASE WHEN ((i - 1) // (1 << (level - 1))) % 2 = 0
+                           THEN v ELSE -v END AS sv
+               FROM b0 CROSS JOIN
+                 (SELECT unnest(range(1, 12)) AS level) lv),
+         g AS (SELECT level, block, CAST(sum(sv) AS BIGINT) AS d
+               FROM x GROUP BY 1, 2)
+         SELECT level, count(*) AS n_coeffs,
+                round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                  / 100000000.0, 4) AS energy_usd2
+         FROM g GROUP BY level ORDER BY level""",
     // day-grid order statistics give the median; runs/E/Var closed
     // form from exact counts, one mirrored z
     "q_runs_test" ->

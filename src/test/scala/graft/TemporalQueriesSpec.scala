@@ -317,6 +317,39 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(got.exists(_.getDouble(2) < 0) && got.exists(_.getDouble(2) > 0))
   }
 
+  test("haar energies match a sequential lifting; Parseval holds") {
+    val v0 = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1)).take(2048)
+    // at sf0.001 the order-day grid is shorter than 2048 — the lifting
+    // is ragged there: a lone trailing element carries a = d = v, so
+    // the per-level identity v^2 = (a^2 + d^2) / 2 still holds exactly
+    var cur = v0
+    val expected = (1 to 11).map { _ =>
+      val pairs = cur.grouped(2).toArray
+      val d = pairs.map(p => if (p.length == 2) p(0) - p(1) else p(0))
+      cur = pairs.map(p => if (p.length == 2) p(0) + p(1) else p(0))
+      (d.length.toLong, d.map(x => BigInt(x) * x).sum)
+    }
+    val got = TemporalQueries.queries("q_haar")(spark, sf).collect()
+    assert(got.length == 11)
+    got.zip(expected).zipWithIndex.foreach { case ((r, (nc, en)), i) =>
+      assert(r.getInt(0) == i + 1 && r.getLong(1) == nc, s"level ${i + 1}")
+      val e = en.toDouble / 1e8
+      assert(math.abs(r.getDouble(2) - e) <= 1e-9 * e + 1e-4,
+        s"energy at level ${i + 1}")
+    }
+    // Parseval for the unnormalized lifting, cleared of denominators:
+    // 2^11 * sum(v^2) = sum_k E_k * 2^(11-k) + A^2
+    val lhs = v0.map(x => BigInt(x) * x).sum * BigInt(2).pow(11)
+    val rhs = expected.zipWithIndex.map { case ((_, e), i) =>
+      e * BigInt(2).pow(11 - (i + 1))
+    }.sum + BigInt(cur.head) * cur.head
+    assert(cur.length == 1)
+    assert(lhs == rhs, "exact Parseval identity")
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
