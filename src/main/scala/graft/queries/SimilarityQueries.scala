@@ -969,7 +969,13 @@ object SimilarityQueries {
     * is the broadcast-probe class — at corpus scale the LSH/IVF paths
     * substitute), each emits a TakeOrdered top-50; the fusion is a
     * full-outer join of two 50-row frames with bounded-grid windows. */
-  private val hybridSearch: Q = (s, d) => {
+  /** The two top-50 retriever frames hybrid search fuses — shared by
+    * [[hybridSearch]], [[rbo]], and [[ndcg]] so the retriever
+    * definitions can never drift between the fusion and its
+    * evaluation metrics. Determinism contracts as documented on
+    * [[hybridSearch]]. */
+  private[graft] def retrieverTops(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val kTop = 50
     val terms = Seq("join", "hash", "scan")
     val (k1, b) = (1.2, 0.75)
@@ -1006,6 +1012,11 @@ object SimilarityQueries {
         round(cosine(col("embedding"), col("q_emb")), 6).as("cs"))
       .orderBy(desc("cs"), asc("doc_id")).limit(kTop)
       .withColumn("v_rank", row_number().over(vRankW).cast("long"))
+    (kwTop, vecTop)
+  }
+
+  private val hybridSearch: Q = (s, d) => {
+    val (kwTop, vecTop) = retrieverTops(s, d)
     kwTop.select("doc_id", "k_rank")
       .join(vecTop.select("doc_id", "v_rank"), Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
@@ -1016,8 +1027,83 @@ object SimilarityQueries {
       .select(col("doc_id"), col("k_rank"), col("v_rank"), col("rrf"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between the keyword and
+    * dense retriever rankings — the top-weighted list-similarity
+    * read behind "do my two retrievers even agree?" (Kendall/Spearman
+    * treat all depths equally; RBO discounts depth d by p^{d−1}, so
+    * disagreement at rank 2 matters more than at rank 49). Truncated
+    * RBO@50, p = 0.9: RBO = (1−p)·Σ_d p^{d−1}·(X_d/d) with
+    * X_d = |A_d ∩ B_d| exact longs (a common doc counts at every depth
+    * ≥ max of its two ranks); each depth term is ONE mirrored double
+    * rounded to 1e-8 units before the 50-term exact sum. Everything
+    * after the two retrievers runs on 50-row grids. */
+  private val rbo: Q = (s, d) => {
+    val (kwTop, vecTop) = retrieverTops(s, d)
+    val common = kwTop.select("doc_id", "k_rank")
+      .join(vecTop.select("doc_id", "v_rank"), "doc_id")
+      .select(greatest(col("k_rank"), col("v_rank")).as("m"))
+    val depths = s.range(1)
+      .select(explode(sequence(lit(1), lit(50))).as("d"))
+    val xd = depths.join(common, col("m") <= col("d"), "left")
+      .groupBy("d").agg(count(col("m")).as("xd"))
+    xd.withColumn("t",
+        round(lit(100000000.0) * pow(lit(0.9), col("d") - 1)
+          * (col("xd") / col("d"))).cast("long"))
+      .agg(sum("t").as("st"),
+        max(when(col("d") === 10, col("xd"))).as("x10"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .select(col("n_common"), col("x10").as("overlap_at_10"),
+        round(lit(0.1) * col("st") / lit(100000000.0), 6).as("rbo"))
+  }
+
+  /** NDCG@10 of the keyword (BM25) ranking, with graded relevance
+    * derived from the dense retriever's cosine scores — the
+    * "agreement as ranking quality" read: if embeddings are the
+    * ground truth, how good is keyword search? Gains are EXACT LONGS
+    * g = max(0, round(round(cos,6)·1000)); the 1/log₂(i+1) rank
+    * discounts are Scala-computed MICRO-unit literals (the q_adstock
+    * protocol), so DCG and ideal DCG are exact long dot products and
+    * NDCG is one double division. The ideal top-10 comes from the
+    * dense top-50 re-ranked by gain — valid because the gain is
+    * monotone in cosine, so the 10 largest gains (as VALUES, which is
+    * all DCG needs) are inside the cosine top-50. */
+  private val ndcg: Q = (s, d) => {
+    val (kwTop, vecTop) = retrieverTops(s, d)
+    val wm = (1 to 10).map(i =>
+      math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+    val wArr = array(wm.map(lit(_)): _*)
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val gains = e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        greatest(lit(0L), round(round(
+          cosine(col("embedding"), col("q_emb")), 6) * 1000).cast("long"))
+          .as("g"))
+    val dcg = kwTop.filter(col("k_rank") <= 10)
+      .join(gains, "doc_id")
+      .select((col("g") * element_at(wArr, col("k_rank").cast("int")))
+        .as("t"))
+      .agg(sum("t").as("dcgm"))
+    val iRank = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("g"), asc("doc_id"))
+    val idcg = vecTop
+      .select(col("doc_id"),
+        greatest(lit(0L), round(col("cs") * 1000).cast("long")).as("g"))
+      .withColumn("ir", row_number().over(iRank).cast("long"))
+      .filter(col("ir") <= 10)
+      .select((col("g") * element_at(wArr, col("ir").cast("int"))).as("t"))
+      .agg(sum("t").as("idcgm"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(round(col("dcgm") / lit(1.0e9), 6).as("dcg10"),
+        round(col("idcgm") / lit(1.0e9), 6).as("idcg10"),
+        round(col("dcgm") / col("idcgm"), 6).as("ndcg10"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hybrid_search" -> hybridSearch,
+    "q_rbo" -> rbo,
+    "q_ndcg" -> ndcg,
     "q_cluster_cap" -> clusterCap,
     "q_cluster_cap_pin" -> clusterCapPin,
     "q_embed_quantize" -> embedQuantize,
@@ -1182,12 +1268,12 @@ object SimilarityQueries {
          SELECT vec_id, cell, d FROM g3 ORDER BY vec_id"""
   }
 
-  val oracles: Map[String, String] = Map(
-    // both retrievers fully replayed: BM25 term scores as integer
-    // ten-thousandths summed exactly, cosine at 6 (the q_knn_exact
-    // contract), RRF = 1/(60+rank) fused over the two top-50 lists
-    "q_hybrid_search" ->
-      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  /** Shared oracle prefix: the two replayed retrievers (kt = BM25
+    * top-50 with k_rank, vt = cosine top-50 with v_rank, vs = the
+    * corpus-wide cosine frame) — one text serves q_hybrid_search,
+    * q_rbo, and q_ndcg so the replay can never drift. */
+  private val retrieverCteSql: String =
+    """words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                         FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words
                 WHERE word IN ('join', 'hash', 'scan') GROUP BY 1, 2),
@@ -1216,9 +1302,16 @@ object SimilarityQueries {
                          CAST(q.embedding AS DOUBLE[])), 6) AS cs
                 FROM embeddings e,
                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
-         vt AS (SELECT doc_id,
+         vt AS (SELECT doc_id, cs,
                        row_number() OVER (ORDER BY cs DESC, doc_id) AS v_rank
-                FROM vs ORDER BY cs DESC, doc_id LIMIT 50),
+                FROM vs ORDER BY cs DESC, doc_id LIMIT 50)"""
+
+  val oracles: Map[String, String] = Map(
+    // both retrievers fully replayed: BM25 term scores as integer
+    // ten-thousandths summed exactly, cosine at 6 (the q_knn_exact
+    // contract), RRF = 1/(60+rank) fused over the two top-50 lists
+    "q_hybrid_search" ->
+      s"""WITH $retrieverCteSql,
          f AS (SELECT COALESCE(kt.doc_id, vt.doc_id) AS doc_id,
                       kt.k_rank, vt.v_rank,
                       round(COALESCE(1.0 / (60 + kt.k_rank), 0.0)
@@ -1226,6 +1319,50 @@ object SimilarityQueries {
                FROM kt FULL OUTER JOIN vt ON kt.doc_id = vt.doc_id)
          SELECT doc_id, k_rank, v_rank, rrf
          FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // X_d counts are exact longs; each depth term rounded to 1e-8
+    // units before the 50-term exact sum
+    "q_rbo" ->
+      s"""WITH $retrieverCteSql,
+         c AS (SELECT greatest(k_rank, v_rank) AS m
+               FROM kt JOIN vt USING (doc_id)),
+         dep AS (SELECT unnest(range(1, 51)) AS d),
+         xd AS (SELECT d, count(m) AS xd
+                FROM dep LEFT JOIN c ON m <= d GROUP BY d),
+         t AS (SELECT d, xd,
+                      CAST(round(100000000.0 * pow(0.9, d - 1)
+                        * (xd / d)) AS BIGINT) AS t
+               FROM xd),
+         n AS (SELECT count(*) AS n_common FROM c)
+         SELECT n_common,
+                max(CASE WHEN d = 10 THEN xd END) AS overlap_at_10,
+                round(0.1 * CAST(sum(t) AS BIGINT) / 100000000.0, 6)
+                  AS rbo
+         FROM t, n GROUP BY n_common""",
+    // exact-long gains x Scala-literal micro discounts: DCG/IDCG are
+    // exact long dot products, NDCG one double division
+    "q_ndcg" -> {
+      val wm = (1 to 10).map(i =>
+        math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+      def chain(rk: String) = (1 to 10)
+        .map(i => s"WHEN $rk = $i THEN ${wm(i - 1)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH $retrieverCteSql,
+         g AS (SELECT doc_id,
+                      greatest(0, CAST(round(cs * 1000) AS BIGINT)) AS g
+               FROM vs),
+         dc AS (SELECT CAST(sum(g.g * ${chain("kt.k_rank")}) AS BIGINT)
+                  AS dcgm
+                FROM kt JOIN g USING (doc_id) WHERE kt.k_rank <= 10),
+         id AS (SELECT g, row_number() OVER (ORDER BY g DESC, doc_id)
+                  AS ir
+                FROM g),
+         ic AS (SELECT CAST(sum(g * ${chain("ir")}) AS BIGINT) AS idcgm
+                FROM id WHERE ir <= 10)
+         SELECT round(dcgm / 1000000000.0, 6) AS dcg10,
+                round(idcgm / 1000000000.0, 6) AS idcg10,
+                round(dcgm / idcgm, 6) AS ndcg10
+         FROM dc, ic"""
+    },
     "q_kmeans" -> kmeansOracleSql,
     "q_cluster_cap_pin" ->
       """SELECT count(*) AS n_vectors, true AS caps_ok, true AS cells_ok,

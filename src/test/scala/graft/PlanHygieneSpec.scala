@@ -77,7 +77,10 @@ class PlanHygieneSpec extends SparkSpec {
     // JS divergence broadcasts the same 1-row token total as its KL
     // twin; the bigram LM broadcasts its 1-row vocabulary size; info
     // gain broadcasts its 1-row global-entropy frame
-    "q_hybrid_search", "q_js_divergence", "q_bigram_lm", "q_info_gain")
+    "q_hybrid_search", "q_js_divergence", "q_bigram_lm", "q_info_gain",
+    // rbo/ndcg inherit hybrid's retriever broadcasts; rbo additionally
+    // crosses the 50-row depth grid with the <=50-row common set
+    "q_rbo", "q_ndcg")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -100,7 +103,8 @@ class PlanHygieneSpec extends SparkSpec {
     // axis (the q_kaplan_meier class); qini's cumulative arms run on
     // the 10-row decile grid (the q_lift_deciles class); the HDR
     // sketch's cumulative scan runs on the ~35-row bucket grid
-    "q_calibration", "q_hybrid_search", "q_logrank", "q_qini",
+    "q_calibration", "q_hybrid_search", "q_rbo", "q_ndcg", "q_logrank",
+    "q_qini",
     "q_hdr_quantiles", "q_binseg", "q_stl_decompose", "q_adstock",
     "q_ljung_box", "q_rolling_slope",
     // weighted median's flag offsets ride a window over the 3-row

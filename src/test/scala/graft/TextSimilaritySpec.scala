@@ -787,4 +787,37 @@ class TextSimilaritySpec extends SparkSpec {
         s"doc ${r.getLong(0)} k_rank ${r.getLong(1)} vs ${bruteRanks.get(r.getLong(0))}")
     }
   }
+
+  test("rbo matches a sequential depth-sum over the two rankings") {
+    val (kwTop, vecTop) = SimilarityQueries.retrieverTops(spark, sf)
+    val ka = kwTop.select("doc_id", "k_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val va = vecTop.select("doc_id", "v_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ms = ka.keySet.intersect(va.keySet).toSeq
+      .map(id => math.max(ka(id), va(id)))
+    val st = (1 to 50).map { dd =>
+      val xd = ms.count(_ <= dd).toLong
+      math.round(1e8 * math.pow(0.9, dd - 1) * (xd.toDouble / dd))
+    }.sum
+    val got = SimilarityQueries.queries("q_rbo")(spark, sf).collect().head
+    assert(got.getLong(0) == ms.length.toLong)
+    assert(got.getLong(1) == ms.count(_ <= 10).toLong)
+    assert(math.abs(got.getDouble(2) - 0.1 * st / 1e8) < 1e-6 + 1e-9)
+    // truncated-RBO bounds: X_d <= d gives (1-p)(sum p^(d-1)) = 1-p^50
+    assert(got.getDouble(2) >= 0.0 &&
+      got.getDouble(2) <= 1.0 - math.pow(0.9, 50) + 1e-6)
+  }
+
+  test("ndcg: identity on the ideal ranking's own scale; bounds hold") {
+    val r = SimilarityQueries.queries("q_ndcg")(spark, sf).collect().head
+    val (dcg, idcg, ndcgV) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(idcg > 0.0, "corpus has positive-similarity docs")
+    assert(dcg >= 0.0 && dcg <= idcg + 1e-9,
+      "ideal ranking dominates any ranking")
+    assert(ndcgV >= 0.0 && ndcgV <= 1.0 + 1e-9)
+    assert(math.abs(ndcgV - dcg / idcg) < 1e-4 + 1e-9,
+      "ndcg is the emitted ratio")
+  }
 }
