@@ -705,6 +705,88 @@ object StatQueries {
           - col("tbm") / lit(1000000.0), 6).as("t_within"))
   }
 
+  /** One-way ANOVA of order value across customer nations — the
+    * parametric group-difference omnibus the surface lacked (the
+    * pairwise tests exist: Welch-z, logrank; ANOVA asks "do the 25
+    * nation means differ AT ALL" in one shot), plus the two effect
+    * sizes analysts read off the same decomposition: η² = SSB/SST and
+    * the intraclass correlation ICC(1). Sum decomposition protocol:
+    * per-nation Σx and Σx² are exact int128; each between-group term
+    * Sg²/n_g is ONE mirrored double rounded to integer cents² before
+    * the 25-term exact sum; F/η²/ICC are a few mirrored double ops at
+    * emission. Two map-side aggregates + a 1-row cross join — no
+    * window. */
+  private val anova: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val grp = oc.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(col("x").cast(dec)).as("sg"))
+    val cg = grp.select(col("ng"),
+      round((col("sg") * col("sg")).cast("double") / col("ng"))
+        .cast("long").as("cg"),
+      (col("ng").cast(dec) * col("ng")).as("ng2"))
+    // scg and the correction term reach ~9.4e18 at sf0.01 — past
+    // Long.MaxValue — so both ride DECIMAL(38,0)/int128
+    val parts = cg.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      sum(col("cg").cast(dec)).as("scg"), sum("ng2").as("sng2"))
+    val tot = oc.agg(sum(col("x").cast(dec)).as("sx"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"))
+    val all = parts.crossJoin(broadcast(tot))
+      .withColumn("corr",
+        round((col("sx") * col("sx")).cast("double") / col("n"))
+          .cast(dec))
+      .withColumn("ssb", (col("scg") - col("corr")).cast("double"))
+      .withColumn("ssw", (col("sxx") - col("scg")).cast("double"))
+      .withColumn("sst", (col("sxx") - col("corr")).cast("double"))
+    val msb = col("ssb") / (col("k") - 1)
+    val msw = col("ssw") / (col("n") - col("k"))
+    val n0 = (col("n") - col("sng2").cast("double") / col("n")) /
+      (col("k") - 1)
+    all.select(col("k").as("n_groups"), col("n").as("n_orders"),
+      round(msb / msw, 4).as("f_stat"),
+      round(col("ssb") / col("sst"), 6).as("eta2"),
+      round((msb - msw) / (msb + (n0 - 1) * msw), 6).as("icc1"))
+  }
+
+  /** Kruskal–Wallis rank ANOVA across customer nations — the
+    * nonparametric twin of [[anova]] (rank-based, so outliers and
+    * skew cannot fake or mask a group difference). Global average
+    * ranks carried DOUBLED (the [[spearman]] contract — integral, so
+    * per-nation rank sums are exact int128 via [[ScaledWindow]]'s
+    * distinct-value grain); each Dg²/n_g term is one mirrored double
+    * rounded to integer quarter-units before the 25-term sum; the
+    * tie-corrected H is a few mirrored double ops at emission. */
+  private val kruskal: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("g"), col("o_totalprice").as("x"))
+    val vals = oc.groupBy("x").agg(count(lit(1)).as("c"))
+    val rnk = ScaledWindow.rankCum(vals, Seq(col("x").asc),
+      Seq("cum" -> col("c")))
+    val dmap = rnk.df
+      .select(col("x"), (lit(2) * col("cum") - col("c") + 1).as("dr"))
+    val n = rnk.totals("cum")
+    val grp = oc.join(dmap, "x").groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("dr").cast(dec)).as("dg"))
+    val terms = grp.select(col("ng"),
+      round((col("dg") * col("dg")).cast("double") / (lit(4) * col("ng")))
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("k"), sum("t").as("st"))
+    val ties = vals.filter(col("c") > 1)
+      .agg(coalesce(sum(col("c").cast(dec) * col("c") * col("c") -
+        col("c")), lit(0).cast(dec)).as("t3"))
+    val h = lit(12.0) / (lit(n) * (lit(n) + 1)) * col("st") -
+      lit(3.0) * (lit(n) + 1)
+    val corr = lit(1.0) - col("t3").cast("double") /
+      (lit(n).cast(dec) * lit(n) * lit(n) - lit(n)).cast("double")
+    terms.crossJoin(broadcast(ties))
+      .select(col("k").as("n_groups"), lit(n).as("n_orders"),
+        round(h / corr, 4).as("h_stat"),
+        ((h / corr) > lit(36.415)).as("reject_equal"))
+  }
+
   /** Benjamini–Hochberg FDR correction — the multiple-testing
     * guardrail every per-segment experiment read-out needs (screen 25
     * nations at α=0.05 and ~1 sham "winner" appears by chance; BH
@@ -809,6 +891,8 @@ object StatQueries {
     "q_fdr_bh" -> fdrBh,
     "q_kendall_tau" -> kendallTau,
     "q_theil_index" -> theilIndex,
+    "q_anova" -> anova,
+    "q_kruskal" -> kruskal,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1148,6 +1232,74 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // per-nation sums exact int128; each Sg^2/n_g term one mirrored
+    // double rounded to cents^2 before the 25-term sum
+    "q_anova" ->
+      """WITH oc AS (SELECT c_nationkey AS g,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         grp AS (SELECT g, count(*) AS ng, sum(x) AS sg
+                 FROM oc GROUP BY 1),
+         cg AS (SELECT ng,
+                       CAST(round(CAST(sg * sg AS DOUBLE) / ng)
+                         AS BIGINT) AS cg,
+                       CAST(ng AS HUGEINT) * ng AS ng2
+                FROM grp),
+         parts AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                          sum(cg) AS scg,
+                          sum(ng2) AS sng2
+                   FROM cg),
+         tot AS (SELECT sum(x) AS sx,
+                        sum(CAST(x AS HUGEINT) * x) AS sxx
+                 FROM oc),
+         a AS (SELECT k, n, scg, sng2, sx, sxx,
+                      CAST(round(CAST(sx * sx AS DOUBLE) / n)
+                        AS HUGEINT) AS corr
+               FROM parts, tot),
+         b AS (SELECT k, n,
+                      CAST(scg - corr AS DOUBLE) AS ssb,
+                      CAST(sxx - scg AS DOUBLE) AS ssw,
+                      CAST(sxx - corr AS DOUBLE) AS sst,
+                      CAST(sng2 AS DOUBLE) AS sng2d
+               FROM a)
+         SELECT k AS n_groups, n AS n_orders,
+                round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+                round(ssb / sst, 6) AS eta2,
+                round((ssb / (k - 1) - ssw / (n - k))
+                  / (ssb / (k - 1) + ((n - sng2d / n) / (k - 1) - 1)
+                    * (ssw / (n - k))), 6) AS icc1
+         FROM b""",
+    // doubled average ranks (the q_spearman contract); each Dg^2/4n_g
+    // term one mirrored double rounded before the 25-term sum
+    "q_kruskal" ->
+      """WITH oc AS (SELECT c_nationkey AS g, o_totalprice AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         vals AS (SELECT x, count(*) AS c FROM oc GROUP BY 1),
+         rx AS (SELECT x, c, 2 * sum(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1 AS dr
+                FROM vals),
+         grp AS (SELECT g, count(*) AS ng, sum(dr) AS dg
+                 FROM oc JOIN rx USING (x) GROUP BY g),
+         terms AS (SELECT count(*) AS k,
+                          CAST(sum(CAST(round(CAST(dg * dg AS DOUBLE)
+                            / (4 * ng)) AS BIGINT)) AS BIGINT) AS st
+                   FROM grp),
+         nn AS (SELECT count(*) AS n FROM oc),
+         ties AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
+                    0) AS t3
+                  FROM vals WHERE c > 1),
+         h AS (SELECT k, n,
+                      12.0 / (n * (n + 1)) * st - 3.0 * (n + 1) AS h0,
+                      1.0 - CAST(t3 AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)
+                        AS corr
+               FROM terms, nn, ties)
+         SELECT k AS n_groups, n AS n_orders,
+                round(h0 / corr, 4) AS h_stat,
+                h0 / corr > 36.415 AS reject_equal
+         FROM h""",
     // all four pair classes as exact long counts from one pass over
     // the day-pair grid; two mirrored sqrts at emission
     "q_kendall_tau" ->

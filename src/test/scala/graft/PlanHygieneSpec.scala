@@ -63,6 +63,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_naive_bayes",
     // runs test / sax broadcast their 1-row median / moment frames
     "q_runs_test", "q_sax",
+    // anova / kruskal cross their 1-row total / tie frames
+    "q_anova", "q_kruskal",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the

@@ -543,6 +543,62 @@ class StatQueriesSpec extends SparkSpec {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= math.log(n.toDouble))
   }
 
+  test("anova matches a sequential sum decomposition; effect sizes bounded") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val k = rows.map(_._1).distinct.length.toLong
+    val groups = rows.groupBy(_._1).values.toSeq
+    val scg = groups.map { xs =>
+      val sg = xs.map(x => BigInt(x._2)).sum
+      math.round((sg * sg).toDouble / xs.length)
+    }.map(BigInt(_)).sum
+    val sng2 = groups.map(xs => BigInt(xs.length) * xs.length).sum
+    val sx = rows.map(x => BigInt(x._2)).sum
+    val sxx = rows.map(x => BigInt(x._2) * x._2).sum
+    val corr = BigInt(math.round((sx * sx).toDouble / n))
+    val ssb = (scg - corr).toDouble
+    val ssw = (sxx - scg).toDouble
+    val sst = (sxx - corr).toDouble
+    val msb = ssb / (k - 1); val msw = ssw / (n - k)
+    val n0 = (n - sng2.toDouble / n) / (k - 1)
+    val r = StatQueries.queries("q_anova")(spark, sf).collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - msb / msw) < 1e-4 + 1e-9)
+    assert(math.abs(r.getDouble(3) - ssb / sst) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(4) -
+      (msb - msw) / (msb + (n0 - 1) * msw)) < 1e-6 + 1e-9)
+    assert(r.getDouble(2) >= 0.0, "F is nonnegative")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "eta2 in [0,1]")
+    assert(r.getDouble(4) <= 1.0 + 1e-9, "ICC bounded above by 1")
+  }
+
+  test("kruskal-wallis matches a sequential rank recompute; H >= 0") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_totalprice"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val dr = doubledRanks(rows.map(_._2).toArray)
+    val n = rows.length.toLong
+    val st = rows.groupBy(_._1).values.map { xs =>
+      val dg = xs.map(x => BigInt(dr(x._2))).sum
+      math.round((dg * dg).toDouble / (4 * xs.length))
+    }.map(BigInt(_)).sum
+    val t3 = rows.groupBy(_._2).values.map(_.length.toLong)
+      .filter(_ > 1).map(c => BigInt(c) * c * c - c).sum
+    val h0 = 12.0 / (n * (n + 1)) * st.toDouble - 3.0 * (n + 1)
+    val corr = 1.0 - t3.toDouble / (BigInt(n) * n * n - n).toDouble
+    val r = StatQueries.queries("q_kruskal")(spark, sf).collect().head
+    assert(r.getLong(0) == rows.map(_._1).distinct.length.toLong)
+    assert(r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - h0 / corr) < 1e-4 + 1e-9)
+    assert(r.getDouble(2) >= -1e-9, "H is nonnegative")
+    assert(r.getBoolean(3) == (h0 / corr > 36.415))
+  }
+
   test("fdr-bh matches a sequential step-up over per-nation z-tests") {
     val counts = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
