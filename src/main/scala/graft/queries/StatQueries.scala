@@ -787,6 +787,83 @@ object StatQueries {
         ((h / corr) > lit(36.415)).as("reject_equal"))
   }
 
+  /** Jarque–Bera normality test on order values — the distributional
+    * pre-flight before any test that assumes Gaussian errors (the
+    * t/z/ANOVA family above): JB = n/6·(S² + K²/4) from sample
+    * skewness S and excess kurtosis K. The four raw moment sums Σx^p
+    * are EXACT int128/decimal (x in cents; x⁴ ≈ 1e28 per row stays
+    * far under the 38-digit cap at bench scale); central moments and
+    * JB are mirrored double expressions at emission, χ²₂ flag at
+    * α=0.05. One map-side aggregate, no window, no join. */
+  private val jarqueBera: Q = (s, d) => {
+    val x = round(col("o_totalprice") * 100).cast("long")
+    val a = Tables.orders(s, d)
+      .select(x.as("x"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum(col("x").cast(dec) * col("x")).as("s2"),
+        sum(col("x").cast(dec) * col("x") * col("x")).as("s3"),
+        sum(col("x").cast(dec) * col("x") * col("x") * col("x"))
+          .as("s4"))
+    val m = col("s1").cast("double") / col("n")
+    val m2 = col("s2").cast("double") / col("n") - m * m
+    val m3 = col("s3").cast("double") / col("n") -
+      lit(3.0) * m * (col("s2").cast("double") / col("n")) +
+      lit(2.0) * m * m * m
+    val m4 = col("s4").cast("double") / col("n") -
+      lit(4.0) * m * (col("s3").cast("double") / col("n")) +
+      lit(6.0) * m * m * (col("s2").cast("double") / col("n")) -
+      lit(3.0) * m * m * m * m
+    val sk = m3 / sqrt(m2 * m2 * m2)
+    val ku = m4 / (m2 * m2) - lit(3.0)
+    val jb = col("n") / lit(6.0) * (sk * sk + ku * ku / 4)
+    a.select(col("n").as("n_orders"),
+      round(sk, 6).as("skewness"),
+      round(ku, 6).as("excess_kurtosis"),
+      round(jb, 4).as("jb_stat"),
+      (jb > lit(5.991)).as("reject_normal"))
+  }
+
+  /** Tukey-HSD-style post-hoc screen after [[anova]] — which nation
+    * PAIRS actually differ once the omnibus fires: pairwise mean gaps
+    * on the 25-nation grid (≤300 pairs) against the studentized-range
+    * margin q*·√(MSW/2·(1/nᵢ+1/nⱼ)), q* = 5.0 (a stated illustrative
+    * constant — critical-value tables are environment data, the
+    * operator contract is the pairwise mechanics). Means are mirrored
+    * doubles from exact int128 sums; MSW is recomputed via the
+    * [[anova]] protocol. Output: every pair with its gap, margin
+    * (USD) and significance flag. */
+  private val tukeyHsd: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val grp = oc.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(col("x").cast(dec)).as("sg"))
+    val cg = grp.select(col("ng"),
+      round((col("sg") * col("sg")).cast("double") / col("ng"))
+        .cast("long").as("cg"))
+    val parts = cg.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      sum(col("cg").cast(dec)).as("scg"))
+    val tot = oc.agg(sum(col("x").cast(dec) * col("x")).as("sxx"))
+    val msw = parts.crossJoin(broadcast(tot))
+      .select(((col("sxx") - col("scg")).cast("double") /
+        (col("n") - col("k"))).as("msw"))
+    val b = grp.select(col("g").as("g2"), col("ng").as("ng2"),
+      col("sg").as("sg2"))
+    val gap = abs(col("sg").cast("double") / col("ng") -
+      col("sg2").cast("double") / col("ng2"))
+    val margin = lit(5.0) * sqrt(col("msw") / 2 *
+      (lit(1.0) / col("ng") + lit(1.0) / col("ng2")))
+    grp.join(broadcast(b), col("g") < col("g2"))
+      .crossJoin(broadcast(msw))
+      .select(col("g").as("nation_a"), col("g2").as("nation_b"),
+        round(gap / lit(100.0), 2).as("gap_usd"),
+        round(margin / lit(100.0), 2).as("margin_usd"),
+        (gap > margin).as("significant"))
+      .orderBy("nation_a", "nation_b")
+  }
+
   /** Benjamini–Hochberg FDR correction — the multiple-testing
     * guardrail every per-segment experiment read-out needs (screen 25
     * nations at α=0.05 and ~1 sham "winner" appears by chance; BH
@@ -893,6 +970,8 @@ object StatQueries {
     "q_theil_index" -> theilIndex,
     "q_anova" -> anova,
     "q_kruskal" -> kruskal,
+    "q_jarque_bera" -> jarqueBera,
+    "q_tukey_hsd" -> tukeyHsd,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1232,6 +1311,67 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // four raw moment sums exact int128; central moments / JB are
+    // mirrored doubles at emission
+    "q_jarque_bera" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS x
+                    FROM orders),
+         a AS (SELECT count(*) AS n, sum(x) AS s1,
+                      sum(CAST(x AS HUGEINT) * x) AS s2,
+                      sum(CAST(x AS HUGEINT) * x * x) AS s3,
+                      sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+               FROM t),
+         b AS (SELECT n, CAST(s1 AS DOUBLE) / n AS m,
+                      CAST(s2 AS DOUBLE) / n AS r2,
+                      CAST(s3 AS DOUBLE) / n AS r3,
+                      CAST(s4 AS DOUBLE) / n AS r4
+               FROM a),
+         c AS (SELECT n, r2 - m * m AS m2,
+                      r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+                      r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+                        - 3.0 * m * m * m * m AS m4
+               FROM b),
+         e AS (SELECT n, m3 / sqrt(m2 * m2 * m2) AS sk,
+                      m4 / (m2 * m2) - 3.0 AS ku
+               FROM c)
+         SELECT n AS n_orders,
+                round(sk, 6) AS skewness,
+                round(ku, 6) AS excess_kurtosis,
+                round(n / 6.0 * (sk * sk + ku * ku / 4), 4) AS jb_stat,
+                n / 6.0 * (sk * sk + ku * ku / 4) > 5.991
+                  AS reject_normal
+         FROM e""",
+    // pairwise mean gaps on the 25-nation grid vs the q*-margin; MSW
+    // recomputed via the q_anova protocol
+    "q_tukey_hsd" ->
+      """WITH oc AS (SELECT c_nationkey AS g,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         grp AS (SELECT g, count(*) AS ng, sum(x) AS sg
+                 FROM oc GROUP BY 1),
+         cg AS (SELECT ng,
+                       CAST(round(CAST(sg * sg AS DOUBLE) / ng)
+                         AS BIGINT) AS cg
+                FROM grp),
+         parts AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                          sum(cg) AS scg
+                   FROM cg),
+         tot AS (SELECT sum(CAST(x AS HUGEINT) * x) AS sxx FROM oc),
+         m AS (SELECT CAST(sxx - scg AS DOUBLE) / (n - k) AS msw
+               FROM parts, tot),
+         p AS (SELECT a.g AS nation_a, b.g AS nation_b,
+                      abs(CAST(a.sg AS DOUBLE) / a.ng
+                        - CAST(b.sg AS DOUBLE) / b.ng) AS gap,
+                      5.0 * sqrt(msw / 2 * (1.0 / a.ng + 1.0 / b.ng))
+                        AS margin
+               FROM grp a JOIN grp b ON a.g < b.g, m)
+         SELECT nation_a, nation_b,
+                round(gap / 100.0, 2) AS gap_usd,
+                round(margin / 100.0, 2) AS margin_usd,
+                gap > margin AS significant
+         FROM p ORDER BY nation_a, nation_b""",
     // per-nation sums exact int128; each Sg^2/n_g term one mirrored
     // double rounded to cents^2 before the 25-term sum
     "q_anova" ->

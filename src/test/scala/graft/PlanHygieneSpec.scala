@@ -63,8 +63,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_naive_bayes",
     // runs test / sax broadcast their 1-row median / moment frames
     "q_runs_test", "q_sax",
-    // anova / kruskal cross their 1-row total / tie frames
-    "q_anova", "q_kruskal",
+    // anova / kruskal cross their 1-row total / tie frames; tukey
+    // additionally pairs the 25-row nation grid
+    "q_anova", "q_kruskal", "q_tukey_hsd",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the

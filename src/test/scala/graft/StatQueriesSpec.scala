@@ -599,6 +599,60 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getBoolean(3) == (h0 / corr > 36.415))
   }
 
+  test("jarque-bera matches a sequential moment recompute") {
+    val xs = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val n = xs.length.toLong
+    val s = (1 to 4).map(p => xs.map(x => BigInt(x).pow(p)).sum)
+    val m = s(0).toDouble / n
+    val (r2, r3, r4) =
+      (s(1).toDouble / n, s(2).toDouble / n, s(3).toDouble / n)
+    val m2 = r2 - m * m
+    val m3 = r3 - 3.0 * m * r2 + 2.0 * m * m * m
+    val m4 = r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m
+    val sk = m3 / math.sqrt(m2 * m2 * m2)
+    val ku = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (sk * sk + ku * ku / 4)
+    val r = StatQueries.queries("q_jarque_bera")(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - sk) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(2) - ku) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(3) - jb) < 1e-3 + 1e-6 * jb)
+    assert(r.getBoolean(4) == (jb > 5.991))
+    assert(r.getDouble(3) >= 0.0, "JB is nonnegative")
+  }
+
+  test("tukey pairs match a sequential recompute; flags consistent") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(x => BigInt(x._2)).sum))
+      .toMap
+    val n = rows.length.toLong; val k = groups.size.toLong
+    val scg = groups.values
+      .map { case (ng, sg) => BigInt(math.round((sg * sg).toDouble / ng)) }
+      .sum
+    val sxx = rows.map(x => BigInt(x._2) * x._2).sum
+    val msw = (sxx - scg).toDouble / (n - k)
+    val got = StatQueries.queries("q_tukey_hsd")(spark, sf).collect()
+    assert(got.length == (k * (k - 1) / 2).toInt)
+    got.foreach { r =>
+      val (na, nb) = (r.getInt(0), r.getInt(1))
+      assert(na < nb)
+      val (n1, s1) = groups(na); val (n2, s2) = groups(nb)
+      val gap = math.abs(s1.toDouble / n1 - s2.toDouble / n2)
+      val margin = 5.0 * math.sqrt(msw / 2 * (1.0 / n1 + 1.0 / n2))
+      assert(math.abs(r.getDouble(2) - gap / 100.0) < 1e-2 + 1e-9,
+        s"gap at ($na,$nb)")
+      assert(math.abs(r.getDouble(3) - margin / 100.0) < 1e-2 + 1e-9)
+      assert(r.getBoolean(4) == (gap > margin), s"flag at ($na,$nb)")
+    }
+  }
+
   test("fdr-bh matches a sequential step-up over per-nation z-tests") {
     val counts = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
