@@ -787,6 +787,45 @@ object StatQueries {
         ((h / corr) > lit(36.415)).as("reject_equal"))
   }
 
+  /** Friedman test — the nonparametric TWO-WAY omnibus ([[kruskal]]
+    * pools all orders; Friedman blocks by MONTH and asks whether the
+    * nation effect is consistent ACROSS months, immune to the common
+    * month-level shocks that inflate a pooled test): nations ranked
+    * within each month's complete 25-cell block (missing cells are
+    * explicit zero-revenue rows via the month×nation grid, so every
+    * block is complete), doubled average ranks dr = 2(rank−1)+t+1
+    * exact integers from two bounded windows, per-nation rank sums
+    * exact int128, χ²_F mirrored doubles at emission. */
+  private val friedman: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("c_nationkey").as("g"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val months = oc.select("mth").distinct()
+    val nations = Tables.nation(s, d).select(col("n_nationkey").as("g"))
+    val grid = months.crossJoin(broadcast(nations))
+      .join(oc, Seq("mth", "g"), "left")
+      .na.fill(0L, Seq("v"))
+    val wLess = Window.partitionBy("mth").orderBy(col("v"))
+    val wTie = Window.partitionBy("mth", "v")
+    val rj = grid
+      .withColumn("r", rank().over(wLess))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("dr", lit(2) * (col("r") - 1) + col("t") + 1)
+      .groupBy("g").agg(sum("dr").as("drj"))
+    val nb = months.agg(count(lit(1)).as("nb"))
+    val chi2 = lit(12.0) / (col("nb") * col("k") * (col("k") + 1)) *
+      (col("s2").cast("double") / 4) -
+      lit(3.0) * col("nb") * (col("k") + 1)
+    rj.agg(count(lit(1)).as("k"),
+        sum(col("drj").cast(dec) * col("drj")).as("s2"))
+      .crossJoin(broadcast(nb))
+      .select(col("nb").as("n_blocks"), col("k").as("n_groups"),
+        round(chi2, 4).as("chi2_f"),
+        (chi2 > lit(36.415)).as("reject_equal"))
+  }
+
   /** Jarque–Bera normality test on order values — the distributional
     * pre-flight before any test that assumes Gaussian errors (the
     * t/z/ANOVA family above): JB = n/6·(S² + K²/4) from sample
@@ -972,6 +1011,7 @@ object StatQueries {
     "q_kruskal" -> kruskal,
     "q_jarque_bera" -> jarqueBera,
     "q_tukey_hsd" -> tukeyHsd,
+    "q_friedman" -> friedman,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1311,6 +1351,40 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // complete month-blocks via the month x nation zero-filled grid;
+    // doubled within-block ranks exact; chi2_F mirrored at emission
+    "q_friedman" ->
+      """WITH oc AS (SELECT date_trunc('month', CAST(o_orderdate
+                        AS DATE)) AS mth,
+                            c_nationkey AS g,
+                            CAST(sum(CAST(round(o_totalprice * 100)
+                              AS BIGINT)) AS BIGINT) AS v
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+         months AS (SELECT DISTINCT mth FROM oc),
+         grid AS (SELECT m.mth, n.n_nationkey AS g,
+                         coalesce(oc.v, 0) AS v
+                  FROM months m CROSS JOIN nation n
+                  LEFT JOIN oc ON oc.mth = m.mth
+                    AND oc.g = n.n_nationkey),
+         rk AS (SELECT g,
+                       rank() OVER (PARTITION BY mth ORDER BY v) AS r,
+                       count(*) OVER (PARTITION BY mth, v) AS t
+                FROM grid),
+         rj AS (SELECT g, CAST(sum(2 * (r - 1) + t + 1) AS BIGINT)
+                  AS drj
+                FROM rk GROUP BY 1),
+         st AS (SELECT count(*) AS k,
+                       sum(CAST(drj AS HUGEINT) * drj) AS s2
+                FROM rj),
+         nb AS (SELECT count(*) AS nb FROM months)
+         SELECT nb AS n_blocks, k AS n_groups,
+                round(12.0 / (nb * k * (k + 1))
+                  * (CAST(s2 AS DOUBLE) / 4)
+                  - 3.0 * nb * (k + 1), 4) AS chi2_f,
+                12.0 / (nb * k * (k + 1)) * (CAST(s2 AS DOUBLE) / 4)
+                  - 3.0 * nb * (k + 1) > 36.415 AS reject_equal
+         FROM st, nb""",
     // four raw moment sums exact int128; central moments / JB are
     // mirrored doubles at emission
     "q_jarque_bera" ->

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.Fingerprint64.fingerprint64
 import graft.functions.JaroWinkler.jaroWinkler
@@ -209,6 +210,40 @@ object TextQueries {
       .withColumn("pred_lang", predLangCol)
       .select("doc_id", "lang", "score_en", "score_es", "score_de", "pred_lang")
       .orderBy("doc_id")
+
+  /** Cohen's kappa of the lang-id heuristic against the true labels —
+    * the chance-corrected agreement read every labeler audit needs
+    * (raw accuracy flatters a labeler on an imbalanced corpus; kappa
+    * subtracts the agreement a label-marginal-matching random guesser
+    * would get). Composes the SAME [[withLangScores]]/[[predLangCol]]
+    * builders as q_lang_id, so the metric can never drift from the
+    * labeler it audits. po/pe from exact integer confusion counts and
+    * marginals (≤4×4 grid); kappa one mirrored double expression. */
+  private val cohenKappa: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = withLangScores(withWords(Tables.documents(s, d)))
+      .withColumn("pred_lang", predLangCol)
+      .select("lang", "pred_lang")
+    val head = base.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+        .as("agree"))
+    val ri = base.groupBy("lang").agg(count(lit(1)).as("ri"))
+    val cj = base.groupBy("pred_lang").agg(count(lit(1)).as("cj"))
+    // pe sums r_i*c_i over every CLASS with both marginals present —
+    // a confusion-cell diagonal would silently drop classes whose
+    // diagonal count is zero
+    val chance = ri.join(cj, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("ri").cast(dec) * col("cj")),
+        lit(0).cast(dec)).as("chance"))
+    val pe = col("chance").cast("double") /
+      (col("n_docs").cast("double") * col("n_docs"))
+    val po = col("agree") / col("n_docs")
+    head.crossJoin(broadcast(chance))
+      .select(col("n_docs"), col("agree"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
 
   /** Quality scoring: length band, punctuation density, stopword
     * presence — integer score 0-3 (no float-rounding ambiguity). */
@@ -1441,6 +1476,7 @@ object TextQueries {
     "q_text_stats" -> textStats,
     "q_readability" -> readability,
     "q_naive_bayes" -> naiveBayes,
+    "q_cohen_kappa" -> cohenKappa,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -1540,6 +1576,45 @@ object TextQueries {
                 CAST(max(length(text)) AS INTEGER) AS max_chars,
                 round(avg(len(string_split(text, ' '))), 4) AS avg_words
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // the q_lang_id labeler replayed; po/pe from exact confusion
+    // marginals, kappa one mirrored expression
+    "q_cohen_kappa" ->
+      """WITH scored AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','of'))) AS INTEGER) AS score_en,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('el','la','de'))) AS INTEGER) AS score_es,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('der','und','die'))) AS INTEGER) AS score_de
+           FROM documents),
+         p AS (SELECT lang,
+                      CASE WHEN score_en >= score_es
+                             AND score_en >= score_de
+                             AND score_en > 0 THEN 'en'
+                           WHEN score_es >= score_de
+                             AND score_es > 0 THEN 'es'
+                           WHEN score_de > 0 THEN 'de'
+                           ELSE 'und' END AS pred_lang
+               FROM scored),
+         head AS (SELECT count(*) AS n_docs,
+                         CAST(sum(CASE WHEN lang = pred_lang THEN 1
+                           ELSE 0 END) AS BIGINT) AS agree
+                  FROM p),
+         ri AS (SELECT lang, count(*) AS ri FROM p GROUP BY 1),
+         cj AS (SELECT pred_lang, count(*) AS cj FROM p GROUP BY 1),
+         ch AS (SELECT coalesce(sum(CAST(ri AS HUGEINT) * cj), 0)
+                  AS chance
+                FROM ri JOIN cj ON lang = pred_lang)
+         SELECT n_docs, agree,
+                round(agree / n_docs, 6) AS po,
+                round(CAST(chance AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
+                round((agree / n_docs - CAST(chance AS DOUBLE)
+                    / (CAST(n_docs AS DOUBLE) * n_docs))
+                  / (1.0 - CAST(chance AS DOUBLE)
+                    / (CAST(n_docs AS DOUBLE) * n_docs)), 6) AS kappa
+         FROM head, ch""",
     // each smoothed log-prob rounded ONCE to micro-nats, multiplied by
     // the integer term count — per-(doc, lang) scores are exact longs,
     // argmax on (score desc, lang asc) cannot flip cross-engine

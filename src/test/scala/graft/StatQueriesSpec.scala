@@ -653,6 +653,37 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("friedman matches a sequential within-block rank recompute") {
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("c_nationkey").as("g"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val months = cells.map(_._1).distinct
+    val nations = Tables.nation(spark, sf).select("n_nationkey")
+      .collect().map(_.getInt(0))
+    val vmap = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val drj = collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    months.foreach { m =>
+      val vs = nations.map(g => g -> vmap.getOrElse((m, g), 0L))
+      vs.foreach { case (g, v) =>
+        val less = vs.count(_._2 < v).toLong
+        val tied = vs.count(_._2 == v).toLong
+        drj(g) += 2 * less + tied + 1
+      }
+    }
+    val k = nations.length.toLong; val nb = months.length.toLong
+    val s2 = drj.values.map(x => BigInt(x) * x).sum
+    val chi2 = 12.0 / (nb * k * (k + 1)) * (s2.toDouble / 4) -
+      3.0 * nb * (k + 1)
+    val r = StatQueries.queries("q_friedman")(spark, sf).collect().head
+    assert(r.getLong(0) == nb && r.getLong(1) == k)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-4 + 1e-9)
+    assert(r.getBoolean(3) == (chi2 > 36.415))
+  }
+
   test("fdr-bh matches a sequential step-up over per-nation z-tests") {
     val counts = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))

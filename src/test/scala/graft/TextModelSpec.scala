@@ -91,6 +91,39 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  test("cohen kappa: perfect labeler scores 1, constant labeler 0-ish") {
+    // marker words make the heuristic's prediction certain per doc
+    val d = writeDocs(Seq(
+      (1L, "the a of", "en", "s"), (2L, "the a of", "en", "s"),
+      (3L, "el la de", "es", "s"), (4L, "der und die", "de", "s")))
+    val r = TextQueries.queries("q_cohen_kappa")(spark, d).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, "po = 1")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, "perfect kappa")
+  }
+
+  test("cohen kappa on the corpus matches a sequential confusion pass") {
+    val preds = TextQueries.queries("q_lang_id")(spark, sf)
+      .select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = preds.length.toLong
+    val agree = preds.count { case (a, b) => a == b }.toLong
+    val ri = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cj = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val chance = ri.keys.toSeq.map { k =>
+      val c: Long = cj.getOrElse(k, 0L)
+      BigInt(ri(k)) * BigInt(c)
+    }.sum
+    val po = agree.toDouble / n
+    val pe = chance.toDouble / (n.toDouble * n)
+    val r = TextQueries.queries("q_cohen_kappa")(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == agree)
+    assert(math.abs(r.getDouble(2) - po) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(3) - pe) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(4) - (po - pe) / (1.0 - pe)) < 1e-6 + 1e-9)
+    assert(r.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("source divergence is zero for identically-distributed sources") {
     val d = writeDocs(Seq(
       (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
