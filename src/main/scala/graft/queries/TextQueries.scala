@@ -125,7 +125,17 @@ object TextQueries {
     * Scale: the score join fans the doc-term grain out by |languages|
     * (a small constant) and shuffles on the word key; the argmax
     * window partitions per doc over |languages| rows. */
-  private val naiveBayes: Q = (s, d) => {
+  private val naiveBayes: Q = (s, d) =>
+    nbPredictions(s, d)
+      .groupBy(col("lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  /** Per-doc naive-Bayes argmax frame (doc_id, lang, cand) — shared by
+    * [[naiveBayes]] and [[mcnemar]] so the classifier under comparison
+    * is the one the confusion grid reports on. */
+  private[graft] def nbPredictions(s: SparkSession, d: String)
+      : DataFrame = {
     val docs = Tables.documents(s, d)
     val words = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("word"))
@@ -154,9 +164,43 @@ object TextQueries {
       .orderBy(col("score").desc, col("cand").asc)
     docScore.withColumn("rn", row_number().over(rk))
       .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("cand").as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "pred_lang")
+      .select("doc_id", "lang", "cand")
+  }
+
+  /** McNemar's paired test between the two labelers this module ships
+    * — the q_lang_id marker heuristic (A) and the [[naiveBayes]]
+    * classifier (B), scored on the SAME documents: is B's accuracy
+    * edge real, or within what flipping a coin on the disagreements
+    * explains? Only the DISCORDANT pairs carry information:
+    * χ² = (b01−b10)²/(b01+b10) with b01 = A right ∧ B wrong, b10 the
+    * reverse — all exact longs from one join of the two per-doc
+    * prediction frames, one division at emission, χ²₁ flag. Composes
+    * [[predLangCol]] and [[nbPredictions]] verbatim, so the test can
+    * never drift from the labelers it compares. */
+  private val mcnemar: Q = (s, d) => {
+    val a = withLangScores(withWords(Tables.documents(s, d)))
+      .withColumn("pred_a", predLangCol)
+      .select("doc_id", "lang", "pred_a")
+    val b = nbPredictions(s, d).select(col("doc_id"),
+      col("cand").as("pred_b"))
+    val j = a.join(b, "doc_id")
+      .select(
+        (col("pred_a") === col("lang")).cast("long").as("ra"),
+        (col("pred_b") === col("lang")).cast("long").as("rb"))
+    val chi2 = (col("b01") - col("b10")).cast("double") *
+      (col("b01") - col("b10")) / (col("b01") + col("b10"))
+    j.agg(count(lit(1)).as("n_docs"),
+        sum("ra").as("n_a_right"), sum("rb").as("n_b_right"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+          .as("b01"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+          .as("b10"))
+      .select(col("n_docs"),
+        round(col("n_a_right") / col("n_docs"), 6).as("acc_heuristic"),
+        round(col("n_b_right") / col("n_docs"), 6).as("acc_nb"),
+        col("b01"), col("b10"),
+        round(chi2, 4).as("mcnemar_chi2"),
+        (chi2 > lit(3.841)).as("reject_equal"))
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
@@ -1477,6 +1521,7 @@ object TextQueries {
     "q_readability" -> readability,
     "q_naive_bayes" -> naiveBayes,
     "q_cohen_kappa" -> cohenKappa,
+    "q_mcnemar" -> mcnemar,
     "q_token_count" -> tokenCount,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -1523,6 +1568,43 @@ object TextQueries {
        FROM dsh d JOIN ev USING (shingle)
        WHERE d.doc_id % 5 <> 4
        GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** Shared oracle prefix: the naive-Bayes scoring chain up to the
+    * per-doc argmax CTE `p` — one text serves q_naive_bayes and
+    * q_mcnemar so the classifier under test can never drift. */
+  private val nbCteSql: String =
+    """w AS (SELECT doc_id, lang,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         dw AS (SELECT doc_id, lang, word, count(*) AS c
+                FROM w GROUP BY 1, 2, 3),
+         lw AS (SELECT lang AS cand, word, count(*) AS clw
+                FROM w GROUP BY 1, 2),
+         langs AS (SELECT lt.cand, lt.cl, nd.ndl, v.vocab, na.ndocs
+                   FROM (SELECT lang AS cand, count(*) AS cl
+                         FROM w GROUP BY 1) lt
+                   JOIN (SELECT lang AS cand, count(*) AS ndl
+                         FROM documents GROUP BY 1) nd
+                     ON lt.cand = nd.cand
+                   CROSS JOIN (SELECT count(DISTINCT word) AS vocab
+                               FROM w) v
+                   CROSS JOIN (SELECT count(*) AS ndocs
+                               FROM documents) na),
+         sc AS (SELECT dw.doc_id, dw.lang, langs.cand,
+                       CAST(sum(c * CAST(round(1000000.0
+                           * ln((coalesce(clw, 0) + 1)
+                             / (cl + vocab))) AS BIGINT)) AS BIGINT)
+                         + CAST(round(1000000.0 * ln(ndl / ndocs))
+                             AS BIGINT) AS score
+                FROM dw CROSS JOIN langs
+                LEFT JOIN lw ON lw.cand = langs.cand
+                  AND lw.word = dw.word
+                GROUP BY dw.doc_id, dw.lang, langs.cand, langs.ndl,
+                         langs.ndocs),
+         p AS (SELECT doc_id, lang, cand,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, cand ASC) AS rn
+               FROM sc)"""
 
   val oracles: Map[String, String] = Map(
     "q_compression_ratio_pin" ->
@@ -1619,41 +1701,56 @@ object TextQueries {
     // the integer term count — per-(doc, lang) scores are exact longs,
     // argmax on (score desc, lang asc) cannot flip cross-engine
     "q_naive_bayes" ->
-      """WITH w AS (SELECT doc_id, lang,
-                           unnest(string_split(text, ' ')) AS word
-                    FROM documents),
-         dw AS (SELECT doc_id, lang, word, count(*) AS c
-                FROM w GROUP BY 1, 2, 3),
-         lw AS (SELECT lang AS cand, word, count(*) AS clw
-                FROM w GROUP BY 1, 2),
-         langs AS (SELECT lt.cand, lt.cl, nd.ndl, v.vocab, na.ndocs
-                   FROM (SELECT lang AS cand, count(*) AS cl
-                         FROM w GROUP BY 1) lt
-                   JOIN (SELECT lang AS cand, count(*) AS ndl
-                         FROM documents GROUP BY 1) nd
-                     ON lt.cand = nd.cand
-                   CROSS JOIN (SELECT count(DISTINCT word) AS vocab
-                               FROM w) v
-                   CROSS JOIN (SELECT count(*) AS ndocs
-                               FROM documents) na),
-         sc AS (SELECT dw.doc_id, dw.lang, langs.cand,
-                       CAST(sum(c * CAST(round(1000000.0
-                           * ln((coalesce(clw, 0) + 1)
-                             / (cl + vocab))) AS BIGINT)) AS BIGINT)
-                         + CAST(round(1000000.0 * ln(ndl / ndocs))
-                             AS BIGINT) AS score
-                FROM dw CROSS JOIN langs
-                LEFT JOIN lw ON lw.cand = langs.cand
-                  AND lw.word = dw.word
-                GROUP BY dw.doc_id, dw.lang, langs.cand, langs.ndl,
-                         langs.ndocs),
-         p AS (SELECT doc_id, lang, cand,
-                      row_number() OVER (PARTITION BY doc_id
-                        ORDER BY score DESC, cand ASC) AS rn
-               FROM sc)
+      s"""WITH $nbCteSql
          SELECT lang, cand AS pred_lang, count(*) AS n_docs
          FROM p WHERE rn = 1
          GROUP BY lang, cand ORDER BY lang, pred_lang""",
+    // only the discordant pairs carry information; both labelers'
+    // pipelines replayed verbatim (the q_lang_id and q_naive_bayes
+    // CTE texts)
+    "q_mcnemar" ->
+      s"""WITH $nbCteSql,
+         nbp AS (SELECT doc_id, cand AS pred_b FROM p WHERE rn = 1),
+         hs AS (SELECT doc_id, lang,
+                       CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of'))) AS INTEGER)
+                         AS score_en,
+                       CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('el','la','de'))) AS INTEGER)
+                         AS score_es,
+                       CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('der','und','die'))) AS INTEGER)
+                         AS score_de
+                FROM documents),
+         ha AS (SELECT doc_id, lang,
+                       CASE WHEN score_en >= score_es
+                              AND score_en >= score_de
+                              AND score_en > 0 THEN 'en'
+                            WHEN score_es >= score_de
+                              AND score_es > 0 THEN 'es'
+                            WHEN score_de > 0 THEN 'de'
+                            ELSE 'und' END AS pred_a
+                FROM hs),
+         j AS (SELECT CASE WHEN pred_a = lang THEN 1 ELSE 0 END AS ra,
+                      CASE WHEN pred_b = lang THEN 1 ELSE 0 END AS rb
+               FROM ha JOIN nbp USING (doc_id)),
+         g AS (SELECT count(*) AS n_docs,
+                      CAST(sum(ra) AS BIGINT) AS n_a_right,
+                      CAST(sum(rb) AS BIGINT) AS n_b_right,
+                      CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1
+                        ELSE 0 END) AS BIGINT) AS b01,
+                      CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1
+                        ELSE 0 END) AS BIGINT) AS b10
+               FROM j)
+         SELECT n_docs,
+                round(n_a_right / n_docs, 6) AS acc_heuristic,
+                round(n_b_right / n_docs, 6) AS acc_nb,
+                b01, b10,
+                round(CAST(b01 - b10 AS DOUBLE) * (b01 - b10)
+                  / (b01 + b10), 4) AS mcnemar_chi2,
+                CAST(b01 - b10 AS DOUBLE) * (b01 - b10)
+                  / (b01 + b10) > 3.841 AS reject_equal
+         FROM g""",
     // per-doc Flesch score as ONE mirrored double expression rounded
     // to 1e-4 units before the corpus-level exact long sum
     "q_readability" ->

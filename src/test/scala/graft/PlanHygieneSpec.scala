@@ -59,8 +59,9 @@ class PlanHygieneSpec extends SparkSpec {
     // 1-row total frames
     "q_kendall_tau", "q_theil_index",
     // naive bayes fans the doc-term grain out by the |languages|-row
-    // broadcast candidate frame (a small constant, not data-sized)
-    "q_naive_bayes",
+    // broadcast candidate frame (a small constant, not data-sized);
+    // mcnemar composes it
+    "q_naive_bayes", "q_mcnemar",
     // runs test / sax broadcast their 1-row median / moment frames
     "q_runs_test", "q_sax",
     // anova / kruskal cross their 1-row total / tie frames; tukey

@@ -124,6 +124,30 @@ class TextModelSpec extends SparkSpec {
     assert(r.getDouble(4) <= 1.0 + 1e-9)
   }
 
+  test("mcnemar reproduces a sequential paired comparison of the labelers") {
+    val a = TextQueries.queries("q_lang_id")(spark, sf)
+      .select("doc_id", "lang", "pred_lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val b = TextQueries.nbPredictions(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val paired = a.keySet.intersect(b.keySet).toSeq.map { id =>
+      val (lang, pa) = a(id); (pa == lang, b(id) == lang)
+    }
+    val n = paired.length.toLong
+    val b01 = paired.count { case (x, y) => x && !y }.toLong
+    val b10 = paired.count { case (x, y) => !x && y }.toLong
+    val chi2 = (b01 - b10).toDouble * (b01 - b10) / (b01 + b10)
+    val r = TextQueries.queries("q_mcnemar")(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) -
+      paired.count(_._1).toDouble / n) < 1e-6 + 1e-9)
+    assert(math.abs(r.getDouble(2) -
+      paired.count(_._2).toDouble / n) < 1e-6 + 1e-9)
+    assert(r.getLong(3) == b01 && r.getLong(4) == b10)
+    assert(math.abs(r.getDouble(5) - chi2) < 1e-4 + 1e-9)
+    assert(r.getBoolean(6) == (chi2 > 3.841))
+  }
+
   test("source divergence is zero for identically-distributed sources") {
     val d = writeDocs(Seq(
       (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s2"),
