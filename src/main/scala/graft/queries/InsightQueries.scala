@@ -521,9 +521,12 @@ object InsightQueries {
     val unowned = scores.join(
       ub.select(col("cust"), col("item").as("rec")),
       Seq("cust", "rec"), "left_anti")
-    val top = Window.partitionBy("cust").orderBy(desc("score"), col("rec"))
-    unowned.withColumn("rn", row_number().over(top))
-      .filter(col("rn") <= 3)
+    // the final top-3 rides the NATIVE per-key top-k operator
+    // (partial bounded heaps + survivor-only exchange) instead of a
+    // row_number window — same (score desc, rec asc) order contract,
+    // measurably cheaper on the customer-grain partition count
+    graft.plans.TopKPerKey.topK(unowned, Seq("cust"), "score", "rec", 3)
+      .withColumnRenamed("rank", "rn")
       .orderBy("cust", "rn")
   }
 
