@@ -359,10 +359,14 @@ object GraphQueries {
     * (standard AA practice: a hub's 1/ln weight is negligible but its
     * k² pair cost is not). Top-20 via TakeOrdered, no window. */
   private val linkPredict: Q = (s, d) => {
+    // persisted: the adjacency feeds BOTH the degree-weight aggregate
+    // and the pair self-join probe — without a cache the fact-table
+    // join + distinct runs twice
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
+      .persist()
     val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select(col("cust"),
