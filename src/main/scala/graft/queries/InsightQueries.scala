@@ -345,6 +345,43 @@ object InsightQueries {
       .orderBy("decile")
   }
 
+  /** Hill-number diversity profile of each nation's brand portfolio —
+    * ecology's unified frame for the whole diversity family this
+    * engine ships piecewise (richness, Shannon entropy, Simpson/HHI):
+    * D0 = #brands, D1 = exp(H) (effective brands weighting all
+    * equally), D2 = 1/Σp² (effective brands weighting the common
+    * ones) — with D0 ≥ D1 ≥ D2 by construction, the gaps read HOW
+    * concentration happens. Each −p·ln p term is micro-rounded before
+    * its exact per-nation long sum (the q_info_gain protocol); each
+    * p² term in 1e-8 units (the q_hhi protocol); exp/divisions
+    * mirrored at emission. Brand grain ≤25 per nation — map-side
+    * aggregates + one broadcast join, no window. */
+  private val hillDiversity: Q = (s, d) => {
+    val rows = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("p_brand"))
+      .agg(count(lit(1)).as("nb"))
+    val nat = rows.groupBy("c_nationkey").agg(sum("nb").as("nt"))
+    rows.join(broadcast(nat), "c_nationkey")
+      .withColumn("hm",
+        round(lit(-1000000.0) * (col("nb") / col("nt"))
+          * log(col("nb") / col("nt"))).cast("long"))
+      .withColumn("sm",
+        round(lit(100000000.0) * (col("nb") / col("nt"))
+          * (col("nb") / col("nt"))).cast("long"))
+      .groupBy(col("c_nationkey"), col("nt"))
+      .agg(count(lit(1)).as("d0"), sum("hm").as("hms"),
+        sum("sm").as("sms"))
+      .select(col("c_nationkey"), col("nt").as("n_purchases"),
+        col("d0").as("richness"),
+        round(exp(col("hms") / lit(1000000.0)), 4).as("d1_shannon"),
+        round(lit(100000000.0) / col("sms"), 4).as("d2_simpson"))
+      .orderBy("c_nationkey")
+  }
+
   // ------------------------------------------------------ independence
 
   /** Pearson chi-square test of independence between order priority
@@ -933,6 +970,7 @@ object InsightQueries {
     "q_gini" -> gini,
     "q_lorenz" -> lorenz,
     "q_hhi" -> hhi,
+    "q_hill_diversity" -> hillDiversity,
     "q_chi_square" -> chiSquare,
     "q_forecast_snaive" -> forecastSnaive,
     "q_inverted_index" -> invertedIndex,
@@ -1409,6 +1447,31 @@ object InsightQueries {
                 round(cp / CAST(n AS DOUBLE), 6) AS pop_share_cum,
                 round(cr / CAST(total AS DOUBLE), 6) AS rev_share_cum
          FROM c, nn ORDER BY decile""",
+    // -p ln p in micro-nats, p^2 in 1e-8 units, both exact sums over
+    // the <=25-brand grain; exp / divisions mirrored at emission
+    "q_hill_diversity" ->
+      """WITH rows_ AS (SELECT c_nationkey, p_brand, count(*) AS nb
+                        FROM lineitem
+                        JOIN part ON l_partkey = p_partkey
+                        JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2),
+         nat AS (SELECT c_nationkey, CAST(sum(nb) AS BIGINT) AS nt
+                 FROM rows_ GROUP BY 1),
+         t AS (SELECT r.c_nationkey, nt,
+                      CAST(round(-1000000.0 * (nb / nt)
+                        * ln(nb / nt)) AS BIGINT) AS hm,
+                      CAST(round(100000000.0 * (nb / nt)
+                        * (nb / nt)) AS BIGINT) AS sm
+               FROM rows_ r JOIN nat ON r.c_nationkey = nat.c_nationkey),
+         g AS (SELECT c_nationkey, nt, count(*) AS d0,
+                      CAST(sum(hm) AS BIGINT) AS hms,
+                      CAST(sum(sm) AS BIGINT) AS sms
+               FROM t GROUP BY 1, 2)
+         SELECT c_nationkey, nt AS n_purchases, d0 AS richness,
+                round(exp(hms / 1000000.0), 4) AS d1_shannon,
+                round(100000000.0 / sms, 4) AS d2_simpson
+         FROM g ORDER BY c_nationkey""",
     // per-customer share-squared terms in integer 1e-8 units BEFORE
     // the per-nation sum; HHI on the regulators' 0-10000 points scale
     "q_hhi" ->

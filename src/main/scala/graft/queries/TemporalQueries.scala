@@ -832,6 +832,40 @@ object TemporalQueries {
       .orderBy("state")
   }
 
+  /** Month-over-month top-10 brand-leaderboard turnover — the rank
+    * STABILITY read behind "is this ranking signal or churn?" (a
+    * leaderboard that reshuffles monthly is noise; one frozen for two
+    * years is stale): per month the top-10 brands by revenue
+    * (bounded ≤25-brand partitions), consecutive months compared as
+    * SETS — common members, new entrants, Jaccard — all exact integer
+    * counts, one division per emitted month. */
+  private val rankTurnover: Q = (s, d) => {
+    val mb = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("p_brand").as("brand"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+    val w = Window.partitionBy("mth").orderBy(col("v").desc, col("brand"))
+    val top = mb.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .select(col("mth"), col("brand"))
+    val sa = top.groupBy("mth").agg(count(lit(1)).as("n_top"))
+    val prev = top.select(add_months(col("mth"), 1).as("mth"),
+      col("brand"))
+    val sb = prev.groupBy("mth").agg(count(lit(1)).as("n_prev"))
+    val common = top.join(prev, Seq("mth", "brand"))
+      .groupBy("mth").agg(count(lit(1)).as("nc"))
+    sa.join(sb, "mth").join(common, Seq("mth"), "left")
+      .na.fill(0L, Seq("nc"))
+      .select(col("mth"), col("nc").as("n_common"),
+        (col("n_top") - col("nc")).as("n_new"),
+        round(col("nc") / (col("n_top") + col("n_prev") - col("nc")), 4)
+          .as("jaccard"))
+      .orderBy("mth")
+  }
+
   /** Haar wavelet energy spectrum of daily revenue — multi-resolution
     * variance analysis (which TIME SCALE carries the variation: 2-day
     * noise, weekly cycle, quarterly drift?) over the first 2048 days
@@ -1074,6 +1108,7 @@ object TemporalQueries {
     "q_runs_test" -> runsTest,
     "q_sax" -> sax,
     "q_haar" -> haar,
+    "q_rank_turnover" -> rankTurnover,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -1119,6 +1154,40 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // per-month top-10 sets compared as exact integer set algebra;
+    // one Jaccard division per emitted month
+    "q_rank_turnover" ->
+      """WITH mb AS (SELECT date_trunc('month', CAST(o_orderdate
+                        AS DATE)) AS mth,
+                            p_brand AS brand,
+                            CAST(sum(CAST(round(l_extendedprice * 100)
+                              AS BIGINT)) AS BIGINT) AS v
+                     FROM lineitem
+                     JOIN part ON l_partkey = p_partkey
+                     JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2),
+         tp AS (SELECT mth, brand
+                FROM (SELECT mth, brand,
+                             row_number() OVER (PARTITION BY mth
+                               ORDER BY v DESC, brand) AS r
+                      FROM mb)
+                WHERE r <= 10),
+         sa AS (SELECT mth, count(*) AS n_top FROM tp GROUP BY 1),
+         pv AS (SELECT CAST(mth + INTERVAL 1 MONTH AS DATE) AS mth,
+                       brand
+                FROM tp),
+         sb AS (SELECT mth, count(*) AS n_prev FROM pv GROUP BY 1),
+         cm AS (SELECT tp.mth, count(*) AS nc
+                FROM tp JOIN pv ON tp.mth = pv.mth
+                  AND tp.brand = pv.brand
+                GROUP BY 1)
+         SELECT sa.mth, coalesce(nc, 0) AS n_common,
+                n_top - coalesce(nc, 0) AS n_new,
+                round(coalesce(nc, 0)
+                  / (n_top + n_prev - coalesce(nc, 0)), 4) AS jaccard
+         FROM sa JOIN sb ON sa.mth = sb.mth
+         LEFT JOIN cm ON sa.mth = cm.mth
+         ORDER BY sa.mth""",
     // every detail coefficient is a signed block sum of the original
     // series: 11-way unnest + one (level, block) aggregate, exact-long
     // coefficients, int128 energies; one USD^2 scaling at emission

@@ -233,6 +233,38 @@ class InsightSpec extends SparkSpec {
     assert(math.abs(got.last.getDouble(4) - 1.0) < 1e-9)
   }
 
+  test("hill numbers match brute force and obey D0 >= D1 >= D2") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("p_brand"))
+      .agg(count(lit(1)).as("nb"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (nk, xs) =>
+      val nt = xs.map(_._2).sum
+      val hms = xs.map { case (_, nb) =>
+        math.round(-1e6 * (nb.toDouble / nt) * math.log(nb.toDouble / nt))
+      }.sum
+      val sms = xs.map { case (_, nb) =>
+        math.round(1e8 * (nb.toDouble / nt) * (nb.toDouble / nt))
+      }.sum
+      nk -> ((nt, xs.length.toLong, math.exp(hms / 1e6), 1e8 / sms))
+    }
+    val got = InsightQueries.queries("q_hill_diversity")(spark, sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nt, d0, d1, d2) = expected(r.getInt(0))
+      assert(r.getLong(1) == nt && r.getLong(2) == d0)
+      assert(math.abs(r.getDouble(3) - d1) < 1e-3 + 1e-6 * d1)
+      assert(math.abs(r.getDouble(4) - d2) < 1e-3 + 1e-6 * d2)
+      // the Hill ordering: richness >= exp(Shannon) >= inverse Simpson
+      assert(r.getLong(2) >= r.getDouble(3) - 1e-3)
+      assert(r.getDouble(3) >= r.getDouble(4) - 1e-3)
+    }
+  }
+
   test("gini: matches the sequential rank formula, in [0, 1)") {
     val rev = Tables.orders(spark, sf)
       .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("r"))

@@ -350,6 +350,36 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(lhs == rhs, "exact Parseval identity")
   }
 
+  test("rank turnover matches a sequential top-10 set comparison") {
+    val mb = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("p_brand").as("brand"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getString(1),
+        r.getLong(2)))
+    val tops = mb.groupBy(_._1).view.mapValues { xs =>
+      xs.sortBy(x => (-x._3, x._2)).take(10).map(_._2).toSet
+    }.toMap
+    val got = TemporalQueries.queries("q_rank_turnover")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      val cur = tops(m)
+      val prev = tops.getOrElse(m.minusMonths(1), Set.empty[String])
+      assert(prev.nonEmpty, s"emitted month $m must have a predecessor")
+      val nc = cur.intersect(prev).size.toLong
+      assert(r.getLong(1) == nc, s"common at $m")
+      assert(r.getLong(2) == cur.size - nc, s"new at $m")
+      assert(math.abs(r.getDouble(3) -
+        nc.toDouble / (cur.size + prev.size - nc)) < 1e-4 + 1e-9)
+    }
+    // every month with a predecessor is emitted
+    assert(got.length == tops.keys.count(m => tops.contains(m.minusMonths(1))))
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
