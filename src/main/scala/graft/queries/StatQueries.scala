@@ -787,6 +787,48 @@ object StatQueries {
         ((h / corr) > lit(36.415)).as("reject_equal"))
   }
 
+  /** Partial correlation r(quantity, price | discount) — the
+    * confound-adjusted association read beside plain Pearson
+    * (q_agg_corr): how much of the quantity↔price relationship
+    * survives once the discount channel is held fixed? All three
+    * pairwise Pearsons come from NINE exact int128 moment sums over
+    * one integer-scaled pass (quantity ×100, price cents, discount
+    * ×100 — all integral in this data), then
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) as mirrored
+    * doubles reusing the same three correlation expression trees.
+    * One map-side aggregate, no window, no join. */
+  private val partialCorr: Q = (s, d) => {
+    val t = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    val a = t.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("z").cast(dec)).as("sz"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("z").cast(dec) * col("z")).as("szz"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("z")).as("sxz"),
+      sum(col("y").cast(dec) * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (col("n").cast(dec) * col(sab) - col(sa) * col(sb)).cast("double") /
+        (sqrt((col("n").cast(dec) * col(saa) - col(sa) * col(sa))
+          .cast("double")) *
+          sqrt((col("n").cast(dec) * col(sbb) - col(sb) * col(sb))
+            .cast("double")))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    a.select(col("n").as("n_rows"),
+      round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .as("partial_r"))
+  }
+
   /** Friedman test — the nonparametric TWO-WAY omnibus ([[kruskal]]
     * pools all orders; Friedman blocks by MONTH and asks whether the
     * nation effect is consistent ACROSS months, immune to the common
@@ -1012,6 +1054,7 @@ object StatQueries {
     "q_jarque_bera" -> jarqueBera,
     "q_tukey_hsd" -> tukeyHsd,
     "q_friedman" -> friedman,
+    "q_partial_corr" -> partialCorr,
     "q_weighted_median" -> weightedMedian,
     "q_split_leakage" -> splitLeakage,
     "q_price_index" -> priceIndex,
@@ -1351,6 +1394,44 @@ object StatQueries {
                 (n_a - n_b) * (n_a - n_b)
                   / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
          FROM a""",
+    // nine int128 moment sums in one pass; the three Pearsons and the
+    // partial are mirrored doubles at emission
+    "q_partial_corr" -> {
+      def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =
+        s"""CAST(n * $sab - $sa * $sb AS DOUBLE)
+                  / (sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE))
+                    * sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE)))"""
+      val (rxy, rxz, ryz) = (r("sxy", "sx", "sy", "sxx", "syy"),
+        r("sxz", "sx", "sz", "sxx", "szz"),
+        r("syz", "sy", "sz", "syy", "szz"))
+      s"""WITH t AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)
+                       AS x,
+                            CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS y,
+                            CAST(round(l_discount * 100) AS BIGINT)
+                              AS z
+                     FROM lineitem),
+         a AS (SELECT count(*) AS n,
+                      sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx,
+                      sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(z AS HUGEINT) * z) AS szz,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy,
+                      sum(CAST(x AS HUGEINT) * z) AS sxz,
+                      sum(CAST(y AS HUGEINT) * z) AS syz
+               FROM t),
+         c AS (SELECT n, $rxy AS rxy, $rxz AS rxz, $ryz AS ryz
+               FROM a)
+         SELECT n AS n_rows,
+                round(rxy, 6) AS r_xy,
+                round(rxz, 6) AS r_xz,
+                round(ryz, 6) AS r_yz,
+                round((rxy - rxz * ryz)
+                  / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+                  AS partial_r
+         FROM c"""
+    },
     // complete month-blocks via the month x nation zero-filled grid;
     // doubled within-block ranks exact; chi2_F mirrored at emission
     "q_friedman" ->

@@ -684,6 +684,39 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getBoolean(3) == (chi2 > 36.415))
   }
 
+  test("partial correlation matches a sequential moment recompute") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    def s(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (sx, sy, sz) = (s(r => BigInt(r._1)), s(r => BigInt(r._2)),
+      s(r => BigInt(r._3)))
+    def corr(sab: BigInt, sa: BigInt, sb: BigInt, saa: BigInt,
+        sbb: BigInt) =
+      (BigInt(n) * sab - sa * sb).toDouble /
+        (math.sqrt((BigInt(n) * saa - sa * sa).toDouble) *
+          math.sqrt((BigInt(n) * sbb - sb * sb).toDouble))
+    val rxy = corr(s(r => BigInt(r._1) * r._2), sx, sy,
+      s(r => BigInt(r._1) * r._1), s(r => BigInt(r._2) * r._2))
+    val rxz = corr(s(r => BigInt(r._1) * r._3), sx, sz,
+      s(r => BigInt(r._1) * r._1), s(r => BigInt(r._3) * r._3))
+    val ryz = corr(s(r => BigInt(r._2) * r._3), sy, sz,
+      s(r => BigInt(r._2) * r._2), s(r => BigInt(r._3) * r._3))
+    val partial = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    val got = StatQueries.queries("q_partial_corr")(spark, sf)
+      .collect().head
+    assert(got.getLong(0) == n)
+    assert(math.abs(got.getDouble(1) - rxy) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(2) - rxz) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(3) - ryz) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(4) - partial) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(4)) <= 1.0 + 1e-9)
+  }
+
   test("fdr-bh matches a sequential step-up over per-nation z-tests") {
     val counts = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
