@@ -832,6 +832,30 @@ object TemporalQueries {
       .orderBy("state")
   }
 
+  /** Day-of-week revenue index — the weekly twin of the monthly
+    * [[InsightQueries]] seasonal index (staffing and cache-warming
+    * run on THIS profile, not the monthly one): per weekday the mean
+    * daily revenue over the whole grid vs the all-days mean, from
+    * exact long cents; index and shares are mirrored doubles at
+    * emission. Weekday keys follow DuckDB's dayofweek convention
+    * (0 = Sunday), i.e. Spark's dayofweek − 1. Seven rows out. */
+  private val weekdayIndex: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val g = daily.groupBy((dayofweek(col("day")) - 1).cast("long")
+      .as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("v").as("rev"))
+    val tot = g.agg(sum(col("n_days")).as("nt"),
+      sum(col("rev").cast(DecimalType(38, 0))).as("rt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        round(col("rev") / lit(100.0), 2).as("rev_usd"),
+        round((col("rev").cast("double") / col("n_days")) /
+          (col("rt").cast("double") / col("nt")), 6).as("idx"))
+      .orderBy("dow")
+  }
+
   /** Month-over-month top-10 brand-leaderboard turnover — the rank
     * STABILITY read behind "is this ranking signal or churn?" (a
     * leaderboard that reshuffles monthly is noise; one frozen for two
@@ -1109,6 +1133,7 @@ object TemporalQueries {
     "q_sax" -> sax,
     "q_haar" -> haar,
     "q_rank_turnover" -> rankTurnover,
+    "q_weekday_index" -> weekdayIndex,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -1154,6 +1179,24 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // exact-cent sums per weekday; the index is one mirrored double
+    // ratio of means at emission
+    "q_weekday_index" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         g AS (SELECT dayofweek(day) AS dow, count(*) AS n_days,
+                      CAST(sum(v) AS BIGINT) AS rev
+               FROM dly GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS nt,
+                        CAST(sum(rev) AS BIGINT) AS rt
+                 FROM g)
+         SELECT dow, n_days,
+                round(rev / 100.0, 2) AS rev_usd,
+                round((CAST(rev AS DOUBLE) / n_days)
+                  / (CAST(rt AS DOUBLE) / nt), 6) AS idx
+         FROM g, tot ORDER BY dow""",
     // per-month top-10 sets compared as exact integer set algebra;
     // one Jaccard division per emitted month
     "q_rank_turnover" ->

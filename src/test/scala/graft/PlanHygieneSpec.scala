@@ -68,8 +68,9 @@ class PlanHygieneSpec extends SparkSpec {
     // additionally pairs the 25-row nation grid
     "q_anova", "q_kruskal", "q_tukey_hsd",
     // friedman crosses the month grid with the 25-row nation dim;
-    // kappa crosses its 1-row chance frame
-    "q_friedman", "q_cohen_kappa",
+    // kappa crosses its 1-row chance frame; weekday index its 1-row
+    // grand totals
+    "q_friedman", "q_cohen_kappa", "q_weekday_index",
     // round 11 late: the series diagnostics broadcast their 1-row
     // day-grid aggregates (ACF's grand mean; CUSUM's count + total;
     // binseg additionally broadcasts the 1-row level-0 argmax and the

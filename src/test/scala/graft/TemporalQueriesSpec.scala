@@ -380,6 +380,30 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(got.length == tops.keys.count(m => tops.contains(m.minusMonths(1))))
   }
 
+  test("weekday index matches a sequential recompute; indices average out") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDow = daily.groupBy(_._1.getDayOfWeek.getValue % 7)
+    val nt = daily.length.toLong
+    val rt = daily.map(x => BigInt(x._2)).sum
+    val got = TemporalQueries.queries("q_weekday_index")(spark, sf)
+      .collect()
+    assert(got.length == byDow.size)
+    got.foreach { r =>
+      val xs = byDow(r.getLong(0).toInt)
+      val rev = xs.map(x => BigInt(x._2)).sum
+      assert(r.getLong(1) == xs.length, s"days at dow ${r.getLong(0)}")
+      val idx = (rev.toDouble / xs.length) / (rt.toDouble / nt)
+      assert(math.abs(r.getDouble(3) - idx) < 1e-6 + 1e-9)
+      assert(r.getDouble(3) > 0.0)
+    }
+    // the day-count-weighted mean index is exactly 1 by construction
+    val wmean = got.map(r => r.getDouble(3) * r.getLong(1)).sum / nt
+    assert(math.abs(wmean - 1.0) < 1e-5)
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
