@@ -832,6 +832,30 @@ object TemporalQueries {
       .orderBy("state")
   }
 
+  /** Purchase-streak distribution — the classic GAPS-AND-ISLANDS
+    * idiom (consecutive-day runs found by grouping on
+    * date − row_number, which is constant exactly along a run): per
+    * customer the longest consecutive-order-day streak, then the
+    * distribution of those maxima — the engagement read behind streak
+    * badges and churn-risk tiers. Every step is exact integer/date
+    * arithmetic; windows partition per customer over that customer's
+    * distinct order days (activity-bounded, not corpus-bounded). */
+  private val streaks: Q = (s, d) => {
+    val days = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"),
+        to_date(col("o_orderdate")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("c").orderBy("day")
+    val maxs = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+      .groupBy("c", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("c").agg(max("len").as("max_streak"))
+    maxs.groupBy("max_streak")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("max_streak")
+  }
+
   /** Day-of-week revenue index — the weekly twin of the monthly
     * [[InsightQueries]] seasonal index (staffing and cache-warming
     * run on THIS profile, not the monthly one): per weekday the mean
@@ -1134,6 +1158,7 @@ object TemporalQueries {
     "q_haar" -> haar,
     "q_rank_turnover" -> rankTurnover,
     "q_weekday_index" -> weekdayIndex,
+    "q_streaks" -> streaks,
     "q_resample_fill" -> resampleFill,
     "q_anomaly_score" -> anomalyScore,
     "q_cart_abandonment" -> cartAbandonment,
@@ -1179,6 +1204,23 @@ object TemporalQueries {
                 round(sum(c * c6) / sum(c * c), 6) AS r6,
                 round(sum(c * c7) / sum(c * c), 6) AS r7
          FROM l""",
+    // gaps-and-islands: date - row_number is constant along a
+    // consecutive run; all exact integer/date arithmetic
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT o_custkey AS c,
+                              CAST(o_orderdate AS DATE) AS day
+                       FROM orders),
+         isl AS (SELECT c, day,
+                        row_number() OVER (PARTITION BY c
+                          ORDER BY day) AS rn
+                 FROM days),
+         runs AS (SELECT c, day - CAST(rn AS INTEGER) AS grp,
+                         count(*) AS len
+                  FROM isl GROUP BY 1, 2),
+         mx AS (SELECT c, CAST(max(len) AS BIGINT) AS max_streak
+                FROM runs GROUP BY 1)
+         SELECT max_streak, count(*) AS n_customers
+         FROM mx GROUP BY 1 ORDER BY max_streak""",
     // exact-cent sums per weekday; the index is one mirrored double
     // ratio of means at emission
     "q_weekday_index" ->

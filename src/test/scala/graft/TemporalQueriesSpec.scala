@@ -404,6 +404,32 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(math.abs(wmean - 1.0) < 1e-5)
   }
 
+  test("streak distribution matches a sequential gaps-and-islands pass") {
+    val days = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxs = days.groupBy(_._1).values.map { xs =>
+      val sorted = xs.map(_._2).sortBy(_.toEpochDay)
+      var (best, cur) = (1L, 1L)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        cur = if (b.toEpochDay == a.toEpochDay + 1) cur + 1 else 1
+        best = math.max(best, cur)
+      }
+      best
+    }.toSeq
+    val expected = maxs.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val got = TemporalQueries.queries("q_streaks")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(expected(r.getLong(0)) == r.getLong(1),
+        s"streak ${r.getLong(0)}")
+    }
+    // every customer appears in exactly one bucket
+    assert(got.map(_.getLong(1)).sum == days.map(_._1).distinct.length)
+  }
+
   test("ljung-box reproduces the portmanteau sum over the acf lags") {
     val acf = TemporalQueries.queries("q_acf")(spark, sf).collect()(0)
     val n = acf.getLong(0)
