@@ -946,8 +946,12 @@ object TemporalQueries {
       .groupBy("level")
       .agg(count(lit(1)).as("n_coeffs"),
         sum(col("d").cast(dec) * col("d")).as("en"))
+      // round(en/1e8, 4) as a float op diverged cross-engine in the
+      // last bit (round 11, level 7); half-up-round the exact int128
+      // energy to 1e-4 USD^2 units by integral division, then the one
+      // float op is a deterministic double/double divide
       .select(col("level"), col("n_coeffs"),
-        round(col("en").cast("double") / lit(100000000.0), 4)
+        (expr("(en + 5000) div 10000").cast("double") / lit(10000.0))
           .as("energy_usd2"))
       .orderBy("level")
   }
@@ -1293,8 +1297,8 @@ object TemporalQueries {
          g AS (SELECT level, block, CAST(sum(sv) AS BIGINT) AS d
                FROM x GROUP BY 1, 2)
          SELECT level, count(*) AS n_coeffs,
-                round(CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE)
-                  / 100000000.0, 4) AS energy_usd2
+                CAST(CAST((sum(CAST(d AS HUGEINT) * d) + 5000) // 10000
+                  AS BIGINT) AS DOUBLE) / 10000.0 AS energy_usd2
          FROM g GROUP BY level ORDER BY level""",
     // day-grid order statistics give the median; runs/E/Var closed
     // form from exact counts, one mirrored z

@@ -15,7 +15,10 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.10g}"
+        # full-precision round-trip repr: the driver hashes exact
+        # values, so %.Ng canonicalization would mask real diffs
+        # (q_haar slipped through the old %.10g form in round 11)
+        return repr(v)
     return str(v)
 
 def table_hash(cols, rows):
