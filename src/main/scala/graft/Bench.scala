@@ -120,6 +120,10 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       // any failed rep marks the query failed (never a flattering min)
+      // drain AFTER all reps (reps 2-3 legitimately reuse rep 1's
+      // CacheManager entry — same logical plan), BEFORE the next query
+      // so per-query caches don't pin storage for the whole recording
+      graft.queries.CacheRegistry.drain()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     // -1 sentinels are excluded from the total (they would otherwise

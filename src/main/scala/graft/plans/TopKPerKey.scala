@@ -3,14 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, LessThan, LessThanOrEqual, Literal, NullsFirst, NullsLast, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Cast, Descending, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, Literal, NullsFirst, NullsLast, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Whole-operator Catalyst extension: native per-key top-k — the
   * `LogicalPlan + SparkStrategy + SparkPlan` rung of the extension
@@ -226,11 +226,28 @@ object TopKPerKey {
               SortOrder(tie: Attribute, Ascending, NullsFirst, _)), _)), _))
             if parts.nonEmpty && parts.forall(_.isInstanceOf[Attribute]) =>
           val rn = a.toAttribute
+          // normalize the rank-bound shape: accept int AND long
+          // literals (a long bound past Int.MaxValue can't be a
+          // top-k), the reversed comparison (lit >= rn), and the
+          // widening cast the analyzer inserts around the rank
+          // attribute when the literal is a long
+          def isRank(e: Expression): Boolean = e match {
+            case r: Attribute => r.semanticEquals(rn)
+            case Cast(r: Attribute, LongType, _, _) => r.semanticEquals(rn)
+            case _ => false
+          }
+          def bound(l: Literal): Option[Int] = l match {
+            case Literal(v: Int, IntegerType) => Some(v)
+            case Literal(v: Long, LongType) if v <= Int.MaxValue =>
+              Some(v.toInt)
+            case _ => None
+          }
           val k = cond match {
-            case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))
-                if r.semanticEquals(rn) => Some(v)
-            case LessThan(r: Attribute, Literal(v: Int, IntegerType))
-                if r.semanticEquals(rn) => Some(v - 1)
+            case LessThanOrEqual(r, l: Literal) if isRank(r) => bound(l)
+            case LessThan(r, l: Literal) if isRank(r) => bound(l).map(_ - 1)
+            case GreaterThanOrEqual(l: Literal, r) if isRank(r) => bound(l)
+            case GreaterThan(l: Literal, r) if isRank(r) =>
+              bound(l).map(_ - 1)
             case _ => None
           }
           k.filter(_ > 0).map { kk =>

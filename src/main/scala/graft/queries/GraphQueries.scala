@@ -362,11 +362,14 @@ object GraphQueries {
     // persisted: the adjacency feeds BOTH the degree-weight aggregate
     // and the pair self-join probe — without a cache the fact-table
     // join + distinct runs twice
-    val pairs = Tables.orders(s, d)
+    // and registered for post-materialization release (the cache must
+    // outlive this builder — the returned plan reads it twice when the
+    // caller runs it — so the harness drains it after the query)
+    val pairs = CacheRegistry.register(Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
-      .persist()
+      .persist())
     val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select(col("cust"),

@@ -68,11 +68,15 @@ object ScaledWindow {
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val stamped = df
+    // registered with CacheRegistry (not try/finally-released): the
+    // cache must survive past this builder — pass 2 of the returned
+    // plan re-reads it when the CALLER materializes the result — so
+    // the harness drains it after each query instead
+    val stamped = CacheRegistry.register(df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // pass 1: O(partitions × metrics) longs to the driver
     val stats: Array[(Int, Long, IndexedSeq[Long])] = stamped
       .groupBy("_pid")

@@ -376,9 +376,13 @@ object StatQueries {
           .as("n_conv"))
       .select(col("n_events"), round(p1, 6).as("p_base"),
         lit(0.01).as("mde"),
-        ceil(lit(powerZsumSq)
-          * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
-          / lit(powerDeltaSq)).as("n_per_arm"))
+        // p2 > 1 makes p2(1-p2) negative and the ceil meaningless
+        // (impossible lift: the baseline already exceeds 1 - mde);
+        // emit null instead, mirrored in the oracle CASE
+        when(p2 <= lit(1.0),
+          ceil(lit(powerZsumSq)
+            * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+            / lit(powerDeltaSq))).as("n_per_arm"))
   }
 
   /** Qini / uplift-by-decile curve — the targeting read-out for
@@ -1213,9 +1217,11 @@ object StatQueries {
                FROM a)
          SELECT n_events, round(p1, 6) AS p_base,
                 CAST(0.01 AS DOUBLE) AS mde,
-                CAST(ceil(${powerZsumSq}
-                  * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-                  / ${powerDeltaSq}) AS BIGINT) AS n_per_arm
+                CASE WHEN p2 <= 1.0 THEN
+                  CAST(ceil(${powerZsumSq}
+                    * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                    / ${powerDeltaSq}) AS BIGINT)
+                ELSE NULL END AS n_per_arm
          FROM p""",
     // per-stratum sign compares on raw exact-count ratios; the flag
     // fires only on a FULL reversal (the paradox proper)

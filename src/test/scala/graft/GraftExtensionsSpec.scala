@@ -211,4 +211,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       } finally s.conf.set("spark.graft.rewrite.topk", "false")
     }
   }
+
+  test("topk rewrite normalizes long-literal and reversed rank bounds") {
+    withExtSession { s =>
+      s.conf.set("spark.graft.rewrite.topk", "true")
+      try {
+        val df = s.range(0, 1000).select(
+          (col("id") % 7).as("key"), col("id").as("v"), col("id").as("tie"))
+        def rn(cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy("key").orderBy(desc("v"), asc("tie"))))
+            .filter(cond(col("rn")))
+        // long literal: rn <= 5L
+        val longLit = rn(_ <= lit(5L))
+        assert(longLit.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+          longLit.queryExecution.executedPlan.toString)
+        assert(longLit.groupBy("key").count().collect().forall(_.getLong(1) == 5L))
+        // reversed comparison: lit(4) >= rn
+        val rev = rn(c => lit(4) >= c)
+        assert(rev.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+          rev.queryExecution.executedPlan.toString)
+        assert(rev.groupBy("key").count().collect().forall(_.getLong(1) == 4L))
+        // reversed strict: lit(4) > rn means top 3
+        val revStrict = rn(c => lit(4) > c)
+        assert(revStrict.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(revStrict.groupBy("key").count().collect().forall(_.getLong(1) == 3L))
+        // a long bound past Int.MaxValue stays a window (not a top-k)
+        val huge = rn(_ <= lit(Int.MaxValue.toLong + 1))
+        assert(!huge.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      } finally s.conf.set("spark.graft.rewrite.topk", "false")
+    }
+  }
 }
