@@ -1044,7 +1044,258 @@ object StatQueries {
       .orderBy("source")
   }
 
+  /** Mann–Whitney U rank-sum test between URGENT and LOW order
+    * priorities on order value — the two-sample location test that
+    * needs no normality (the t-test's nonparametric twin; [[kruskal]]
+    * is its k-group generalization). Average ranks carried DOUBLED on
+    * the distinct-value grain (the [[spearman]] contract) so 2·R₁ is
+    * an exact int128 sum; U, its null mean, and the tie-corrected
+    * variance are all closed forms of exact integers with the one
+    * mirrored sqrt + division at emission. Global ranks ride
+    * [[ScaledWindow.rankCum]] — no partition-less window at any SF. */
+  private val mannWhitney: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val vals = oc.groupBy("x").agg(count(lit(1)).as("c"),
+      sum("g").as("c1"))
+    val rnk = ScaledWindow.rankCum(vals, Seq(col("x").asc),
+      Seq("cum" -> col("c")))
+    val n = rnk.totals("cum")
+    val a = rnk.df
+      .select(col("c"), col("c1"),
+        (lit(2) * col("cum") - col("c") + 1).as("dr"))
+      .agg(sum("c1").as("n1"),
+        sum(col("c1").cast(dec) * col("dr")).as("d2r1"),
+        coalesce(sum(when(col("c") > 1,
+          col("c").cast(dec) * col("c") * col("c") - col("c"))),
+          lit(0).cast(dec)).as("t3"))
+    // 2U₁ = 2R₁ − n₁(n₁+1) and 2·E[U₁] = n₁n₂ are exact integers;
+    // 4σ² = n₁n₂/3·((n+1) − t3/(n(n−1))) so z = (2U₁−n₁n₂)/√(4σ²)
+    val n2 = lit(n) - col("n1")
+    val u2 = (col("d2r1") - col("n1").cast(dec) * (col("n1") + 1))
+    val z = (u2.cast("double") - (col("n1").cast(dec) * n2).cast("double")) /
+      sqrt((col("n1").cast(dec) * n2).cast("double") / lit(3.0) *
+        (lit((n + 1).toDouble) - col("t3").cast("double")
+          / lit((n * (n - 1)).toDouble)))
+    a.select(col("n1"), n2.as("n2"),
+      (u2.cast("double") / lit(2.0)).as("u1"),
+      round(z, 4).as("z"),
+      (abs(z) > lit(1.96)).as("reject_equal"))
+  }
+
+  /** Wilcoxon signed-rank test on week-over-week daily revenue — the
+    * PAIRED nonparametric location test beside [[mannWhitney]]
+    * (independent samples) on the calendar-day grid: pair day t with
+    * day t−7, drop zero diffs (textbook), rank |diff| with average
+    * ranks carried DOUBLED, 2W⁺ = Σ 2r̄ over positive diffs exact.
+    * z = (4W⁺ − n(n+1))/√((2n(n+1)(2n+1) − Σ(t³−t))/3) keeps every
+    * term integral until one mirrored division + sqrt. The pair join
+    * is an equi-join on the day index from [[ScaledWindow.rankCum]];
+    * diffs are exact long cents. */
+  private val wilcoxon: Q = (s, d) => {
+    val idx = ScaledWindow.rankCum(dailyCents(s, d),
+      Seq(col("day").asc), None)
+    val a = idx.df.select(col("rk"), col("v"))
+    val b = idx.df.select((col("rk") + 7).as("rk"), col("v").as("v0"))
+    val diffs = a.join(b, "rk")
+      .select((col("v") - col("v0")).as("dd"))
+      .filter(col("dd") =!= 0)
+    val vals = diffs.groupBy(abs(col("dd")).as("ad"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("dd") > 0, 1L).otherwise(0L)).as("cp"))
+    val rnk = ScaledWindow.rankCum(vals, Seq(col("ad").asc),
+      Seq("cum" -> col("c")))
+    val g = rnk.df
+      .select(col("c"), col("cp"),
+        (lit(2) * col("cum") - col("c") + 1).as("dr"))
+      .agg(sum("c").as("n"),
+        sum(col("cp").cast(dec) * col("dr")).as("d2w"),
+        coalesce(sum(when(col("c") > 1,
+          col("c").cast(dec) * col("c") * col("c") - col("c"))),
+          lit(0).cast(dec)).as("t3"))
+    val nn = col("n").cast(dec)
+    val z = ((lit(2).cast(dec) * col("d2w") - nn * (col("n") + 1))
+      .cast("double")) /
+      sqrt(((lit(2).cast(dec) * col("n") * (col("n") + 1)
+        * (lit(2) * col("n") + 1) - col("t3")).cast("double")) / lit(3.0))
+    g.select(col("n").as("n_pairs"),
+      (col("d2w").cast("double") / lit(2.0)).as("w_plus"),
+      round(z, 4).as("z"),
+      (abs(z) > lit(1.96)).as("reject_no_shift"))
+  }
+
+  /** Brown–Forsythe (median-based Levene) test for equal variances
+    * across the five order priorities — the homoscedasticity check
+    * that guards [[anova]]'s pooled-variance assumption, robust to
+    * non-normality because deviations are taken from group MEDIANS.
+    * Group medians come DOUBLED (x(k₁)+x(k₂) order-statistic midpoint,
+    * the q_theil_sen contract) via one global [[ScaledWindow.rankCum]]
+    * pass over (priority, value) plus per-group offsets on the 5-row
+    * priority grid — grouped order statistics with no data-sized
+    * window partition. Deviations |2x − med2| stay exact longs (the
+    * ×2 scaling cancels in the F ratio); the F statistic then follows
+    * [[anova]]'s exact-sum craft (each Σ²/n term rounded to an
+    * integer before the k-term sum). */
+  private val levene: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val grain = oc.groupBy("pri", "x").agg(count(lit(1)).as("c"))
+    val rnk = ScaledWindow.rankCum(grain,
+      Seq(col("pri").asc, col("x").asc), Seq("cum" -> col("c")))
+    val offW = Window.orderBy("pri").rowsBetween(
+      Window.unboundedPreceding, -1)
+    val offsets = rnk.df.groupBy("pri").agg(sum("c").as("ng"))
+      .withColumn("off", coalesce(sum("ng").over(offW), lit(0L)))
+    val local = rnk.df.join(broadcast(offsets), "pri")
+      .withColumn("lc", col("cum") - col("off"))
+    // doubled median = x(k1) + x(k2), k1 = (ng+1)/2, k2 = ng/2+1:
+    // smallest grain value whose local cum reaches each order stat
+    def sel(k: Column, alias: String) = local
+      .filter(col("lc") >= k)
+      .groupBy("pri").agg(min("x").as(alias))
+    val med = sel(expr("(ng + 1) DIV 2"), "m1")
+      .join(sel(expr("ng DIV 2 + 1"), "m2"), "pri")
+      .select(col("pri"), (col("m1") + col("m2")).as("med2"))
+    val z = oc.join(broadcast(med), "pri")
+      .select(col("pri"), abs(lit(2) * col("x") - col("med2")).as("z"))
+    val grp = z.groupBy("pri")
+      .agg(count(lit(1)).as("ng"), sum(col("z").cast(dec)).as("sg"),
+        sum(col("z").cast(dec) * col("z")).as("sgg"))
+    val cg = grp.select(col("ng"), col("sgg"),
+      round((col("sg") * col("sg")).cast("double") / col("ng"))
+        .cast("long").as("cg"), col("sg"))
+    val parts = cg.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      sum(col("cg").cast(dec)).as("scg"), sum("sgg").as("sxx"),
+      sum("sg").as("sx"))
+    val all = parts
+      .withColumn("corr",
+        round((col("sx") * col("sx")).cast("double") / col("n"))
+          .cast(dec))
+      .withColumn("ssb", (col("scg") - col("corr")).cast("double"))
+      .withColumn("ssw", (col("sxx") - col("scg")).cast("double"))
+    val w = (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k")))
+    all.select(col("k").as("n_groups"), col("n").as("n_orders"),
+      round(w, 4).as("w_stat"),
+      (w > lit(2.372)).as("reject_equal_var"))
+  }
+
+  /** Grubbs outlier statistic on daily revenue — the formal
+    * max-deviation test beside the z-score/MAD screens (those flag
+    * many points; Grubbs scores THE single most extreme one). The
+    * argmax day comes from the exact int128 compare |n·v − Σv| (no
+    * float can flip it, ties break to the earliest day); G is one
+    * mirrored division + sqrt over exact moment sums at emission. */
+  private val grubbs: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sm"),
+      sum(col("v").cast(dec) * col("v")).as("ssq"))
+    val top = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("v").cast(dec) * col("n") - col("sm")))
+      .orderBy(desc("dev"), asc("day"))
+      .limit(1)
+    val g = (col("dev").cast("double") / col("n")) /
+      sqrt((col("n").cast(dec) * col("ssq") - col("sm") * col("sm"))
+        .cast("double") /
+        (col("n").cast(dec) * (col("n") - 1)).cast("double"))
+    top.select(col("n").as("n_days"), col("day").as("out_day"),
+      round(g, 4).as("g_stat"))
+  }
+
+  /** TOST equivalence test between the even/odd-customer order-value
+    * arms — the read-out A/B dashboards actually need when the goal is
+    * "show the change did NOT move revenue": two one-sided z tests
+    * against a ±5%-of-grand-mean margin; equivalence is declared only
+    * if BOTH reject (min(t_lower, t_upper) > z₀.₉₅). Group moments are
+    * exact int128 cent sums; the margin, standard error, and both t
+    * statistics are mirrored double expressions at emission. */
+  private val tost: Q = (s, d) => {
+    val arms = Tables.orders(s, d)
+      .select(pmod(col("o_custkey"), lit(2)).as("arm"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L).cast(dec))
+          .as("sa"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L).cast(dec))
+          .as("sb"),
+        sum(when(col("arm") === 0, col("x").cast(dec) * col("x"))
+          .otherwise(lit(0).cast(dec))).as("ssa"),
+        sum(when(col("arm") === 1, col("x").cast(dec) * col("x"))
+          .otherwise(lit(0).cast(dec))).as("ssb"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc)
+    def vr(nc: String, sc: String, ssc: String) =
+      (col(nc).cast(dec) * col(ssc) - col(sc) * col(sc)).cast("double") /
+        (col(nc).cast(dec) * (col(nc) - 1)).cast("double")
+    val diff = mean("sa", "na") - mean("sb", "nb")
+    val delta = lit(0.05) * ((col("sa") + col("sb")).cast("double") /
+      (col("na") + col("nb")))
+    val se = sqrt(vr("na", "sa", "ssa") / col("na") +
+      vr("nb", "sb", "ssb") / col("nb"))
+    val tl = (diff + delta) / se
+    val tu = (delta - diff) / se
+    arms.select(col("na"), col("nb"),
+      round(mean("sa", "na") / lit(100.0), 2).as("mean_a_usd"),
+      round(mean("sb", "nb") / lit(100.0), 2).as("mean_b_usd"),
+      round(tl, 4).as("t_lower"), round(tu, 4).as("t_upper"),
+      (least(tl, tu) > lit(1.645)).as("equivalent"))
+  }
+
+  // SPRT constants — Wald boundaries and per-event log-likelihood
+  // increments in integer micro-nats (Scala-computed literals
+  // interpolated into the oracle, the q_adstock contract):
+  // H0: p = 0.10 vs H1: p = 0.20 at alpha = beta = 0.05
+  private val sprtA = math.round(1e6 * math.log(0.20 / 0.10)) // y = 1
+  private val sprtB = math.round(1e6 * math.log(0.80 / 0.90)) // y = 0
+  private val sprtUp = math.round(1e6 * math.log(0.95 / 0.05))
+  private val sprtLo = -sprtUp
+
+  /** Wald SPRT over the event stream — the SEQUENTIAL hypothesis test
+    * that ends an experiment the moment the evidence suffices instead
+    * of at a fixed n ([[powerAnalysis]] plans the fixed-n twin): walk
+    * events in (ts, event_id) order accumulating the purchase/
+    * no-purchase log-likelihood-ratio increments, stop at the first
+    * crossing of the ±ln((1−β)/α) Wald boundaries. Increments are
+    * integer micro-nats (exact long cumsum through
+    * [[ScaledWindow.rankCum]] — associative, so the two-pass offset
+    * decomposition is bit-identical to the sequential walk); the first
+    * crossing is min(rk) with min_by retrieving its LLR — integer
+    * compares end to end, nothing to mirror. */
+  private val sprt: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("event_id"),
+        (when(col("event_type") === "purchase", lit(sprtA))
+          .otherwise(lit(sprtB))).as("term"))
+    val rnk = ScaledWindow.rankCum(ev,
+      Seq(col("ts").asc, col("event_id").asc), Seq("cum" -> col("term")))
+    val cross = rnk.df
+      .filter(col("cum") >= sprtUp || col("cum") <= sprtLo)
+      .agg(min("rk").as("nd"), min_by(col("cum"), col("rk")).as("llr"))
+    cross.select(
+      when(col("nd").isNull, "continue")
+        .when(col("llr") >= sprtUp, "accept_h1")
+        .otherwise("accept_h0").as("decision"),
+      col("nd").as("n_at_decision"),
+      col("llr").as("llr_micro_nats"),
+      lit(rnk.n).as("n_total"),
+      lit(rnk.totals("cum")).as("llr_final_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mann_whitney" -> mannWhitney,
+    "q_wilcoxon" -> wilcoxon,
+    "q_levene" -> levene,
+    "q_grubbs" -> grubbs,
+    "q_tost" -> tost,
+    "q_sprt" -> sprt,
     "q_logrank" -> logrank,
     "q_qini" -> qini,
     "q_psm_att" -> psmAtt,
@@ -1076,6 +1327,210 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // doubled average ranks on the distinct-value grain keep 2R1
+    // exact; one mirrored sqrt + division for the tie-corrected z
+    "q_mann_whitney" ->
+      """WITH oc AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END AS g,
+                            CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                     FROM orders
+                     WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         vals AS (SELECT x, count(*) AS c,
+                         CAST(sum(g) AS BIGINT) AS c1
+                  FROM oc GROUP BY 1),
+         rx AS (SELECT c, c1, 2 * sum(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1 AS dr
+                FROM vals),
+         a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c) AS BIGINT) AS n,
+                      sum(CAST(c1 AS HUGEINT) * dr) AS d2r1,
+                      coalesce(sum(CASE WHEN c > 1 THEN
+                        CAST(c AS HUGEINT) * c * c - c END), 0) AS t3
+               FROM rx)
+         SELECT n1, n - n1 AS n2,
+                CAST(d2r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                round((CAST(d2r1 - n1 * (n1 + 1) AS DOUBLE)
+                    - CAST(n1 * (n - n1) AS DOUBLE))
+                  / sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 3.0
+                    * (CAST(n + 1 AS DOUBLE) - CAST(t3 AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE))), 4) AS z,
+                abs((CAST(d2r1 - n1 * (n1 + 1) AS DOUBLE)
+                    - CAST(n1 * (n - n1) AS DOUBLE))
+                  / sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 3.0
+                    * (CAST(n + 1 AS DOUBLE) - CAST(t3 AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)))) > 1.96
+                  AS reject_equal
+         FROM a""",
+    // paired week-over-week diffs on the day grid; doubled |diff|
+    // ranks keep 2W+ exact; one mirrored division + sqrt for z
+    "q_wilcoxon" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         df AS (SELECT a.v - b.v AS dd
+                FROM ix a JOIN ix b ON a.rk = b.rk + 7
+                WHERE a.v - b.v <> 0),
+         vals AS (SELECT abs(dd) AS ad, count(*) AS c,
+                         CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cp
+                  FROM df GROUP BY 1),
+         rx AS (SELECT c, cp, 2 * sum(c) OVER (ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - c + 1 AS dr
+                FROM vals),
+         g AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      sum(CAST(cp AS HUGEINT) * dr) AS d2w,
+                      coalesce(sum(CASE WHEN c > 1 THEN
+                        CAST(c AS HUGEINT) * c * c - c END), 0) AS t3
+               FROM rx)
+         SELECT n AS n_pairs,
+                CAST(d2w AS DOUBLE) / 2.0 AS w_plus,
+                round(CAST(2 * d2w - CAST(n AS HUGEINT) * (n + 1)
+                    AS DOUBLE)
+                  / sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1)
+                      * (2 * n + 1) - t3 AS DOUBLE) / 3.0), 4) AS z,
+                abs(CAST(2 * d2w - CAST(n AS HUGEINT) * (n + 1)
+                    AS DOUBLE)
+                  / sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1)
+                      * (2 * n + 1) - t3 AS DOUBLE) / 3.0)) > 1.96
+                  AS reject_no_shift
+         FROM g""",
+    // grouped order-statistic medians (doubled midpoint), exact long
+    // deviations, then the anova craft: each sum^2/n term rounded to
+    // an integer before the k-term sum
+    "q_levene" ->
+      """WITH oc AS (SELECT o_orderpriority AS pri,
+                            CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                     FROM orders),
+         grain AS (SELECT pri, x, count(*) AS c FROM oc GROUP BY 1, 2),
+         loc AS (SELECT pri, x, sum(c) OVER (PARTITION BY pri
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS lc,
+                        sum(c) OVER (PARTITION BY pri) AS ng
+                 FROM grain),
+         med AS (SELECT pri,
+                        min(CASE WHEN lc >= (ng + 1) // 2 THEN x END)
+                        + min(CASE WHEN lc >= ng // 2 + 1 THEN x END)
+                          AS med2
+                 FROM loc GROUP BY pri),
+         z AS (SELECT oc.pri, abs(2 * x - med2) AS z
+               FROM oc JOIN med ON oc.pri = med.pri),
+         grp AS (SELECT pri, count(*) AS ng,
+                        sum(CAST(z AS HUGEINT)) AS sg,
+                        sum(CAST(z AS HUGEINT) * z) AS sgg
+                 FROM z GROUP BY pri),
+         cg AS (SELECT ng, sgg, sg,
+                       CAST(round(CAST(sg * sg AS DOUBLE) / ng)
+                         AS BIGINT) AS cg
+                FROM grp),
+         parts AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                          sum(CAST(cg AS HUGEINT)) AS scg,
+                          sum(sgg) AS sxx, sum(sg) AS sx
+                   FROM cg),
+         a AS (SELECT k, n,
+                      CAST(scg - CAST(round(CAST(sx * sx AS DOUBLE) / n)
+                        AS HUGEINT) AS DOUBLE) AS ssb,
+                      CAST(sxx - scg AS DOUBLE) AS ssw
+               FROM parts)
+         SELECT k AS n_groups, n AS n_orders,
+                round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS w_stat,
+                (ssb / (k - 1)) / (ssw / (n - k)) > 2.372
+                  AS reject_equal_var
+         FROM a""",
+    // argmax on the exact int128 deviation |n*v - sum|; one mirrored
+    // division + sqrt for G at emission
+    "q_grubbs" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         tot AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS sm,
+                        sum(CAST(v AS HUGEINT) * v) AS ssq
+                 FROM dly),
+         top AS (SELECT n, day, sm, ssq,
+                        abs(CAST(v AS HUGEINT) * n - sm) AS dev
+                 FROM dly, tot
+                 ORDER BY dev DESC, day ASC LIMIT 1)
+         SELECT n AS n_days, day AS out_day,
+                round((CAST(dev AS DOUBLE) / n)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * ssq - sm * sm
+                      AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)), 4)
+                  AS g_stat
+         FROM top""",
+    // exact int128 arm moments; margin, se, and both one-sided t
+    // statistics are mirrored double expressions at emission
+    "q_tost" ->
+      """WITH arms AS (SELECT
+                CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+                CAST(sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb,
+                sum(CASE WHEN o_custkey % 2 = 0 THEN
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT) ELSE 0 END) AS sa,
+                sum(CASE WHEN o_custkey % 2 = 1 THEN
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT) ELSE 0 END) AS sb,
+                sum(CASE WHEN o_custkey % 2 = 0 THEN
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT) * CAST(round(o_totalprice * 100)
+                    AS BIGINT) ELSE 0 END) AS ssa,
+                sum(CASE WHEN o_custkey % 2 = 1 THEN
+                  CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT) * CAST(round(o_totalprice * 100)
+                    AS BIGINT) ELSE 0 END) AS ssb
+              FROM orders),
+         e AS (SELECT na, nb,
+                      CAST(sa AS DOUBLE) / na AS ma,
+                      CAST(sb AS DOUBLE) / nb AS mb,
+                      0.05 * (CAST(sa + sb AS DOUBLE) / (na + nb))
+                        AS delta,
+                      sqrt(CAST(na * ssa - sa * sa AS DOUBLE)
+                          / CAST(CAST(na AS HUGEINT) * (na - 1)
+                            AS DOUBLE) / na
+                        + CAST(nb * ssb - sb * sb AS DOUBLE)
+                          / CAST(CAST(nb AS HUGEINT) * (nb - 1)
+                            AS DOUBLE) / nb) AS se
+               FROM arms)
+         SELECT na, nb,
+                round(ma / 100.0, 2) AS mean_a_usd,
+                round(mb / 100.0, 2) AS mean_b_usd,
+                round((ma - mb + delta) / se, 4) AS t_lower,
+                round((delta - (ma - mb)) / se, 4) AS t_upper,
+                least((ma - mb + delta) / se,
+                  (delta - (ma - mb)) / se) > 1.645 AS equivalent
+         FROM e""",
+    // integer micro-nat increments and Wald bounds are interpolated
+    // Scala literals; the walk is an exact long cumsum, the stopping
+    // point an integer argmin — nothing float-dependent to mirror
+    "q_sprt" ->
+      s"""WITH ev AS (SELECT ts, event_id,
+                             CASE WHEN event_type = 'purchase'
+                               THEN ${sprtA} ELSE ${sprtB} END AS term
+                      FROM events),
+         c AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rk,
+                      sum(term) OVER (ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS cum
+               FROM ev),
+         tot AS (SELECT count(*) AS n_total,
+                        CAST(sum(term) AS BIGINT) AS llr_final
+                 FROM ev),
+         x AS (SELECT min(rk) AS nd, arg_min(cum, rk) AS llr
+               FROM c WHERE cum >= ${sprtUp} OR cum <= ${sprtLo})
+         SELECT CASE WHEN nd IS NULL THEN 'continue'
+                     WHEN llr >= ${sprtUp} THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision,
+                nd AS n_at_decision,
+                CAST(llr AS BIGINT) AS llr_micro_nats,
+                n_total,
+                llr_final AS llr_final_micro
+         FROM x, tot""",
     // hypergeometric E/V per time point rounded to integer micro-units
     // BEFORE the sum (exact long addition over the duration axis)
     "q_logrank" ->
