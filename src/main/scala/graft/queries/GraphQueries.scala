@@ -385,7 +385,59 @@ object GraphQueries {
         round(col("aam") / lit(1000000.0), 6).as("aa_score"))
   }
 
+  /** Newman modularity of the supplier co-service graph under the
+    * nation partition — the community-quality score beside
+    * [[labelProp]] (label propagation FINDS communities; modularity
+    * asks how good a given partition is): Q = Σ_c (w_in/W −
+    * (deg_c/2W)²) over the weighted graph where suppliers are linked
+    * by the number of customers they both serve. Edge weights, W,
+    * per-community internal weight, and degree sums are all exact
+    * longs (the pair join is bounded by per-customer basket width —
+    * the [[linkPredict]] cap); each community's term is ONE mirrored
+    * double expression micro-rounded to 1e-9 before the 25-term sum. */
+  private val modularity: Q = (s, d) => {
+    val adj = CacheRegistry.register(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .persist())
+    val caps = adj.groupBy("cust").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= 100)
+      .select("cust")
+    val capped = adj.join(caps, "cust")
+    val b = capped.select(col("cust"), col("supp").as("s2"))
+    val edges = capped.join(b, "cust").filter(col("supp") < col("s2"))
+      .groupBy(col("supp").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("w"))
+    val comm = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").as("c"))
+    val ec = edges
+      .join(broadcast(comm.withColumnRenamed("s_suppkey", "s1")
+        .withColumnRenamed("c", "c1")), "s1")
+      .join(broadcast(comm.withColumnRenamed("s_suppkey", "s2")
+        .withColumnRenamed("c", "c2")), "s2")
+    val tot = ec.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
+    val win = ec.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("c")).agg(sum("w").as("w_in"))
+    val degc = ec.select(col("c1").as("c"), col("w"))
+      .union(ec.select(col("c2").as("c"), col("w")))
+      .groupBy("c").agg(sum("w").as("deg"))
+    val terms = degc.join(win, Seq("c"), "left")
+      .na.fill(0L, Seq("w_in"))
+      .crossJoin(broadcast(tot))
+      .withColumn("t", round(lit(1000000000.0) *
+        (col("w_in").cast("double") / col("tw")
+          - (col("deg").cast("double") / (lit(2) * col("tw")))
+            * (col("deg").cast("double") / (lit(2) * col("tw")))))
+        .cast("long"))
+    terms.agg(count(lit(1)).as("n_communities"),
+      max("ne").as("n_edges"), max("tw").as("total_w"),
+      round(sum("t").cast("double") / lit(1000000000.0), 6)
+        .as("modularity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_modularity" -> modularity,
     "q_kcore" -> kcore,
     "q_link_predict" -> linkPredict,
     "q_pagerank" -> pageRank,
@@ -397,6 +449,45 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact long edge weights / degree sums; each community term is
+    // one mirrored double expression micro-rounded to 1e-9 before
+    // the bounded community-grid sum
+    "q_modularity" ->
+      """WITH adj AS (SELECT DISTINCT o_custkey AS cust,
+                             l_suppkey AS supp
+                      FROM orders JOIN lineitem
+                        ON o_orderkey = l_orderkey),
+         caps AS (SELECT cust FROM adj GROUP BY cust
+                  HAVING count(*) BETWEEN 2 AND 100),
+         cp AS (SELECT adj.cust, supp FROM adj JOIN caps
+                  ON adj.cust = caps.cust),
+         e AS (SELECT a.supp AS s1, b.supp AS s2, count(*) AS w
+               FROM cp a JOIN cp b ON a.cust = b.cust
+                 AND a.supp < b.supp
+               GROUP BY 1, 2),
+         ec AS (SELECT w, x.s_nationkey AS c1, y.s_nationkey AS c2
+                FROM e JOIN supplier x ON s1 = x.s_suppkey
+                       JOIN supplier y ON s2 = y.s_suppkey),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, count(*) AS ne
+                 FROM ec),
+         win AS (SELECT c1 AS c, CAST(sum(w) AS BIGINT) AS w_in
+                 FROM ec WHERE c1 = c2 GROUP BY 1),
+         degc AS (SELECT c, CAST(sum(w) AS BIGINT) AS deg
+                  FROM (SELECT c1 AS c, w FROM ec
+                        UNION ALL SELECT c2 AS c, w FROM ec)
+                  GROUP BY 1),
+         terms AS (SELECT ne, tw,
+                          CAST(round(1000000000.0
+                            * (CAST(coalesce(w_in, 0) AS DOUBLE) / tw
+                              - (CAST(deg AS DOUBLE) / (2 * tw))
+                                * (CAST(deg AS DOUBLE) / (2 * tw))))
+                            AS BIGINT) AS t
+                   FROM degc LEFT JOIN win USING (c) CROSS JOIN tot)
+         SELECT count(*) AS n_communities, max(ne) AS n_edges,
+                max(tw) AS total_w,
+                round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6)
+                  AS modularity
+         FROM terms""",
     // each 1/ln(deg) weight micro-rounded before the exact pair sum;
     // top-20 on (exact long score desc, pair asc) — order can't flip
     "q_link_predict" ->

@@ -948,7 +948,49 @@ object InsightQueries {
       .orderBy("threshold")
   }
 
+  /** Item–item cosine collaborative filtering over the customer×part
+    * purchase matrix — the classic "customers who bought X also
+    * bought Y" scorer beside q_assoc_rules (lift reads direction-free
+    * dependence; cosine normalizes by BOTH items' popularity, the
+    * recommender convention). Binary baskets: cos(i,j) =
+    * co_ij / (√n_i·√n_j). The pair self-join runs on the capped
+    * customer key (2 ≤ basket ≤ 100 distinct parts — shuffle bounded
+    * by Σ C(basket,2), purchasing behavior, not corpus size; the
+    * standard CF hub cap). Scores are micro-rounded (two IEEE-exact
+    * sqrts, one mirrored division, one round) so the global top-20
+    * order (score desc, pair asc) is an integer compare that can
+    * never flip on a float bit. */
+  private val itemCf: Q = (s, d) => {
+    val adj = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val caps = adj.groupBy("cust").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") >= 2 && col("bsz") <= 100)
+      .select("cust")
+    val capped = adj.join(caps, "cust")
+    val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
+    val b = capped.select(col("cust"), col("part").as("p2"))
+    val co = capped.join(b, "cust").filter(col("part") < col("p2"))
+      .groupBy(col("part").as("p1"), col("p2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    co.join(ni.withColumnRenamed("part", "p1").withColumnRenamed("n", "n1"),
+        "p1")
+      .join(ni.withColumnRenamed("part", "p2").withColumnRenamed("n", "n2"),
+        "p2")
+      .withColumn("score_q6", round(lit(1000000.0) * col("co") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .cast("long"))
+      .orderBy(desc("score_q6"), asc("p1"), asc("p2"))
+      .limit(20)
+      .select(col("p1"), col("p2"), col("co").as("n_common"),
+        col("n1"), col("n2"),
+        (col("score_q6") / lit(1000000.0)).as("cosine"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_item_cf" -> itemCf,
     "q_ab_test" -> abTest,
     "q_auc" -> auc,
     "q_confusion" -> confusion,
@@ -978,6 +1020,32 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // micro-rounded cosine (two IEEE-exact sqrts + one mirrored
+    // division) makes the top-20 order an integer compare
+    "q_item_cf" ->
+      """WITH adj AS (SELECT DISTINCT o_custkey AS cust,
+                             l_partkey AS part
+                      FROM orders JOIN lineitem
+                        ON o_orderkey = l_orderkey),
+         caps AS (SELECT cust FROM adj GROUP BY cust
+                  HAVING count(*) BETWEEN 2 AND 100),
+         cp AS (SELECT adj.cust, part FROM adj JOIN caps
+                  ON adj.cust = caps.cust),
+         ni AS (SELECT part, count(*) AS n FROM cp GROUP BY part),
+         co AS (SELECT a.part AS p1, b.part AS p2, count(*) AS co
+                FROM cp a JOIN cp b ON a.cust = b.cust
+                  AND a.part < b.part
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         sc AS (SELECT p1, p2, co, x.n AS n1, y.n AS n2,
+                       CAST(round(1000000.0 * co
+                         / (sqrt(CAST(x.n AS DOUBLE))
+                           * sqrt(CAST(y.n AS DOUBLE)))) AS BIGINT)
+                         AS score_q6
+                FROM co JOIN ni x ON co.p1 = x.part
+                        JOIN ni y ON co.p2 = y.part)
+         SELECT p1, p2, co AS n_common, n1, n2,
+                score_q6 / 1000000.0 AS cosine
+         FROM sc ORDER BY score_q6 DESC, p1, p2 LIMIT 20""",
     "q_ab_test" ->
       """WITH u AS (SELECT user_id, round(sum(value), 4) AS m,
                            CAST(user_id % 2 AS INTEGER) AS variant

@@ -1144,7 +1144,96 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Rescaled-range (R/S) spectrum of daily revenue — the Hurst/
+    * long-memory diagnostic beside [[haar]] (the wavelet spectrum asks
+    * which scale carries VARIANCE; R/S asks whether deviations at a
+    * scale are trend-reinforcing or mean-reverting). For each dyadic
+    * block size m ∈ {64,128,256,512} over the first 2048 grid days:
+    * the block's cumulative deviation, scaled by m, is the EXACT
+    * integer m·cumₖ − k·Σv (no division inside the scan), its range
+    * and the int128 moment term m·Σv² − (Σv)² feed ONE mirrored
+    * division + sqrt per block, micro-rounded to 1e-6 before the
+    * per-size average. Scale shape: the 4-way explode keeps every
+    * window PARTITIONED BY (m, block) — partitions of ≤512 rows, fully
+    * parallel, nothing data-sized in one task. */
+  private val hurstRs: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val grid = rnk.df.filter(col("rk") <= 2048)
+      .select(col("rk").as("i"), col("v"))
+      .withColumn("m", explode(array(lit(64), lit(128), lit(256), lit(512))))
+      .withColumn("block", expr("(i - 1) DIV m"))
+      .withColumn("k", expr("(i - 1) % m + 1"))
+    val wCum = Window.partitionBy("m", "block").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("m", "block")
+    val scored = grid
+      .withColumn("cum", sum("v").over(wCum))
+      .withColumn("sm", sum("v").over(wAll))
+      .withColumn("dd", col("cum").cast(dec) * col("m")
+        - col("sm").cast(dec) * col("k"))
+    val blocks = scored.groupBy("m", "block")
+      .agg(max("dd").as("maxd"), min("dd").as("mind"),
+        sum("v").as("bs"), sum(col("v").cast(dec) * col("v")).as("ssq"))
+      .withColumn("den", col("ssq").cast(dec) * col("m")
+        - col("bs").cast(dec) * col("bs"))
+      .filter(col("den") > 0)
+      .withColumn("rs_q6", round(lit(1000000.0)
+        * (greatest(col("maxd"), lit(0).cast(dec))
+          - least(col("mind"), lit(0).cast(dec))).cast("double")
+        / sqrt(col("den").cast("double"))).cast("long"))
+    blocks.groupBy("m")
+      .agg(count(lit(1)).as("n_blocks"),
+        round(sum("rs_q6").cast("double")
+          / (count(lit(1)) * lit(1000000.0)), 6).as("mean_rs"))
+      .orderBy("m")
+  }
+
+  /** Cross-correlation function between daily ORDER COUNT and daily
+    * REVENUE at lags −7…+7 — the lead/lag diagnostic beside the
+    * univariate [[acf]] (does volume lead value, or do they move
+    * together?). Each lag pairs the day grid with itself via one
+    * equi-join on the [[ScaledWindow.rankCum]] day index (shifted by
+    * the exploded lag — a shuffle join, never a window shift), and
+    * each Pearson r comes from six exact int128 moment sums with the
+    * two mirrored sqrts + division at emission. Output is 15 rows
+    * regardless of SF. */
+  private val ccf: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val a = rnk.df.select(col("rk"), col("cnt"))
+      .withColumn("lag", explode(sequence(lit(-7), lit(7))))
+      .withColumn("rk2", col("rk") + col("lag"))
+    val b = rnk.df.select(col("rk").as("rk2"), col("v"))
+    val g = a.join(b, "rk2").groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cnt").cast(dec)).as("sx"),
+        sum(col("v").cast(dec)).as("sy"),
+        sum(col("cnt").cast(dec) * col("cnt")).as("sxx"),
+        sum(col("v").cast(dec) * col("v")).as("syy"),
+        sum(col("cnt").cast(dec) * col("v")).as("sxy"))
+    g.select(col("lag"), col("n_pairs"),
+      round((col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (sqrt((col("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+          sqrt((col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6).as("r"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hurst_rs" -> hurstRs,
+    "q_ccf" -> ccf,
     "q_acf" -> acf,
     "q_cusum" -> cusum,
     "q_binseg" -> binseg,
@@ -1184,6 +1273,79 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // scaled cumdev m*cum - k*sum stays an exact integer inside each
+    // block; one mirrored division + sqrt per block, micro-rounded
+    // to 1e-6 before the per-size average
+    "q_hurst_rs" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS i, v
+                FROM dly),
+         g AS (SELECT m, (i - 1) // m AS block, (i - 1) % m + 1 AS k, v
+               FROM ix CROSS JOIN
+                 (SELECT unnest([64, 128, 256, 512]) AS m) ms
+               WHERE i <= 2048),
+         sc AS (SELECT m, block, v,
+                       sum(v) OVER (PARTITION BY m, block ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) AS cum,
+                       sum(v) OVER (PARTITION BY m, block) AS sm, k
+                FROM g),
+         b AS (SELECT m, block,
+                      max(CAST(cum AS HUGEINT) * m
+                        - CAST(sm AS HUGEINT) * k) AS maxd,
+                      min(CAST(cum AS HUGEINT) * m
+                        - CAST(sm AS HUGEINT) * k) AS mind,
+                      sum(v) AS bs,
+                      sum(CAST(v AS HUGEINT) * v) AS ssq
+               FROM sc GROUP BY 1, 2),
+         r AS (SELECT m,
+                      CAST(round(1000000.0
+                        * CAST(greatest(maxd, 0) - least(mind, 0)
+                          AS DOUBLE)
+                        / sqrt(CAST(CAST(ssq AS HUGEINT) * m
+                          - CAST(bs AS HUGEINT) * bs AS DOUBLE)))
+                        AS BIGINT) AS rs_q6
+               FROM b
+               WHERE CAST(ssq AS HUGEINT) * m
+                 - CAST(bs AS HUGEINT) * bs > 0)
+         SELECT m, count(*) AS n_blocks,
+                round(CAST(sum(rs_q6) AS DOUBLE)
+                  / (count(*) * 1000000.0), 6) AS mean_rs
+         FROM r GROUP BY m ORDER BY m""",
+    // six exact int128 moment sums per lag from one index-shifted
+    // equi-join of the day grid; two mirrored sqrts at emission
+    "q_ccf" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             count(*) AS cnt,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, cnt, v
+                FROM dly),
+         a AS (SELECT lag, rk + lag AS rk2, cnt
+               FROM ix CROSS JOIN
+                 (SELECT CAST(unnest(range(-7, 8)) AS INTEGER) AS lag)
+                   ls),
+         p AS (SELECT a.lag, a.cnt, b.v
+               FROM a JOIN ix b ON a.rk2 = b.rk),
+         g AS (SELECT lag, count(*) AS n_pairs,
+                      sum(CAST(cnt AS HUGEINT)) AS sx,
+                      sum(CAST(v AS HUGEINT)) AS sy,
+                      sum(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+                      sum(CAST(v AS HUGEINT) * v) AS syy,
+                      sum(CAST(cnt AS HUGEINT) * v) AS sxy
+               FROM p GROUP BY lag)
+         SELECT lag, n_pairs,
+                round(CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy
+                    AS DOUBLE)
+                  / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy
+                      AS DOUBLE))), 6) AS r
+         FROM g ORDER BY lag""",
     "q_acf" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              round(sum(o_totalprice), 2) AS v

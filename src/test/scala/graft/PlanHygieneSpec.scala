@@ -88,7 +88,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_hybrid_search", "q_js_divergence", "q_bigram_lm", "q_info_gain",
     // rbo/ndcg inherit hybrid's retriever broadcasts; rbo additionally
     // crosses the 50-row depth grid with the <=50-row common set
-    "q_rbo", "q_ndcg")
+    "q_rbo", "q_ndcg",
+    // round 12: grubbs crosses the 1-row moment frame onto the day
+    // grid (the q_cusum shape); modularity crosses its 1-row W/edge
+    // totals onto the 25-row community grid
+    "q_grubbs", "q_modularity")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -130,7 +134,10 @@ class PlanHygieneSpec extends SparkSpec {
     // the runs test's lag rides the bounded day grid
     "q_runs_test",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
-    "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline")
+    "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline",
+    // round 12: levene's per-priority offsets ride a window over the
+    // 5-row priority grid (the q_weighted_median flag-offset shape)
+    "q_levene")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit
