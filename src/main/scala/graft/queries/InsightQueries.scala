@@ -989,7 +989,38 @@ object InsightQueries {
         (col("score_q6") / lit(1000000.0)).as("cosine"))
   }
 
+  /** Chapman capture–recapture estimate of the reachable customer
+    * population from the 1995/1996 activity "captures" — the
+    * ecology-borrowed coverage estimator the warehouse uses to ask
+    * "how many customers exist that we only ever see part of?"
+    * (q_overlap_sketch reads two lists' overlap; this turns the
+    * overlap into a population size). N̂ = (n₁+1)(n₂+1)/(m+1) − 1 and
+    * its variance are closed forms of three exact distinct-counts;
+    * two mirrored divisions + one sqrt at emission. One distinct +
+    * one aggregate, no window, no join. */
+  private val captureRecapture: Q = (s, d) => {
+    val cy = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+    val g = cy.groupBy("o_custkey")
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("in1"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("in2"))
+      .agg(sum("in1").as("n1"), sum("in2").as("n2"),
+        sum(when(col("in1") === 1 && col("in2") === 1, 1L)
+          .otherwise(0L)).as("m"))
+    val nhat = (col("n1") + 1).cast("double") * (col("n2") + 1) /
+      (col("m") + 1) - lit(1.0)
+    val se = sqrt((col("n1") + 1).cast("double") * (col("n2") + 1) *
+      (col("n1") - col("m")) * (col("n2") - col("m")) /
+      ((col("m") + 1).cast("double") * (col("m") + 1) *
+        (col("m") + 2)))
+    g.select(col("n1"), col("n2"), col("m").as("n_both"),
+      round(nhat, 2).as("n_hat"), round(se, 2).as("se"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_capture_recapture" -> captureRecapture,
     "q_item_cf" -> itemCf,
     "q_ab_test" -> abTest,
     "q_auc" -> auc,
@@ -1020,6 +1051,31 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // three exact distinct-counts; Chapman N-hat and its SE are two
+    // mirrored divisions + one sqrt at emission
+    "q_capture_recapture" ->
+      """WITH cy AS (SELECT DISTINCT o_custkey,
+                            CAST(year(o_orderdate) AS INTEGER) AS yr
+                     FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+         g AS (SELECT o_custkey,
+                      CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in1,
+                      CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in2
+               FROM cy GROUP BY 1),
+         a AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                      CAST(sum(in2) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN in1 = 1 AND in2 = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS m
+               FROM g)
+         SELECT n1, n2, m AS n_both,
+                round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1)
+                  - 1.0, 2) AS n_hat,
+                round(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                    * (n1 - m) * (n2 - m)
+                  / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))), 2)
+                  AS se
+         FROM a""",
     // micro-rounded cosine (two IEEE-exact sqrts + one mirrored
     // division) makes the top-20 order an integer compare
     "q_item_cf" ->

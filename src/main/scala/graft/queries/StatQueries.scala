@@ -1289,7 +1289,82 @@ object StatQueries {
       lit(rnk.totals("cum")).as("llr_final_micro"))
   }
 
+  /** Cochran's Q test — did the customer base's yearly purchase
+    * incidence change across 1995/1996/1997? The k-treatment
+    * generalization of [[mcnemar]] for binary repeated measures
+    * (blocks = customers, treatments = years, x = ordered-that-year).
+    * Q = (k−1)(k·ΣG² − T²)/(k·T − ΣL²) is INTEGER arithmetic end to
+    * end (column totals G, row totals L, grand total T) with one
+    * mirrored division at emission — nothing float-dependent anywhere.
+    * Shape: one distinct + two map-side-combined aggregates, no
+    * window, no driver value. */
+  private val cochranQ: Q = (s, d) => {
+    val cy = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996, 1997))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+    val rows = cy.groupBy("o_custkey").agg(count(lit(1)).as("l"))
+      .agg(count(lit(1)).as("n_blocks"), sum("l").as("t"),
+        sum(col("l") * col("l")).as("sl2"))
+    val cols = cy.groupBy("yr").agg(count(lit(1)).as("g"))
+      .agg(sum(col("g").cast(dec) * col("g")).as("sg2"))
+    val q = (lit(2).cast(dec) *
+      (lit(3).cast(dec) * col("sg2") - col("t").cast(dec) * col("t")))
+      .cast("double") /
+      (lit(3) * col("t") - col("sl2")).cast("double")
+    rows.crossJoin(broadcast(cols))
+      .select(lit(3).as("k"), col("n_blocks"), col("t").as("grand_total"),
+        round(q, 4).as("q_stat"),
+        (q > lit(5.991)).as("reject_no_change"))
+  }
+
+  /** Randomization (permutation) test on the per-customer revenue
+    * difference between the even/odd arms — the assumption-free
+    * companion to [[tost]]/q_ab_test: re-randomize each customer 200
+    * times by a hash bit keyed on (replica, customer) and count how
+    * often the permuted |mean difference| reaches the observed one.
+    * Per-replica arm sums are exact long cents accumulated in ONE
+    * map-side-combined pass over the customer×replica explode (the
+    * q_bootstrap_poisson shape — no global index, no B×n join); each
+    * replica's mean difference is the same mirrored double expression
+    * as the observed one, so the ≥ compare can never flip. */
+  private val permutationTest: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val obs = rev
+      .select(pmod(col("o_custkey"), lit(2)).as("a"), col("r"))
+      .agg(sum(when(col("a") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") === 0, col("r")).otherwise(0L)).as("s0"),
+        sum(when(col("a") === 1, col("r")).otherwise(0L)).as("s1"))
+      .select((col("s0").cast("double") / col("n0")
+        - col("s1").cast("double") / col("n1")).as("d_obs"))
+    val perms = rev
+      .withColumn("b", explode(sequence(lit(1), lit(200))))
+      .withColumn("a",
+        pmod(conv(substring(md5(concat(col("b"), lit(":"),
+          col("o_custkey"))), 1, 4), 16, 10).cast("long"), lit(2)))
+      .groupBy("b")
+      .agg(sum(when(col("a") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") === 0, col("r")).otherwise(0L)).as("s0"),
+        sum(when(col("a") === 1, col("r")).otherwise(0L)).as("s1"))
+      .select(col("b"), (col("s0").cast("double") / col("n0")
+        - col("s1").cast("double") / col("n1")).as("d"))
+    perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(abs(col("d")) >= abs(col("d_obs")), 1L).otherwise(0L))
+          .as("n_extreme"),
+        round(max(col("d_obs")) / lit(100.0), 2).as("d_obs_usd"))
+      .select(col("n_perm"), col("n_extreme"), col("d_obs_usd"),
+        round((col("n_extreme") + 1).cast("double")
+          / (col("n_perm") + 1), 4).as("p_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cochran_q" -> cochranQ,
+    "q_permutation_test" -> permutationTest,
     "q_mann_whitney" -> mannWhitney,
     "q_wilcoxon" -> wilcoxon,
     "q_levene" -> levene,
@@ -1327,6 +1402,75 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Q is integer arithmetic end to end (row/column/grand totals);
+    // one mirrored division at emission
+    "q_cochran_q" ->
+      """WITH cy AS (SELECT DISTINCT o_custkey,
+                            CAST(year(o_orderdate) AS INTEGER) AS yr
+                     FROM orders
+                     WHERE year(o_orderdate) IN (1995, 1996, 1997)),
+         rows_ AS (SELECT count(*) AS n_blocks,
+                          CAST(sum(l) AS BIGINT) AS t,
+                          CAST(sum(l * l) AS BIGINT) AS sl2
+                   FROM (SELECT o_custkey, count(*) AS l
+                         FROM cy GROUP BY 1)),
+         cols_ AS (SELECT sum(CAST(g AS HUGEINT) * g) AS sg2
+                   FROM (SELECT yr, count(*) AS g FROM cy GROUP BY 1))
+         SELECT 3 AS k, n_blocks, t AS grand_total,
+                round(CAST(2 * (3 * sg2 - CAST(t AS HUGEINT) * t)
+                    AS DOUBLE)
+                  / CAST(3 * t - sl2 AS DOUBLE), 4) AS q_stat,
+                CAST(2 * (3 * sg2 - CAST(t AS HUGEINT) * t) AS DOUBLE)
+                  / CAST(3 * t - sl2 AS DOUBLE) > 5.991
+                  AS reject_no_change
+         FROM rows_, cols_""",
+    // per-replica arm sums are exact long cents; each replica's mean
+    // difference is the same mirrored double expression as the
+    // observed one, so the >= compare can never flip
+    "q_permutation_test" ->
+      """WITH rev AS (SELECT o_custkey,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS r
+                      FROM orders GROUP BY 1),
+         obs AS (SELECT CAST(sum(CASE WHEN o_custkey % 2 = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                        CAST(sum(CASE WHEN o_custkey % 2 = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN o_custkey % 2 = 0
+                          THEN r ELSE 0 END) AS BIGINT) AS s0,
+                        CAST(sum(CASE WHEN o_custkey % 2 = 1
+                          THEN r ELSE 0 END) AS BIGINT) AS s1
+                 FROM rev),
+         ob AS (SELECT CAST(s0 AS DOUBLE) / n0
+                  - CAST(s1 AS DOUBLE) / n1 AS d_obs
+                FROM obs),
+         pa AS (SELECT b,
+                       ('0x' || substring(md5(b || ':' || o_custkey),
+                          1, 4))::BIGINT % 2 AS a, r
+                FROM (SELECT unnest(generate_series(1, 200)) AS b) bs,
+                  rev),
+         pg AS (SELECT b,
+                       CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN a = 0 THEN r ELSE 0 END)
+                         AS BIGINT) AS s0,
+                       CAST(sum(CASE WHEN a = 1 THEN r ELSE 0 END)
+                         AS BIGINT) AS s1
+                FROM pa GROUP BY b),
+         pd AS (SELECT b, CAST(s0 AS DOUBLE) / n0
+                  - CAST(s1 AS DOUBLE) / n1 AS d
+                FROM pg),
+         agg AS (SELECT count(*) AS n_perm,
+                        CAST(sum(CASE WHEN abs(d) >= abs(d_obs)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                        round(max(d_obs) / 100.0, 2) AS d_obs_usd
+                 FROM pd, ob)
+         SELECT n_perm, n_extreme, d_obs_usd,
+                round(CAST(n_extreme + 1 AS DOUBLE) / (n_perm + 1), 4)
+                  AS p_value
+         FROM agg""",
     // doubled average ranks on the distinct-value grain keep 2R1
     // exact; one mirrored sqrt + division for the tie-corrected z
     "q_mann_whitney" ->

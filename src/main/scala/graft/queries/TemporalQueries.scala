@@ -1231,7 +1231,69 @@ object TemporalQueries {
       .orderBy("lag")
   }
 
+  /** Lag-1 Granger causality: does yesterday's ORDER COUNT explain
+    * today's REVENUE beyond yesterday's revenue itself? ([[ccf]] reads
+    * the raw lead/lag correlation; Granger asks whether the lead
+    * SURVIVES conditioning on the series' own history.) Both OLS fits
+    * (unrestricted y ~ 1 + y₋₁ + x₋₁, restricted y ~ 1 + y₋₁) are
+    * solved in closed form by Cramer's rule over ten exact int128
+    * moment sums from ONE pass over the index-joined day grid; every
+    * determinant/RSS/F expression is written with the identical
+    * lexical shape in both engines (double products of exact-integer
+    * casts — deterministic IEEE ops, nothing associativity-
+    * dependent). F crit 3.842 = F(1,∞) at α=0.05. */
+  private val granger: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val cur = rnk.df.select(col("rk"), col("v").as("y"))
+    val prev = rnk.df.select((col("rk") + 1).as("rk"),
+      col("v").as("yl"), col("cnt").as("xl"))
+    val a = cur.join(prev, "rk").agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("yl").cast(dec)).as("syl"),
+      sum(col("xl").cast(dec)).as("sxl"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("yl").cast(dec) * col("yl")).as("syl2"),
+      sum(col("xl").cast(dec) * col("xl")).as("sxl2"),
+      sum(col("yl").cast(dec) * col("xl")).as("sylxl"),
+      sum(col("y").cast(dec) * col("yl")).as("syyl"),
+      sum(col("y").cast(dec) * col("xl")).as("syxl"))
+    def D(c: String) = col(c).cast("double")
+    val (n, sy, syl, sxl) = (D("n"), D("sy"), D("syl"), D("sxl"))
+    val (syy, syl2, sxl2) = (D("syy"), D("syl2"), D("sxl2"))
+    val (sylxl, syyl, syxl) = (D("sylxl"), D("syyl"), D("syxl"))
+    val det = n * (syl2 * sxl2 - sylxl * sylxl) -
+      syl * (syl * sxl2 - sylxl * sxl) +
+      sxl * (syl * sylxl - syl2 * sxl)
+    val b0 = (sy * (syl2 * sxl2 - sylxl * sylxl) -
+      syl * (syyl * sxl2 - sylxl * syxl) +
+      sxl * (syyl * sylxl - syl2 * syxl)) / det
+    val b1 = (n * (syyl * sxl2 - sylxl * syxl) -
+      sy * (syl * sxl2 - sylxl * sxl) +
+      sxl * (syl * syxl - syyl * sxl)) / det
+    val b2 = (n * (syl2 * syxl - syyl * sylxl) -
+      syl * (syl * syxl - syyl * sxl) +
+      sy * (syl * sylxl - syl2 * sxl)) / det
+    val rssU = syy - (b0 * sy + b1 * syyl + b2 * syxl)
+    val detr = n * syl2 - syl * syl
+    val b0r = (sy * syl2 - syl * syyl) / detr
+    val b1r = (n * syyl - syl * sy) / detr
+    val rssR = syy - (b0r * sy + b1r * syyl)
+    val f = (rssR - rssU) / (rssU / (col("n") - 3))
+    a.select(col("n").as("n_pairs"),
+      round(b1, 6).as("b_y_lag"),
+      round(b2, 6).as("b_x_lag"),
+      round(f, 4).as("f_stat"),
+      (f > lit(3.842)).as("x_causes_y"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_granger" -> granger,
     "q_hurst_rs" -> hurstRs,
     "q_ccf" -> ccf,
     "q_acf" -> acf,
@@ -1273,6 +1335,77 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both OLS fits solved by Cramer's rule over ten exact int128
+    // moment sums; every determinant/RSS/F expression has the same
+    // lexical shape as the Spark side (deterministic IEEE double ops)
+    "q_granger" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             count(*) AS cnt,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, cnt, v
+                FROM dly),
+         p AS (SELECT a.v AS y, b.v AS yl, b.cnt AS xl
+               FROM ix a JOIN ix b ON a.rk = b.rk + 1),
+         s AS (SELECT count(*) AS n,
+                      sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(yl AS HUGEINT)) AS syl,
+                      sum(CAST(xl AS HUGEINT)) AS sxl,
+                      sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(yl AS HUGEINT) * yl) AS syl2,
+                      sum(CAST(xl AS HUGEINT) * xl) AS sxl2,
+                      sum(CAST(yl AS HUGEINT) * xl) AS sylxl,
+                      sum(CAST(y AS HUGEINT) * yl) AS syyl,
+                      sum(CAST(y AS HUGEINT) * xl) AS syxl
+               FROM p),
+         dd AS (SELECT n,
+                       CAST(n AS DOUBLE) AS dn,
+                       CAST(sy AS DOUBLE) AS sy,
+                       CAST(syl AS DOUBLE) AS syl,
+                       CAST(sxl AS DOUBLE) AS sxl,
+                       CAST(syy AS DOUBLE) AS syy,
+                       CAST(syl2 AS DOUBLE) AS syl2,
+                       CAST(sxl2 AS DOUBLE) AS sxl2,
+                       CAST(sylxl AS DOUBLE) AS sylxl,
+                       CAST(syyl AS DOUBLE) AS syyl,
+                       CAST(syxl AS DOUBLE) AS syxl
+                FROM s),
+         cf AS (SELECT n, sy, syyl, syxl, syy,
+                       (sy * (syl2 * sxl2 - sylxl * sylxl)
+                         - syl * (syyl * sxl2 - sylxl * syxl)
+                         + sxl * (syyl * sylxl - syl2 * syxl))
+                       / (dn * (syl2 * sxl2 - sylxl * sylxl)
+                         - syl * (syl * sxl2 - sylxl * sxl)
+                         + sxl * (syl * sylxl - syl2 * sxl)) AS b0,
+                       (dn * (syyl * sxl2 - sylxl * syxl)
+                         - sy * (syl * sxl2 - sylxl * sxl)
+                         + sxl * (syl * syxl - syyl * sxl))
+                       / (dn * (syl2 * sxl2 - sylxl * sylxl)
+                         - syl * (syl * sxl2 - sylxl * sxl)
+                         + sxl * (syl * sylxl - syl2 * sxl)) AS b1,
+                       (dn * (syl2 * syxl - syyl * sylxl)
+                         - syl * (syl * syxl - syyl * sxl)
+                         + sy * (syl * sylxl - syl2 * sxl))
+                       / (dn * (syl2 * sxl2 - sylxl * sylxl)
+                         - syl * (syl * sxl2 - sylxl * sxl)
+                         + sxl * (syl * sylxl - syl2 * sxl)) AS b2,
+                       (sy * syl2 - syl * syyl)
+                         / (dn * syl2 - syl * syl) AS b0r,
+                       (dn * syyl - syl * sy)
+                         / (dn * syl2 - syl * syl) AS b1r
+                FROM dd),
+         rs AS (SELECT n, b1, b2,
+                       syy - (b0 * sy + b1 * syyl + b2 * syxl) AS rss_u,
+                       syy - (b0r * sy + b1r * syyl) AS rss_r
+                FROM cf)
+         SELECT n AS n_pairs,
+                round(b1, 6) AS b_y_lag,
+                round(b2, 6) AS b_x_lag,
+                round((rss_r - rss_u) / (rss_u / (n - 3)), 4) AS f_stat,
+                (rss_r - rss_u) / (rss_u / (n - 3)) > 3.842
+                  AS x_causes_y
+         FROM rs""",
     // scaled cumdev m*cum - k*sum stays an exact integer inside each
     // block; one mirrored division + sqrt per block, micro-rounded
     // to 1e-6 before the per-size average
