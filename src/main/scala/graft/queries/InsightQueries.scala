@@ -1019,7 +1019,51 @@ object InsightQueries {
       round(nhat, 2).as("n_hat"), round(se, 2).as("se"))
   }
 
+  /** Empirical-Bayes beta–binomial shrinkage of per-brand return
+    * rates — the small-sample stabilizer every per-entity dashboard
+    * rate needs (a brand with 8 returns in 20 lines should NOT outrank
+    * one with 400 in 1000): method-of-moments α, β from the 25 brand
+    * rates, then each brand's posterior mean (x+α)/(n+α+β). Brand
+    * rates are micro-rounded to 1e-9 (one mirrored division each)
+    * BEFORE the moment sums, so the MoM inputs are exact integers;
+    * α/β and the posterior means are mirrored double expressions at
+    * emission. The 1-row prior rides a reviewed broadcast onto the
+    * 25-row brand grid. */
+  private val betaBinomial: Q = (s, d) => {
+    val br = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .withColumn("p_q9",
+        round(lit(1000000000.0) * col("x") / col("n")).cast("long"))
+    val mom = br.agg(count(lit(1)).as("k"), sum("p_q9").as("sm"),
+      sum(col("p_q9").cast(DecimalType(38, 0)) * col("p_q9")).as("sq"))
+      .select(col("k"),
+        (col("sm").cast("double") / (col("k") * lit(1000000000.0)))
+          .as("m"),
+        ((col("k").cast(DecimalType(38, 0)) * col("sq")
+          - col("sm").cast(DecimalType(38, 0)) * col("sm"))
+          .cast("double") /
+          (col("k").cast(DecimalType(38, 0)) * (col("k") - 1))
+            .cast("double") / lit(1e18)).as("v"))
+      .select(col("k"),
+        (col("m") * (col("m") * (lit(1.0) - col("m")) / col("v")
+          - lit(1.0))).as("alpha"),
+        ((lit(1.0) - col("m")) * (col("m") * (lit(1.0) - col("m"))
+          / col("v") - lit(1.0))).as("beta"))
+    br.crossJoin(broadcast(mom))
+      .select(col("p_brand").as("brand"), col("n"), col("x"),
+        round(col("x").cast("double") / col("n"), 6).as("rate"),
+        round((col("x") + col("alpha")) /
+          (col("n") + col("alpha") + col("beta")), 6).as("shrunk_rate"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_beta_binomial" -> betaBinomial,
     "q_capture_recapture" -> captureRecapture,
     "q_item_cf" -> itemCf,
     "q_ab_test" -> abTest,
@@ -1051,6 +1095,37 @@ object InsightQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // brand rates micro-rounded to 1e-9 before the exact moment sums;
+    // MoM alpha/beta and posterior means mirrored doubles at emission
+    "q_beta_binomial" ->
+      """WITH br AS (SELECT p_brand AS brand, count(*) AS n,
+                            CAST(sum(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     GROUP BY 1),
+         bq AS (SELECT brand, n, x,
+                       CAST(round(1000000000.0 * x / n) AS BIGINT)
+                         AS p_q9
+                FROM br),
+         mm AS (SELECT count(*) AS k,
+                       CAST(sum(p_q9) AS BIGINT) AS sm,
+                       sum(CAST(p_q9 AS HUGEINT) * p_q9) AS sq
+                FROM bq),
+         mv AS (SELECT k,
+                       CAST(sm AS DOUBLE) / (k * 1000000000.0) AS m,
+                       CAST(CAST(k AS HUGEINT) * sq
+                           - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                         / CAST(CAST(k AS HUGEINT) * (k - 1) AS DOUBLE)
+                         / 1e18 AS v
+                FROM mm),
+         ab AS (SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+                       (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+                FROM mv)
+         SELECT brand, n, x,
+                round(CAST(x AS DOUBLE) / n, 6) AS rate,
+                round((x + alpha) / (n + alpha + beta), 6)
+                  AS shrunk_rate
+         FROM bq, ab ORDER BY brand""",
     // three exact distinct-counts; Chapman N-hat and its SE are two
     // mirrored divisions + one sqrt at emission
     "q_capture_recapture" ->

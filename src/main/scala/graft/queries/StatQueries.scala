@@ -1362,7 +1362,100 @@ object StatQueries {
           / (col("n_perm") + 1), 4).as("p_value"))
   }
 
+  /** Variance inflation factors for the (quantity, price, discount)
+    * regressor set — the multicollinearity screen run before any OLS
+    * on these columns ([[partialCorr]] reads one conditional
+    * association; VIF asks how redundant each regressor is given ALL
+    * the others): VIF_x = 1/(1−R²_x|yz) with R² in closed form from
+    * the three pairwise Pearsons. Reuses the exact nine-moment int128
+    * pass of [[partialCorr]] — identical r expression trees, then a
+    * few mirrored double ops per VIF at emission. One map-side
+    * aggregate, no window, no join. */
+  private val vif: Q = (s, d) => {
+    val t = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    val a = t.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("z").cast(dec)).as("sz"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("z").cast(dec) * col("z")).as("szz"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("z")).as("sxz"),
+      sum(col("y").cast(dec) * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (col("n").cast(dec) * col(sab) - col(sa) * col(sb)).cast("double") /
+        (sqrt((col("n").cast(dec) * col(saa) - col(sa) * col(sa))
+          .cast("double")) *
+          sqrt((col("n").cast(dec) * col(sbb) - col(sb) * col(sb))
+            .cast("double")))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    // R^2 of each regressor on the other two, closed form
+    def r2(rab: Column, rac: Column, rbc: Column) =
+      (rab * rab + rac * rac - lit(2.0) * rab * rac * rbc) /
+        (lit(1.0) - rbc * rbc)
+    a.select(col("n").as("n_rows"),
+      round(lit(1.0) / (lit(1.0) - r2(rxy, rxz, ryz)), 4).as("vif_x"),
+      round(lit(1.0) / (lit(1.0) - r2(rxy, ryz, rxz)), 4).as("vif_y"),
+      round(lit(1.0) / (lit(1.0) - r2(rxz, ryz, rxy)), 4).as("vif_z"))
+  }
+
+  /** Split-conformal prediction intervals for order value per
+    * priority — the distribution-free uncertainty wrapper modern ML
+    * serving puts around ANY point model (here the per-priority
+    * calibration mean): residual quantile q̂ at the ⌈0.9(n+1)⌉-th
+    * calibration order statistic, then guaranteed-≥90% marginal
+    * coverage measured on the held-out half. EVERYTHING is exact
+    * integer arithmetic: the split is the q_sample_hash md5 parity,
+    * residuals are scaled |n_c·x − s_c| (never divided, the
+    * [[grubbs]] trick), the per-group order statistic comes from ONE
+    * global [[ScaledWindow.rankCum]] pass + offsets on the 5-row
+    * priority grid, and coverage is an integer-compare count. The
+    * only doubles are the two emission divisions. */
+  private val conformal: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("x"),
+        pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+          16, 10).cast("long"), lit(2)).as("h"))
+    val calStats = base.filter(col("h") === 0).groupBy("pri")
+      .agg(count(lit(1)).as("nc"), sum(col("x").cast(dec)).as("sc"))
+    val scored = base.join(broadcast(calStats), "pri")
+      .withColumn("r", abs(col("x").cast(dec) * col("nc") - col("sc")))
+    val grain = scored.filter(col("h") === 0)
+      .groupBy("pri", "r").agg(count(lit(1)).as("c"))
+    val rnk = ScaledWindow.rankCum(grain,
+      Seq(col("pri").asc, col("r").asc), Seq("cum" -> col("c")))
+    val offW = Window.orderBy("pri").rowsBetween(
+      Window.unboundedPreceding, -1)
+    val offsets = rnk.df.groupBy("pri").agg(sum("c").as("ng"))
+      .withColumn("off", coalesce(sum("ng").over(offW), lit(0L)))
+    val qhat = rnk.df.join(broadcast(offsets), "pri")
+      .withColumn("lc", col("cum") - col("off"))
+      .filter(col("lc") >= expr("(9 * (ng + 1) + 9) DIV 10"))
+      .groupBy("pri").agg(min("r").as("qhat"))
+    val cov = scored.filter(col("h") === 1)
+      .join(broadcast(qhat), "pri")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+          .as("covered"))
+    calStats.join(cov, "pri").join(qhat, "pri")
+      .select(col("pri"), col("nc").as("n_cal"), col("n_test"),
+        round(col("qhat").cast("double") / (col("nc") * lit(100.0)), 2)
+          .as("q_hat_usd"),
+        round(col("covered").cast("double") / col("n_test"), 4)
+          .as("coverage"))
+      .orderBy("pri")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_conformal" -> conformal,
+    "q_vif" -> vif,
     "q_cochran_q" -> cochranQ,
     "q_permutation_test" -> permutationTest,
     "q_mann_whitney" -> mannWhitney,
@@ -1402,6 +1495,87 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // scaled residuals |nc*x - sc| and the order-statistic selection
+    // are exact integers end to end; two mirrored emission divisions
+    "q_conformal" ->
+      """WITH base AS (SELECT o_orderpriority AS pri,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS x,
+                              ('0x' || substring(md5(CAST(o_orderkey
+                                AS VARCHAR)), 1, 4))::BIGINT % 2 AS h
+                       FROM orders),
+         cal AS (SELECT pri, count(*) AS nc,
+                        sum(CAST(x AS HUGEINT)) AS sc
+                 FROM base WHERE h = 0 GROUP BY 1),
+         scored AS (SELECT base.pri, x, h, nc,
+                           abs(CAST(x AS HUGEINT) * nc - sc) AS r
+                    FROM base JOIN cal ON base.pri = cal.pri),
+         grain AS (SELECT pri, r, count(*) AS c
+                   FROM scored WHERE h = 0 GROUP BY 1, 2),
+         loc AS (SELECT pri, r,
+                        sum(c) OVER (PARTITION BY pri ORDER BY r
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS lc,
+                        sum(c) OVER (PARTITION BY pri) AS ng
+                 FROM grain),
+         qh AS (SELECT pri,
+                       min(CASE WHEN lc >= (9 * (ng + 1) + 9) // 10
+                         THEN r END) AS qhat
+                FROM loc GROUP BY pri),
+         cov AS (SELECT scored.pri, count(*) AS n_test,
+                        CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
+                          AS BIGINT) AS covered
+                 FROM scored JOIN qh ON scored.pri = qh.pri
+                 WHERE h = 1 GROUP BY 1)
+         SELECT cal.pri, nc AS n_cal, n_test,
+                round(CAST(qhat AS DOUBLE) / (nc * 100.0), 2)
+                  AS q_hat_usd,
+                round(CAST(covered AS DOUBLE) / n_test, 4) AS coverage
+         FROM cal JOIN cov ON cal.pri = cov.pri
+              JOIN qh ON cal.pri = qh.pri
+         ORDER BY cal.pri""",
+    // same nine-moment int128 pass and r expression trees as
+    // q_partial_corr; each VIF is a few mirrored double ops
+    "q_vif" -> {
+      def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =
+        s"""CAST(n * $sab - $sa * $sb AS DOUBLE)
+                  / (sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE))
+                    * sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE)))"""
+      val (rxy, rxz, ryz) = (r("sxy", "sx", "sy", "sxx", "syy"),
+        r("sxz", "sx", "sz", "sxx", "szz"),
+        r("syz", "sy", "sz", "syy", "szz"))
+      def r2(rab: String, rac: String, rbc: String) =
+        s"""($rab * $rab + $rac * $rac
+                  - 2.0 * $rab * $rac * $rbc)
+                  / (1.0 - $rbc * $rbc)"""
+      s"""WITH t AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)
+                       AS x,
+                            CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS y,
+                            CAST(round(l_discount * 100) AS BIGINT)
+                              AS z
+                     FROM lineitem),
+         a AS (SELECT count(*) AS n,
+                      sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx,
+                      sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(z AS HUGEINT) * z) AS szz,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy,
+                      sum(CAST(x AS HUGEINT) * z) AS sxz,
+                      sum(CAST(y AS HUGEINT) * z) AS syz
+               FROM t),
+         c AS (SELECT n, $rxy AS rxy, $rxz AS rxz, $ryz AS ryz
+               FROM a)
+         SELECT n AS n_rows,
+                round(1.0 / (1.0 - ${r2("rxy", "rxz", "ryz")}), 4)
+                  AS vif_x,
+                round(1.0 / (1.0 - ${r2("rxy", "ryz", "rxz")}), 4)
+                  AS vif_y,
+                round(1.0 / (1.0 - ${r2("rxz", "ryz", "rxy")}), 4)
+                  AS vif_z
+         FROM c"""
+    },
     // Q is integer arithmetic end to end (row/column/grand totals);
     // one mirrored division at emission
     "q_cochran_q" ->

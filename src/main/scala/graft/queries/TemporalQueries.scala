@@ -1292,7 +1292,62 @@ object TemporalQueries {
       (f > lit(3.842)).as("x_causes_y"))
   }
 
+  /** Durbin–Watson autocorrelation test on AR(1) revenue residuals —
+    * the regression-diagnostic twin of [[acf]] (ACF reads the raw
+    * series; DW asks whether serial correlation SURVIVES the lag-1
+    * fit, the read that decides if OLS standard errors can be
+    * trusted). The AR(1) fit is the same 2×2 Cramer closed form as
+    * [[granger]]'s restricted model; residuals are micro-rounded to
+    * integer cents BEFORE squaring (one mirrored double each, then
+    * exact int128 sums — float association can never move DW);
+    * DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² is one mirrored division at emission. The
+    * 1-row fit rides a reviewed broadcast onto the day grid. */
+  private val durbinWatson: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val cur = rnk.df.select(col("rk"), col("v").as("y"))
+    val prev = rnk.df.select((col("rk") + 1).as("rk"), col("v").as("yl"))
+    val pairs = cur.join(prev, "rk")
+    val fit = pairs.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("yl").cast(dec)).as("syl"),
+      sum(col("yl").cast(dec) * col("yl")).as("syl2"),
+      sum(col("y").cast(dec) * col("yl")).as("syyl"))
+      .select(col("n"),
+        ((col("sy").cast("double") * col("syl2").cast("double") -
+          col("syl").cast("double") * col("syyl").cast("double")) /
+          (col("n").cast("double") * col("syl2").cast("double") -
+            col("syl").cast("double") * col("syl").cast("double")))
+          .as("b0"),
+        ((col("n").cast("double") * col("syyl").cast("double") -
+          col("syl").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("syl2").cast("double") -
+            col("syl").cast("double") * col("syl").cast("double")))
+          .as("b1"))
+    val e = pairs.crossJoin(broadcast(fit))
+      .select(col("rk"),
+        round(col("y") - (col("b0") + col("b1") * col("yl")))
+          .cast("long").as("e"))
+    val se2 = e.agg(count(lit(1)).as("n_resid"),
+      sum(col("e").cast(dec) * col("e")).as("se2"))
+    val el = e.select((col("rk") + 1).as("rk"), col("e").as("ep"))
+    val sd2 = e.join(el, "rk")
+      .agg(sum((col("e").cast(dec) - col("ep"))
+        * (col("e").cast(dec) - col("ep"))).as("sd2"))
+    se2.crossJoin(broadcast(sd2))
+      .select(col("n_resid"),
+        round(col("sd2").cast("double") / col("se2").cast("double"), 4)
+          .as("dw"),
+        round(lit(1.0) - col("sd2").cast("double")
+          / col("se2").cast("double") / lit(2.0), 4).as("rho_hat"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_durbin_watson" -> durbinWatson,
     "q_granger" -> granger,
     "q_hurst_rs" -> hurstRs,
     "q_ccf" -> ccf,
@@ -1335,6 +1390,47 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // residuals micro-rounded to integer cents before squaring, so
+    // both quadratic sums are exact int128; one mirrored division
+    "q_durbin_watson" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         p AS (SELECT a.rk, a.v AS y, b.v AS yl
+               FROM ix a JOIN ix b ON a.rk = b.rk + 1),
+         s AS (SELECT count(*) AS n,
+                      sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(yl AS HUGEINT)) AS syl,
+                      sum(CAST(yl AS HUGEINT) * yl) AS syl2,
+                      sum(CAST(y AS HUGEINT) * yl) AS syyl
+               FROM p),
+         fit AS (SELECT (CAST(sy AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syyl AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)) AS b0,
+                        (CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)) AS b1
+                 FROM s),
+         e AS (SELECT rk, CAST(round(y - (b0 + b1 * yl)) AS BIGINT)
+                 AS e
+               FROM p, fit),
+         a1 AS (SELECT count(*) AS n_resid,
+                       sum(CAST(e AS HUGEINT) * e) AS se2
+                FROM e),
+         a2 AS (SELECT sum((CAST(a.e AS HUGEINT) - b.e)
+                  * (CAST(a.e AS HUGEINT) - b.e)) AS sd2
+                FROM e a JOIN e b ON a.rk = b.rk + 1)
+         SELECT n_resid,
+                round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 4)
+                  AS dw,
+                round(1.0 - CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)
+                  / 2.0, 4) AS rho_hat
+         FROM a1, a2""",
     // both OLS fits solved by Cramer's rule over ten exact int128
     // moment sums; every determinant/RSS/F expression has the same
     // lexical shape as the Spark side (deterministic IEEE double ops)
