@@ -92,7 +92,13 @@ class PlanHygieneSpec extends SparkSpec {
     // round 12: grubbs crosses the 1-row moment frame onto the day
     // grid (the q_cusum shape); modularity crosses its 1-row W/edge
     // totals onto the 25-row community grid
-    "q_grubbs", "q_modularity")
+    "q_grubbs", "q_modularity",
+    // round 12: 1-row broadcasts — cochran's column-total frame,
+    // the permutation test's observed-diff frame, durbin-watson's
+    // AR(1) fit + quadratic-sum frames, beta-binomial's MoM prior
+    // onto the 25-row brand grid
+    "q_cochran_q", "q_permutation_test", "q_durbin_watson",
+    "q_beta_binomial")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -135,9 +141,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_runs_test",
     "q_label_encode", "q_lift_deciles", "q_mom_growth", "q_mutual_info",
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline",
-    // round 12: levene's per-priority offsets ride a window over the
-    // 5-row priority grid (the q_weighted_median flag-offset shape)
-    "q_levene")
+    // round 12: levene's and conformal's per-priority offsets ride a
+    // window over the 5-row priority grid (the q_weighted_median
+    // flag-offset shape)
+    "q_levene", "q_conformal")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit
