@@ -1166,9 +1166,13 @@ object StatQueries {
     val grp = z.groupBy("pri")
       .agg(count(lit(1)).as("ng"), sum(col("z").cast(dec)).as("sg"),
         sum(col("z").cast(dec) * col("z")).as("sgg"))
+    // cg rides DECIMAL(38,0): with only 5 groups the sum^2/n term
+    // passes 1.9e19 at sf0.1 — beyond Long.MaxValue (the 25-group
+    // anova stays under it); at that magnitude round()'s double is
+    // already an exact integer, so the decimal/HUGEINT casts agree
     val cg = grp.select(col("ng"), col("sgg"),
       round((col("sg") * col("sg")).cast("double") / col("ng"))
-        .cast("long").as("cg"), col("sg"))
+        .cast(dec).as("cg"), col("sg"))
     val parts = cg.agg(count(lit(1)).as("k"), sum("ng").as("n"),
       sum(col("cg").cast(dec)).as("scg"), sum("sgg").as("sxx"),
       sum("sg").as("sx"))
@@ -1743,7 +1747,7 @@ object StatQueries {
                  FROM z GROUP BY pri),
          cg AS (SELECT ng, sgg, sg,
                        CAST(round(CAST(sg * sg AS DOUBLE) / ng)
-                         AS BIGINT) AS cg
+                         AS HUGEINT) AS cg
                 FROM grp),
          parts AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
                           sum(CAST(cg AS HUGEINT)) AS scg,
