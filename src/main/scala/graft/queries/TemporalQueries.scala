@@ -1177,8 +1177,13 @@ object TemporalQueries {
       .withColumn("dd", col("cum").cast(dec) * col("m")
         - col("sm").cast(dec) * col("k"))
     val blocks = scored.groupBy("m", "block")
-      .agg(max("dd").as("maxd"), min("dd").as("mind"),
+      .agg(count(lit(1)).as("bn"), max("dd").as("maxd"),
+        min("dd").as("mind"),
         sum("v").as("bs"), sum(col("v").cast(dec) * col("v")).as("ssq"))
+      // complete blocks only: a ragged tail block's m-scaled cumdev
+      // would mix the nominal m with a shorter actual length (no-op
+      // at sf0.01+, where the 2048-day grid divides every m exactly)
+      .filter(col("bn") === col("m"))
       .withColumn("den", col("ssq").cast(dec) * col("m")
         - col("bs").cast(dec) * col("bs"))
       .filter(col("den") > 0)
@@ -1522,7 +1527,7 @@ object TemporalQueries {
                          ROW) AS cum,
                        sum(v) OVER (PARTITION BY m, block) AS sm, k
                 FROM g),
-         b AS (SELECT m, block,
+         b AS (SELECT m, block, count(*) AS bn,
                       max(CAST(cum AS HUGEINT) * m
                         - CAST(sm AS HUGEINT) * k) AS maxd,
                       min(CAST(cum AS HUGEINT) * m
@@ -1538,7 +1543,7 @@ object TemporalQueries {
                           - CAST(bs AS HUGEINT) * bs AS DOUBLE)))
                         AS BIGINT) AS rs_q6
                FROM b
-               WHERE CAST(ssq AS HUGEINT) * m
+               WHERE bn = m AND CAST(ssq AS HUGEINT) * m
                  - CAST(bs AS HUGEINT) * bs > 0)
          SELECT m, count(*) AS n_blocks,
                 round(CAST(sum(rs_q6) AS DOUBLE)

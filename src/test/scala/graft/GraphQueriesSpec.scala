@@ -93,4 +93,50 @@ class GraphQueriesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - aam / 1e6) < 1e-9)
     }
   }
+
+  test("modularity matches a sequential recompute and its identities") {
+    val adj = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = adj.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).toArray.sorted
+    }.filter { case (_, ss) => ss.length >= 2 && ss.length <= 100 }
+    val w = scala.collection.mutable.Map[(Long, Long), Long]()
+    byCust.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        w((ss(i), ss(j))) = w.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    val comm = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val tw = w.values.sum
+    val commSet = w.keys.flatMap { case (a, b) =>
+      Seq(comm(a), comm(b)) }.toSet
+    val winC = w.toSeq.filter { case ((a, b), _) => comm(a) == comm(b) }
+      .groupBy { case ((a, _), _) => comm(a) }
+      .map { case (c, es) => c -> es.map(_._2).sum }
+    val degC = w.toSeq.flatMap { case ((a, b), wt) =>
+      Seq(comm(a) -> wt, comm(b) -> wt) }
+      .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).sum }
+    // identity: community degrees sum to 2W
+    assert(degC.values.sum == 2 * tw)
+    // .keys is a SET — mapping it would dedupe communities whose
+    // terms happen to be equal (two nations with identical degree
+    // sums collapsed to one term on first write); map a Seq
+    val qBrute = degC.keys.toSeq.map { c =>
+      winC.getOrElse(c, 0L).toDouble / tw -
+        math.pow(degC(c).toDouble / (2 * tw), 2)
+    }.sum
+    val got = GraphQueries.queries("q_modularity")(spark, sf).collect()(0)
+    assert(got.getLong(0) == degC.size.toLong)
+    assert(got.getLong(1) == w.size.toLong)
+    assert(got.getLong(2) == tw)
+    assert(math.abs(got.getDouble(3) - qBrute) < 1e-4,
+      s"Q ${got.getDouble(3)} vs brute $qBrute")
+    // modularity is bounded in [-0.5, 1]
+    assert(got.getDouble(3) >= -0.5 && got.getDouble(3) <= 1.0)
+    assert(degC.keySet == commSet)
+  }
 }

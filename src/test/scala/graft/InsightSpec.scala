@@ -601,4 +601,81 @@ class InsightSpec extends SparkSpec {
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
     assert(gains.last == 1.0)
   }
+
+  // ---- round 12 operators ----
+
+  test("item-item cosine CF matches the brute-force top-20") {
+    val adj = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = adj.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).toSet
+    }.filter { case (_, ps) => ps.size >= 2 && ps.size <= 100 }
+    val ni = byCust.values.flatten.groupBy(identity)
+      .map { case (p, hits) => p -> hits.size }
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+    byCust.values.foreach { ps =>
+      val sorted = ps.toArray.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        co((sorted(i), sorted(j))) = co.getOrElse((sorted(i), sorted(j)), 0) + 1
+    }
+    val scored = co.toArray.filter(_._2 >= 2).map { case ((p1, p2), c) =>
+      val s = math.round(1e6 * c /
+        (math.sqrt(ni(p1).toDouble) * math.sqrt(ni(p2).toDouble)))
+      (p1, p2, c, s)
+    }.sortBy { case (p1, p2, _, s) => (-s, p1, p2) }.take(20)
+    val got = q("q_item_cf").collect()
+    assert(got.length == scored.length)
+    got.zip(scored).foreach { case (r, (p1, p2, c, s)) =>
+      assert(r.getLong(0) == p1 && r.getLong(1) == p2, "pair order")
+      assert(r.getLong(2) == c.toLong)
+      assert(r.getLong(3) == ni(p1).toLong && r.getLong(4) == ni(p2).toLong)
+      assert(math.abs(r.getDouble(5) - s / 1e6) < 1e-9)
+    }
+  }
+
+  test("capture-recapture replays the Chapman estimator exactly") {
+    val cy = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val s1 = cy.filter(_._2 == 1995).map(_._1).toSet
+    val s2 = cy.filter(_._2 == 1996).map(_._1).toSet
+    val m = (s1 & s2).size
+    val nhat = (s1.size + 1.0) * (s2.size + 1) / (m + 1) - 1.0
+    val got = q("q_capture_recapture").collect()(0)
+    assert(got.getLong(0) == s1.size.toLong && got.getLong(1) == s2.size.toLong)
+    assert(got.getLong(2) == m.toLong)
+    assert(math.abs(got.getDouble(3) - nhat) < 0.01)
+    // the estimate should bracket the true sf0.001 customer count scale
+    assert(got.getDouble(3) > s1.size.toDouble, "N-hat exceeds one capture")
+  }
+
+  test("beta-binomial shrinkage pulls extreme brand rates toward the prior") {
+    val rows = q("q_beta_binomial").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 25)
+    // brute-force MoM prior from the micro-rounded rates
+    val pq9 = rows.map { case (_, n, x, _, _) =>
+      math.round(1e9 * x / n)
+    }
+    val k = pq9.length
+    val m = pq9.map(BigInt(_)).sum.toDouble / (k * 1e9)
+    val v = (BigInt(k) * pq9.map(p => BigInt(p) * BigInt(p)).sum -
+      pq9.map(BigInt(_)).sum * pq9.map(BigInt(_)).sum).toDouble /
+      (k.toLong * (k - 1L)) / 1e18
+    val alpha = m * (m * (1 - m) / v - 1)
+    val beta = (1 - m) * (m * (1 - m) / v - 1)
+    rows.foreach { case (b, n, x, rate, shrunk) =>
+      assert(math.abs(rate - x.toDouble / n) < 1e-6)
+      val want = (x + alpha) / (n + alpha + beta)
+      assert(math.abs(shrunk - want) < 1e-4, s"brand $b")
+      // shrinkage moves every rate strictly toward the prior mean
+      if (math.abs(rate - m) > 1e-9)
+        assert(math.abs(shrunk - m) < math.abs(rate - m) + 1e-12, b)
+    }
+  }
 }

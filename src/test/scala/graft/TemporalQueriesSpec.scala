@@ -499,6 +499,152 @@ class TemporalQueriesSpec extends SparkSpec {
         < 0.01, s"segment ${idx - 1} stat")
     }
   }
+
+  // ---- round 12 operators ----
+
+  private def dailySeries(): Array[(Long, Long)] =
+    Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+
+  test("hurst R/S spectrum matches a sequential per-block recompute") {
+    val v = dailySeries().map(_._2).take(2048)
+    val got = TemporalQueries.queries("q_hurst_rs")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    Seq(64, 128, 256, 512).foreach { m =>
+      val blocks = v.grouped(m).filter(_.length == m).toArray
+      val rs = blocks.flatMap { b =>
+        val sm = b.map(BigInt(_)).sum
+        val ssq = b.map(x => BigInt(x) * BigInt(x)).sum
+        val den = ssq * m - sm * sm
+        if (den <= 0) None
+        else {
+          var cum = BigInt(0); var mx = BigInt(0); var mn = BigInt(0)
+          b.zipWithIndex.foreach { case (x, i) =>
+            cum += x
+            val dd = cum * m - sm * (i + 1)
+            if (dd > mx) mx = dd
+            if (dd < mn) mn = dd
+          }
+          Some(math.round(1e6 * (mx - mn).toDouble /
+            math.sqrt(den.toDouble)))
+        }
+      }
+      val (nb, mean) = got(m)
+      assert(nb == rs.length.toLong, s"m=$m n_blocks")
+      assert(math.abs(mean - rs.sum / (rs.length * 1e6)) < 1e-5,
+        s"m=$m mean R/S")
+      // long-memory sanity: R/S grows with the block size
+      if (m > 64) assert(got(m)._2 > got(64)._2 * 0.5)
+    }
+  }
+
+  test("ccf matches brute-force lagged Pearson at every lag") {
+    val s = dailySeries()
+    val got = TemporalQueries.queries("q_ccf")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (-7 to 7).toSet)
+    (-7 to 7).foreach { l =>
+      val pairs = s.indices.flatMap { i =>
+        val j = i + l
+        if (j >= 0 && j < s.length) Some((s(i)._1.toDouble, s(j)._2.toDouble))
+        else None
+      }
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(got(l)._1 == pairs.length.toLong, s"lag $l n")
+      assert(math.abs(got(l)._2 - r) < 1e-4 + 1e-9, s"lag $l r")
+    }
+  }
+
+  test("granger F and coefficients match a brute-force two-model OLS") {
+    val s = dailySeries()
+    // rows t = 2..n: y_t on (1, y_{t-1}, x_{t-1})
+    val rows = (1 until s.length).map(i =>
+      (s(i)._2.toDouble, s(i - 1)._2.toDouble, s(i - 1)._1.toDouble))
+    val n = rows.length.toDouble
+    def solve3(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      // gaussian elimination, 3x3
+      val m = a.map(_.clone)
+      val x = b.clone
+      for (p <- 0 until 3) {
+        val piv = (p until 3).maxBy(r => math.abs(m(r)(p)))
+        val (tm, tx) = (m(p), x(p)); m(p) = m(piv); x(p) = x(piv)
+        m(piv) = tm; x(piv) = tx
+        for (r <- p + 1 until 3) {
+          val f = m(r)(p) / m(p)(p)
+          for (c <- p until 3) m(r)(c) -= f * m(p)(c)
+          x(r) -= f * x(p)
+        }
+      }
+      val out = Array.fill(3)(0.0)
+      for (r <- 2 to 0 by -1) {
+        out(r) = (x(r) - (r + 1 until 3).map(c => m(r)(c) * out(c)).sum) /
+          m(r)(r)
+      }
+      out
+    }
+    val sy = rows.map(_._1).sum; val syl = rows.map(_._2).sum
+    val sxl = rows.map(_._3).sum
+    val syl2 = rows.map(r => r._2 * r._2).sum
+    val sxl2 = rows.map(r => r._3 * r._3).sum
+    val sylxl = rows.map(r => r._2 * r._3).sum
+    val syyl = rows.map(r => r._1 * r._2).sum
+    val syxl = rows.map(r => r._1 * r._3).sum
+    val bu = solve3(Array(
+      Array(n, syl, sxl), Array(syl, syl2, sylxl),
+      Array(sxl, sylxl, sxl2)), Array(sy, syyl, syxl))
+    val rssU = rows.map { case (y, yl, xl) =>
+      val e = y - (bu(0) + bu(1) * yl + bu(2) * xl); e * e
+    }.sum
+    val detr = n * syl2 - syl * syl
+    val b0r = (sy * syl2 - syl * syyl) / detr
+    val b1r = (n * syyl - syl * sy) / detr
+    val rssR = rows.map { case (y, yl, _) =>
+      val e = y - (b0r + b1r * yl); e * e
+    }.sum
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    val got = TemporalQueries.queries("q_granger")(spark, sf).collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - bu(1)) < 1e-4 + 1e-9, "b_y_lag")
+    assert(math.abs(got.getDouble(2) - bu(2)) < math.abs(bu(2)) * 1e-3 + 1e-3,
+      "b_x_lag")
+    assert(math.abs(got.getDouble(3) - f) < math.abs(f) * 1e-2 + 1e-2,
+      s"F ${got.getDouble(3)} vs brute $f")
+  }
+
+  test("durbin-watson matches a brute-force AR(1) residual recompute") {
+    val s = dailySeries()
+    val rows = (1 until s.length).map(i => (s(i)._2, s(i - 1)._2))
+    val n = rows.length.toDouble
+    val sy = rows.map(_._1.toDouble).sum; val syl = rows.map(_._2.toDouble).sum
+    val syl2 = rows.map(r => r._2.toDouble * r._2).sum
+    val syyl = rows.map(r => r._1.toDouble * r._2).sum
+    val detr = n * syl2 - syl * syl
+    val b0 = (sy * syl2 - syl * syyl) / detr
+    val b1 = (n * syyl - syl * sy) / detr
+    val e = rows.map { case (y, yl) => math.round(y - (b0 + b1 * yl)) }
+    val se2 = e.map(x => BigInt(x) * BigInt(x)).sum
+    val sd2 = e.zip(e.tail).map { case (a, b) =>
+      BigInt(b - a) * BigInt(b - a)
+    }.sum
+    val dw = sd2.toDouble / se2.toDouble
+    val got = TemporalQueries.queries("q_durbin_watson")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - dw) < 1e-3 + 1e-9)
+    assert(math.abs(got.getDouble(2) - (1.0 - dw / 2)) < 1e-3 + 1e-9)
+    // a near-random daily series should show DW near 2
+    assert(got.getDouble(1) > 1.0 && got.getDouble(1) < 3.0)
+  }
 }
 
 private object TemporalQueriesSpecHelper {
