@@ -440,7 +440,53 @@ object GraphQueries {
         .as("modularity"))
   }
 
+  /** Degree assortativity of the part co-purchase graph — do popular
+    * parts share baskets with other popular parts (r > 0,
+    * social-network shape) or with the long tail (r < 0,
+    * hub-and-spoke)? The structural read beside [[modularity]]
+    * (modularity scores a PARTITION; assortativity scores the degree
+    * mixing). Edges = distinct part pairs inside one ORDER basket —
+    * naturally sparse (TPC-H baskets are ≤7 lines, so the pair
+    * shuffle is ≤C(7,2) per order; a shared-CUSTOMER graph saturates
+    * to complete at sf0.01 and its degree variance collapses to the
+    * degenerate 0/0). Pearson r of (deg(u), deg(v)) over the DIRECTED
+    * edge list (each undirected edge counted both ways — the standard
+    * symmetrization); degrees are exact ints, the five moment sums
+    * exact int128, two mirrored sqrts + one division at emission. */
+  private val assortativity: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val adj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct()
+    val b = adj.select(col("ok"), col("part").as("p2"))
+    val edges = adj.join(b, "ok").filter(col("part") < col("p2"))
+      .select(col("part").as("s1"), col("p2").as("s2")).distinct()
+    val deg = edges.select(col("s1").as("u"))
+      .union(edges.select(col("s2").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val dir = edges.select(col("s1").as("u"), col("s2").as("w"))
+      .union(edges.select(col("s2").as("u"), col("s1").as("w")))
+    val jk = dir
+      .join(deg.withColumnRenamed("u", "uu").withColumnRenamed("dg", "j"),
+        col("u") === col("uu"))
+      .join(deg.withColumnRenamed("u", "ww").withColumnRenamed("dg", "k"),
+        col("w") === col("ww"))
+    val g = jk.agg(count(lit(1)).as("n"),
+      sum(col("j").cast(dec)).as("sj"), sum(col("k").cast(dec)).as("sk"),
+      sum(col("j").cast(dec) * col("j")).as("sjj"),
+      sum(col("k").cast(dec) * col("k")).as("skk"),
+      sum(col("j").cast(dec) * col("k")).as("sjk"))
+    g.select((col("n") / 2).cast("long").as("n_edges"),
+      round((col("n").cast(dec) * col("sjk") - col("sj") * col("sk"))
+        .cast("double") /
+        (sqrt((col("n").cast(dec) * col("sjj") - col("sj") * col("sj"))
+          .cast("double")) *
+          sqrt((col("n").cast(dec) * col("skk") - col("sk") * col("sk"))
+            .cast("double"))), 6).as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_assortativity" -> assortativity,
     "q_modularity" -> modularity,
     "q_kcore" -> kcore,
     "q_link_predict" -> linkPredict,
@@ -453,6 +499,39 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // degrees exact ints over the symmetrized edge list; five int128
+    // moment sums, two mirrored sqrts + one division
+    "q_assortativity" ->
+      """WITH adj AS (SELECT DISTINCT l_orderkey AS ok,
+                             l_partkey AS part
+                      FROM lineitem),
+         e AS (SELECT DISTINCT a.part AS s1, b.part AS s2
+               FROM adj a JOIN adj b ON a.ok = b.ok
+                 AND a.part < b.part),
+         deg AS (SELECT u, count(*) AS dg
+                 FROM (SELECT s1 AS u FROM e
+                       UNION ALL SELECT s2 AS u FROM e)
+                 GROUP BY u),
+         dir AS (SELECT s1 AS u, s2 AS w FROM e
+                 UNION ALL SELECT s2 AS u, s1 AS w FROM e),
+         jk AS (SELECT x.dg AS j, y.dg AS k
+                FROM dir JOIN deg x ON dir.u = x.u
+                         JOIN deg y ON dir.w = y.u),
+         g AS (SELECT count(*) AS n,
+                      sum(CAST(j AS HUGEINT)) AS sj,
+                      sum(CAST(k AS HUGEINT)) AS sk,
+                      sum(CAST(j AS HUGEINT) * j) AS sjj,
+                      sum(CAST(k AS HUGEINT) * k) AS skk,
+                      sum(CAST(j AS HUGEINT) * k) AS sjk
+               FROM jk)
+         SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                round(CAST(CAST(n AS HUGEINT) * sjk - sj * sk
+                    AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sjj - sj * sj
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * skk - sk * sk
+                      AS DOUBLE))), 6) AS assortativity
+         FROM g""",
     // exact long edge weights / degree sums; each community term is
     // one mirrored double expression micro-rounded to 1e-9 before
     // the bounded community-grid sum

@@ -1457,7 +1457,111 @@ object StatQueries {
       .orderBy("pri")
   }
 
+  /** Baron–Kenny / Sobel mediation analysis: does the discount's
+    * effect on line revenue flow THROUGH quantity? ([[partialCorr]]
+    * reads one conditional association; mediation decomposes the
+    * X→Y effect into the X→M→Y indirect path and the direct
+    * remainder.) Three OLS fits — X→M, X→Y, and Y ~ 1+X+M by the
+    * [[q_granger]] mirrored-Cramer closed form — all from ONE pass of
+    * ten exact int128 moment sums; a/b standard errors and the Sobel
+    * z are mirrored double expressions at emission. */
+  private val mediation: Q = (s, d) => {
+    val t = Tables.lineitem(s, d).select(
+      round(col("l_discount") * 100).cast("long").as("x"),
+      round(col("l_quantity") * 100).cast("long").as("m"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val a = t.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("m").cast(dec)).as("sm"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("m").cast(dec) * col("m")).as("smm"),
+      sum(col("x").cast(dec) * col("m")).as("sxm"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("m").cast(dec) * col("y")).as("smy"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    def D(c: String) = col(c).cast("double")
+    val (n, sx, sm, sy) = (D("n"), D("sx"), D("sm"), D("sy"))
+    val (sxx, smm, sxm) = (D("sxx"), D("smm"), D("sxm"))
+    val (sxy, smy, syy) = (D("sxy"), D("smy"), D("syy"))
+    val sxxN = n * sxx - sx * sx
+    val sxmN = n * sxm - sx * sm
+    val smmN = n * smm - sm * sm
+    val sxyN = n * sxy - sx * sy
+    val aCoef = sxmN / sxxN
+    val seA2 = (smmN - sxmN * sxmN / sxxN) / ((n - 2) * sxxN)
+    val det = n * (sxx * smm - sxm * sxm) -
+      sx * (sx * smm - sxm * sm) + sm * (sx * sxm - sxx * sm)
+    val b0 = (sy * (sxx * smm - sxm * sxm) -
+      sx * (sxy * smm - sxm * smy) + sm * (sxy * sxm - sxx * smy)) / det
+    val b1 = (n * (sxy * smm - sxm * smy) -
+      sy * (sx * smm - sxm * sm) + sm * (sx * smy - sxy * sm)) / det
+    val b2 = (n * (sxx * smy - sxy * sxm) -
+      sx * (sx * smy - sxy * sm) + sy * (sx * sxm - sxx * sm)) / det
+    val rssU = syy - (b0 * sy + b1 * sxy + b2 * smy)
+    val seB2 = (rssU / (n - 3)) * sxxN / det
+    val cTot = sxyN / sxxN
+    val sobel = aCoef * b2 / sqrt(b2 * b2 * seA2 + aCoef * aCoef * seB2)
+    a.select(col("n").as("n_rows"),
+      round(aCoef, 6).as("a_x_to_m"),
+      round(b2, 6).as("b_m_to_y"),
+      round(b1, 6).as("direct_effect"),
+      round(cTot, 6).as("total_effect"),
+      round(sobel, 4).as("sobel_z"),
+      round(aCoef * b2 / cTot, 6).as("prop_mediated"),
+      (abs(sobel) > lit(1.96)).as("mediated"))
+  }
+
+  /** Kendall's coefficient of concordance W — do the monthly blocks
+    * AGREE on how the 25 nations rank? (The effect-size companion of
+    * [[friedman]]: Friedman says whether nations differ; W says how
+    * consistently the months order them, 0 = no agreement, 1 =
+    * identical rankings every month.) Same zero-filled month×nation
+    * grid and doubled within-block average ranks; S stays exact as
+    * Σ(2Rⱼ − m(k+1))² in int128 (the doubled block mean m(k+1) is an
+    * integer), the per-block tie polynomial ΣT exact, and
+    * W = 3·S₄/(m²(k³−k) − m·ΣT) is one mirrored division. */
+  private val kendallW: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("c_nationkey").as("g"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val months = oc.select("mth").distinct()
+    val nations = Tables.nation(s, d).select(col("n_nationkey").as("g"))
+    val grid = months.crossJoin(broadcast(nations))
+      .join(oc, Seq("mth", "g"), "left")
+      .na.fill(0L, Seq("v"))
+    val wLess = Window.partitionBy("mth").orderBy(col("v"))
+    val wTie = Window.partitionBy("mth", "v")
+    val rj = grid
+      .withColumn("r", rank().over(wLess))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("dr", lit(2) * (col("r") - 1) + col("t") + 1)
+      .groupBy("g").agg(sum("dr").as("drj"))
+    val ties = grid.groupBy("mth", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c").cast(dec) * col("c") * col("c")
+        - col("c")), lit(0).cast(dec)).as("tt"))
+    val dims = rj.agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(months.agg(count(lit(1)).as("m"))))
+    val s4 = rj.crossJoin(broadcast(dims))
+      .select(((col("drj").cast(dec) - col("m").cast(dec)
+        * (col("k") + 1)) * (col("drj").cast(dec) - col("m").cast(dec)
+        * (col("k") + 1))).as("d2"), col("k"), col("m"))
+      .groupBy("k", "m").agg(sum("d2").as("s4"))
+    val kk = col("k").cast(dec)
+    val w = (lit(3).cast(dec) * col("s4")).cast("double") /
+      ((col("m").cast(dec) * col("m") * (kk * kk * kk - col("k"))
+        - col("m").cast(dec) * col("tt")).cast("double"))
+    s4.crossJoin(broadcast(ties))
+      .select(col("m").as("n_blocks"), col("k").as("n_groups"),
+        round(w, 6).as("kendall_w"),
+        round(col("m") * (col("k") - 1) * w, 4).as("chi2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mediation" -> mediation,
+    "q_kendall_w" -> kendallW,
     "q_conformal" -> conformal,
     "q_vif" -> vif,
     "q_cochran_q" -> cochranQ,
@@ -1499,6 +1603,122 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // three OLS fits from ten exact int128 moment sums; every
+    // slope/SE/Sobel expression lexically mirrors the Spark side
+    "q_mediation" ->
+      """WITH t AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+                           CAST(round(l_quantity * 100) AS BIGINT) AS m,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS y
+                    FROM lineitem),
+         s AS (SELECT count(*) AS n,
+                      sum(CAST(x AS HUGEINT)) AS sx,
+                      sum(CAST(m AS HUGEINT)) AS sm,
+                      sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx,
+                      sum(CAST(m AS HUGEINT) * m) AS smm,
+                      sum(CAST(x AS HUGEINT) * m) AS sxm,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy,
+                      sum(CAST(m AS HUGEINT) * y) AS smy,
+                      sum(CAST(y AS HUGEINT) * y) AS syy
+               FROM t),
+         dd AS (SELECT n, CAST(n AS DOUBLE) AS dn,
+                       CAST(sx AS DOUBLE) AS sx,
+                       CAST(sm AS DOUBLE) AS sm,
+                       CAST(sy AS DOUBLE) AS sy,
+                       CAST(sxx AS DOUBLE) AS sxx,
+                       CAST(smm AS DOUBLE) AS smm,
+                       CAST(sxm AS DOUBLE) AS sxm,
+                       CAST(sxy AS DOUBLE) AS sxy,
+                       CAST(smy AS DOUBLE) AS smy,
+                       CAST(syy AS DOUBLE) AS syy
+                FROM s),
+         c1 AS (SELECT n, dn, sx, sm, sy, sxx, smm, sxm, sxy, smy, syy,
+                       dn * sxx - sx * sx AS sxxn,
+                       dn * sxm - sx * sm AS sxmn,
+                       dn * smm - sm * sm AS smmn,
+                       dn * sxy - sx * sy AS sxyn,
+                       dn * (sxx * smm - sxm * sxm)
+                         - sx * (sx * smm - sxm * sm)
+                         + sm * (sx * sxm - sxx * sm) AS det
+                FROM dd),
+         c2 AS (SELECT n, dn, sy, sxy, smy, syy, sxxn, sxyn,
+                       sxmn / sxxn AS a,
+                       (smmn - sxmn * sxmn / sxxn)
+                         / ((dn - 2) * sxxn) AS sea2,
+                       (sy * (sxx * smm - sxm * sxm)
+                         - sx * (sxy * smm - sxm * smy)
+                         + sm * (sxy * sxm - sxx * smy)) / det AS b0,
+                       (dn * (sxy * smm - sxm * smy)
+                         - sy * (sx * smm - sxm * sm)
+                         + sm * (sx * smy - sxy * sm)) / det AS b1,
+                       (dn * (sxx * smy - sxy * sxm)
+                         - sx * (sx * smy - sxy * sm)
+                         + sy * (sx * sxm - sxx * sm)) / det AS b2,
+                       det
+                FROM c1),
+         c3 AS (SELECT n, a, b1, b2, sea2, sxyn, sxxn,
+                       ((syy - (b0 * sy + b1 * sxy + b2 * smy))
+                         / (dn - 3)) * sxxn / det AS seb2
+                FROM c2)
+         SELECT n AS n_rows,
+                round(a, 6) AS a_x_to_m,
+                round(b2, 6) AS b_m_to_y,
+                round(b1, 6) AS direct_effect,
+                round(sxyn / sxxn, 6) AS total_effect,
+                round(a * b2 / sqrt(b2 * b2 * sea2 + a * a * seb2), 4)
+                  AS sobel_z,
+                round(a * b2 / (sxyn / sxxn), 6) AS prop_mediated,
+                abs(a * b2 / sqrt(b2 * b2 * sea2 + a * a * seb2)) > 1.96
+                  AS mediated
+         FROM c3""",
+    // same zero-filled grid + doubled ranks as q_friedman; S stays
+    // exact int128, W/chi2 mirrored divisions at emission
+    "q_kendall_w" ->
+      """WITH oc AS (SELECT date_trunc('month', CAST(o_orderdate
+                        AS DATE)) AS mth,
+                            c_nationkey AS g,
+                            CAST(sum(CAST(round(o_totalprice * 100)
+                              AS BIGINT)) AS BIGINT) AS v
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+         months AS (SELECT DISTINCT mth FROM oc),
+         grid AS (SELECT m.mth, n.n_nationkey AS g,
+                         coalesce(oc.v, 0) AS v
+                  FROM months m CROSS JOIN nation n
+                  LEFT JOIN oc ON oc.mth = m.mth
+                    AND oc.g = n.n_nationkey),
+         rk AS (SELECT g,
+                       2 * (rank() OVER (PARTITION BY mth
+                         ORDER BY v) - 1)
+                       + count(*) OVER (PARTITION BY mth, v) + 1 AS dr
+                FROM grid),
+         rj AS (SELECT g, CAST(sum(dr) AS BIGINT) AS drj
+                FROM rk GROUP BY g),
+         ties AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
+                    0) AS tt
+                  FROM (SELECT mth, v, count(*) AS c FROM grid
+                        GROUP BY 1, 2)
+                  WHERE c > 1),
+         dims AS (SELECT (SELECT count(*) FROM rj) AS k,
+                         (SELECT count(*) FROM months) AS m),
+         s4 AS (SELECT k, m,
+                       sum((CAST(drj AS HUGEINT) - CAST(m AS HUGEINT)
+                           * (k + 1))
+                         * (CAST(drj AS HUGEINT) - CAST(m AS HUGEINT)
+                           * (k + 1))) AS s4
+                FROM rj, dims GROUP BY k, m)
+         SELECT m AS n_blocks, k AS n_groups,
+                round(CAST(3 * s4 AS DOUBLE)
+                  / CAST(CAST(m AS HUGEINT) * m
+                      * (CAST(k AS HUGEINT) * k * k - k)
+                    - CAST(m AS HUGEINT) * tt AS DOUBLE), 6)
+                  AS kendall_w,
+                round(m * (k - 1) * (CAST(3 * s4 AS DOUBLE)
+                  / CAST(CAST(m AS HUGEINT) * m
+                      * (CAST(k AS HUGEINT) * k * k - k)
+                    - CAST(m AS HUGEINT) * tt AS DOUBLE)), 4) AS chi2
+         FROM s4, ties""",
     // scaled residuals |nc*x - sc| and the order-statistic selection
     // are exact integers end to end; two mirrored emission divisions
     "q_conformal" ->

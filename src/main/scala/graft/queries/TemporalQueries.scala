@@ -1351,7 +1351,42 @@ object TemporalQueries {
           / col("se2").cast("double") / lit(2.0), 4).as("rho_hat"))
   }
 
+  /** 30-day rolling correlation between daily order count and daily
+    * revenue — the time-varying twin of [[ccf]]'s single global
+    * number (a regime change shows up as the rolling r decoupling
+    * long before the global statistic moves). All six frame sums are
+    * exact integer/int128 window aggregates over the bounded
+    * calendar-day grid (the q_rolling_slope class); each day's r is
+    * the same mirrored Pearson emission as [[ccf]]. Emitted from the
+    * 30th day on (full frames only). */
+  private val rollingCorr: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w30 = Window.orderBy("day").rowsBetween(-29, 0)
+    val rolled = daily
+      .withColumn("n", count(lit(1)).over(w30))
+      .withColumn("sx", sum("cnt").over(w30))
+      .withColumn("sy", sum("v").over(w30))
+      .withColumn("sxx", sum(col("cnt").cast(dec) * col("cnt")).over(w30))
+      .withColumn("syy", sum(col("v").cast(dec) * col("v")).over(w30))
+      .withColumn("sxy", sum(col("cnt").cast(dec) * col("v")).over(w30))
+      .filter(col("n") === 30)
+    rolled.select(col("day"),
+      round((col("n").cast(dec) * col("sxy")
+        - col("sx").cast(dec) * col("sy")).cast("double") /
+        (sqrt((col("n").cast(dec) * col("sxx")
+          - col("sx").cast(dec) * col("sx")).cast("double")) *
+          sqrt((col("n").cast(dec) * col("syy")
+            - col("sy").cast(dec) * col("sy")).cast("double"))), 6)
+        .as("r30"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_corr" -> rollingCorr,
     "q_durbin_watson" -> durbinWatson,
     "q_granger" -> granger,
     "q_hurst_rs" -> hurstRs,
@@ -1395,6 +1430,33 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // six exact int128 frame sums over the day grid; each day's r is
+    // one mirrored Pearson emission (full 30-day frames only)
+    "q_rolling_corr" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             count(*) AS cnt,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         r AS (SELECT day,
+                      count(*) OVER w AS n,
+                      sum(cnt) OVER w AS sx,
+                      sum(v) OVER w AS sy,
+                      sum(CAST(cnt AS HUGEINT) * cnt) OVER w AS sxx,
+                      sum(CAST(v AS HUGEINT) * v) OVER w AS syy,
+                      sum(CAST(cnt AS HUGEINT) * v) OVER w AS sxy
+               FROM dly
+               WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT day,
+                round(CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+                  AS r30
+         FROM r WHERE n = 30 ORDER BY day""",
     // residuals micro-rounded to integer cents before squaring, so
     // both quadratic sums are exact int128; one mirrored division
     "q_durbin_watson" ->

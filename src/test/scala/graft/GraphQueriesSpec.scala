@@ -139,4 +139,32 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.getDouble(3) >= -0.5 && got.getDouble(3) <= 1.0)
     assert(degC.keySet == commSet)
   }
+
+  test("assortativity matches a brute-force symmetrized-edge Pearson") {
+    val adj = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = scala.collection.mutable.Set[(Long, Long)]()
+    adj.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2).toArray.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        edges += ((ps(i), ps(j)))
+    }
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (u, h) => u -> h.size.toDouble }
+    val dir = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val n = dir.length.toDouble
+    val j = dir.map(e => deg(e._1)); val k = dir.map(e => deg(e._2))
+    val (sj, sk) = (j.sum, k.sum)
+    val sjj = j.map(v => v * v).sum; val skk = k.map(v => v * v).sum
+    val sjk = j.zip(k).map { case (a, b) => a * b }.sum
+    val r = (n * sjk - sj * sk) /
+      (math.sqrt(n * sjj - sj * sj) * math.sqrt(n * skk - sk * sk))
+    val got = GraphQueries.queries("q_assortativity")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == edges.size.toLong)
+    assert(math.abs(got.getDouble(1) - r) < 1e-4 + 1e-9,
+      s"r ${got.getDouble(1)} vs brute $r")
+    assert(got.getDouble(1) >= -1.0 && got.getDouble(1) <= 1.0)
+  }
 }

@@ -98,7 +98,10 @@ class PlanHygieneSpec extends SparkSpec {
     // AR(1) fit + quadratic-sum frames, beta-binomial's MoM prior
     // onto the 25-row brand grid
     "q_cochran_q", "q_permutation_test", "q_durbin_watson",
-    "q_beta_binomial")
+    "q_beta_binomial",
+    // round 12 late: kendall W crosses its 1-row k/m dims and tie
+    // frames onto the 25-row nation rank sums (the q_friedman shape)
+    "q_kendall_w")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -143,8 +146,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_psi_drift", "q_revenue_bridge", "q_seasonal_index", "q_skyline",
     // round 12: levene's and conformal's per-priority offsets ride a
     // window over the 5-row priority grid (the q_weighted_median
-    // flag-offset shape)
-    "q_levene", "q_conformal")
+    // flag-offset shape); rolling corr's frame sums ride the bounded
+    // calendar-day grid (the q_rolling_slope class)
+    "q_levene", "q_conformal", "q_rolling_corr")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

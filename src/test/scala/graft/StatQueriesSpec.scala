@@ -998,4 +998,86 @@ class StatQueriesSpec extends SparkSpec {
       assert(gCov > 0.7, s"$pri coverage ${gCov} implausibly low")
     }
   }
+
+  test("mediation slopes, Sobel z, and effects match a brute-force OLS") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_discount", "l_quantity", "l_extendedprice").collect()
+      .map(r => (math.round(r.getDouble(0) * 100).toDouble,
+        math.round(r.getDouble(1) * 100).toDouble,
+        math.round(r.getDouble(2) * 100).toDouble))
+    val n = rows.length.toDouble
+    val (x, m, y) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    def s1(a: Array[Double]) = a.sum
+    def s2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    val (sx, sm, sy) = (s1(x), s1(m), s1(y))
+    val (sxx, smm, sxm) = (s2(x, x), s2(m, m), s2(x, m))
+    val (sxy, smy) = (s2(x, y), s2(m, y))
+    val sxxN = n * sxx - sx * sx
+    val sxmN = n * sxm - sx * sm
+    val smmN = n * smm - sm * sm
+    val a = sxmN / sxxN
+    val seA2 = (smmN - sxmN * sxmN / sxxN) / ((n - 2) * sxxN)
+    // full model via normal equations (2x2 on centered data)
+    val cxx = sxx - sx * sx / n; val cxm = sxm - sx * sm / n
+    val cmm = smm - sm * sm / n
+    val cxy = sxy - sx * sy / n; val cmy = smy - sm * sy / n
+    val det2 = cxx * cmm - cxm * cxm
+    val b1 = (cxy * cmm - cxm * cmy) / det2
+    val b2 = (cxx * cmy - cxm * cxy) / det2
+    val rss = rows.map { case (xi, mi, yi) =>
+      val e = yi - (sy / n - b1 * sx / n - b2 * sm / n) - b1 * xi - b2 * mi
+      e * e
+    }.sum
+    val seB2 = rss / (n - 3) * cxx / det2 / n * n // = sigma2 * cxx/det2
+    val sobel = a * b2 / math.sqrt(b2 * b2 * seA2 + a * a * seB2)
+    val got = q("q_mediation").collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - a) < math.abs(a) * 1e-3 + 1e-6)
+    assert(math.abs(got.getDouble(2) - b2) < math.abs(b2) * 1e-2 + 1e-3)
+    assert(math.abs(got.getDouble(3) - b1) < math.abs(b1) * 1e-2 + 1e-3)
+    val cTot = (n * sxy - sx * sy) / sxxN
+    assert(math.abs(got.getDouble(4) - cTot) < math.abs(cTot) * 1e-3 + 1e-6)
+    assert(math.abs(got.getDouble(5) - sobel) < math.abs(sobel) * 1e-2 + 1e-2,
+      s"sobel ${got.getDouble(5)} vs brute $sobel")
+    // effect decomposition: total ~ direct + indirect (exact for OLS)
+    assert(math.abs(cTot - (b1 + a * b2)) < math.abs(cTot) * 1e-6 + 1e-9)
+  }
+
+  test("kendall W matches a sequential blocked-rank recompute") {
+    val oc = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"),
+        col("c_nationkey").as("g"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2)))
+      .toMap
+    val months = oc.keys.map(_._1).toSeq.distinct.sorted
+    val nations = Tables.nation(spark, sf).select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted
+    val k = nations.length; val m = months.length
+    val dr = scala.collection.mutable.Map[Int, Long]()
+    var tt = BigInt(0)
+    months.foreach { mth =>
+      val vals = nations.map(g => g -> oc.getOrElse((mth, g), 0L))
+      val sorted = vals.map(_._2).sorted
+      val cnt = sorted.groupBy(identity).map { case (v, h) => v -> h.length }
+      cnt.values.filter(_ > 1).foreach { c =>
+        tt += BigInt(c) * c * c - c
+      }
+      vals.foreach { case (g, v) =>
+        val below = sorted.count(_ < v)
+        dr(g) = dr.getOrElse(g, 0L) + (2L * below + cnt(v) + 1)
+      }
+    }
+    val s4 = dr.values.map { d => BigInt(d - m.toLong * (k + 1)).pow(2) }.sum
+    val w = (BigInt(3) * s4).toDouble /
+      (BigInt(m) * m * (BigInt(k) * k * k - k) - BigInt(m) * tt).toDouble
+    val got = q("q_kendall_w").collect()(0)
+    assert(got.getLong(0) == m.toLong && got.getLong(1) == k.toLong)
+    assert(math.abs(got.getDouble(2) - w) < 1e-6 + 1e-9,
+      s"W ${got.getDouble(2)} vs brute $w")
+    assert(got.getDouble(2) >= 0 && got.getDouble(2) <= 1.0)
+    assert(math.abs(got.getDouble(3) - m * (k - 1) * w) < 1e-3)
+  }
 }

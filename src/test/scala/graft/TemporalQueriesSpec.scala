@@ -645,6 +645,28 @@ class TemporalQueriesSpec extends SparkSpec {
     // a near-random daily series should show DW near 2
     assert(got.getDouble(1) > 1.0 && got.getDouble(1) < 3.0)
   }
+
+  test("rolling correlation matches a brute-force 30-day window") {
+    val s = dailySeries()
+    val got = TemporalQueries.queries("q_rolling_corr")(spark, sf)
+      .collect()
+    assert(got.length == s.length - 29, "one row per full frame")
+    // spot-check every 100th frame
+    (29 until s.length by 100).foreach { i =>
+      val fr = s.slice(i - 29, i + 1)
+      val n = 30.0
+      val x = fr.map(_._1.toDouble); val y = fr.map(_._2.toDouble)
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(got(i - 29).getDouble(1) - r) < 1e-4 + 1e-9,
+        s"frame ending at index $i")
+    }
+    // rolling r is bounded
+    assert(got.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+  }
 }
 
 private object TemporalQueriesSpecHelper {
