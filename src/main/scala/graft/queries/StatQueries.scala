@@ -1559,7 +1559,86 @@ object StatQueries {
         round(col("m") * (col("k") - 1) * w, 4).as("chi2"))
   }
 
+  /** Two-sample Cramér–von Mises test between the even/odd customer
+    * arms on order value — the INTEGRAL-distance companion of
+    * q_ks_test (KS reads the single worst ECDF gap; CvM accumulates
+    * every gap, so diffuse distributional drift that never spikes
+    * still registers). On the pooled distinct-value grain the scaled
+    * gap n_b·cumA − n_a·cumB is an exact integer, each value's term
+    * w·gap² an exact int128 product, and
+    * T = Σterms / (n_a·n_b·(n_a+n_b)²) one mirrored division.
+    * Cumulative counts ride [[ScaledWindow.rankCum]] — no
+    * partition-less window at any SF. Crit 0.461 at α=0.05. */
+  private val cvm: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      (col("o_custkey") % 2 === 0).as("isa"))
+    val g = o.groupBy("v")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val rnk = ScaledWindow.rankCum(g, Seq(col("v").asc),
+      Seq("cuma" -> col("ca"), "cumb" -> col("cb")))
+    val (na, nb) = (rnk.totals("cuma"), rnk.totals("cumb"))
+    val gap = col("cuma").cast(dec) * nb - col("cumb").cast(dec) * na
+    val t = rnk.df
+      .agg(sum((col("ca") + col("cb")).cast(dec) * (gap * gap)).as("s"))
+      .select((col("s").cast("double") /
+        (lit(na.toDouble * nb) * lit(((na + nb).toDouble * (na + nb)))))
+        .as("t"))
+    t.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      round(col("t"), 6).as("t_stat"),
+      (col("t") > lit(0.461)).as("reject_same_dist"))
+  }
+
+  /** Two-sample energy distance between the same arms — the
+    * characteristic-function metric behind modern two-sample testing
+    * (Székely & Rizzo): D² = 2μ_XY − μ_XX − μ_YY over MEAN PAIRWISE
+    * DISTANCES, computed here WITHOUT any O(n²) pair join: on the
+    * sorted distinct-value grain, Σ_b\|v−b\| collapses to four
+    * cumulative count/value sums (below-count·v − below-sum +
+    * above-sum − above-count·v), so all three ordered-pair distance
+    * totals are exact int128 sums off ONE [[ScaledWindow.rankCum]]
+    * pass carrying four metrics. Three mirrored divisions + one sqrt
+    * at emission. */
+  private val energyDistance: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      (col("o_custkey") % 2 === 0).as("isa"))
+    val g = o.groupBy("v")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val rnk = ScaledWindow.rankCum(g, Seq(col("v").asc),
+      Seq("cuma" -> col("ca"), "cumb" -> col("cb"),
+        "cumav" -> col("ca") * col("v"), "cumbv" -> col("cb") * col("v")))
+    val (na, nb) = (rnk.totals("cuma"), rnk.totals("cumb"))
+    val (tav, tbv) = (rnk.totals("cumav"), rnk.totals("cumbv"))
+    // ordered-pair distance total of source counts `c` against target
+    // cumulative (cnt, val) columns with grand totals (nT, tT)
+    def pairSum(c: Column, cum: Column, cumv: Column, cOwn: Column,
+        nT: Long, tT: Long) =
+      sum(c.cast(dec) * (col("v").cast(dec) * (cum - cOwn)
+        - (cumv.cast(dec) - cOwn.cast(dec) * col("v"))
+        + (lit(tT).cast(dec) - cumv)
+        - col("v").cast(dec) * (lit(nT) - cum)))
+    val sums = rnk.df.agg(
+      pairSum(col("ca"), col("cumb"), col("cumbv"), col("cb"), nb, tbv)
+        .as("eab"),
+      pairSum(col("ca"), col("cuma"), col("cumav"), col("ca"), na, tav)
+        .as("eaa"),
+      pairSum(col("cb"), col("cumb"), col("cumbv"), col("cb"), nb, tbv)
+        .as("ebb"))
+    val d2 = lit(2.0) * sums("eab").cast("double") /
+      lit(na.toDouble * nb) -
+      sums("eaa").cast("double") / lit(na.toDouble * na) -
+      sums("ebb").cast("double") / lit(nb.toDouble * nb)
+    sums.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      round(d2 / lit(100.0), 6).as("d2_usd"),
+      round(sqrt(greatest(d2, lit(0.0))) / lit(10.0), 6).as("e_dist"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cvm" -> cvm,
+    "q_energy_distance" -> energyDistance,
     "q_mediation" -> mediation,
     "q_kendall_w" -> kendallW,
     "q_conformal" -> conformal,
