@@ -238,7 +238,14 @@ object TopKPerKey {
           }
           def bound(l: Literal): Option[Int] = l match {
             case Literal(v: Int, IntegerType) => Some(v)
-            case Literal(v: Long, LongType) if v <= Int.MaxValue =>
+            // lower guard too: a long below 1 must fall through to
+            // the un-rewritten window path (like int bounds ≤ 0 via
+            // k.filter below) — v.toInt on a large-negative long
+            // wraps positive and the `.map(_ - 1)` on Int.MinValue
+            // underflows, either of which would silently rewrite an
+            // always-false rank predicate into a row-returning top-k
+            case Literal(v: Long, LongType)
+                if v >= 1L && v <= Int.MaxValue =>
               Some(v.toInt)
             case _ => None
           }

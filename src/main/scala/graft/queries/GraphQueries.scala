@@ -54,13 +54,14 @@ object GraphQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = pairs
+    val edges = CacheRegistry.register(pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .persist())
     // deg doubles as the node list: its count is the node count (one
     // O(1) scalar to the driver), its keys seed rank0 — no separate
     // countDistinct or distinct() shuffle.
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val deg = CacheRegistry.register(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
     val n = deg.count()
     require(n > 0, "pagerank: empty edge list (no orders⋈lineitem rows)")
     val withDeg = edges.join(deg, "src")
@@ -204,23 +205,25 @@ object GraphQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = pairs
+    val edges = CacheRegistry.register(pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .persist())
     // persisted: seeds sit under BOTH the anti-join and the union chain
     // of every later round — uncached, the edge-distinct shuffle re-runs
     // O(rounds^2) times through the visited/frontier lineage
-    val seeds = edges.select(col("src").as("node")).distinct()
-      .filter(col("node") > 0 && col("node") % 100 === 1)
-      .withColumn("hop", lit(0))
-      .persist()
+    val seeds = CacheRegistry.register(
+      edges.select(col("src").as("node")).distinct()
+        .filter(col("node") > 0 && col("node") % 100 === 1)
+        .withColumn("hop", lit(0))
+        .persist())
     var visited = seeds
     var frontier = seeds.select("node")
     for (h <- 1 to 3) {
-      val next = frontier.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .persist()
+      val next = CacheRegistry.register(
+        frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .persist())
       visited = visited.unionByName(next.withColumn("hop", lit(h)))
       frontier = next
     }
@@ -246,12 +249,13 @@ object GraphQueries {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
       .agg(min("l_quantity").cast("long").as("w"))
-    val edges = pairs.unionByName(
+    val edges = CacheRegistry.register(pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .persist()
-    var dist = edges.select(col("src").as("node")).distinct()
-      .filter(col("node") > 0 && col("node") % 100 === 1)
-      .withColumn("dist", lit(0L)).persist()
+      .persist())
+    var dist = CacheRegistry.register(
+      edges.select(col("src").as("node")).distinct()
+        .filter(col("node") > 0 && col("node") % 100 === 1)
+        .withColumn("dist", lit(0L)).persist())
     for (_ <- 1 to 3) {
       val relaxed = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
@@ -259,8 +263,8 @@ object GraphQueries {
       // relaxation join and the union, so an unpersisted chain embeds
       // 2^k copies of the round-0 subtree in round k's plan (the round-9
       // bench read 4.4 s at sf0.1 from exactly that re-execution)
-      dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min("dist").as("dist")).persist()
+      dist = CacheRegistry.register(dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist")).persist())
     }
     dist.orderBy("node")
   }
@@ -287,19 +291,21 @@ object GraphQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = pairs
+    val edges = CacheRegistry.register(pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
+      .persist())
+    var labels = CacheRegistry.register(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).persist())
     val argmax = Window.partitionBy("src").orderBy(desc("cnt"), asc("lbl"))
     for (_ <- 1 to 3) {
-      labels = edges.join(labels, col("dst") === col("node"))
-        .groupBy("src", "lbl").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(argmax))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("lbl"))
-        .persist()
+      labels = CacheRegistry.register(
+        edges.join(labels, col("dst") === col("node"))
+          .groupBy("src", "lbl").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(argmax))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("lbl"))
+          .persist())
     }
     labels.orderBy("node")
   }

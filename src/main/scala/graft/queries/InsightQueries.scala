@@ -151,6 +151,7 @@ object InsightQueries {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
       .distinct()
       .persist()
+    CacheRegistry.register(items)
     val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok")
@@ -447,6 +448,7 @@ object InsightQueries {
       .filter(length(col("term")) >= 4)
       .distinct()
       .persist()
+    CacheRegistry.register(td)
     val df = td.groupBy("term").agg(count(lit(1)).as("df"))
     val rk = Window.partitionBy("term").orderBy("doc_id")
     val postings = td
@@ -540,6 +542,7 @@ object InsightQueries {
       // persisted: the mirror union below consumes half TWICE, and
       // without a cache each consumption replays the basket self-join
       .persist()
+    CacheRegistry.register(half)
     val sim = half.select(col("i1").as("a"), col("i2").as("b"), col("cos"))
       .unionByName(half.select(col("i2").as("a"), col("i1").as("b"),
         col("cos")))
@@ -552,6 +555,7 @@ object InsightQueries {
       .select(col("cust"), col("item"))
       .distinct()
       .persist()
+    CacheRegistry.register(ub)
     val scores = ub.join(broadcast(sim), col("item") === col("a"))
       .groupBy(col("cust"), col("b").as("rec"))
       .agg(round(sum("cos"), 6).as("score"))
@@ -772,7 +776,8 @@ object InsightQueries {
         .groupBy("user_id")
         .agg(round(sum("value") * 10000).cast("long").as("mi")),
       Seq(col("user_id").asc), None)
-    val u = ranked.df.withColumnRenamed("rk", "rn").persist()
+    val u = CacheRegistry.register(
+      ranked.df.withColumnRenamed("rk", "rn").persist())
     val draws = u.select(col("rn").as("i"))
       .withColumn("b", explode(sequence(lit(1), lit(nB))))
       .withColumn("j",

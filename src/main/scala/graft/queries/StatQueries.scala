@@ -1094,14 +1094,16 @@ object StatQueries {
     * ranks carried DOUBLED, 2W⁺ = Σ 2r̄ over positive diffs exact.
     * z = (4W⁺ − n(n+1))/√((2n(n+1)(2n+1) − Σ(t³−t))/3) keeps every
     * term integral until one mirrored division + sqrt. The pair join
-    * is an equi-join on the day index from [[ScaledWindow.rankCum]];
+    * is a CALENDAR equi-join on date_add(day, 7), so gaps in the
+    * order-day grid drop their pairs instead of silently pairing
+    * non-adjacent weeks (the grid has ~7 missing days at sf0.01);
     * diffs are exact long cents. */
   private val wilcoxon: Q = (s, d) => {
-    val idx = ScaledWindow.rankCum(dailyCents(s, d),
-      Seq(col("day").asc), None)
-    val a = idx.df.select(col("rk"), col("v"))
-    val b = idx.df.select((col("rk") + 7).as("rk"), col("v").as("v0"))
-    val diffs = a.join(b, "rk")
+    val dly = dailyCents(s, d)
+    val a = dly.select(col("day"), col("v"))
+    val b = dly.select(date_add(col("day"), 7).as("day"),
+      col("v").as("v0"))
+    val diffs = a.join(b, "day")
       .select((col("v") - col("v0")).as("dd"))
       .filter(col("dd") =!= 0)
     val vals = diffs.groupBy(abs(col("dd")).as("ad"))
@@ -1682,6 +1684,97 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // ECDF-gap replay of ScaledWindow.rankCum: the scaled gap
+    // nb*cuma - na*cumb is an exact HUGEINT per distinct value, the
+    // weighted gap^2 sum exact, and T one mirrored double division
+    "q_cvm" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS v,
+                           (o_custkey % 2 = 0) AS isa
+                    FROM orders),
+         g AS (SELECT v,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+               FROM o GROUP BY 1),
+         c AS (SELECT ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb
+               FROM g WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                      CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         s AS (SELECT sum(CAST(ca + cb AS HUGEINT) *
+                 ((CAST(cuma AS HUGEINT) * nb
+                   - CAST(cumb AS HUGEINT) * na)
+                  * (CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na))) AS s,
+                 max(na) AS na, max(nb) AS nb
+               FROM c, n),
+         t AS (SELECT na, nb, CAST(s AS DOUBLE) /
+                 ((CAST(na AS DOUBLE) * nb)
+                  * (CAST(na + nb AS DOUBLE) * (na + nb))) AS t
+               FROM s)
+         SELECT na AS n_a, nb AS n_b, round(t, 6) AS t_stat,
+                t > 0.461 AS reject_same_dist
+         FROM t""",
+    // the four-cumulative collapse of the pairwise |v-b| totals,
+    // replayed with one window pass; eab/eaa/ebb exact HUGEINTs,
+    // then the three mirrored double divisions
+    "q_energy_distance" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS v,
+                           (o_custkey % 2 = 0) AS isa
+                    FROM orders),
+         g AS (SELECT v,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+               FROM o GROUP BY 1),
+         c AS (SELECT v, ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+                 CAST(sum(ca * v) OVER w AS BIGINT) AS cumav,
+                 CAST(sum(cb * v) OVER w AS BIGINT) AS cumbv
+               FROM g WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                      CAST(sum(cb) AS BIGINT) AS nb,
+                      CAST(sum(ca * v) AS BIGINT) AS tav,
+                      CAST(sum(cb * v) AS BIGINT) AS tbv FROM g),
+         e AS (SELECT max(na) AS na, max(nb) AS nb,
+                 sum(CAST(ca AS HUGEINT)
+                   * (CAST(v AS HUGEINT) * (cumb - cb)
+                      - (CAST(cumbv AS HUGEINT)
+                         - CAST(cb AS HUGEINT) * v)
+                      + (CAST(tbv AS HUGEINT) - cumbv)
+                      - CAST(v AS HUGEINT) * (nb - cumb))) AS eab,
+                 sum(CAST(ca AS HUGEINT)
+                   * (CAST(v AS HUGEINT) * (cuma - ca)
+                      - (CAST(cumav AS HUGEINT)
+                         - CAST(ca AS HUGEINT) * v)
+                      + (CAST(tav AS HUGEINT) - cumav)
+                      - CAST(v AS HUGEINT) * (na - cuma))) AS eaa,
+                 sum(CAST(cb AS HUGEINT)
+                   * (CAST(v AS HUGEINT) * (cumb - cb)
+                      - (CAST(cumbv AS HUGEINT)
+                         - CAST(cb AS HUGEINT) * v)
+                      + (CAST(tbv AS HUGEINT) - cumbv)
+                      - CAST(v AS HUGEINT) * (nb - cumb))) AS ebb
+               FROM c, n),
+         d AS (SELECT na, nb,
+                 2.0 * CAST(eab AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * nb)
+                 - CAST(eaa AS DOUBLE) / (CAST(na AS DOUBLE) * na)
+                 - CAST(ebb AS DOUBLE) / (CAST(nb AS DOUBLE) * nb)
+                   AS d2
+               FROM e)
+         SELECT na AS n_a, nb AS n_b,
+                round(d2 / 100.0, 6) AS d2_usd,
+                round(sqrt(greatest(d2, 0.0)) / 10.0, 6) AS e_dist
+         FROM d""",
     // three OLS fits from ten exact int128 moment sums; every
     // slope/SE/Sobel expression lexically mirrors the Spark side
     "q_mediation" ->
@@ -1983,17 +2076,16 @@ object StatQueries {
                       / CAST(n * (n - 1) AS DOUBLE)))) > 1.96
                   AS reject_equal
          FROM a""",
-    // paired week-over-week diffs on the day grid; doubled |diff|
-    // ranks keep 2W+ exact; one mirrored division + sqrt for z
+    // paired CALENDAR week-over-week diffs (day = day + 7 join, so
+    // grid gaps drop their pairs); doubled |diff| ranks keep 2W+
+    // exact; one mirrored division + sqrt for z
     "q_wilcoxon" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100)
                                AS BIGINT)) AS v
                       FROM orders GROUP BY 1),
-         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
-                FROM dly),
          df AS (SELECT a.v - b.v AS dd
-                FROM ix a JOIN ix b ON a.rk = b.rk + 7
+                FROM dly a JOIN dly b ON a.day = b.day + 7
                 WHERE a.v - b.v <> 0),
          vals AS (SELECT abs(dd) AS ad, count(*) AS c,
                          CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)

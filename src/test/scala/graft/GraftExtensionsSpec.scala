@@ -239,6 +239,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         // a long bound past Int.MaxValue stays a window (not a top-k)
         val huge = rn(_ <= lit(Int.MaxValue.toLong + 1))
         assert(!huge.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        // large-NEGATIVE long bounds: v.toInt would wrap positive
+        // (-4294967295L -> 1) and rewrite an always-false predicate
+        // into a row-returning top-k — they must stay un-rewritten
+        val negWrap = rn(_ <= lit(-4294967295L))
+        assert(!negWrap.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(negWrap.count() == 0)
+        // Int.MinValue long under strict <: the `.map(_ - 1)` would
+        // underflow to Int.MaxValue — must also stay un-rewritten
+        val minStrict = rn(_ < lit(Int.MinValue.toLong))
+        assert(!minStrict.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(minStrict.count() == 0)
       } finally s.conf.set("spark.graft.rewrite.topk", "false")
     }
   }

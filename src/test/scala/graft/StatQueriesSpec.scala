@@ -792,9 +792,16 @@ class StatQueriesSpec extends SparkSpec {
   }
 
   test("wilcoxon signed-rank matches a sequential brute force") {
-    val v = dailyCents()
-    val dd = (7 until v.length).map(i => v(i) - v(i - 7))
-      .filter(_ != 0L).toArray
+    // calendar pairing: day t against day t-7, pairs dropped where
+    // the grid has a gap (the sf0.001 grid is missing ~half the days)
+    val byDay = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val dd = byDay.toSeq.sortBy(_._1.toString).flatMap { case (day, v) =>
+      byDay.get(day.minusDays(7)).map(v0 => v - v0)
+    }.filter(_ != 0L).toArray
     val ad = dd.map(d => math.abs(d).toDouble)
     val dr = doubledRanks(ad)
     val d2w = dd.filter(_ > 0).map(d => dr(math.abs(d).toDouble)).sum
@@ -1079,5 +1086,60 @@ class StatQueriesSpec extends SparkSpec {
       s"W ${got.getDouble(2)} vs brute $w")
     assert(got.getDouble(2) >= 0 && got.getDouble(2) <= 1.0)
     assert(math.abs(got.getDouble(3) - m * (k - 1) * w) < 1e-3)
+  }
+
+  private def armCents(): (Array[Long], Array[Long]) = {
+    val rows = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0) % 2 == 0, math.round(r.getDouble(1) * 100)))
+    (rows.filter(_._1).map(_._2), rows.filterNot(_._1).map(_._2))
+  }
+
+  test("cramér–von mises T matches a sequential ECDF brute force") {
+    val (aU, bU) = armCents()
+    val a = aU.sorted; val b = bU.sorted
+    def cdf(s: Array[Long], x: Long): Double = {
+      var lo = 0; var hi = s.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (s(m) <= x) lo = m + 1 else hi = m
+      }
+      lo.toDouble / s.length
+    }
+    val na = a.length.toLong; val nb = b.length.toLong
+    // textbook form: T = na*nb/N^2 * Σ_pooled (Fa(x) - Fb(x))^2
+    val t = (a ++ b).map { x =>
+      val d = cdf(a, x) - cdf(b, x); d * d
+    }.sum * na * nb / ((na + nb).toDouble * (na + nb))
+    val got = q("q_cvm").collect()(0)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(math.abs(got.getDouble(2) - t) < 1e-4 + 1e-9,
+      s"T ${got.getDouble(2)} vs brute $t")
+    assert(got.getBoolean(3) == (t > 0.461))
+  }
+
+  test("energy distance matches an O(n^2) pairwise brute force") {
+    val (a, b) = armCents()
+    def pairTotal(x: Array[Long], y: Array[Long]): Double = {
+      var s = 0L; var i = 0
+      while (i < x.length) {
+        var j = 0
+        while (j < y.length) { s += math.abs(x(i) - y(j)); j += 1 }
+        i += 1
+      }
+      s.toDouble
+    }
+    val na = a.length.toDouble; val nb = b.length.toDouble
+    val d2 = 2.0 * pairTotal(a, b) / (na * nb) -
+      pairTotal(a, a) / (na * na) - pairTotal(b, b) / (nb * nb)
+    val got = q("q_energy_distance").collect()(0)
+    assert(got.getLong(0) == a.length && got.getLong(1) == b.length)
+    assert(math.abs(got.getDouble(2) - d2 / 100.0) <
+      math.abs(d2) / 100.0 * 1e-6 + 1e-4,
+      s"d2 ${got.getDouble(2)} vs brute ${d2 / 100.0}")
+    assert(math.abs(got.getDouble(3) -
+      math.sqrt(math.max(d2, 0.0)) / 10.0) < 1e-4)
+    // energy distance is a metric: strictly positive unless identical
+    assert(got.getDouble(3) >= 0.0)
   }
 }

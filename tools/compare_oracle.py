@@ -95,6 +95,29 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    # structural-hole guard (round-12 lesson: q_cvm/q_energy_distance
+    # shipped with result dumps but no oracle key and the gate stayed
+    # green): any dumped result whose query has no oracle entry FAILS
+    # unless it is on the reviewed intentionally-oracle-free list
+    # (approximate/seeded operators whose correctness is pinned by
+    # error-bound/recall ✓o twins or ScalaTest specs instead).
+    NO_ORACLE_OK = {
+        "q_agg_approx_distinct", "q_bpe_encode", "q_bpe_merges",
+        "q_cluster_cap", "q_compression_ratio", "q_dedup_minhash",
+        "q_dedup_minhash_mllib", "q_dedup_simhash", "q_doc_fingerprint",
+        "q_doc_winnow", "q_knn_batch_ivf", "q_knn_ivf", "q_knn_ivf_pq",
+        "q_knn_lsh", "q_knn_lsh_multi", "q_pca_project",
+        "q_quantiles_approx",
+    }
+    if not only_present:
+        dumped = {os.path.basename(p) for p in
+                  glob.glob(os.path.join(out_dir, "q_*"))
+                  if glob.glob(os.path.join(p, "*.parquet"))}
+        unverified = sorted(dumped - set(oracle) - NO_ORACLE_OK)
+        for name in unverified:
+            print(f"FAIL {name}: result dumped but no oracle entry "
+                  f"(add oracleSql or list it in NO_ORACLE_OK)")
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
