@@ -428,25 +428,100 @@ object TextQueries {
     * empty string (the downstream length filter's job, not dedup's). */
   private val dedupSpans: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val spans = docs
+    val spans = chunkSpans(docs)
+    val dupSpans = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("span")
+    val kept = spans.join(dupSpans, Seq("span"), "left_anti")
+    reassembleSpans(docs.select("doc_id"), kept).orderBy("doc_id")
+  }
+
+  /** Non-overlapping 16-word chunk spans, (doc_id, cid, span) — the
+    * line surrogate shared by [[dedupSpans]] and its streaming twin
+    * [[graft.streaming.EventStreams.dedupSpansIncremental]] (sharing
+    * the builder makes the batch≡stream parity structural, not
+    * coincidental). */
+  private[graft] def chunkSpans(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("w"),
         expr("explode(sequence(0, (size(w) - 1) DIV 16))").as("cid"))
       .select(col("doc_id"), col("cid"),
         concat_ws(" ", slice(col("w"), col("cid") * 16 + 1, lit(16))).as("span"))
-    val dupSpans = spans.groupBy("span")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1).select("span")
-    val kept = spans.join(dupSpans, Seq("span"), "left_anti")
+
+  /** Reassemble surviving spans in chunk order, one row per input doc
+    * (all-boilerplate docs come back as the empty string). Shared by
+    * [[dedupSpans]] and the streaming twin. */
+  private[graft] def reassembleSpans(allDocIds: DataFrame,
+      kept: DataFrame): DataFrame = {
     val reassembled = kept.groupBy("doc_id").agg(
       concat_ws(" ", expr(
         "transform(array_sort(collect_list(struct(cid, span))), x -> x.span)"))
         .as("clean_text"),
       count(lit(1)).as("n_kept"))
-    docs.select("doc_id").join(reassembled, Seq("doc_id"), "left")
+    allDocIds.join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Exact-substring overlap detection (Lee et al. 2022's ExactSubstr
+    * class, the dedup family member shingle/MinHash blur): find every
+    * maximal cross-document run of ≥ `w` verbatim tokens and report
+    * the merged overlap EXTENTS per document — verbatim contamination
+    * that survives whole-doc and near-dup passes (a quoted paragraph
+    * inside otherwise-unique prose). Lee et al. build a corpus-wide
+    * suffix array; the Spark-native equivalent is sliding `w`-token
+    * windows at stride 1: a ≥ w-token verbatim overlap exists iff
+    * some w-window repeats cross-doc, and the union of its repeated
+    * windows IS the maximal extent — recovered here by the
+    * gaps-and-islands merge (new island when the next hit starts
+    * more than w past the previous, i.e. the covered intervals
+    * [p, p+w) neither overlap nor touch).
+    *
+    * Scale shape: the explode emits ONE (doc_id, pos, md5) row per
+    * token position — 48 bytes regardless of w, never the w-token
+    * span text (stride-1 span strings would shuffle w× the corpus;
+    * the 16-byte digest makes the shuffle corpus-proportional, the
+    * q_dedup_minhash md5-twin precedent — at 100 TB swap in
+    * xxhash64 for 8 bytes and zero gc). One digest-keyed count, one
+    * semi-join back, then per-DOC windows (bounded by doc length,
+    * never partition-less) for the island merge. No pair join at any
+    * stage — the dup decision is per-window equality. */
+  private def dedupSubstr(w: Int): Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+    val wins = docs
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
+        col("ws"),
+        expr(s"explode(sequence(1, size(ws) - ${w - 1}))").as("p"))
+      .select(col("doc_id"), col("nw"), col("p"),
+        md5(concat_ws(" ", slice(col("ws"), col("p"), lit(w)))).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val hits = wins.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val isl = hits
+      .withColumn("prev", lag("p", 1).over(byDoc))
+      .withColumn("ni",
+        when(col("prev").isNull || col("p") - col("prev") > w, 1)
+          .otherwise(0))
+      .withColumn("isl", sum("ni").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ext = isl.groupBy("doc_id", "isl")
+      .agg(min("p").as("st"), max("p").as("en"),
+        max("nw").as("nw"), count(lit(1)).as("nspan"))
+    ext.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_extents"),
+        sum("nspan").as("n_dup_windows"),
+        sum(col("en") - col("st") + w).as("dup_words"),
+        max("nw").as("n_words"))
+      .select(col("doc_id"), col("n_extents"), col("n_dup_windows"),
+        col("dup_words"), col("n_words"),
+        round(col("dup_words").cast("double") /
+          col("n_words").cast("double"), 6).as("dup_frac"))
       .orderBy("doc_id")
   }
 
@@ -1531,6 +1606,7 @@ object TextQueries {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_survivor" -> dedupSurvivor,
     "q_dedup_spans" -> dedupSpans,
+    "q_dedup_substr" -> dedupSubstr(16),
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_prefix" -> dedupPrefix,
     "q_dedup_fuzzy" -> dedupFuzzy,
@@ -1936,6 +2012,48 @@ object TextQueries {
                 CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // stride-1 16-token windows keyed by md5 (the md5-twin contract:
+    // both engines digest the identical span string); islands merged
+    // with the same lag/running-sum idiom, one mirrored division
+    "q_dedup_substr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+         f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw, ws
+               FROM toks WHERE len(ws) >= 16),
+         win AS (SELECT doc_id, nw, p,
+                   md5(array_to_string(ws[p : p + 15], ' ')) AS h
+                 FROM (SELECT doc_id, nw, ws,
+                         CAST(unnest(range(1, CAST(nw AS INTEGER) - 14))
+                           AS INTEGER) AS p
+                       FROM f)),
+         dup AS (SELECT h FROM win
+                 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+         hits AS (SELECT doc_id, nw, p FROM win
+                  WHERE h IN (SELECT h FROM dup)),
+         isl0 AS (SELECT doc_id, nw, p,
+                    CASE WHEN lag(p) OVER
+                           (PARTITION BY doc_id ORDER BY p) IS NULL
+                         OR p - lag(p) OVER
+                           (PARTITION BY doc_id ORDER BY p) > 16
+                         THEN 1 ELSE 0 END AS ni
+                  FROM hits),
+         isl AS (SELECT doc_id, nw, p,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS isl
+                 FROM isl0),
+         ext AS (SELECT doc_id, isl, min(p) AS st, max(p) AS en,
+                        max(nw) AS nw, count(*) AS nspan
+                 FROM isl GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_extents,
+                CAST(sum(nspan) AS BIGINT) AS n_dup_windows,
+                CAST(sum(en - st + 16) AS BIGINT) AS dup_words,
+                CAST(max(nw) AS BIGINT) AS n_words,
+                round(CAST(sum(en - st + 16) AS DOUBLE)
+                  / CAST(max(nw) AS DOUBLE), 6) AS dup_frac
+         FROM ext GROUP BY doc_id
+         ORDER BY doc_id""",
     "q_dedup_containment" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
                        FROM documents),

@@ -252,6 +252,55 @@ object EventStreams {
       }
       .start()
 
+  /** Span-level dedup-as-you-land — the streaming twin of the batch
+    * q_dedup_spans (CCNet-style line dedup), completing batch≡stream
+    * parity for the SALVAGING dedup path the way
+    * [[dedupDocsIncremental]] does for whole-doc rejection. Each
+    * micro-batch's 16-word chunk spans (the shared
+    * [[graft.queries.TextQueries.chunkSpans]] builder) are dropped
+    * when (a) the span was seen in ANY earlier batch (the append-only
+    * span-key state log under `stateDir`, doc-agnostic — a doc
+    * re-landing its own earlier boilerplate loses it, the streaming
+    * approximation CCNet makes too), or (b) the span appears in more
+    * than one doc of the CURRENT batch — exactly the batch operator's
+    * cross-doc rule, so a single batch containing the whole corpus
+    * reproduces q_dedup_spans verbatim (asserted in
+    * IncrementalDedupSpec). Survivor docs are reassembled in span
+    * order and appended to `outDir`.
+    *
+    * Scale shape: per-batch cost is the batch's chunking plus one
+    * span-keyed anti-join against the state log — shuffle ∝ batch +
+    * matched state rows, the q_dedup_incremental contract. At 100 TB
+    * the state log keys become xxhash64 digests in a compacted
+    * bucket-partitioned table; the at-least-once append caveat of
+    * [[dedupDocsIncremental]] applies unchanged. */
+  def dedupSpansIncremental(docsStream: DataFrame, stateDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val spansPath = s"$stateDir/spans"
+        val sp = graft.queries.TextQueries.chunkSpans(batch.toDF()).persist()
+        val dupInBatch = sp.groupBy("span")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("span")
+        val kept0 = sp.join(dupInBatch, Seq("span"), "left_anti")
+        val kept =
+          if (new java.io.File(spansPath).exists())
+            kept0.join(s.read.parquet(spansPath), Seq("span"), "left_anti")
+          else kept0
+        graft.queries.TextQueries
+          .reassembleSpans(batch.toDF().select("doc_id"), kept)
+          .write.mode("append").parquet(outDir)
+        // EVERY span seen this batch claims the state — kept or not:
+        // a span that lost in-batch must still block later landings
+        sp.select("span").distinct().write.mode("append").parquet(spansPath)
+        sp.unpersist()
+        ()
+      }
+      .start()
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

@@ -77,4 +77,61 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(tiny.subsetOf(batchSurvivors))
   }
+
+  /** Land `input` as `parts` id-ordered slices through the span-level
+    * incremental dedup; return doc_id → (clean_text, n_kept). */
+  private def streamSpans(input: org.apache.spark.sql.DataFrame,
+      parts: Int): Map[Long, (String, Long)] = {
+    val root = java.nio.file.Files.createTempDirectory("graft-incspans")
+    val in = root.resolve("in"); val state = root.resolve("state")
+    val out = root.resolve("out")
+    java.nio.file.Files.createDirectories(in)
+    val maxId = input.agg(max("doc_id")).head.getLong(0)
+    val step = maxId / parts + 1
+    val stream = spark.readStream
+      .schema(input.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val q = EventStreams.dedupSpansIncremental(
+      stream, state.toString, out.toString)
+    try {
+      (0 until parts).foreach { i =>
+        val scratch = root.resolve(s"scratch$i")
+        input.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+          .coalesce(1).write.parquet(scratch.toString)
+        val part = java.nio.file.Files.list(scratch).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, in.resolve(s"slice$i.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(out.toString).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  test("1-batch streamed span dedup reproduces the batch q_dedup_spans verbatim") {
+    val want = graft.queries.TextQueries.queries("q_dedup_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val got = streamSpans(docs, 1)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"doc $id: got ${got(id)} want $v")
+    }
+  }
+
+  test("later-batch spans are dropped when an earlier batch claimed them") {
+    val boiler = (1 to 16).map(i => s"s$i").mkString(" ")
+    val u1 = (1 to 16).map(i => s"p$i").mkString(" ")
+    val u2 = (1 to 16).map(i => s"q$i").mkString(" ")
+    // ids chosen so a 2-way split lands doc 1 before doc 9000000
+    val input = spark.createDataFrame(Seq(
+      (1L, s"$boiler $u1"),
+      (9000000L, s"$boiler $u2")))
+      .toDF("doc_id", "text")
+    val got = streamSpans(input, 2)
+    // batch 1: boiler is unique within its batch → doc 1 keeps it all
+    assert(got(1L) == (s"$boiler $u1", 2L), s"doc 1: ${got.get(1L)}")
+    // batch 2: boiler already in state → dropped; unique half survives
+    assert(got(9000000L) == (u2, 1L), s"doc 2: ${got.get(9000000L)}")
+  }
 }

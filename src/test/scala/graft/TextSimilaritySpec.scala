@@ -739,6 +739,75 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got(4L) == ("", 0L), s"doc 4: ${got(4L)}")
   }
 
+  test("exact-substring dedup reports merged overlap extents on a known fixture") {
+    // doc 1 shares a 20-word run with doc 2 AND a separate 16-word run
+    // with doc 3, separated by >16 unique words → two extents; doc 4
+    // is fully unique → absent from the output
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val boiler2 = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, ((1 to 10).map(i => s"x$i") ++ Seq(boiler) ++
+        (1 to 20).map(i => s"y$i") ++ Seq(boiler2) ++
+        (1 to 5).map(i => s"z$i")).mkString(" ")),
+      (2L, (Seq(boiler) ++ (1 to 30).map(i => s"u$i")).mkString(" ")),
+      (3L, boiler2),
+      (4L, (1 to 40).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q_dedup_substr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: extents [11,30] (5 windows) + [51,66] (1 window)
+    assert(got(1L) == (2L, 6L, 36L, 71L), s"doc 1: ${got.get(1L)}")
+    // doc 2: one 20-word extent, 5 windows, 50 words total
+    assert(got(2L) == (1L, 5L, 20L, 50L), s"doc 2: ${got.get(2L)}")
+    // doc 3: the whole 16-word doc is one duplicated window
+    assert(got(3L) == (1L, 1L, 16L, 16L), s"doc 3: ${got.get(3L)}")
+    assert(!got.contains(4L), "fully-unique doc leaked into the output")
+  }
+
+  test("exact-substring dedup matches a sequential suffix-scan brute force") {
+    val w = 16
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val spanDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    docs.foreach { case (id, ws) =>
+      (0 to ws.length - w).foreach { i =>
+        val sp = ws.slice(i, i + w).mkString(" ")
+        spanDocs(sp) = spanDocs.getOrElse(sp, Set.empty) + id
+      }
+    }
+    val want = docs.flatMap { case (id, ws) =>
+      val hits = (0 to ws.length - w).filter { i =>
+        spanDocs(ws.slice(i, i + w).mkString(" ")).size > 1
+      }.map(_ + 1) // 1-based like the query
+      if (hits.isEmpty) None else {
+        // island merge: new extent when the gap exceeds the window
+        val extents = hits.tail.foldLeft(List((hits.head, hits.head))) {
+          case ((s0, e0) :: rest, p) =>
+            if (p - e0 > w) (p, p) :: (s0, e0) :: rest
+            else (s0, p) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        val dupWords = extents.map { case (s0, e0) => e0 - s0 + w }.sum
+        Some(id -> (extents.length.toLong, hits.length.toLong,
+          dupWords.toLong, ws.length.toLong))
+      }
+    }.toMap
+    val got = TextQueries.queries("q_dedup_substr")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == want.keySet,
+      s"doc set drift: extra=${got.keySet diff want.keySet} missing=${want.keySet diff got.keySet}")
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"doc $id: got ${got(id)} want $v")
+    }
+  }
+
   test("hybrid search fuses the two rankings by exact RRF; keyword side matches brute force") {
     val got = SimilarityQueries.queries("q_hybrid_search")(spark, sf)
       .collect()
