@@ -396,7 +396,68 @@ object CorpusStatsQueries {
         sum(col("est_n") - col("n")).as("total_over"))
   }
 
+  /** Per-source type-token ratio — the lexical-diversity screen beside
+    * [[zipfSlope]]'s rank-frequency fit (templated/boilerplate sources
+    * read LOW average TTR long before the Zipf slope moves): per doc
+    * distinct-words/words with the ratio micro-scaled by INTEGER
+    * division (types·10⁹) div tokens — exact, order-free sum — the
+    * single float op per source is the emitted mean. Pure per-row
+    * expression work (split + array_distinct inside codegen) plus one
+    * source-keyed aggregate; zero joins. */
+  private val ttr: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), size(col("w")).cast("long").as("nt"),
+        size(array_distinct(col("w"))).cast("long").as("ty"))
+      .filter(col("nt") > 0)
+      .withColumn("units",
+        expr("(ty * CAST(1000000000 AS BIGINT)) div nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("ty").as("n_types_sum"),
+        round(sum("units").cast("double") /
+          (count(lit(1)).cast("double") * lit(1.0e9)), 6).as("avg_ttr"))
+      .orderBy("source")
+  }
+
+  /** Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over the
+    * doc_id-ordered ingest stream — the capacity-planning curve for
+    * vocabulary/token budgets ([[zipfSlope]] reads the static
+    * frequency spectrum; Heaps reads its GROWTH — natural text gives
+    * β ≈ 0.4–0.6, boilerplate floods drive β toward 0). New-word
+    * counts come from each word's min-doc_id first occurrence; both
+    * cumulatives ride ONE [[ScaledWindow.rankCum]] pass (doc-grain =
+    * data-sized, so never a partition-less window), and the log-log
+    * OLS is the covar_pop/var_pop emission of the q_zipf_slope
+    * contract. */
+  private val heapsLaw: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("word").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nnew"))
+    val perDoc = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("ntok"))
+      .join(firstDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+        coalesce(col("nnew"), lit(0L)).as("nnew"))
+    val rnk = ScaledWindow.rankCum(perDoc, Seq(col("doc_id").asc),
+      Seq("cumn" -> col("ntok"), "cumv" -> col("nnew")))
+    rnk.df
+      .select(log(col("cumn").cast("double")).as("lx"),
+        log(col("cumv").cast("double")).as("ly"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(covar_pop(col("lx"), col("ly")) / var_pop(col("lx")), 4)
+          .as("heaps_beta"),
+        round(avg(col("ly")) - covar_pop(col("lx"), col("ly")) /
+          var_pop(col("lx")) * avg(col("lx")), 4).as("heaps_logk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ttr" -> ttr,
+    "q_heaps_law" -> heapsLaw,
     "q_zipf_slope" -> zipfSlope,
     "q_heavy_hitters_error" -> heavyHittersError,
     "q_pca_project" -> pcaProject,
@@ -426,6 +487,49 @@ object CorpusStatsQueries {
        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
 
   val oracles: Map[String, String] = Map(
+    // per-doc ratio micro-scaled by integer division, exact sums;
+    // one mirrored division per source
+    "q_ttr" ->
+      """WITH per AS (SELECT source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS nt,
+                        CAST(len(list_distinct(string_split(text, ' ')))
+                          AS BIGINT) AS ty
+                      FROM documents),
+         u AS (SELECT source, nt, ty,
+                 (ty * CAST(1000000000 AS BIGINT)) // nt AS units
+               FROM per WHERE nt > 0)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(ty) AS BIGINT) AS n_types_sum,
+                round(CAST(sum(units) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 1.0e9), 6) AS avg_ttr
+         FROM u GROUP BY source ORDER BY source""",
+    // cumulative tokens/vocab replayed with one window pass; the
+    // log-log OLS is the covar_pop/var_pop emission (zipf contract)
+    "q_heaps_law" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+         fd AS (SELECT min(doc_id) AS doc_id FROM toks GROUP BY word),
+         nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnew
+                FROM fd GROUP BY doc_id),
+         pd AS (SELECT d.doc_id,
+                  CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                    AS ntok,
+                  coalesce(nn.nnew, 0) AS nnew
+                FROM documents d LEFT JOIN nn USING (doc_id)),
+         cum AS (SELECT
+                   ln(CAST(sum(ntok) OVER w AS DOUBLE)) AS lx,
+                   ln(CAST(sum(nnew) OVER w AS DOUBLE)) AS ly
+                 FROM pd WINDOW w AS (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                round(covar_pop(lx, ly) / var_pop(lx), 4) AS heaps_beta,
+                round(avg(ly) - covar_pop(lx, ly) / var_pop(lx)
+                  * avg(lx), 4) AS heaps_logk
+         FROM cum""",
     "q_zipf_slope" ->
       """WITH v AS (SELECT word, count(*) AS n
                     FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -491,7 +491,100 @@ object GraphQueries {
             .cast("double"))), 6).as("assortativity"))
   }
 
+  /** Average LOCAL clustering coefficient of the 1996 co-purchase
+    * graph — [[triangles]] reports GLOBAL transitivity
+    * (3T / Σ wedges), which hubs dominate; the local mean weights
+    * every node equally, so the two diverge exactly when clustering
+    * concentrates in small tight groups. Per-node triangle counts
+    * come from exploding each canonical triangle to its three
+    * vertices; the per-node ratio tri/C(deg,2) is micro-scaled by
+    * INTEGER division (tri·2·10⁹) div (deg·(deg−1)) — exact and
+    * order-free under the sum — and the single float op is the
+    * emitted mean. Nodes of degree < 2 have no defined coefficient
+    * and are excluded (the standard convention). */
+  private val clusteringCoeff: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = CacheRegistry.register(li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
+      .distinct()
+      .persist())
+    val deg = edges.select(col("lo").as("n"))
+      .unionAll(edges.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val tr = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e2.lo") === col("e1.lo") && col("e2.hi") > col("e1.hi"))
+      .select(col("e1.lo").as("v1"), col("e1.hi").as("v2"),
+        col("e2.hi").as("v3"))
+      .join(edges.select(col("lo").as("v2"), col("hi").as("v3")),
+        Seq("v2", "v3"), "left_semi")
+    val tv = tr.select(explode(array(col("v1"), col("v2"), col("v3")))
+        .as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    val per = deg.filter(col("deg") >= 2)
+      .join(tv, Seq("n"), "left")
+      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("units", expr(
+        "(tri * CAST(2000000000 AS BIGINT)) div (deg * (deg - 1))"))
+      .withColumn("perfect",
+        when(col("tri") * 2 === col("deg") * (col("deg") - 1), 1L)
+          .otherwise(0L))
+    per.agg(count(lit(1)).as("n_nodes_deg2"),
+        sum("tri").as("t3"), sum("units").as("u"),
+        sum("perfect").as("n_perfect"))
+      .select(col("n_nodes_deg2"),
+        expr("t3 div 3").as("n_triangles"),
+        round(col("u").cast("double") /
+          (col("n_nodes_deg2").cast("double") * lit(1.0e9)), 6)
+          .as("avg_local_cc"),
+        col("n_perfect"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    * bipartite purchase graph customer → supplier — the two-sided
+    * centrality [[pageRank]] can't express (a big buyer is not a big
+    * seller). Two power-iteration rounds kept UN-NORMALIZED so every
+    * score is an exact integer sum — per-round normalization only
+    * rescales, leaving the ranking and the final max-normalized
+    * emission identical — a₁ = indeg, h₁ = Σ a₁ over out-neighbors,
+    * a₂ = Σ h₁, h₂ = Σ a₂; the one division per role normalizes by
+    * the max at emission. Top-10 per role, ties by node asc; every
+    * shuffle is node- or edge-keyed, both top-10s TakeOrdered. */
+  private val hits: Q = (s, d) => {
+    val e = CacheRegistry.register(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .persist())
+    val a1 = e.groupBy("sp").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "sp").groupBy("c").agg(sum("a1").as("h1"))
+    val a2 = CacheRegistry.register(
+      e.join(h1, "c").groupBy("sp").agg(sum("h1").as("a2")).persist())
+    val h2 = CacheRegistry.register(
+      e.join(a2, "sp").groupBy("c").agg(sum("a2").as("h2")).persist())
+    val topA = a2.crossJoin(broadcast(a2.agg(max("a2").as("ma"))))
+      .select(lit("authority").as("role"),
+        col("sp").cast("long").as("node"), col("a2").as("score"),
+        round(col("a2").cast("double") / col("ma").cast("double"), 6)
+          .as("score_norm"))
+      .orderBy(desc("score"), col("node")).limit(10)
+    val topH = h2.crossJoin(broadcast(h2.agg(max("h2").as("mh"))))
+      .select(lit("hub").as("role"),
+        col("c").cast("long").as("node"), col("h2").as("score"),
+        round(col("h2").cast("double") / col("mh").cast("double"), 6)
+          .as("score_norm"))
+      .orderBy(desc("score"), col("node")).limit(10)
+    topA.unionByName(topH).orderBy("role", "node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_clustering_coeff" -> clusteringCoeff,
+    "q_hits" -> hits,
     "q_assortativity" -> assortativity,
     "q_modularity" -> modularity,
     "q_kcore" -> kcore,
@@ -505,6 +598,70 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-node triangle counts by exploding each canonical triangle
+    // to its three vertices; the tri/C(deg,2) ratio micro-scaled by
+    // integer division so the mean's sum is exact
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem
+                     WHERE year(CAST(l_shipdate AS DATE)) = 1996),
+         e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+               FROM li a JOIN li b
+                 ON a.ok = b.ok AND a.pk < b.pk),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+                   SELECT lo AS n FROM e UNION ALL SELECT hi FROM e)
+                 GROUP BY n),
+         tr AS (SELECT e1.lo AS v1, e1.hi AS v2, e2.hi AS v3
+                FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                          JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         tv AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+                  SELECT unnest([v1, v2, v3]) AS n FROM tr)
+                GROUP BY n),
+         per AS (SELECT deg, coalesce(tri, 0) AS tri,
+                   (coalesce(tri, 0) * CAST(2000000000 AS BIGINT))
+                     // (deg * (deg - 1)) AS units,
+                   CASE WHEN coalesce(tri, 0) * 2 = deg * (deg - 1)
+                        THEN 1 ELSE 0 END AS perfect
+                 FROM deg LEFT JOIN tv USING (n) WHERE deg >= 2),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_deg2,
+                 CAST(sum(tri) AS BIGINT) AS t3,
+                 CAST(sum(units) AS BIGINT) AS u,
+                 CAST(sum(perfect) AS BIGINT) AS n_perfect
+               FROM per)
+         SELECT n_nodes_deg2, t3 // 3 AS n_triangles,
+                round(CAST(u AS DOUBLE)
+                  / (CAST(n_nodes_deg2 AS DOUBLE) * 1.0e9), 6)
+                  AS avg_local_cc,
+                n_perfect
+         FROM a""",
+    // two un-normalized power-iteration rounds — exact integer sums;
+    // one mirrored division per role at emission
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                    FROM orders JOIN lineitem
+                      ON l_orderkey = o_orderkey),
+         a1 AS (SELECT sp, CAST(count(*) AS BIGINT) AS a1
+                FROM e GROUP BY sp),
+         h1 AS (SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+                FROM e JOIN a1 USING (sp) GROUP BY c),
+         a2 AS (SELECT sp, CAST(sum(h1) AS BIGINT) AS a2
+                FROM e JOIN h1 USING (c) GROUP BY sp),
+         h2 AS (SELECT c, CAST(sum(a2) AS BIGINT) AS h2
+                FROM e JOIN a2 USING (sp) GROUP BY c),
+         ta AS (SELECT 'authority' AS role, CAST(sp AS BIGINT) AS node,
+                  a2 AS score,
+                  round(CAST(a2 AS DOUBLE)
+                    / CAST((SELECT max(a2) FROM a2) AS DOUBLE), 6)
+                    AS score_norm
+                FROM a2 ORDER BY score DESC, node LIMIT 10),
+         th AS (SELECT 'hub' AS role, CAST(c AS BIGINT) AS node,
+                  h2 AS score,
+                  round(CAST(h2 AS DOUBLE)
+                    / CAST((SELECT max(h2) FROM h2) AS DOUBLE), 6)
+                    AS score_norm
+                FROM h2 ORDER BY score DESC, node LIMIT 10)
+         SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         ORDER BY role, node""",
     // degrees exact ints over the symmetrized edge list; five int128
     // moment sums, two mirrored sqrts + one division
     "q_assortativity" ->

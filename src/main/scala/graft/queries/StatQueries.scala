@@ -1638,7 +1638,97 @@ object StatQueries {
       round(sqrt(greatest(d2, lit(0.0))) / lit(10.0), 6).as("e_dist"))
   }
 
+  /** Chow structural-break test on the daily-revenue trend: split the
+    * day grid at its midpoint, fit y ~ a + b·t to each half and to the
+    * pooled series, and test whether one line explains both regimes —
+    * F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁ + RSS₂)/(n − 4)). The
+    * changepoint-SCAN twin is [[TemporalQueries]]' q_binseg (which
+    * searches the break location); Chow TESTS a hypothesized break
+    * with a calibrated F. All ten per-segment moment sums are exact
+    * int128 from one pass (pooled sums are their exact additions);
+    * every RSS/F expression is a mirrored double. Asymptotic
+    * F(2, ∞) 5% critical 3.0. */
+  private val chow: Q = (s, d) => {
+    val rnk = ScaledWindow.rankCum(dailyCents(s, d),
+      Seq(col("day").asc), None)
+    val half = rnk.n / 2
+    val t = rnk.df.select(col("rk").cast("long").as("x"), col("v").as("y"),
+      (col("rk") <= half).as("s1"))
+    def seg(flag: Column, c: Column) = sum(when(flag, c).otherwise(lit(0L).cast(dec)))
+    val a = t.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+      seg(col("s1"), col("x").cast(dec)).as("sx1"),
+      seg(col("s1"), col("y").cast(dec)).as("sy1"),
+      seg(col("s1"), col("x").cast(dec) * col("x")).as("sxx1"),
+      seg(col("s1"), col("x").cast(dec) * col("y")).as("sxy1"),
+      seg(col("s1"), col("y").cast(dec) * col("y")).as("syy1"),
+      seg(!col("s1"), col("x").cast(dec)).as("sx2"),
+      seg(!col("s1"), col("y").cast(dec)).as("sy2"),
+      seg(!col("s1"), col("x").cast(dec) * col("x")).as("sxx2"),
+      seg(!col("s1"), col("x").cast(dec) * col("y")).as("sxy2"),
+      seg(!col("s1"), col("y").cast(dec) * col("y")).as("syy2"))
+    def D(c: Column) = c.cast("double")
+    def rss(n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column, syy: Column) =
+      (D(syy) - D(sy) * D(sy) / D(n)) -
+        (D(sxy) - D(sx) * D(sy) / D(n)) * (D(sxy) - D(sx) * D(sy) / D(n)) /
+        (D(sxx) - D(sx) * D(sx) / D(n))
+    val n = col("n"); val n1 = col("n1"); val n2 = col("n") - col("n1")
+    val rss1 = rss(n1, col("sx1"), col("sy1"), col("sxx1"),
+      col("sxy1"), col("syy1"))
+    val rss2 = rss(n2, col("sx2"), col("sy2"), col("sxx2"),
+      col("sxy2"), col("syy2"))
+    val rssP = rss(n, col("sx1") + col("sx2"), col("sy1") + col("sy2"),
+      col("sxx1") + col("sxx2"), col("sxy1") + col("sxy2"),
+      col("syy1") + col("syy2"))
+    val f = ((rssP - rss1 - rss2) / lit(2.0)) /
+      ((rss1 + rss2) / D(n - lit(4)))
+    a.select(col("n").as("n_days"), col("n1").as("n_pre"),
+      round(f, 4).as("f_stat"),
+      (f > lit(3.0)).as("reject_stability"))
+  }
+
+  /** Two-sample Anderson–Darling test between the even/odd customer
+    * arms — the TAIL-WEIGHTED member of the two-sample trio
+    * (q_ks_test reads the max ECDF gap, [[cvm]] the unweighted
+    * integral; AD divides each gap by j(N−j), so distribution-tail
+    * drift that KS/CvM under-weight registers). Tie-adjusted
+    * right-continuous Scholz–Stephens form on the distinct-value
+    * grain: A² = (1/n_a + 1/n_b)·Σ_runs c·G²/(B(N−B))/N with
+    * G = N·cumA − B·n_a and B the pooled cumulative count, last run
+    * excluded (B = N zeroes the denominator). G² and B(N−B) are
+    * exact int128; each run's term is ONE mirrored double division
+    * micro-rounded to integer units before the sum, so the aggregate
+    * is order-free exact. Pettitt (1976) asymptotic 5% point 2.492. */
+  private val andersonDarling: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      (col("o_custkey") % 2 === 0).as("isa"))
+    val g = o.groupBy("v")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val rnk = ScaledWindow.rankCum(g, Seq(col("v").asc),
+      Seq("cuma" -> col("ca"), "cumn" -> (col("ca") + col("cb"))))
+    val (na, nt) = (rnk.totals("cuma"), rnk.totals("cumn"))
+    val nb = nt - na
+    val gap = col("cuma").cast(dec) * nt - col("cumn").cast(dec) * na
+    val term = round((col("ca") + col("cb")).cast("double") *
+      (gap * gap).cast("double") /
+      (col("cumn").cast(dec) * (lit(nt) - col("cumn"))).cast("double"))
+      .cast("long")
+    val a2 = col("s").cast("double") * lit(1.0 / na + 1.0 / nb) /
+      lit(nt.toDouble)
+    rnk.df.filter(col("cumn") < nt)
+      .agg(sum(term.cast(dec)).as("s"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        round(a2, 4).as("a2"),
+        (a2 > lit(2.492)).as("reject_same_dist"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_chow" -> chow,
+    "q_anderson_darling" -> andersonDarling,
     "q_cvm" -> cvm,
     "q_energy_distance" -> energyDistance,
     "q_mediation" -> mediation,
@@ -1684,6 +1774,115 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-segment int128 moment sums; every RSS/F expression mirrors
+    // the Spark side lexically (the q_granger two-model contract)
+    "q_chow" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS x, v AS y
+                FROM dly),
+         n0 AS (SELECT count(*) AS n FROM ix),
+         t AS (SELECT CAST(x AS BIGINT) AS x, y,
+                      x <= n // 2 AS s1
+               FROM ix, n0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 sum(CASE WHEN s1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+                   AS sx1,
+                 sum(CASE WHEN s1 THEN CAST(y AS HUGEINT) ELSE 0 END)
+                   AS sy1,
+                 sum(CASE WHEN s1 THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxx1,
+                 sum(CASE WHEN s1 THEN CAST(x AS HUGEINT) * y
+                     ELSE 0 END) AS sxy1,
+                 sum(CASE WHEN s1 THEN CAST(y AS HUGEINT) * y
+                     ELSE 0 END) AS syy1,
+                 sum(CASE WHEN NOT s1 THEN CAST(x AS HUGEINT)
+                     ELSE 0 END) AS sx2,
+                 sum(CASE WHEN NOT s1 THEN CAST(y AS HUGEINT)
+                     ELSE 0 END) AS sy2,
+                 sum(CASE WHEN NOT s1 THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxx2,
+                 sum(CASE WHEN NOT s1 THEN CAST(x AS HUGEINT) * y
+                     ELSE 0 END) AS sxy2,
+                 sum(CASE WHEN NOT s1 THEN CAST(y AS HUGEINT) * y
+                     ELSE 0 END) AS syy2
+               FROM t),
+         r AS (SELECT n, n1,
+                 (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                    * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                    * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                    * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                    * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rss1,
+                 (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                    * CAST(sy2 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                 - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                    * CAST(sy2 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                   * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                    * CAST(sy2 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                   / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                    * CAST(sx2 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                   AS rss2,
+                 (CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE)
+                    * CAST(sy1 + sy2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 - (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+                    * CAST(sy1 + sy2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+                    * CAST(sy1 + sy2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+                    * CAST(sx1 + sx2 AS DOUBLE) / CAST(n AS DOUBLE)) AS rssp
+               FROM a),
+         f AS (SELECT n, n1,
+                 ((rssp - rss1 - rss2) / 2.0)
+                   / ((rss1 + rss2) / CAST(n - 4 AS DOUBLE)) AS f
+               FROM r)
+         SELECT n AS n_days, n1 AS n_pre, round(f, 4) AS f_stat,
+                f > 3.0 AS reject_stability
+         FROM f""",
+    // per-run AD terms micro-rounded to integer units before the sum
+    // (the chi²-cell precedent); G² and B(N−B) exact HUGEINTs
+    "q_anderson_darling" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS v,
+                           (o_custkey % 2 = 0) AS isa
+                    FROM orders),
+         g AS (SELECT v,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+               FROM o GROUP BY 1),
+         c AS (SELECT ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(ca + cb) OVER w AS BIGINT) AS cumn
+               FROM g WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                      CAST(sum(cb) AS BIGINT) AS nb,
+                      CAST(sum(ca + cb) AS BIGINT) AS nt FROM g),
+         s AS (SELECT sum(CAST(round(CAST(ca + cb AS DOUBLE)
+                   * CAST((CAST(cuma AS HUGEINT) * nt
+                       - CAST(cumn AS HUGEINT) * na)
+                     * (CAST(cuma AS HUGEINT) * nt
+                       - CAST(cumn AS HUGEINT) * na) AS DOUBLE)
+                   / CAST(CAST(cumn AS HUGEINT) * (nt - cumn)
+                     AS DOUBLE)) AS BIGINT)) AS s,
+                 max(na) AS na, max(nb) AS nb, max(nt) AS nt
+               FROM c, n WHERE cumn < nt),
+         a AS (SELECT na, nb,
+                 CAST(s AS DOUBLE)
+                   * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+                   / CAST(nt AS DOUBLE) AS a2
+               FROM s)
+         SELECT na AS n_a, nb AS n_b, round(a2, 4) AS a2,
+                a2 > 2.492 AS reject_same_dist
+         FROM a""",
     // ECDF-gap replay of ScaledWindow.rankCum: the scaled gap
     // nb*cuma - na*cumb is an exact HUGEINT per distinct value, the
     // weighted gap^2 sum exact, and T one mirrored double division

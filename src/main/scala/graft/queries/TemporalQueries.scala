@@ -1385,7 +1385,127 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Maximum drawdown of the mean-detrended cumulative revenue path —
+    * [[cusum]]'s path read the way a trader reads an equity curve:
+    * the deepest peak-to-trough fall and the longest underwater spell
+    * quantify HOW BAD and HOW LONG a demand slump ran, where CUSUM's
+    * argmax only says where the single worst day was. The path is the
+    * scaled exact form n·cum_k − k·Σv (the q_grubbs no-division
+    * trick), so path, running peak, drawdown, the argmax trough (min
+    * day among ties) and the island-merged underwater runs are ALL
+    * exact integer arithmetic; the only float op is the final USD
+    * emission. Every window runs on the bounded ~2.4k-row calendar
+    * grid (the q_rolling_corr class, allow-listed). */
+  private val drawdown: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val path = CacheRegistry.register(daily.crossJoin(broadcast(tot))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("cum", sum("v").over(wCum))
+      .withColumn("path", col("n").cast(dec) * col("cum")
+        - col("k").cast(dec) * col("sv"))
+      .withColumn("peak", max("path").over(wCum))
+      .withColumn("dd", col("peak") - col("path"))
+      .persist())
+    val summary = path.agg(count(lit(1)).as("n_days"),
+      max("dd").as("mdd"), max("n").as("nn"))
+    val trough = path.crossJoin(broadcast(summary.select(col("mdd").as("m2"))))
+      .filter(col("dd") === col("m2"))
+      .agg(min("day").as("trough_day"))
+    val uw = path.filter(col("dd") > 0)
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .groupBy((col("k") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .agg(coalesce(max("len"), lit(0L)).as("underwater_max"))
+    summary.crossJoin(broadcast(trough)).crossJoin(broadcast(uw))
+      .select(col("n_days"), col("trough_day"),
+        round(col("mdd").cast("double") /
+          (col("nn").cast("double") * lit(100.0)), 4).as("max_dd_usd"),
+        col("underwater_max"))
+  }
+
+  /** Bollinger-band breakout screen on daily revenue: 20-day rolling
+    * mean ± 2σ, counting the days that close outside the band — the
+    * volatility-adjusted spike detector beside the fixed-threshold
+    * z-score scan. The breakout test is ALGEBRAICALLY CLEARED OF
+    * DIVISIONS AND SQRTS: |v − S/20| > 2σ with σ² = (20·Syy − S²)/400
+    * is equivalent to (20·v − S)² > 4·(20·Syy − S²) — an exact
+    * int128 comparison, so breakout counts carry no float at all;
+    * the single division is the emitted fraction. Full 20-day frames
+    * only; bounded calendar grid. */
+  private val bollinger: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    val r = daily
+      .withColumn("n", count(lit(1)).over(w20))
+      .withColumn("sv", sum("v").over(w20))
+      .withColumn("svv", sum(col("v").cast(dec) * col("v")).over(w20))
+      .filter(col("n") === 20)
+      .withColumn("dev", lit(20).cast(dec) * col("v") - col("sv"))
+      .withColumn("var400",
+        lit(20).cast(dec) * col("svv") - col("sv").cast(dec) * col("sv"))
+    r.agg(count(lit(1)).as("n_days"),
+        sum(when(col("dev") > 0
+          && col("dev") * col("dev") > lit(4).cast(dec) * col("var400"),
+          1L).otherwise(0L)).as("n_above"),
+        sum(when(col("dev") < 0
+          && col("dev") * col("dev") > lit(4).cast(dec) * col("var400"),
+          1L).otherwise(0L)).as("n_below"))
+      .select(col("n_days"), col("n_above"), col("n_below"),
+        round((col("n_above") + col("n_below")).cast("double") /
+          col("n_days").cast("double"), 6).as("breakout_frac"))
+  }
+
+  /** 14-day Cutler RSI regime screen on daily revenue — the
+    * momentum-oscillator complement of [[bollinger]]'s band test:
+    * gains/losses are exact long cents, and because Cutler's RSI is
+    * the pure ratio 100·G/(G+L), the overbought (RSI ≥ 70 ⟺ 3G ≥ 7L)
+    * and oversold (RSI ≤ 30 ⟺ 7G ≤ 3L) day counts are EXACT INTEGER
+    * comparisons; the one division emits the final day's RSI. Full
+    * 14-diff frames only; bounded calendar grid. */
+  private val rsi: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val diffs = daily
+      .withColumn("prev", lag("v", 1).over(Window.orderBy("day")))
+      .filter(col("prev").isNotNull)
+      .withColumn("g", greatest(col("v") - col("prev"), lit(0L)))
+      .withColumn("l", greatest(col("prev") - col("v"), lit(0L)))
+    val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    val r = CacheRegistry.register(diffs
+      .withColumn("n", count(lit(1)).over(w14))
+      .withColumn("sg", sum("g").over(w14))
+      .withColumn("sl", sum("l").over(w14))
+      .filter(col("n") === 14)
+      .persist())
+    val counts = r.agg(count(lit(1)).as("n_days"),
+      sum(when(col("sg") * 3 >= col("sl") * 7, 1L).otherwise(0L))
+        .as("n_overbought"),
+      sum(when(col("sg") * 7 <= col("sl") * 3, 1L).otherwise(0L))
+        .as("n_oversold"),
+      max("day").as("last_day"))
+    val last = r.crossJoin(broadcast(counts.select(col("last_day"))))
+      .filter(col("day") === col("last_day"))
+      .select(round(when(col("sg") + col("sl") === 0, lit(50.0))
+        .otherwise(lit(100.0) * col("sg").cast("double") /
+          (col("sg") + col("sl")).cast("double")), 4).as("rsi_last"))
+    counts.select("n_days", "n_overbought", "n_oversold")
+      .crossJoin(broadcast(last))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_drawdown" -> drawdown,
+    "q_bollinger" -> bollinger,
+    "q_rsi" -> rsi,
     "q_rolling_corr" -> rollingCorr,
     "q_durbin_watson" -> durbinWatson,
     "q_granger" -> granger,
@@ -1432,6 +1552,109 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     // six exact int128 frame sums over the day grid; each day's r is
     // one mirrored Pearson emission (full 30-day frames only)
+    // the scaled n·cum − k·Σv path keeps peak/drawdown/argmax exact;
+    // one mirrored division at the USD emission
+    "q_drawdown" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(v) AS BIGINT) AS sv FROM dly),
+         p0 AS (SELECT day,
+                  CAST(count(*) OVER w AS BIGINT) AS k,
+                  CAST(sum(v) OVER w AS BIGINT) AS cum, n, sv
+                FROM dly, t
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         p1 AS (SELECT day, k, n,
+                  CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * sv
+                    AS path
+                FROM p0),
+         p2 AS (SELECT day, k, n, path,
+                  max(path) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS peak
+                FROM p1),
+         p3 AS (SELECT day, k, n, peak - path AS dd FROM p2),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                      max(dd) AS mdd, max(n) AS nn FROM p3),
+         tr AS (SELECT min(day) AS trough_day FROM p3, s
+                WHERE dd = mdd),
+         uw AS (SELECT CAST(coalesce(max(len), 0) AS BIGINT)
+                  AS underwater_max
+                FROM (SELECT count(*) AS len
+                      FROM (SELECT k - row_number() OVER (ORDER BY day)
+                              AS grp
+                            FROM p3 WHERE dd > 0)
+                      GROUP BY grp))
+         SELECT n_days, trough_day,
+                round(CAST(mdd AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * 100.0), 4) AS max_dd_usd,
+                underwater_max
+         FROM s, tr, uw""",
+    // breakout test cleared of sqrt: (20v − S)² > 4(20·Syy − S²) is
+    // an exact HUGEINT comparison; one mirrored division for the frac
+    "q_bollinger" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         r0 AS (SELECT day, v,
+                  count(*) OVER w AS n,
+                  CAST(sum(v) OVER w AS BIGINT) AS sv,
+                  sum(CAST(v AS HUGEINT) * v) OVER w AS svv
+                FROM dly
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         r AS (SELECT 20 * CAST(v AS HUGEINT) - sv AS dev,
+                      20 * svv - CAST(sv AS HUGEINT) * sv AS var400
+               FROM r0 WHERE n = 20),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN dev > 0 AND dev * dev > 4 * var400
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                 CAST(sum(CASE WHEN dev < 0 AND dev * dev > 4 * var400
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+               FROM r)
+         SELECT n_days, n_above, n_below,
+                round(CAST(n_above + n_below AS DOUBLE)
+                  / CAST(n_days AS DOUBLE), 6) AS breakout_frac
+         FROM c""",
+    // RSI thresholds cleared of division: 3G ≥ 7L / 7G ≤ 3L exact;
+    // the one mirrored division emits the last day's value
+    "q_rsi" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         df AS (SELECT day, v,
+                  lag(v) OVER (ORDER BY day) AS prev
+                FROM dly),
+         gl AS (SELECT day,
+                  greatest(v - prev, 0) AS g,
+                  greatest(prev - v, 0) AS l
+                FROM df WHERE prev IS NOT NULL),
+         r AS (SELECT day,
+                 count(*) OVER w AS n,
+                 CAST(sum(g) OVER w AS BIGINT) AS sg,
+                 CAST(sum(l) OVER w AS BIGINT) AS sl
+               FROM gl
+               WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         rf AS (SELECT day, sg, sl FROM r WHERE n = 14),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN sg * 3 >= sl * 7 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_overbought,
+                 CAST(sum(CASE WHEN sg * 7 <= sl * 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oversold,
+                 max(day) AS last_day
+               FROM rf),
+         l AS (SELECT round(CASE WHEN sg + sl = 0 THEN 50.0
+                        ELSE 100.0 * CAST(sg AS DOUBLE)
+                          / CAST(sg + sl AS DOUBLE) END, 4) AS rsi_last
+               FROM rf, c WHERE day = last_day)
+         SELECT n_days, n_overbought, n_oversold, rsi_last
+         FROM c, l""",
     "q_rolling_corr" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              count(*) AS cnt,

@@ -158,6 +158,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(est == truth)
   }
 
+  test("ttr matches a sequential per-doc recompute; bounded by 1") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val want = rows.filter(_._2.nonEmpty).groupBy(_._1).map {
+      case (src, docs) =>
+        val units = docs.map { case (_, w) =>
+          w.distinct.length.toLong * 1000000000L / w.length
+        }.sum
+        src -> (docs.length.toLong, docs.map(_._2.length.toLong).sum,
+          docs.map(_._2.distinct.length.toLong).sum,
+          units.toDouble / (docs.length * 1.0e9))
+    }
+    val got = CorpusStatsQueries.queries("q_ttr")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (nd, nt, ty, ttr)) =>
+      val g = got(src)
+      assert(g._1 == nd && g._2 == nt && g._3 == ty, s"source $src: $g")
+      assert(math.abs(g._4 - ttr) < 1e-6 + 1e-9, s"$src ttr ${g._4} vs $ttr")
+      assert(g._4 > 0.0 && g._4 <= 1.0)
+    }
+  }
+
+  test("heaps law matches a sequential vocabulary-growth replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    var cumN = 0L; var cumV = 0L
+    val pts = docs.map { case (_, w) =>
+      cumN += w.length
+      w.foreach { t => if (!seen(t)) { seen += t; cumV += 1 } }
+      (math.log(cumN.toDouble), math.log(cumV.toDouble))
+    }
+    val n = pts.length.toDouble
+    val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val beta = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val logk = my - beta * mx
+    val got = CorpusStatsQueries.queries("q_heaps_law")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == docs.length.toLong)
+    assert(math.abs(got.getDouble(1) - beta) < 1e-3 + 1e-9,
+      s"beta ${got.getDouble(1)} vs brute $beta")
+    assert(math.abs(got.getDouble(2) - logk) < 1e-2 + 1e-9)
+    // natural-text sanity: vocabulary grows sublinearly
+    assert(got.getDouble(1) > 0.0 && got.getDouble(1) < 1.0)
+  }
+
   test("label centroids: identical direction reads 1, orthogonal reads 0") {
     val dir = tmpDir()
     val rows = Seq(

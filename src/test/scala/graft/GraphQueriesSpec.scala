@@ -167,4 +167,74 @@ class GraphQueriesSpec extends SparkSpec {
       s"r ${got.getDouble(1)} vs brute $r")
     assert(got.getDouble(1) >= -1.0 && got.getDouble(1) <= 1.0)
   }
+
+  test("local clustering coefficient matches a neighbor-intersection brute force") {
+    val adj = Tables.lineitem(spark, sf)
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = scala.collection.mutable.Set[(Long, Long)]()
+    adj.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2).toArray.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        edges += ((ps(i), ps(j)))
+    }
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+    edges.foreach { case (a, b) =>
+      nbrs(a) = nbrs.getOrElse(a, Set.empty) + b
+      nbrs(b) = nbrs.getOrElse(b, Set.empty) + a
+    }
+    val deg2 = nbrs.filter(_._2.size >= 2)
+    var u = 0L; var t3 = 0L; var perfect = 0L
+    deg2.foreach { case (v, ns) =>
+      val tri = ns.toSeq.map(w => (ns intersect nbrs(w)).size).sum / 2
+      val dd = ns.size.toLong * (ns.size - 1)
+      u += tri.toLong * 2000000000L / dd
+      t3 += tri
+      if (tri.toLong * 2 == dd) perfect += 1
+    }
+    val got = GraphQueries.queries("q_clustering_coeff")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == deg2.size.toLong)
+    assert(got.getLong(1) == t3 / 3, s"tri ${got.getLong(1)} vs ${t3 / 3}")
+    val want = u.toDouble / (deg2.size * 1.0e9)
+    assert(math.abs(got.getDouble(2) - want) < 1e-6 + 1e-9,
+      s"cc ${got.getDouble(2)} vs brute $want")
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
+    assert(got.getLong(3) == perfect)
+  }
+
+  test("hits scores match a sequential two-round power iteration") {
+    val e = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = e.groupBy(_._2).map { case (sp, xs) => sp -> xs.length.toLong }
+    val h1 = e.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(p => a1(p._2)).sum
+    }
+    val a2 = e.groupBy(_._2).map { case (sp, xs) =>
+      sp -> xs.map(p => h1(p._1)).sum
+    }
+    val h2 = e.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(p => a2(p._2)).sum
+    }
+    val topA = a2.toSeq.sortBy { case (sp, sc) => (-sc, sp) }.take(10)
+    val topH = h2.toSeq.sortBy { case (c, sc) => (-sc, c) }.take(10)
+    val got = GraphQueries.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 20)
+    val maxA = a2.values.max.toDouble; val maxH = h2.values.max.toDouble
+    topA.foreach { case (sp, sc) =>
+      val g = got(("authority", sp))
+      assert(g._1 == sc, s"authority $sp: ${g._1} vs $sc")
+      assert(math.abs(g._2 - sc / maxA) < 1e-6 + 1e-9)
+    }
+    topH.foreach { case (c, sc) =>
+      val g = got(("hub", c))
+      assert(g._1 == sc, s"hub $c: ${g._1} vs $sc")
+      assert(math.abs(g._2 - sc / maxH) < 1e-6 + 1e-9)
+    }
+  }
 }

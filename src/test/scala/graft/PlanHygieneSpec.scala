@@ -101,7 +101,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_beta_binomial",
     // round 12 late: kendall W crosses its 1-row k/m dims and tie
     // frames onto the 25-row nation rank sums (the q_friedman shape)
-    "q_kendall_w")
+    "q_kendall_w",
+    // round 13: hits crosses each role's 1-row max-score frame onto
+    // the node-grain scores; drawdown its 1-row totals/argmax frames
+    // onto the day grid; rsi its 1-row last-day frame
+    "q_hits", "q_drawdown", "q_rsi")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -148,7 +152,11 @@ class PlanHygieneSpec extends SparkSpec {
     // window over the 5-row priority grid (the q_weighted_median
     // flag-offset shape); rolling corr's frame sums ride the bounded
     // calendar-day grid (the q_rolling_slope class)
-    "q_levene", "q_conformal", "q_rolling_corr")
+    "q_levene", "q_conformal", "q_rolling_corr",
+    // round 13: equity-curve trio — every window (cumsum, running
+    // peak, 20/14-day frames, lag) rides the bounded ~2.4k-row
+    // calendar-day grid, the q_rolling_corr class
+    "q_drawdown", "q_bollinger", "q_rsi")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

@@ -1142,4 +1142,55 @@ class StatQueriesSpec extends SparkSpec {
     // energy distance is a metric: strictly positive unless identical
     assert(got.getDouble(3) >= 0.0)
   }
+
+  test("chow F matches a sequential two-segment OLS brute force") {
+    val v = dailyCents()
+    val n = v.length
+    val half = n / 2
+    def rss(xs: Array[(Long, Long)]): Double = {
+      val m = xs.length.toDouble
+      val sx = xs.map(_._1.toDouble).sum
+      val sy = xs.map(_._2.toDouble).sum
+      val sxx = xs.map(p => p._1.toDouble * p._1).sum
+      val sxy = xs.map(p => p._1.toDouble * p._2).sum
+      val syy = xs.map(p => p._2.toDouble * p._2).sum
+      (syy - sy * sy / m) -
+        math.pow(sxy - sx * sy / m, 2) / (sxx - sx * sx / m)
+    }
+    val idx = v.zipWithIndex.map { case (y, i) => ((i + 1).toLong, y) }
+    val (s1, s2) = idx.partition(_._1 <= half)
+    val (r1, r2, rp) = (rss(s1), rss(s2), rss(idx))
+    val f = ((rp - r1 - r2) / 2.0) / ((r1 + r2) / (n - 4.0))
+    val got = q("q_chow").collect()(0)
+    assert(got.getLong(0) == n.toLong && got.getLong(1) == half)
+    assert(math.abs(got.getDouble(2) - f) < math.abs(f) * 1e-6 + 1e-3,
+      s"F ${got.getDouble(2)} vs brute $f")
+    assert(got.getBoolean(3) == (f > 3.0))
+  }
+
+  test("anderson–darling A² matches a sequential tie-adjusted brute force") {
+    val (aArm, bArm) = armCents()
+    val na = aArm.length.toLong; val nb = bArm.length.toLong
+    val nt = na + nb
+    val byV = (aArm.map(v => (v, true)) ++ bArm.map(v => (v, false)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, hits) =>
+        (hits.count(_._2).toLong, hits.length.toLong)
+      }
+    var cuma = 0L; var cumn = 0L; var s = 0.0
+    byV.foreach { case (ca, c) =>
+      cuma += ca; cumn += c
+      if (cumn < nt) {
+        val gap = BigInt(cuma) * nt - BigInt(cumn) * na
+        s += c.toDouble * (gap * gap).toDouble /
+          (BigInt(cumn) * (nt - cumn)).toDouble
+      }
+    }
+    val a2 = s * (1.0 / na + 1.0 / nb) / nt
+    val got = q("q_anderson_darling").collect()(0)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(math.abs(got.getDouble(2) - a2) < math.abs(a2) * 1e-3 + 1e-3,
+      s"A2 ${got.getDouble(2)} vs brute $a2")
+    assert(got.getBoolean(3) == (a2 > 2.492))
+  }
 }

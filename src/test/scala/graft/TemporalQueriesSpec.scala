@@ -667,6 +667,83 @@ class TemporalQueriesSpec extends SparkSpec {
     // rolling r is bounded
     assert(got.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
   }
+
+  // ---- round 13 operators ----
+
+  private def datedDaily(): Array[(String, Long)] =
+    Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+
+  test("max drawdown matches a sequential equity-curve replay") {
+    val rows = datedDaily()
+    val n = rows.length
+    val sv = rows.map(r => BigInt(r._2)).sum
+    var cum = BigInt(0); var peak: BigInt = null
+    var maxDd = BigInt(-1); var trough = ""
+    var curRun = 0; var maxRun = 0
+    rows.zipWithIndex.foreach { case ((day, v), i) =>
+      cum += v
+      val path = BigInt(n) * cum - BigInt(i + 1) * sv
+      if (peak == null || path > peak) peak = path
+      val dd = peak - path
+      if (dd > maxDd) { maxDd = dd; trough = day }
+      if (dd > 0) { curRun += 1; maxRun = math.max(maxRun, curRun) }
+      else curRun = 0
+    }
+    val got = TemporalQueries.queries("q_drawdown")(spark, sf).collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getDate(1).toString == trough, s"trough ${got.getDate(1)}")
+    val wantUsd = (BigDecimal(maxDd) / (n * 100.0)).toDouble
+    assert(math.abs(got.getDouble(2) - wantUsd) <
+      math.abs(wantUsd) * 1e-9 + 1e-3, s"dd ${got.getDouble(2)} vs $wantUsd")
+    assert(got.getLong(3) == maxRun.toLong,
+      s"underwater ${got.getLong(3)} vs $maxRun")
+  }
+
+  test("bollinger breakout counts match a sequential exact-integer replay") {
+    val v = datedDaily().map(_._2)
+    var above = 0; var below = 0; var cnt = 0
+    for (i <- 19 until v.length) {
+      val fr = v.slice(i - 19, i + 1).map(BigInt(_))
+      val s0 = fr.sum; val s2 = fr.map(x => x * x).sum
+      val dev = BigInt(20) * v(i) - s0
+      val rhs = BigInt(4) * (BigInt(20) * s2 - s0 * s0)
+      cnt += 1
+      if (dev > 0 && dev * dev > rhs) above += 1
+      if (dev < 0 && dev * dev > rhs) below += 1
+    }
+    val got = TemporalQueries.queries("q_bollinger")(spark, sf).collect()(0)
+    assert(got.getLong(0) == cnt.toLong)
+    assert(got.getLong(1) == above.toLong, s"above ${got.getLong(1)} vs $above")
+    assert(got.getLong(2) == below.toLong, s"below ${got.getLong(2)} vs $below")
+    assert(math.abs(got.getDouble(3) - (above + below).toDouble / cnt) < 1e-6)
+  }
+
+  test("rsi regime counts match a sequential exact-ratio replay") {
+    val v = datedDaily().map(_._2)
+    val diffs = (1 until v.length).map(i => v(i) - v(i - 1)).toArray
+    var ob = 0; var os = 0; var cnt = 0
+    var lastG = 0L; var lastL = 0L
+    for (i <- 13 until diffs.length) {
+      val fr = diffs.slice(i - 13, i + 1)
+      val g = fr.map(x => math.max(x, 0L)).sum
+      val l = fr.map(x => math.max(-x, 0L)).sum
+      cnt += 1
+      if (3 * g >= 7 * l) ob += 1
+      if (7 * g <= 3 * l) os += 1
+      lastG = g; lastL = l
+    }
+    val want = if (lastG + lastL == 0) 50.0
+      else 100.0 * lastG / (lastG + lastL)
+    val got = TemporalQueries.queries("q_rsi")(spark, sf).collect()(0)
+    assert(got.getLong(0) == cnt.toLong)
+    assert(got.getLong(1) == ob.toLong, s"overbought ${got.getLong(1)} vs $ob")
+    assert(got.getLong(2) == os.toLong, s"oversold ${got.getLong(2)} vs $os")
+    assert(math.abs(got.getDouble(3) - want) < 1e-3 + 1e-9)
+  }
 }
 
 private object TemporalQueriesSpecHelper {
