@@ -1726,7 +1726,64 @@ object StatQueries {
         (a2 > lit(2.492)).as("reject_same_dist"))
   }
 
+  /** Per-nation overdispersion screen on customer order counts — the
+    * model-choice diagnostic between Poisson and negative-binomial
+    * demand (marketing mix, capacity models): dispersion index
+    * D = var/mean; D ≈ 1 is Poisson, D ≫ 1 says a heavy-tailed
+    * buyer mix. ZERO-order customers count (the customer dimension
+    * left-joins the order aggregate — dropping them biases D down).
+    * D = (n·Σc² − S²)/(n·S) from exact integer sums, one mirrored
+    * division per nation; flag at D > 1.5. */
+  private val overdispersion: Q = (s, d) => {
+    val oc = Tables.customer(s, d)
+      .join(Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("c")), Seq("c_custkey"), "left")
+      .select(col("c_nationkey").as("nation"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val g = oc.groupBy("nation").agg(
+      count(lit(1)).as("n_cust"),
+      sum("c").as("n_orders"),
+      sum(col("c") * col("c")).as("q"))
+    val disp = (g("n_cust").cast("double") * col("q").cast("double") -
+      col("n_orders").cast("double") * col("n_orders").cast("double")) /
+      (col("n_cust").cast("double") * col("n_orders").cast("double"))
+    g.select(col("nation"), col("n_cust"), col("n_orders"),
+        round(col("n_orders").cast("double") /
+          col("n_cust").cast("double"), 6).as("mean_orders"),
+        round(disp, 6).as("dispersion"),
+        (disp > lit(1.5)).as("overdispersed"))
+      .orderBy("nation")
+  }
+
+  /** Two-sample Poisson rate test on 1995-vs-1996 order arrivals —
+    * the A/B primitive for COUNT outcomes beside [[srm]]'s ratio
+    * check and q_ab_test's mean comparison: conditional on the total,
+    * n₁ ~ Bin(n, p₀ = 365/731), so z = (n₁ − n·p₀)/√(n·p₀(1−p₀)) —
+    * counts exact, p₀ one IEEE division both engines compute
+    * identically, z the single mirrored emission chain. */
+  private val poissonRate: Q = (s, d) => {
+    val y = Tables.orders(s, d)
+      .select(year(to_date(col("o_orderdate"))).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+    val g = y.agg(
+      sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n2"))
+    val n = col("n1") + col("n2")
+    val p0 = lit(365.0) / lit(731.0)
+    val z = (col("n1").cast("double") - n.cast("double") * p0) /
+      sqrt(n.cast("double") * p0 * (lit(1.0) - p0))
+    g.select(col("n1").as("n_1995"), col("n2").as("n_1996"),
+      round(col("n1").cast("double") / lit(365.0), 4).as("rate_1995"),
+      round(col("n2").cast("double") / lit(366.0), 4).as("rate_1996"),
+      round((col("n1").cast("double") / lit(365.0)) /
+        (col("n2").cast("double") / lit(366.0)), 4).as("rate_ratio"),
+      round(z, 4).as("z"),
+      (abs(z) > lit(1.96)).as("reject_equal_rates"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_overdispersion" -> overdispersion,
+    "q_poisson_rate" -> poissonRate,
     "q_chow" -> chow,
     "q_anderson_darling" -> andersonDarling,
     "q_cvm" -> cvm,
@@ -1774,6 +1831,59 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer count sums; D and the mean are mirrored divisions
+    "q_overdispersion" ->
+      """WITH oc AS (SELECT c.c_nationkey AS nation,
+                            coalesce(o.c, 0) AS c
+                     FROM customer c LEFT JOIN
+                       (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1) o
+                       ON o.o_custkey = c.c_custkey),
+         g AS (SELECT nation,
+                 CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(c) AS BIGINT) AS n_orders,
+                 CAST(sum(c * c) AS BIGINT) AS q
+               FROM oc GROUP BY nation)
+         SELECT nation, n_cust, n_orders,
+                round(CAST(n_orders AS DOUBLE)
+                  / CAST(n_cust AS DOUBLE), 6) AS mean_orders,
+                round((CAST(n_cust AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(n_orders AS DOUBLE)
+                      * CAST(n_orders AS DOUBLE))
+                  / (CAST(n_cust AS DOUBLE)
+                    * CAST(n_orders AS DOUBLE)), 6) AS dispersion,
+                (CAST(n_cust AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(n_orders AS DOUBLE)
+                      * CAST(n_orders AS DOUBLE))
+                  / (CAST(n_cust AS DOUBLE)
+                    * CAST(n_orders AS DOUBLE)) > 1.5 AS overdispersed
+         FROM g ORDER BY nation""",
+    // counts exact; p0 = 365/731 one IEEE division in both engines
+    "q_poisson_rate" ->
+      """WITH y AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr
+                    FROM orders
+                    WHERE year(CAST(o_orderdate AS DATE))
+                      IN (1995, 1996)),
+         g AS (SELECT
+                 CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n2
+               FROM y),
+         z AS (SELECT n1, n2,
+                 (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+                   * (365.0 / 731.0))
+                 / sqrt(CAST(n1 + n2 AS DOUBLE) * (365.0 / 731.0)
+                   * (1.0 - (365.0 / 731.0))) AS z
+               FROM g)
+         SELECT n1 AS n_1995, n2 AS n_1996,
+                round(CAST(n1 AS DOUBLE) / 365.0, 4) AS rate_1995,
+                round(CAST(n2 AS DOUBLE) / 366.0, 4) AS rate_1996,
+                round((CAST(n1 AS DOUBLE) / 365.0)
+                  / (CAST(n2 AS DOUBLE) / 366.0), 4) AS rate_ratio,
+                round(z, 4) AS z,
+                abs(z) > 1.96 AS reject_equal_rates
+         FROM z""",
     // per-segment int128 moment sums; every RSS/F expression mirrors
     // the Spark side lexically (the q_granger two-model contract)
     "q_chow" ->

@@ -1502,7 +1502,141 @@ object TemporalQueries {
       .crossJoin(broadcast(last))
   }
 
+  /** Engle's ARCH LM test for volatility clustering in daily revenue
+    * — [[ljungBox]] asks whether LEVELS autocorrelate, ARCH asks
+    * whether VARIANCE does (turbulent days following turbulent days),
+    * the diagnostic that decides between homoscedastic and
+    * GARCH-class models. Stage 1 is [[durbinWatson]]'s AR(1) fit
+    * verbatim (exact int128 moment sums, residuals micro-rounded to
+    * integer cents); stage 2 regresses e²_t on e²_{t−1} — squared
+    * residuals are exact int128, their cross-products exact
+    * DECIMAL(38,0) — and emits LM = n·R² with R² a mirrored double.
+    * χ²(1) 5% critical 3.841. */
+  private val archLm: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val dly = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val ix = ScaledWindow.rankCum(dly, Seq(col("day").asc), None)
+    val a = ix.df.select(col("rk"), col("v"))
+    val b = ix.df.select((col("rk") + 1).as("rk"), col("v").as("yl"))
+    val pairs = CacheRegistry.register(
+      a.join(b, "rk").select(col("rk"), col("v").as("y"), col("yl"))
+        .persist())
+    val st = pairs.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("yl").cast(dec)).as("syl"),
+      sum(col("yl").cast(dec) * col("yl")).as("syl2"),
+      sum(col("y").cast(dec) * col("yl")).as("syyl"))
+    val fit = st.select(
+      ((col("sy").cast("double") * col("syl2").cast("double") -
+        col("syl").cast("double") * col("syyl").cast("double")) /
+        (col("n").cast("double") * col("syl2").cast("double") -
+          col("syl").cast("double") * col("syl").cast("double")))
+        .as("b0"),
+      ((col("n").cast("double") * col("syyl").cast("double") -
+        col("syl").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("syl2").cast("double") -
+          col("syl").cast("double") * col("syl").cast("double")))
+        .as("b1"))
+    val e = CacheRegistry.register(pairs.crossJoin(broadcast(fit))
+      .select(col("rk"),
+        round(col("y") - (col("b0") + col("b1") * col("yl")))
+          .cast("long").as("e"))
+      .persist())
+    val e2a = e.select(col("rk"), (col("e").cast(dec) * col("e")).as("x2"))
+    val e2b = e2a.select((col("rk") + 1).as("rk"), col("x2").as("xl2"))
+    val lm = e2a.join(e2b, "rk")
+      .agg(count(lit(1)).as("n2"),
+        sum(col("xl2")).as("sx"), sum(col("x2")).as("sy2"),
+        sum(col("xl2") * col("xl2")).as("sxx"),
+        sum(col("x2") * col("x2")).as("syy"),
+        sum(col("xl2") * col("x2")).as("sxy"))
+    val num = col("n2").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy2").cast("double")
+    val r2 = num * num /
+      ((col("n2").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+        (col("n2").cast("double") * col("syy").cast("double") -
+          col("sy2").cast("double") * col("sy2").cast("double")))
+    lm.select(col("n2").as("n_resid"),
+      round(col("n2").cast("double") * r2, 4).as("lm"),
+      round(r2, 6).as("r2"),
+      (col("n2").cast("double") * r2 > lit(3.841)).as("reject_homosked"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 via Durbin–Levinson closed
+    * forms over [[acf]]'s ρ estimates — the AR-order selector (ACF
+    * tails off for AR processes; PACF CUTS OFF at the true order,
+    * which is what you read to pick p). The three ρ's reuse the exact
+    * acf construction; every Durbin–Levinson expression is a mirrored
+    * double, rounded at emission. */
+  private val pacf: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val w = Window.orderBy("day")
+    val centered = daily
+      .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
+      .withColumn("c", col("v") - col("m"))
+    val withLags = (1 to 3).foldLeft(centered) { case (df, k) =>
+      df.withColumn(s"c$k", lag("c", k).over(w))
+    }
+    val r = withLags.agg(count(lit(1)).as("n_days"),
+      (sum(col("c") * col("c1")) / sum(col("c") * col("c"))).as("r1"),
+      (sum(col("c") * col("c2")) / sum(col("c") * col("c"))).as("r2"),
+      (sum(col("c") * col("c3")) / sum(col("c") * col("c"))).as("r3"))
+    val p2 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val p21 = col("r1") - p2 * col("r1")
+    val p3 = (col("r3") - p21 * col("r2") - p2 * col("r1")) /
+      (lit(1.0) - p21 * col("r1") - p2 * col("r2"))
+    r.select(col("n_days"),
+      round(col("r1"), 6).as("pacf1"),
+      round(p2, 6).as("pacf2"),
+      round(p3, 6).as("pacf3"))
+  }
+
+  /** Shewhart c-chart on daily order counts — the SPC primitive
+    * behind ops dashboards: flag days outside c̄ ± 3√c̄. The control
+    * test is cleared of the sqrt exactly as [[bollinger]]'s bands:
+    * |c − S/n| > 3√(S/n) ⟺ (n·c − S)² > 9·n·S — an exact int128
+    * comparison, so in/out-of-control day counts carry no float; the
+    * worst day is the exact-integer argmax (earliest day breaks
+    * ties), and the only divisions emit c̄ and the worst day's
+    * sigma-distance. */
+  private val controlChart: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("sc"))
+    val g = CacheRegistry.register(daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("n").cast(dec) * col("c") - col("sc"))
+      .withColumn("dev2", col("dev") * col("dev"))
+      .withColumn("lim", lit(9).cast(dec) * col("n") * col("sc"))
+      .persist())
+    val counts = g.agg(max("n").as("n_days"), max("sc").as("n_orders"),
+      sum(when(col("dev") > 0 && col("dev2") > col("lim"), 1L)
+        .otherwise(0L)).as("n_ooc_high"),
+      sum(when(col("dev") < 0 && col("dev2") > col("lim"), 1L)
+        .otherwise(0L)).as("n_ooc_low"),
+      max("dev2").as("mx"))
+    val worst = g.crossJoin(broadcast(counts.select(col("mx").as("m2"))))
+      .filter(col("dev2") === col("m2"))
+      .orderBy("day").limit(1)
+      .select(col("day").as("worst_day"), col("c").as("worst_count"))
+    counts.crossJoin(broadcast(worst))
+      .select(col("n_days"), col("n_ooc_high"), col("n_ooc_low"),
+        round(col("n_orders").cast("double") /
+          col("n_days").cast("double"), 6).as("c_bar"),
+        col("worst_day"), col("worst_count"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_arch_lm" -> archLm,
+    "q_pacf" -> pacf,
+    "q_control_chart" -> controlChart,
     "q_drawdown" -> drawdown,
     "q_bollinger" -> bollinger,
     "q_rsi" -> rsi,
@@ -1552,6 +1686,119 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     // six exact int128 frame sums over the day grid; each day's r is
     // one mirrored Pearson emission (full 30-day frames only)
+    // stage 1 is the q_durbin_watson AR(1) replay verbatim; stage 2's
+    // squared-residual sums are exact HUGEINTs, R²/LM mirrored doubles
+    "q_arch_lm" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         p AS (SELECT a.rk, a.v AS y, b.v AS yl
+               FROM ix a JOIN ix b ON a.rk = b.rk + 1),
+         s AS (SELECT count(*) AS n,
+                      sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(yl AS HUGEINT)) AS syl,
+                      sum(CAST(yl AS HUGEINT) * yl) AS syl2,
+                      sum(CAST(y AS HUGEINT) * yl) AS syyl
+               FROM p),
+         fit AS (SELECT (CAST(sy AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syyl AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)) AS b0,
+                        (CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)
+                    - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)) AS b1
+                 FROM s),
+         e AS (SELECT rk, CAST(round(y - (b0 + b1 * yl)) AS BIGINT)
+                 AS e
+               FROM p, fit),
+         e2 AS (SELECT rk, CAST(e AS HUGEINT) * e AS x2 FROM e),
+         lp AS (SELECT a.x2, b.x2 AS xl2
+                FROM e2 a JOIN e2 b ON a.rk = b.rk + 1),
+         g AS (SELECT count(*) AS n2,
+                      sum(xl2) AS sx, sum(x2) AS sy2,
+                      sum(xl2 * xl2) AS sxx,
+                      sum(x2 * x2) AS syy,
+                      sum(xl2 * x2) AS sxy
+               FROM lp),
+         rr AS (SELECT CAST(n2 AS BIGINT) AS n2,
+                  (CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                  * (CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                  / ((CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)))
+                    AS r2
+                FROM g)
+         SELECT n2 AS n_resid,
+                round(CAST(n2 AS DOUBLE) * r2, 4) AS lm,
+                round(r2, 6) AS r2,
+                CAST(n2 AS DOUBLE) * r2 > 3.841 AS reject_homosked
+         FROM rr""",
+    // the acf ρ construction verbatim for lags 1–3, then mirrored
+    // Durbin–Levinson closed forms
+    "q_pacf" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             round(sum(o_totalprice), 2) AS v
+                      FROM orders GROUP BY 1),
+         m AS (SELECT avg(v) AS m FROM dly),
+         c AS (SELECT day, v - m.m AS c FROM dly, m),
+         l AS (SELECT c,
+                      lag(c, 1) OVER (ORDER BY day) AS c1,
+                      lag(c, 2) OVER (ORDER BY day) AS c2,
+                      lag(c, 3) OVER (ORDER BY day) AS c3
+               FROM c),
+         r AS (SELECT count(*) AS n_days,
+                      sum(c * c1) / sum(c * c) AS r1,
+                      sum(c * c2) / sum(c * c) AS r2,
+                      sum(c * c3) / sum(c * c) AS r3
+               FROM l),
+         dl AS (SELECT n_days, r1, r2, r3,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+                FROM r),
+         dl2 AS (SELECT n_days, r1, r2, r3, p2,
+                   r1 - p2 * r1 AS p21
+                 FROM dl)
+         SELECT n_days,
+                round(r1, 6) AS pacf1,
+                round(p2, 6) AS pacf2,
+                round((r3 - p21 * r2 - p2 * r1)
+                  / (1.0 - p21 * r1 - p2 * r2), 6) AS pacf3
+         FROM dl2""",
+    // control test cleared of sqrt: (n·c − S)² > 9·n·S exact; the
+    // worst day is the exact argmax with the earliest-day tie-break
+    "q_control_chart" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM orders GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS sc FROM dly),
+         g AS (SELECT day, c, n, sc,
+                 CAST(n AS HUGEINT) * c - sc AS dev,
+                 (CAST(n AS HUGEINT) * c - sc)
+                   * (CAST(n AS HUGEINT) * c - sc) AS dev2,
+                 9 * CAST(n AS HUGEINT) * sc AS lim
+               FROM dly, t),
+         cnt AS (SELECT max(n) AS n_days, max(sc) AS n_orders,
+                   CAST(sum(CASE WHEN dev > 0 AND dev2 > lim
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_high,
+                   CAST(sum(CASE WHEN dev < 0 AND dev2 > lim
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_low,
+                   max(dev2) AS mx
+                 FROM g),
+         w AS (SELECT day AS worst_day, c AS worst_count
+               FROM g, cnt WHERE dev2 = mx
+               ORDER BY day LIMIT 1)
+         SELECT n_days, n_ooc_high, n_ooc_low,
+                round(CAST(n_orders AS DOUBLE)
+                  / CAST(n_days AS DOUBLE), 6) AS c_bar,
+                worst_day, worst_count
+         FROM cnt, w""",
     // the scaled n·cum − k·Σv path keeps peak/drawdown/argmax exact;
     // one mirrored division at the USD emission
     "q_drawdown" ->

@@ -104,8 +104,12 @@ class PlanHygieneSpec extends SparkSpec {
     "q_kendall_w",
     // round 13: hits crosses each role's 1-row max-score frame onto
     // the node-grain scores; drawdown its 1-row totals/argmax frames
-    // onto the day grid; rsi its 1-row last-day frame
-    "q_hits", "q_drawdown", "q_rsi")
+    // onto the day grid; rsi its 1-row last-day frame; arch_lm its
+    // 1-row AR(1)-fit frame onto the day pairs (the durbin_watson
+    // shape); control_chart its 1-row totals/argmax frames
+    "q_hits", "q_drawdown", "q_rsi", "q_arch_lm", "q_control_chart",
+    // pacf crosses the 1-row series-mean frame (the q_acf shape)
+    "q_pacf")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -155,8 +159,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_levene", "q_conformal", "q_rolling_corr",
     // round 13: equity-curve trio — every window (cumsum, running
     // peak, 20/14-day frames, lag) rides the bounded ~2.4k-row
-    // calendar-day grid, the q_rolling_corr class
-    "q_drawdown", "q_bollinger", "q_rsi")
+    // calendar-day grid, the q_rolling_corr class; pacf's three lag
+    // columns ride the same grid (the q_acf shape)
+    "q_drawdown", "q_bollinger", "q_rsi", "q_pacf")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

@@ -1193,4 +1193,48 @@ class StatQueriesSpec extends SparkSpec {
       s"A2 ${got.getDouble(2)} vs brute $a2")
     assert(got.getBoolean(3) == (a2 > 2.492))
   }
+
+  test("overdispersion index matches an exact per-nation replay") {
+    val counts = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getInt(1), counts.getOrElse(r.getLong(0), 0L)))
+    val want = cust.groupBy(_._1).map { case (nat, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val q = xs.map(x => x._2 * x._2).sum
+      nat -> (n, s, (n.toDouble * q - s.toDouble * s) / (n.toDouble * s))
+    }
+    val got = q("q_overdispersion").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (nat, (n, s, disp)) =>
+      val g = got(nat)
+      assert(g._1 == n && g._2 == s, s"nation $nat counts")
+      assert(math.abs(g._3 - disp) < 1e-6 + 1e-9,
+        s"nation $nat D ${g._3} vs $disp")
+      assert(g._4 == (disp > 1.5))
+    }
+  }
+
+  test("poisson rate test matches an exact two-year count replay") {
+    val yrs = Tables.orders(spark, sf)
+      .select(year(to_date(col("o_orderdate"))).as("yr")).collect()
+      .map(_.getInt(0)).filter(y => y == 1995 || y == 1996)
+    val n1 = yrs.count(_ == 1995).toLong
+    val n2 = yrs.count(_ == 1996).toLong
+    val p0 = 365.0 / 731.0
+    val n = (n1 + n2).toDouble
+    val z = (n1 - n * p0) / math.sqrt(n * p0 * (1.0 - p0))
+    val got = q("q_poisson_rate").collect()(0)
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(math.abs(got.getDouble(2) - n1 / 365.0) < 1e-3)
+    assert(math.abs(got.getDouble(3) - n2 / 366.0) < 1e-3)
+    assert(math.abs(got.getDouble(5) - z) < 1e-3 + 1e-9,
+      s"z ${got.getDouble(5)} vs brute $z")
+    assert(got.getBoolean(6) == (math.abs(z) > 1.96))
+  }
 }

@@ -744,6 +744,82 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(got.getLong(2) == os.toLong, s"oversold ${got.getLong(2)} vs $os")
     assert(math.abs(got.getDouble(3) - want) < 1e-3 + 1e-9)
   }
+
+  test("arch lm matches a sequential squared-residual lag regression") {
+    val v = datedDaily().map(_._2)
+    val pairs = (1 until v.length).map(i => (v(i), v(i - 1)))
+    val n = pairs.length.toDouble
+    val sy = pairs.map(_._1.toDouble).sum
+    val syl = pairs.map(_._2.toDouble).sum
+    val syl2 = pairs.map(p => p._2.toDouble * p._2).sum
+    val syyl = pairs.map(p => p._1.toDouble * p._2).sum
+    val b1 = (n * syyl - syl * sy) / (n * syl2 - syl * syl)
+    val b0 = (sy * syl2 - syl * syyl) / (n * syl2 - syl * syl)
+    val e = pairs.map { case (y, yl) => math.round(y - (b0 + b1 * yl)) }
+    val x2 = e.map(x => x.toDouble * x)
+    val lp = (1 until x2.length).map(i => (x2(i), x2(i - 1)))
+    val m = lp.length.toDouble
+    val sx = lp.map(_._2).sum; val sy2 = lp.map(_._1).sum
+    val sxx = lp.map(p => p._2 * p._2).sum
+    val syy2 = lp.map(p => p._1 * p._1).sum
+    val sxy = lp.map(p => p._1 * p._2).sum
+    val num = m * sxy - sx * sy2
+    val r2 = num * num / ((m * sxx - sx * sx) * (m * syy2 - sy2 * sy2))
+    val got = TemporalQueries.queries("q_arch_lm")(spark, sf).collect()(0)
+    assert(got.getLong(0) == lp.length.toLong)
+    assert(math.abs(got.getDouble(1) - m * r2) < math.abs(m * r2) * 1e-3 + 1e-2,
+      s"LM ${got.getDouble(1)} vs brute ${m * r2}")
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
+  }
+
+  test("pacf matches a sequential durbin–levinson recompute; pacf1 = acf1") {
+    val rows = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("v"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    val m = rows.sum / rows.length
+    val c = rows.map(_ - m)
+    val c0 = c.map(x => x * x).sum
+    def rho(k: Int): Double =
+      (k until c.length).map(i => c(i) * c(i - k)).sum / c0
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p2 * r1
+    val p3 = (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+    val got = TemporalQueries.queries("q_pacf")(spark, sf).collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - r1) < 1e-4 + 1e-9)
+    assert(math.abs(got.getDouble(2) - p2) < 1e-4 + 1e-9)
+    assert(math.abs(got.getDouble(3) - p3) < 1e-4 + 1e-9)
+  }
+
+  test("control chart ooc counts and worst day match an exact replay") {
+    val rows = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val n = rows.length.toLong
+    val sc = rows.map(_._2).sum
+    var hi = 0L; var lo = 0L
+    var mx = BigInt(-1); var worst = ("", 0L)
+    rows.foreach { case (day, c) =>
+      val dev = BigInt(n) * c - sc
+      val dev2 = dev * dev
+      val lim = BigInt(9) * n * sc
+      if (dev > 0 && dev2 > lim) hi += 1
+      if (dev < 0 && dev2 > lim) lo += 1
+      if (dev2 > mx) { mx = dev2; worst = (day, c) }
+    }
+    val got = TemporalQueries.queries("q_control_chart")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == hi && got.getLong(2) == lo,
+      s"ooc ${got.getLong(1)}/${got.getLong(2)} vs $hi/$lo")
+    assert(math.abs(got.getDouble(3) - sc.toDouble / n) < 1e-6)
+    assert(got.getDate(4).toString == worst._1)
+    assert(got.getLong(5) == worst._2)
+  }
 }
 
 private object TemporalQueriesSpecHelper {
