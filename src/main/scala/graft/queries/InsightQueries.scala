@@ -139,19 +139,31 @@ object InsightQueries {
     * dimension (brands) broadcasts into both support joins; all three
     * aggregates are map-side-combined groupBys. The order count rides
     * in as a broadcast 1-row cross join (the documented pattern). */
+  /** Memoized distinct (orderkey, brand) basket relation — THREE
+    * operators (assoc rules, item-CF, brand recommender) derive from
+    * it, each hitting it several times. Memoized + persisted for the
+    * session (the [[graft.queries.TextQueries.ngramPairsShared]]
+    * precedent — per-query drains would re-run the lineitem⋈part
+    * distinct once per operator; at 100 TB the basket relation is a
+    * landed table). One bounded entry per (session, dir), not
+    * CacheRegistry-registered by design. */
+  private val itemsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    itemsMemo.computeIfAbsent((s, d), _ =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Shared basket machinery for the association/recommendation pair:
-    * the distinct (orderkey, brand) relation (persisted — both
-    * consumers hit it several times), per-item supports, and the
-    * a<b co-occurrence pair counts above `minPair`. */
+    * the memoized basket relation, per-item supports, and the a<b
+    * co-occurrence pair counts above `minPair`. */
   private def basketPairs(s: SparkSession, d: String, minPair: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val items = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-      .persist()
-    CacheRegistry.register(items)
+    val items = basketItems(s, d)
     val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok")

@@ -451,6 +451,39 @@ object EventStreams {
         round(col("p_value"), 2).as("purchase_value"))
   }
 
+  /** LEFT OUTER watermarked interval join — the attribution join where
+    * UNCONVERTED clicks must still appear (they are the denominator of
+    * every conversion rate). Exercises the outer-join semantics the
+    * inner form never does: Spark holds each unmatched click in state
+    * until the watermark passes its join window's upper bound, then
+    * emits it once with a null purchase side — so the stream's output
+    * is eventually-complete, not batch-instant, and the spec drives
+    * the watermark forward explicitly to observe the null emissions.
+    * Same interval and 10-minute watermarks as [[clickPurchaseJoin]].
+    *
+    * Scale shape: identical to the inner form — state is bounded by
+    * the watermark horizon on both sides; the outer variant adds only
+    * the deferred left-row buffer, which the same horizon bounds. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"),
+      "leftOuter")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        round(col("p_value"), 2).as("purchase_value"))
+  }
+
   /** Drive any streaming frame to completion against an in-memory
     * table; returns the materialized result. Used by tests and demos —
     * production sinks are writeStream.format("parquet"/"kafka"/...). */

@@ -221,6 +221,65 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch left join") {
+    // outer rows only emit once the watermark passes a click's match
+    // window, so land the real events first and then two far-future
+    // dummy batches (user_id = -1, one click + one purchase each) that
+    // drive BOTH sides' watermarks far past every real click
+    val root = java.nio.file.Files.createTempDirectory("graft-louter")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def bump(days: Int) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(days.toLong * 86400L * 1000000000L)
+      case _ => col("ts") + expr(s"INTERVAL $days DAYS")
+    }
+    Seq((20, "d1"), (40, "d2")).foreach { case (days, tag) =>
+      val scratch = root.resolve(s"scratch-$tag")
+      raw.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("event_id")))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("ts", bump(days))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, in.resolve(s"$tag.parquet"))
+    }
+    val stream = EventStreams.clickPurchaseLeftJoin(
+      EventStreams.readEvents(spark, in.toString))
+    val got = EventStreams.runToMemory(spark, stream, "t_ssljoin", "append")
+      .filter(col("user_id") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    val want = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        round(col("value"), 2).as("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"stream-only: ${(got diff want).take(3)}; batch-only: ${(want diff got).take(3)}")
+    // the outer join genuinely adds rows: unconverted clicks exist
+    assert(want.exists(_(3) == null), "fixture has no unmatched clicks")
+  }
+
   test("rate source generates the events shape deterministically") {
     val q = EventStreams.rateEvents(spark, rowsPerBatch = 50)
       .writeStream.format("memory").queryName("t_rate").outputMode("append")
