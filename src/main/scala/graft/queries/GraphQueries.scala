@@ -310,11 +310,13 @@ object GraphQueries {
   /** k-core decomposition (k=20) of the purchase graph — the density
     * filter behind community mining and fraud-ring detection: peel
     * every node of degree < k, recompute degrees, repeat. The peel
-    * runs a FIXED 4 rounds (matching the unrolled-CTE oracle, the
-    * q_label_prop contract) with a `converged` pin asserting rounds 3
-    * and 4 retain the same node set — on this graph the fixpoint
-    * arrives in 2, so the pin is structural headroom; production use
-    * loops the identical round body to convergence. Each round is one
+    * runs a FIXED 3 rounds (matching the unrolled-CTE oracle, the
+    * q_label_prop contract) with a `converged` pin asserting rounds 2
+    * and 3 retain the same node set — on this graph the fixpoint
+    * arrives in 2, so the pin keeps one round of structural headroom
+    * (round 13 trimmed the second spare round: the pin FAILS LOUDLY
+    * if the data ever needs it back); production use loops the
+    * identical round body to convergence. Each round is one
     * map-side-combined degree count + two semi-join-shaped equi-joins
     * against the surviving-node set (node-sized, broadcast-able);
     * lineage cut per round through [[Checkpoints.cut]], the q_sssp
@@ -330,7 +332,7 @@ object GraphQueries {
       pairs.select(col("c").as("src"), (-col("sk")).as("dst"))
         .unionAll(pairs.select((-col("sk")).as("src"), col("c").as("dst"))))
     var nodesAfter = Array.empty[Long]
-    (1 to 4).foreach { _ =>
+    (1 to 3).foreach { _ =>
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kMin).select("src")
       edges = Checkpoints.cut(
@@ -341,9 +343,9 @@ object GraphQueries {
     }
     edges.agg(count(lit(1)).as("ne"))
       .select(lit(kMin).as("k"),
-        lit(nodesAfter(3)).as("n_core"),
+        lit(nodesAfter(2)).as("n_core"),
         expr("ne DIV 2").as("n_core_edges"),
-        lit(nodesAfter(2) == nodesAfter(3)).as("converged"))
+        lit(nodesAfter(1) == nodesAfter(2)).as("converged"))
   }
 
   /** Adamic–Adar link prediction over supplier pairs — the classic
@@ -769,15 +771,12 @@ object GraphQueries {
                 JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
          k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 20),
          e3 AS (SELECT e.src, e.dst FROM e2 e
-                JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
-         k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 20),
-         e4 AS (SELECT e.src, e.dst FROM e3 e
-                JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src)
+                JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
          SELECT 20 AS k,
-                (SELECT count(DISTINCT src) FROM e4) AS n_core,
-                (SELECT count(*) FROM e4) // 2 AS n_core_edges,
-                (SELECT count(DISTINCT src) FROM e3)
-                  = (SELECT count(DISTINCT src) FROM e4) AS converged""",
+                (SELECT count(DISTINCT src) FROM e3) AS n_core,
+                (SELECT count(*) FROM e3) // 2 AS n_core_edges,
+                (SELECT count(DISTINCT src) FROM e2)
+                  = (SELECT count(DISTINCT src) FROM e3) AS converged""",
     // The 3 iterations unroll into chained CTEs — plain SQL, exact.
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst

@@ -58,7 +58,7 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.getInt(0) == 20)
     assert(got.getLong(1) == core.size, "core node count")
     assert(got.getLong(2) == edges.size / 2, "core edge count")
-    assert(got.getBoolean(3), "fixpoint within the 4 unrolled rounds")
+    assert(got.getBoolean(3), "fixpoint within the 3 unrolled rounds")
     // the defining invariant: every surviving node keeps degree >= k
     // inside the core (vacuously true if the core is empty)
     val degIn = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
