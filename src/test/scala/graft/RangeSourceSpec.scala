@@ -61,6 +61,23 @@ class RangeSourceSpec extends SparkSpec {
       "tag predicate is residual: full generation expected")
   }
 
+  test("LIMIT is pushed into planning: readers generate exactly limit rows") {
+    graft.sources.RangeSource.rowsRead.set(0)
+    val got = ranged(0, 1000, 8).limit(7)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(0L until 7L))
+    val generated = graft.sources.RangeSource.rowsRead.get()
+    assert(generated == 7,
+      s"limit pushdown must truncate generation to 7 rows, got $generated")
+    // limit composes with a pushed filter: only the surviving prefix
+    graft.sources.RangeSource.rowsRead.set(0)
+    val fl = ranged(0, 1000, 4).filter(col("id") >= 100).limit(3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(fl.sameElements(100L until 103L))
+    assert(graft.sources.RangeSource.rowsRead.get() == 3,
+      "filter+limit must generate exactly the 3 surviving rows")
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
