@@ -49,15 +49,27 @@ object GraphQueries {
     (SparkSession, String), DataFrame]()
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
     edgeMemo.computeIfAbsent((s, d), _ => {
-      val pairs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
-        .distinct()
+      val pairs = custSuppPairs(s, d)
+        .select(col("cust").as("src"), (-col("supp")).as("dst"))
       pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Memoized distinct (customer, supplier) purchase pair relation —
+    * the bipartite base FIVE operators derive from (k-core,
+    * link prediction, modularity, HITS, and [[purchaseEdges]]'s
+    * symmetrization). Same session-memo contract as purchaseEdges. */
+  private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def custSuppPairs(s: SparkSession, d: String): DataFrame =
+    pairMemo.computeIfAbsent((s, d), _ =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** PageRank over the undirected customer–supplier purchase graph.
     *
@@ -324,10 +336,8 @@ object GraphQueries {
     * change it — so the result is deterministic by construction. */
   private val kcore: Q = (s, d) => {
     val kMin = 20
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
+    val pairs = custSuppPairs(s, d)
+      .select(col("cust").as("c"), col("supp").as("sk"))
     var edges = Checkpoints.cut(
       pairs.select(col("c").as("src"), (-col("sk")).as("dst"))
         .unionAll(pairs.select((-col("sk")).as("src"), col("c").as("dst"))))
@@ -364,17 +374,10 @@ object GraphQueries {
     * (standard AA practice: a hub's 1/ln weight is negligible but its
     * k² pair cost is not). Top-20 via TakeOrdered, no window. */
   private val linkPredict: Q = (s, d) => {
-    // persisted: the adjacency feeds BOTH the degree-weight aggregate
-    // and the pair self-join probe — without a cache the fact-table
-    // join + distinct runs twice
-    // and registered for post-materialization release (the cache must
-    // outlive this builder — the returned plan reads it twice when the
-    // caller runs it — so the harness drains it after the query)
-    val pairs = CacheRegistry.register(Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-      .persist())
+    // the memoized adjacency feeds BOTH the degree-weight aggregate
+    // and the pair self-join probe — without the shared cache the
+    // fact-table join + distinct would run twice per execution
+    val pairs = custSuppPairs(s, d)
     val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select(col("cust"),
@@ -401,11 +404,7 @@ object GraphQueries {
     * the [[linkPredict]] cap); each community's term is ONE mirrored
     * double expression micro-rounded to 1e-9 before the 25-term sum. */
   private val modularity: Q = (s, d) => {
-    val adj = CacheRegistry.register(Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-      .persist())
+    val adj = custSuppPairs(s, d)
     val caps = adj.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select("cust")
@@ -555,11 +554,8 @@ object GraphQueries {
     * the max at emission. Top-10 per role, ties by node asc; every
     * shuffle is node- or edge-keyed, both top-10s TakeOrdered. */
   private val hits: Q = (s, d) => {
-    val e = CacheRegistry.register(Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .distinct()
-      .persist())
+    val e = custSuppPairs(s, d)
+      .select(col("cust").as("c"), col("supp").as("sp"))
     val a1 = e.groupBy("sp").agg(count(lit(1)).as("a1"))
     val h1 = e.join(a1, "sp").groupBy("c").agg(sum("a1").as("h1"))
     val a2 = CacheRegistry.register(
