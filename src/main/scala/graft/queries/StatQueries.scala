@@ -1781,7 +1781,43 @@ object StatQueries {
       (abs(z) > lit(1.96)).as("reject_equal_rates"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch–Slack): the q_mann_kendall
+    * monotone-trend statistic computed WITHIN each month-of-year season
+    * and summed — a trend test immune to seasonal cycling (a pure
+    * seasonal pattern contributes same-month pairs only, which see no
+    * trend). S = Σ_g S_g is an exact integer from the same-month pair
+    * join (12 × C(n_g, 2) pairs — an order of magnitude fewer than the
+    * global MK's C(n, 2)); Var(S) = Σ_g [n_g(n_g−1)(2n_g+5) − ties]/18
+    * with per-season tie corrections, one mirrored division + sqrt. */
+  private val seasonalMk: Q = (s, d) => {
+    val daily = dailyCents(s, d).withColumn("moy", month(col("day")))
+    val b = daily.select(col("moy").as("m2"), col("day").as("d2"),
+      col("v").as("v2"))
+    val p = daily.join(broadcast(b),
+      col("moy") === col("m2") && col("day") < col("d2"))
+      .agg(sum(when(col("v2") > col("v"), 1L)
+        .when(col("v2") < col("v"), -1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("m"))
+    val vr = daily.groupBy("moy").agg(count(lit(1)).as("ng"))
+      .agg(sum(col("ng") * (col("ng") - 1) * (lit(2) * col("ng") + 5))
+        .as("v0"),
+        count(lit(1)).as("n_seasons"))
+    val ties = daily.groupBy("moy", "v").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+        lit(0L)).as("t3"))
+    val z = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(0L).cast("double") /
+      sqrt((col("v0") - col("t3")) / lit(18.0))
+    p.crossJoin(broadcast(vr)).crossJoin(broadcast(ties))
+      .select(col("n_seasons"), col("m").as("n_pairs"), col("s"),
+        round(z, 4).as("z"),
+        (abs(z) > lit(1.96)).as("trend"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seasonal_mk" -> seasonalMk,
     "q_overdispersion" -> overdispersion,
     "q_poisson_rate" -> poissonRate,
     "q_chow" -> chow,
@@ -1831,6 +1867,36 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same-month pair join, exact integer S, per-season tie-corrected
+    // variance, one mirrored division + sqrt (the q_mann_kendall shape)
+    "q_seasonal_mk" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         dm AS (SELECT day, v, month(day) AS moy FROM dly),
+         p AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                    WHEN b.v < a.v THEN -1
+                                    ELSE 0 END) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM dm a JOIN dm b
+                 ON a.moy = b.moy AND a.day < b.day),
+         vr AS (SELECT CAST(sum(ng * (ng - 1) * (2 * ng + 5))
+                  AS BIGINT) AS v0,
+                       CAST(count(*) AS BIGINT) AS n_seasons
+                FROM (SELECT count(*) AS ng FROM dm GROUP BY moy)),
+         t AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                 AS BIGINT) AS t3
+               FROM (SELECT count(*) AS t FROM dm GROUP BY moy, v)
+               WHERE t > 1),
+         z AS (SELECT n_seasons, m, s,
+                 CAST(CASE WHEN s > 0 THEN s - 1
+                           WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+                 / sqrt((v0 - t3) / 18.0) AS z
+               FROM p, vr, t)
+         SELECT n_seasons, m AS n_pairs, s, round(z, 4) AS z,
+                abs(z) > 1.96 AS trend
+         FROM z""",
     // exact integer count sums; D and the mean are mirrored divisions
     "q_overdispersion" ->
       """WITH oc AS (SELECT c.c_nationkey AS nation,

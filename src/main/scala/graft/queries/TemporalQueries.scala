@@ -1633,7 +1633,41 @@ object TemporalQueries {
         col("worst_day"), col("worst_count"))
   }
 
+  /** Hyndman-style seasonal-strength diagnostic over the
+    * [[stlDecompose]] machinery: F_s = max(0, 1 − var(resid)/var(rr))
+    * where rr is the detrended ratio and resid the ratio after the
+    * month-of-year seasonal is divided out — ONE calibrated number
+    * answering "is the seasonal component worth modeling?" where the
+    * STL emission shows the full decomposition. Same centered-MA
+    * construction, same rounded components, variances over the
+    * ~72-month grid via var_pop (the q_zipf_slope emission class). */
+  private val seasonalStrength: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("month")
+    val inner = Window.orderBy("month").rowsBetween(-5, 5)
+    val detr = m
+      .withColumn("num", lit(2) * sum("v").over(inner)
+        + lag("v", 6).over(w) + lead("v", 6).over(w))
+      .filter(col("num").isNotNull)
+      .withColumn("rr",
+        round(col("v") * 24 / col("num").cast("double"), 6))
+      .withColumn("moy", month(col("month")))
+    val seasonal = detr.groupBy("moy")
+      .agg(round(avg("rr"), 6).as("seasonal"))
+    detr.join(broadcast(seasonal), "moy")
+      .select(col("rr"), round(col("rr") / col("seasonal"), 6).as("resid"))
+      .agg(count(lit(1)).as("n_months"),
+        round(var_pop(col("rr")), 6).as("var_detrended"),
+        round(var_pop(col("resid")), 6).as("var_resid"),
+        round(greatest(lit(0.0),
+          lit(1.0) - var_pop(col("resid")) / var_pop(col("rr"))), 4)
+          .as("seasonal_strength"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seasonal_strength" -> seasonalStrength,
     "q_arch_lm" -> archLm,
     "q_pacf" -> pacf,
     "q_control_chart" -> controlChart,
@@ -1686,6 +1720,34 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     // six exact int128 frame sums over the day grid; each day's r is
     // one mirrored Pearson emission (full 30-day frames only)
+    // the q_stl_decompose construction verbatim, then two var_pop
+    // terms and the mirrored strength emission
+    "q_seasonal_strength" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS month,
+                           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS v
+                    FROM orders GROUP BY 1),
+         d AS (SELECT month, v,
+                      2 * sum(v) OVER (ORDER BY month ROWS BETWEEN
+                        5 PRECEDING AND 5 FOLLOWING)
+                        + lag(v, 6) OVER (ORDER BY month)
+                        + lead(v, 6) OVER (ORDER BY month) AS num
+               FROM m QUALIFY num IS NOT NULL),
+         r AS (SELECT round((v * 24) / CAST(num AS DOUBLE), 6) AS rr,
+                      month(month) AS moy
+               FROM d),
+         se AS (SELECT moy, round(avg(rr), 6) AS seasonal
+                FROM r GROUP BY 1),
+         j AS (SELECT rr, round(rr / seasonal, 6) AS resid
+               FROM r JOIN se USING (moy))
+         SELECT CAST(count(*) AS BIGINT) AS n_months,
+                round(var_pop(rr), 6) AS var_detrended,
+                round(var_pop(resid), 6) AS var_resid,
+                round(greatest(0.0,
+                  1.0 - var_pop(resid) / var_pop(rr)), 4)
+                  AS seasonal_strength
+         FROM j""",
     // stage 1 is the q_durbin_watson AR(1) replay verbatim; stage 2's
     // squared-residual sums are exact HUGEINTs, R²/LM mirrored doubles
     "q_arch_lm" ->

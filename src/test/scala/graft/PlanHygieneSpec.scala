@@ -108,8 +108,10 @@ class PlanHygieneSpec extends SparkSpec {
     // 1-row AR(1)-fit frame onto the day pairs (the durbin_watson
     // shape); control_chart its 1-row totals/argmax frames
     "q_hits", "q_drawdown", "q_rsi", "q_arch_lm", "q_control_chart",
-    // pacf crosses the 1-row series-mean frame (the q_acf shape)
-    "q_pacf")
+    // pacf crosses the 1-row series-mean frame (the q_acf shape);
+    // seasonal MK crosses its 1-row variance/tie frames and
+    // broadcasts the day grid under the same-month pair join
+    "q_pacf", "q_seasonal_mk")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -160,8 +162,11 @@ class PlanHygieneSpec extends SparkSpec {
     // round 13: equity-curve trio — every window (cumsum, running
     // peak, 20/14-day frames, lag) rides the bounded ~2.4k-row
     // calendar-day grid, the q_rolling_corr class; pacf's three lag
-    // columns ride the same grid (the q_acf shape)
-    "q_drawdown", "q_bollinger", "q_rsi", "q_pacf")
+    // columns ride the same grid (the q_acf shape); seasonal
+    // strength's centered MA rides the ~84-row month grid (the
+    // q_stl_decompose class)
+    "q_drawdown", "q_bollinger", "q_rsi", "q_pacf",
+    "q_seasonal_strength")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

@@ -1220,6 +1220,36 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonal mann–kendall matches a sequential same-month pair count") {
+    val rows = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byMoy = rows.groupBy(_._1.getMonthValue)
+    var s = 0L; var m = 0L; var v0 = 0L; var t3 = 0L
+    byMoy.values.foreach { xs =>
+      val sorted = xs.sortBy(_._1.toString)
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        m += 1
+        val d = sorted(j)._2 - sorted(i)._2
+        if (d > 0) s += 1 else if (d < 0) s -= 1
+      }
+      val ng = sorted.length.toLong
+      v0 += ng * (ng - 1) * (2 * ng + 5)
+      sorted.groupBy(_._2).values.map(_.length.toLong).filter(_ > 1)
+        .foreach(t => t3 += t * (t - 1) * (2 * t + 5))
+    }
+    val z = (if (s > 0) s - 1 else if (s < 0) s + 1 else 0L).toDouble /
+      math.sqrt((v0 - t3) / 18.0)
+    val got = q("q_seasonal_mk").collect()(0)
+    assert(got.getLong(0) == byMoy.size.toLong)
+    assert(got.getLong(1) == m && got.getLong(2) == s,
+      s"pairs/S ${got.getLong(1)}/${got.getLong(2)} vs $m/$s")
+    assert(math.abs(got.getDouble(3) - z) < 1e-3 + 1e-9,
+      s"z ${got.getDouble(3)} vs brute $z")
+    assert(got.getBoolean(4) == (math.abs(z) > 1.96))
+  }
+
   test("poisson rate test matches an exact two-year count replay") {
     val yrs = Tables.orders(spark, sf)
       .select(year(to_date(col("o_orderdate"))).as("yr")).collect()

@@ -793,6 +793,40 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - p3) < 1e-4 + 1e-9)
   }
 
+  test("seasonal strength matches a sequential STL-ratio replay; in [0,1]") {
+    val ms = Tables.orders(spark, sf)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("month").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // centered 2x12 MA: num = 2*sum(v[-5..+5]) + v[-6] + v[+6]
+    val rrs = (6 until ms.length - 6).map { i =>
+      val num = 2L * (i - 5 to i + 5).map(j => ms(j)._2).sum +
+        ms(i - 6)._2 + ms(i + 6)._2
+      (ms(i)._1.getMonthValue, r6(ms(i)._2 * 24 / num.toDouble))
+    }
+    val seasonal = rrs.groupBy(_._1).map { case (moy, xs) =>
+      moy -> r6(xs.map(_._2).sum / xs.length)
+    }
+    val resid = rrs.map { case (moy, rr) => r6(rr / seasonal(moy)) }
+    def varPop(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val vd = varPop(rrs.map(_._2)); val vr = varPop(resid)
+    val strength = math.max(0.0, 1.0 - vr / vd)
+    val got = TemporalQueries.queries("q_seasonal_strength")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == rrs.length.toLong)
+    assert(math.abs(got.getDouble(1) - vd) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(2) - vr) < 1e-6 + 1e-9)
+    assert(math.abs(got.getDouble(3) - strength) < 1e-3 + 1e-9,
+      s"F_s ${got.getDouble(3)} vs brute $strength")
+    assert(got.getDouble(3) >= 0.0 && got.getDouble(3) <= 1.0)
+  }
+
   test("control chart ooc counts and worst day match an exact replay") {
     val rows = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
