@@ -78,6 +78,20 @@ class RangeSourceSpec extends SparkSpec {
       "filter+limit must generate exactly the 3 surviving rows")
   }
 
+  test("reported statistics let a small range table broadcast in a join") {
+    // without SupportsReportStatistics a V2 relation defaults to
+    // defaultSizeInBytes (effectively infinite) and never broadcasts;
+    // with it, the 100-row side must plan as BroadcastHashJoin
+    val small = ranged(0, 100, 2)
+    val big = ranged(0, 200000, 8)
+    val joined = big.join(small.withColumnRenamed("val", "v2")
+      .withColumnRenamed("tag", "t2"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats must make the 100-row side broadcast:\n$plan")
+    assert(joined.count() == 100)
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
