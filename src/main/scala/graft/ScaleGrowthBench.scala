@@ -56,7 +56,11 @@ object ScaleGrowthBench {
     "q_dedup_containment", "q_dedup_containment_sfx", "q_dedup_spans",
     // round 9: prefix filtering — "~c" suffixes keep copies' shingle
     // universes disjoint, so prefix buckets and true pairs grow FACTOR×
-    "q_dedup_prefix")
+    "q_dedup_prefix",
+    // round 13: exact-substring extents — the "~c" suffix keeps every
+    // stride-1 16-token window copy-disjoint, so cross-doc repeats
+    // (and the per-doc extent merges) replicate exactly FACTOR×
+    "q_dedup_substr")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
