@@ -78,6 +78,30 @@ class RangeSourceSpec extends SparkSpec {
       "filter+limit must generate exactly the 3 surviving rows")
   }
 
+  test("ORDER BY id LIMIT is pushed: only the surviving range end generates") {
+    // ascending: the top-5 under id asc is the range PREFIX
+    graft.sources.RangeSource.rowsRead.set(0)
+    val asc = ranged(0, 1000, 8).orderBy(col("id")).limit(5)
+      .collect().map(_.getLong(0))
+    assert(asc.sameElements(0L until 5L))
+    assert(graft.sources.RangeSource.rowsRead.get() == 5,
+      s"asc top-5 must generate 5 rows, got ${graft.sources.RangeSource.rowsRead.get()}")
+    // descending: the top-5 under id desc is the range SUFFIX
+    graft.sources.RangeSource.rowsRead.set(0)
+    val desc5 = ranged(0, 1000, 8).orderBy(col("id").desc).limit(5)
+      .collect().map(_.getLong(0))
+    assert(desc5.sameElements((995L until 1000L).reverse))
+    assert(graft.sources.RangeSource.rowsRead.get() == 5,
+      s"desc top-5 must generate 5 rows, got ${graft.sources.RangeSource.rowsRead.get()}")
+    // a non-id sort must NOT push: full generation, correct answer
+    graft.sources.RangeSource.rowsRead.set(0)
+    val byVal = ranged(0, 100, 4).orderBy(col("tag"), col("id")).limit(3)
+      .collect().map(_.getLong(0))
+    assert(byVal.sameElements(Seq(0L, 10L, 20L)))
+    assert(graft.sources.RangeSource.rowsRead.get() == 100,
+      "non-id sort is not pushable: full generation expected")
+  }
+
   test("reported statistics let a small range table broadcast in a join") {
     // without SupportsReportStatistics a V2 relation defaults to
     // defaultSizeInBytes (effectively infinite) and never broadcasts;
