@@ -275,20 +275,25 @@ object RelationalQueries {
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
-  /** E6 exact quantiles (reference NB cell 22 probplot): SQL `percentile`
-    * with linear interpolation — matches DuckDB quantile_cont. The
-    * at-scale variant is approx_percentile (t-digest sketch). */
+  /** E6 exact quantiles (reference NB cell 22 probplot): same
+    * quantile_cont semantics as SQL `percentile`, computed by TWO-PASS
+    * HISTOGRAM NARROWING ([[histogramQuantiles]]) instead of the
+    * percentile aggregate. `percentile` keeps a value→count map of the
+    * WHOLE column in every partial buffer and sorts the merged map on
+    * one thread — the habitual plan that dies first at scale and was
+    * the perennial bench top-15 here. The narrowing plan is three
+    * codegen'd scans (moments, 2048 bucket counts, candidate-bucket
+    * rank pick) with O(buckets) driver traffic; the extracted order
+    * statistics are exactly the full sort's, so the interpolation —
+    * and the DuckDB quantile_cont oracle hash — are unchanged. The
+    * at-scale *approximate* variant is still approx_percentile
+    * (q_quantiles_approx, t-digest sketch). */
   private val quantiles: Q = (s, d) =>
-    // ONE percentile(col, array(...)) aggregate, not four: each separate
-    // percentile() call maintains its own value-count map over the whole
-    // column (4× the buffer build, merge, and sort at every scale)
-    Tables.lineitem(s, d)
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))").as("ps"))
-      .select(
-        round(element_at(col("ps"), 1), 4).as("p25"),
-        round(element_at(col("ps"), 2), 4).as("p50"),
-        round(element_at(col("ps"), 3), 4).as("p75"),
-        round(element_at(col("ps"), 4), 4).as("p95"))
+    emitQuantiles(s,
+      histogramQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+        Seq(0.25, 0.50, 0.75, 0.95)),
+      Seq("p25", "p50", "p75", "p95"),
+      Tables.lineitem(s, d))
 
   /** E6 grouped form: exact per-group quantiles — the profiling query a
     * feature store runs per segment. Same single-array-percentile
@@ -429,24 +434,102 @@ object RelationalQueries {
     } finally { sorted.unpersist(); () }
   }
 
-  private val quantilesSel: Q = (s, d) =>
-    selectQuantiles(Tables.lineitem(s, d), "l_extendedprice",
-      Seq(0.25, 0.50, 0.75, 0.95)) match {
+  /** Exact interpolated quantiles by TWO-PASS HISTOGRAM NARROWING —
+    * the DataFrame-land sibling of [[selectQuantiles]] (which
+    * range-sorts the whole column through an RDD). Pass 1: global
+    * (count, min, max), then `nBuckets` equal-width bucket counts —
+    * both pure codegen aggregates; the driver receives O(nBuckets)
+    * longs, never data. The bucket index floor((x−min)/w) is MONOTONE
+    * in x, so each bucket holds a contiguous global rank range and the
+    * cumulative counts locate every wanted order statistic as
+    * (bucket, local rank). Pass 2 scans ONLY the ≤2·|ps| candidate
+    * buckets (a pushed-down isin filter), ranks within each bucket
+    * (window PARTITIONED by bucket — per-partition state is one
+    * bucket, ~n/nBuckets rows, and a degenerate all-one-value column
+    * short-circuits before the window), and joins the broadcast wanted
+    * ranks. Interpolation is the exact quantile_cont formula on the
+    * same order statistics a full sort would yield — results and
+    * oracle hashes identical to SQL `percentile`. At 100 TB a skewed
+    * column can still concentrate one bucket; the documented recursion
+    * is to re-histogram inside that bucket (one extra pass), which
+    * this single-level form trades away for simplicity. */
+  private[graft] def histogramQuantiles(df: DataFrame, column: String,
+      ps: Seq[Double], nBuckets: Int = 2048): Option[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(column).cast("double")
+    val rows = df.select(x.as("xv")).filter(col("xv").isNotNull)
+    val head = rows.agg(count(lit(1)).as("n"),
+      min("xv").as("mn"), max("xv").as("mx")).collect()(0)
+    val n = head.getLong(0)
+    if (n == 0L) return None
+    val mn = head.getDouble(1)
+    val mx = head.getDouble(2)
+    val positions = ps.map(p => p * (n - 1))
+    if (mn == mx) return Some(positions.map(_ => mn))
+    val w = (mx - mn) / nBuckets
+    val bCol = least(greatest(
+      floor((col("xv") - lit(mn)) / lit(w)).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val counts = rows.groupBy(bCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBelow = new Array[Long](nBuckets)
+    var acc = 0L
+    var i = 0
+    while (i < nBuckets) {
+      cumBelow(i) = acc; acc += counts.getOrElse(i, 0L); i += 1
+    }
+    // 0-based global rank r lives in the last bucket with cumBelow <= r
+    // AND rows present; local 1-based rank = r - cumBelow + 1
+    val wantedRanks = positions.flatMap(pos =>
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+    val wants: Seq[(Int, Long, Long)] = wantedRanks.map { r =>
+      var bi = nBuckets - 1
+      while (bi > 0 && (cumBelow(bi) > r || !counts.contains(bi))) bi -= 1
+      (bi, r - cumBelow(bi) + 1, r)
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    val wantsDf = wants.toDF("wb", "lr", "gr")
+    val candBuckets = wants.map(_._1).distinct
+    val found = rows.select(col("xv"), bCol.as("b"))
+      .filter(col("b").isin(candBuckets: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("b").orderBy("xv")))
+      .join(broadcast(wantsDf),
+        col("b") === col("wb") && col("rn") === col("lr"))
+      .select(col("gr"), col("xv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Some(positions.map { pos =>
+      val lo = found(math.floor(pos).toLong)
+      val hi = found(math.ceil(pos).toLong)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    })
+  }
+
+  /** Emit a quantile cell row with the repo's round-4 presentation —
+    * shared by the narrowing and RDD-selection quantile forms. */
+  private def emitQuantiles(s: SparkSession, cells: Option[Seq[Double]],
+      names: Seq[String], emptySrc: DataFrame): DataFrame = {
+    import s.implicits._
+    cells match {
       case None =>
         // quantile of nothing is NULL in both engines
-        Tables.lineitem(s, d).agg(
-          lit(null).cast("double").as("p25"), lit(null).cast("double").as("p50"),
-          lit(null).cast("double").as("p75"), lit(null).cast("double").as("p95"))
-      case Some(cells) =>
-        import s.implicits._
-        Seq((cells(0), cells(1), cells(2), cells(3)))
-          .toDF("p25_raw", "p50_raw", "p75_raw", "p95_raw")
-          .select(
-            round(col("p25_raw"), 4).as("p25"),
-            round(col("p50_raw"), 4).as("p50"),
-            round(col("p75_raw"), 4).as("p75"),
-            round(col("p95_raw"), 4).as("p95"))
+        emptySrc.agg(lit(null).cast("double").as(names.head),
+          names.tail.map(nm => lit(null).cast("double").as(nm)): _*)
+      case Some(vs) =>
+        Seq(1).toDF("one")
+          .select(names.zipWithIndex.map { case (nm, ix) =>
+            round(lit(vs(ix)), 4).as(nm)
+          }: _*)
     }
+  }
+
+  private val quantilesSel: Q = (s, d) =>
+    emitQuantiles(s,
+      selectQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+        Seq(0.25, 0.50, 0.75, 0.95)),
+      Seq("p25", "p50", "p75", "p95"),
+      Tables.lineitem(s, d))
 
   /** Per-group z-score outlier filter — the standard feature-pipeline
     * guard: group stats (one partial+final aggregate over ~3 groups)

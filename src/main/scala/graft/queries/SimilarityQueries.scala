@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.SimHashAgg
 
 /** Similarity search + hash-based near-dedup over the embeddings and
   * documents tables (SURVEY.md §2.13).
@@ -329,20 +328,57 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
-  /** SimHash near-dedup: 64-bit simhash per doc from word hashes via
-    * the SimHashAgg Aggregator, banded Hamming-<=3 candidate join,
-    * exact popcount verification. */
-  private val dedupSimhash: Q = (s, d) => {
-    import s.implicits._
+  /** SimHash near-dedup: 64-bit simhash per doc from word hashes,
+    * banded Hamming-<=3 candidate join, exact popcount verification.
+    *
+    * The bit-vote aggregate is DECLARATIVE — 64 codegen'd
+    * sum(bit_b(wh)) columns in one map-side-combined groupBy — rather
+    * than the typed [[graft.functions.SimHashAgg]] Aggregator path
+    * (which forces the row through the non-codegen Dataset
+    * serialization boundary twice). Same semantics, proven by
+    * [[SimHashAgg]]'s own vote rule: per-bit vote = 2·ones_b − n, bit
+    * set iff vote > 0 ⇔ 2·ones_b > n; ties (2·ones_b = n) map to 0 in
+    * both. SimHashAgg remains the declared custom-UDAF surface
+    * (SURVEY §2.12, PropertySpec) — this query just takes the plan
+    * whole-stage codegen can fuse. */
+  /** The declarative 64-bit signature frame (doc_id, simhash) — split
+    * out so the spec can pin it row-for-row against the typed
+    * SimHashAgg path over the same xxhash64 word hashes.
+    *
+    * The vote counts are PACKED TWO PER AGGREGATE: column `p_b` sums
+    * ((wh>>b)&1) | ((wh>>(b+32))&1)<<32, so its low 32 bits accumulate
+    * ones-count of bit b and its high 32 bits bit b+32 — no carry can
+    * cross the lanes until a single doc exceeds 2³² words. 32 packed
+    * sums + count = 34 aggregate fields, which keeps the whole
+    * aggregate inside whole-stage codegen (a naive 64-sum layout blows
+    * the spark.sql.codegen.maxFields=100 default and the interpreted
+    * fallback runs ~3× slower — measured, BASELINE round-14 notes). */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("wh"))
-    val sim = words
-      .select(col("doc_id").as("_1"), col("wh").as("_2")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(SimHashAgg.toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
+    val packedCols = (0 until 32).map(b =>
+      sum(shiftright(col("wh"), b).bitwiseAND(lit(1L)) +
+        shiftleft(shiftright(col("wh"), b + 32).bitwiseAND(lit(1L)), 32))
+        .as(s"p$b"))
+    val sums = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), packedCols: _*)
+    // unpack both lanes; bit set iff 2·ones > n (vote = 2·ones − n > 0,
+    // ties → 0 — SimHashAgg's exact rule). Sum of disjoint powers of
+    // two = the OR of the bit pattern (the dedupSimhashOracle idiom,
+    // extended to bit 63 where 1L<<63 is Long.MinValue — still a
+    // disjoint bit, two's complement exact).
+    def ones(b: Int): org.apache.spark.sql.Column =
+      if (b < 32) col(s"p$b").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftrightunsigned(col(s"p${b - 32}"), 32)
+    sums.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(ones(b) * 2 > col("nw"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  private val dedupSimhash: Q = (s, d) => {
+    val sim = simhashSignatures(s, d)
     val bands = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS LONG))"))

@@ -82,6 +82,26 @@ class TextSimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) >= 0.35))
   }
 
+  test("declarative simhash signatures equal the SimHashAgg typed path") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // the typed-Aggregator path q_dedup_simhash used through round 13:
+    // same xxhash64 word hashes, per-bit +/-1 votes, bit = vote > 0
+    val typed = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id").as("_1"), xxhash64(col("word")).as("_2"))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.SimHashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decl = SimilarityQueries.simhashSignatures(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decl == typed,
+      s"signature drift on docs ${(decl.keySet ++ typed.keySet).filter(k => decl.get(k) != typed.get(k)).take(5)}")
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
     val exact = TextQueries.queries("q_dedup_ngram")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
