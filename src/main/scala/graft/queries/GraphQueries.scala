@@ -45,31 +45,26 @@ object GraphQueries {
     * pointing every graph job at it. One bounded edge-list-sized
     * entry per (session, dir) — deliberately NOT registered with
     * CacheRegistry, exactly like the memoized shingle tables. */
-  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
-    edgeMemo.computeIfAbsent((s, d), _ => {
+    SessionMemo("graph.purchaseEdges", s, d) {
       val pairs = custSuppPairs(s, d)
         .select(col("cust").as("src"), (-col("supp")).as("dst"))
       pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Memoized distinct (customer, supplier) purchase pair relation —
     * the bipartite base FIVE operators derive from (k-core,
     * link prediction, modularity, HITS, and [[purchaseEdges]]'s
     * symmetrization). Same session-memo contract as purchaseEdges. */
-  private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
   private def custSuppPairs(s: SparkSession, d: String): DataFrame =
-    pairMemo.computeIfAbsent((s, d), _ =>
+    SessionMemo("graph.custSuppPairs", s, d) {
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** PageRank over the undirected customer–supplier purchase graph.
     *

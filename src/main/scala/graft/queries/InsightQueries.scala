@@ -147,16 +147,14 @@ object InsightQueries {
     * distinct once per operator; at 100 TB the basket relation is a
     * landed table). One bounded entry per (session, dir), not
     * CacheRegistry-registered by design. */
-  private val itemsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
   private def basketItems(s: SparkSession, d: String): DataFrame =
-    itemsMemo.computeIfAbsent((s, d), _ =>
+    SessionMemo("insight.basketItems", s, d) {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Shared basket machinery for the association/recommendation pair:
     * the memoized basket relation, per-item supports, and the a<b

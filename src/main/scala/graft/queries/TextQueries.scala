@@ -29,6 +29,20 @@ object TextQueries {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
+  /** Memoized documents frame with the split-words column and the
+    * language marker scores — the shared base most text operators
+    * scan (lang-id family, quality family, every shingle builder).
+    * Cached once per (session, dir) via [[SessionMemo]]: the per-row
+    * split/marker work is cheap, but re-deriving it once per query is
+    * exactly the repetition that at 100 TB is landed as a
+    * curated-columns table once. InMemoryRelation prunes cached
+    * column batches, so consumers that ignore the score columns
+    * don't deserialize them. */
+  private[graft] def docsWithWords(s: SparkSession, d: String): DataFrame =
+    SessionMemo("text.docsWords", s, d) {
+      withLangScores(withWords(Tables.documents(s, d)))
+    }
+
   /** Word-3-gram shingle array from a `w` (split words) column; empty
     * for sub-3-word docs (guarding sequence(0, n<0), which throws).
     * Single definition shared by the n-gram, MinHash, and MLlib-LSH
@@ -52,7 +66,7 @@ object TextQueries {
     * integer-threshold near-dup detector already accepts (MinHash
     * banding is orders of magnitude noisier). */
   def shingleRows(s: SparkSession, d: String): DataFrame =
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(col("doc_id"),
         explode(expr(shingleArraySql)).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
@@ -63,13 +77,13 @@ object TextQueries {
     * byte-identical input in both engines, so the shingle cannot be
     * collapsed to the xxhash64 identity [[shingleRows]] ships at scale. */
   def shingleStringRows(s: SparkSession, d: String): DataFrame =
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
       .distinct()
 
   /** Per (lang, source) corpus statistics. */
   private val textStats: Q = (s, d) =>
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -178,7 +192,7 @@ object TextQueries {
     * [[predLangCol]] and [[nbPredictions]] verbatim, so the test can
     * never drift from the labelers it compares. */
   private val mcnemar: Q = (s, d) => {
-    val a = withLangScores(withWords(Tables.documents(s, d)))
+    val a = docsWithWords(s, d)
       .withColumn("pred_a", predLangCol)
       .select("doc_id", "lang", "pred_a")
     val b = nbPredictions(s, d).select(col("doc_id"),
@@ -250,7 +264,7 @@ object TextQueries {
     * per-language marker-word hit counts (n-gram-profile heuristic
     * reduced to its SQL-expressible core so DuckDB can oracle it). */
   private val langId: Q = (s, d) =>
-    withLangScores(withWords(Tables.documents(s, d)))
+    docsWithWords(s, d)
       .withColumn("pred_lang", predLangCol)
       .select("doc_id", "lang", "score_en", "score_es", "score_de", "pred_lang")
       .orderBy("doc_id")
@@ -265,7 +279,7 @@ object TextQueries {
     * marginals (≤4×4 grid); kappa one mirrored double expression. */
   private val cohenKappa: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val base = withLangScores(withWords(Tables.documents(s, d)))
+    val base = docsWithWords(s, d)
       .withColumn("pred_lang", predLangCol)
       .select("lang", "pred_lang")
     val head = base.agg(count(lit(1)).as("n_docs"),
@@ -292,7 +306,7 @@ object TextQueries {
   /** Quality scoring: length band, punctuation density, stopword
     * presence — integer score 0-3 (no float-rounding ambiguity). */
   private val qualityScore: Q = (s, d) =>
-    withQualityCols(withWords(Tables.documents(s, d)))
+    withQualityCols(docsWithWords(s, d))
       .select("doc_id", "n_words", "n_punct", "n_stop", "quality")
       .orderBy("doc_id")
 
@@ -309,7 +323,7 @@ object TextQueries {
     * construction (the model is built from the same corpus), so the
     * join is inner with no OOV branch. */
   private val lmScore: Q = (s, d) => {
-    val words = withWords(Tables.documents(s, d))
+    val words = docsWithWords(s, d)
       .select(col("doc_id"), explode(col("w")).as("word"))
     val model = words.groupBy("word").agg(count(lit(1)).as("n_w"))
     val total = words.agg(count(lit(1)).as("n_total"))
@@ -335,7 +349,7 @@ object TextQueries {
     * by construction since every source word occurs in the corpus
     * marginal (Q(w) > 0 wherever P_s(w) > 0). */
   private val sourceDivergence: Q = (s, d) => {
-    val sw = withWords(Tables.documents(s, d))
+    val sw = docsWithWords(s, d)
       .select(col("source"), explode(col("w")).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("n_sw"))
     val perSource = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
@@ -395,7 +409,7 @@ object TextQueries {
     * groupBy shape as exact dedup — the policy adds no extra pass. */
   private val dedupSurvivor: Q = (s, d) => {
     val ord = col("quality") * lit(1000000000L) - col("doc_id")
-    withQualityCols(withWords(Tables.documents(s, d)))
+    withQualityCols(docsWithWords(s, d))
       .groupBy("text")
       .agg(
         max_by(col("doc_id"), ord).as("keep_id"),
@@ -576,11 +590,8 @@ object TextQueries {
     * pipeline has anyway. Keyed by (session, dir): inputs are
     * immutable, results deterministic, so reuse can never change a
     * result — only skip recomputation. */
-  private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def ngramPairsShared(s: SparkSession, d: String): DataFrame =
-    pairMemo.computeIfAbsent((s, d), _ =>
-      ngramPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    SessionMemo("text.ngramPairs", s, d) { ngramPairs(s, d) }
 
   private val dedupNgram: Q = (s, d) =>
     ngramPairsShared(s, d).orderBy("d1", "d2")
@@ -623,16 +634,14 @@ object TextQueries {
     * cannot dedupe the scan — without the persist the documents scan
     * and both window shuffles re-run once per branch (measured 4× scan
     * in the executed plan). */
-  private val rankedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def rankedShingles(s: SparkSession, d: String): DataFrame =
-    rankedMemo.computeIfAbsent((s, d), _ =>
+    SessionMemo("text.rankedShingles", s, d) {
       shingleRows(s, d)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   private val dedupPrefix: Q = (s, d) => {
     val ranked = rankedShingles(s, d)
@@ -764,7 +773,7 @@ object TextQueries {
     * into the predicate and re-evaluates it per reference — measured
     * 9× slower for the same rows. */
   private val repetitionRatio: Q = (s, d) =>
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .filter(size(col("w")) >= 3)
       .withColumn("sh", expr(shingleArraySql))
       .withColumn("ss", sort_array(col("sh")))
@@ -792,7 +801,7 @@ object TextQueries {
     val packBudget = 512
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(col("doc_id"), col("lang"),
         size(col("w")).cast("long").as("tok"))
       .withColumn("cum", sum("tok").over(w))
@@ -813,6 +822,11 @@ object TextQueries {
   private val docChunk: Q = (s, d) => {
     val window = 32
     val stride = 24
+    // direct pruned scan, NOT the docsWithWords memo: chunking is pure
+    // per-row projection work over (doc_id, text) and PlanHygieneSpec
+    // pins its scan to those columns — at 100 TB an example-generation
+    // pass streams the raw table once, it doesn't route through a
+    // cached curated frame
     withWords(Tables.documents(s, d))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       // degenerate rows (null text → size() = -1 under legacy
@@ -840,7 +854,7 @@ object TextQueries {
     * vocabulary never funnels through one task. */
   private val vocabBuild: Q = (s, d) => {
     val minCount = 5
-    val counted = withWords(Tables.documents(s, d))
+    val counted = docsWithWords(s, d)
       .select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -863,7 +877,7 @@ object TextQueries {
     * without array-ordering pitfalls. */
   private val tokenize: Q = (s, d) => {
     val vocab = vocabBuild(s, d).select("word", "token_id")
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
       .join(broadcast(vocab), Seq("word"), "left")
       .select(
@@ -920,7 +934,7 @@ object TextQueries {
     * is TakeOrderedAndProject (per-partition heaps, no full sort).
     * Count-desc with bigram tiebreak keeps the cut deterministic. */
   private val topNgrams: Q = (s, d) =>
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(explode(expr(
         """CASE WHEN size(w) >= 2
              THEN transform(sequence(0, size(w) - 2),
@@ -1160,7 +1174,7 @@ object TextQueries {
     * zero shuffle at any scale. */
   private val sampleWeighted: Q = (s, d) => {
     val h6 = substring(md5(col("doc_id").cast("string")), 1, 6)
-    withWords(Tables.documents(s, d))
+    docsWithWords(s, d)
       .select(col("doc_id"), size(col("w")).as("n_words"), h6.as("h6"))
       .withColumn("kept",
         when(col("n_words") < 40, col("h6") < "555555")
@@ -1177,7 +1191,7 @@ object TextQueries {
     * >= 2 on the 0-3 integer score. One scan + one groupBy-join;
     * every predicate is codegen'd expression work. */
   private val corpusFilter: Q = (s, d) => {
-    val docs = withWords(Tables.documents(s, d))
+    val docs = docsWithWords(s, d)
     val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     withQualityCols(withLangScores(docs.join(keep, "doc_id")))

@@ -31,6 +31,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * all suites — the storage tax the registry exists to stop. */
   override protected def afterAll(): Unit = {
     graft.queries.CacheRegistry.drain()
+    graft.queries.SessionMemo.drain()
     super.afterAll()
   }
 }
