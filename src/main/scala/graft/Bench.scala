@@ -159,13 +159,30 @@ object Bench {
     // harness always parses the headline and the judge has full detail.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,"p50":${fmt(p50)},$validity,$race,"full":"BENCH_FULL.json","sf":"$sfDir""""
+    // Every recording gets a unique id, stamped in the artifact AND in
+    // its per-run filename under bench_runs/ — so two readings of the
+    // same code are distinguishable artifacts, never silent mutual
+    // overwrites. The stable BENCH_FULL.json (what the driver/judge
+    // read) is refreshed ONLY by full-surface runs: a targeted
+    // SPARK_GRAFT_BENCH_ONLY iteration used to clobber the committed
+    // full recording with a 3-query file (the round-13 artifact-drift
+    // complaint); now it writes only its own bench_runs/ file.
+    val recId = s"rec${System.currentTimeMillis()}"
+    val perRun = s"bench_runs/BENCH_FULL_$recId.json"
+    val fullRef = if (only.isEmpty) "BENCH_FULL.json" else perRun
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,"p50":${fmt(p50)},$validity,$race,"rec_id":"$recId","full":"$fullRef","sf":"$sfDir""""
     val fullLine = s"""{$head,"queries":$fullQs}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    def writeArtifact(path: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $path write failed: ${e.getMessage}") }
+    writeArtifact(perRun)
+    if (only.isEmpty) writeArtifact("BENCH_FULL.json")
     val budget = 1700 - head.length
     val slowestFirst = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
