@@ -754,6 +754,193 @@ object StatQueries {
       round((msb - msw) / (msb + (n0 - 1) * msw), 6).as("icc1"))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA across customer nations —
+    * the unequal-variances form an analyst reaches for FIRST when the
+    * group spreads differ (classic [[anova]] assumes one pooled σ²;
+    * with unequal n_g AND unequal s²_g its F is anti-conservative).
+    * F_W = [Σw_g(m̄_g − m̄_w)²/(k−1)] / [1 + (2(k−2)/(k²−1))·Λ],
+    * w_g = n_g/s²_g, Λ = Σ(1−w_g/W)²/(n_g−1); Welch–Satterthwaite
+    * df2 = (k²−1)/(3Λ).
+    *
+    * Exactness protocol (the [[anova]] int128 craft, two-stage with a
+    * broadcast stage-1 total): per-group Σx/Σx² exact int128; m̄_g and
+    * s²_g one mirrored double expression each; w_g MICRO-ROUNDED to
+    * 1e-18 integer units so ΣW and Σw_g·m̄_g are exact, order-free
+    * sums; the weighted grand mean broadcasts back (1-row) and each
+    * w_g(m̄_g−m̄_w)² / Λ-term is one mirrored double rounded to
+    * integer units BEFORE its k-term exact sum. The a-terms pass
+    * Long.MaxValue at sf≥0.1 so they ride DECIMAL(38,0) — at that
+    * magnitude round()'s double is already an exact integer and the
+    * decimal/HUGEINT casts agree (the [[levene]] precedent). One
+    * division per statistic at emission. Two map-side aggregates plus
+    * two 1-row broadcasts — no window, no data-sized shuffle. */
+  private val welchAnova: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val grp = oc.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(col("x").cast(dec)).as("sg"),
+      sum(col("x").cast(dec) * col("x")).as("sgg"))
+    val gm = grp.select(col("ng"),
+      (col("sg").cast("double") / col("ng")).as("m"),
+      ((col("sgg").cast("double")
+        - round((col("sg") * col("sg")).cast("double") / col("ng")))
+        / (col("ng") - 1)).as("s2"))
+      .withColumn("wi",
+        round(lit(1e18) * col("ng") / col("s2")).cast("long"))
+      .withColumn("twm", round(col("wi") * col("m")).cast(dec))
+    val stage1 = gm.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      sum("wi").as("w"), sum("twm").as("swm"))
+      .withColumn("grand", col("swm").cast("double") / col("w"))
+    val terms = gm.crossJoin(broadcast(stage1))
+      .select(
+        round(col("wi") * (col("m") - col("grand"))
+          * (col("m") - col("grand"))).cast(dec).as("a_term"),
+        round(lit(1e15)
+          * (lit(1.0) - col("wi").cast("double") / col("w"))
+          * (lit(1.0) - col("wi").cast("double") / col("w"))
+          / (col("ng") - 1)).cast("long").as("c_term"))
+      .agg(sum("a_term").as("sa"), sum("c_term").as("sc"))
+    val out = stage1.crossJoin(broadcast(terms))
+    val lam = col("sc").cast("double") / lit(1e15)
+    val fw = (col("sa").cast("double") / lit(1e18) / (col("k") - 1)) /
+      (lit(1.0) + lit(2.0) * (col("k") - 2)
+        / (col("k") * col("k") - 1) * lam)
+    // F(24, df2 ≳ 500) at α = .05 ≈ 1.55 — df2 is emitted so the
+    // reader can check the asymptote applies at their SF
+    out.select(col("k").as("n_groups"), col("n").as("n_orders"),
+      round(fw, 4).as("f_stat"),
+      round((col("k") * col("k") - 1).cast("double") / (lit(3.0) * lam),
+        2).as("df2"),
+      (fw > lit(1.55)).as("reject_equal_means"))
+  }
+
+  /** Two-way ANOVA (order priority × customer credit standing) on
+    * order value — via REGRESSION sums of squares, because the data is
+    * unbalanced: cell-means "SS_A = Σ n·(row mean − grand)²" formulas
+    * are only valid under equal cell counts, and real warehouse data
+    * never has them. Sequential (Type-I) decomposition, A then B then
+    * A×B:
+    *   SS_A       = Σ_g S_g²/n_g − S²/n          (group means fit A)
+    *   SS_B|A     = β̂_B²·D   by Frisch–Waugh: absorb factor A by
+    *                within-group centering; for a BINARY B the partial
+    *                slope is closed-form β̂_B = Σ_g(S_g1 − n_g1·S_g/n_g)
+    *                / D with D = Σ_g(n_g1 − n_g1²/n_g)
+    *   SS_AB|A,B  = [Σ_cells S_c²/n_c − S²/n] − SS_A − SS_B|A
+    *                (with binary B the full interaction model IS the
+    *                cell-means model, 2a cells)
+    *   SS_err     = Σx² − Σ_cells S_c²/n_c,  df_err = n − 2a.
+    * Exactness: every S, Σx² is int128; every Σ²/n quadratic is the
+    * [[anova]] round-to-integer idiom; the FWL numerator terms are
+    * micro-rounded to integer cents and D-terms to 1e-6 units BEFORE
+    * their a-term exact sums; F ratios are mirrored double ops at
+    * emission. One cells aggregate (2a rows) feeds everything — a
+    * single map-side-combined groupBy over the joined fact. */
+  private val anovaTwoWay: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("a"),
+        (col("c_acctbal") > 0).cast("int").as("b"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val cells = oc.groupBy("a", "b").agg(count(lit(1)).as("nc"),
+      sum(col("x").cast(dec)).as("sc"),
+      sum(col("x").cast(dec) * col("x")).as("sxxc"))
+      .withColumn("cc",
+        round((col("sc") * col("sc")).cast("double") / col("nc"))
+          .cast(dec))
+    val byA = cells.groupBy("a").agg(
+      sum("nc").as("ng"), sum("sc").as("sg"),
+      sum(when(col("b") === 1, col("nc")).otherwise(0L)).as("n1"),
+      sum(when(col("b") === 1, col("sc")).otherwise(lit(0).cast(dec)))
+        .as("s1"))
+      .select(
+        round((col("sg") * col("sg")).cast("double") / col("ng"))
+          .cast(dec).as("cg"),
+        round(col("s1").cast("double")
+          - col("n1") * col("sg").cast("double") / col("ng"))
+          .cast("long").as("numt"),
+        round(lit(1e6) * (col("n1").cast("double")
+          - col("n1").cast("double") * col("n1") / col("ng")))
+          .cast("long").as("dent"))
+      .agg(count(lit(1)).as("ka"), sum("cg").as("ma"),
+        sum("numt").as("snum"), sum("dent").as("sden"))
+    val tot = cells.agg(sum("nc").as("n"), sum("sc").as("sx"),
+      sum("sxxc").as("sxx"), sum("cc").as("mc"),
+      count(lit(1)).as("kc"))
+      .withColumn("corr",
+        round((col("sx") * col("sx")).cast("double") / col("n"))
+          .cast(dec))
+    val all = tot.crossJoin(broadcast(byA))
+    val bB = col("snum").cast("double") * lit(1e6) / col("sden")
+    val ssA = (col("ma") - col("corr")).cast("double")
+    val ssB = bB * bB * (col("sden").cast("double") / lit(1e6))
+    val ssCells = (col("mc") - col("corr")).cast("double")
+    val ssAB = ssCells - ssA - ssB
+    val ssErr = (col("sxx") - col("mc")).cast("double")
+    val mse = ssErr / (col("n") - col("kc"))
+    all.select(col("n").as("n_orders"), col("kc").as("n_cells"),
+      round(bB / lit(100.0), 4).as("b_posbal_dollars"),
+      round((ssA / (col("ka") - 1)) / mse, 4).as("f_priority"),
+      round(ssB / mse, 4).as("f_posbal"),
+      round((ssAB / (col("ka") - 1)) / mse, 4).as("f_interaction"))
+  }
+
+  /** Cook's distance / leverage screen on the daily-revenue trend fit
+    * — the influence diagnostic that completes the regression family
+    * next to [[vif]]/durbin_watson: which single days, if dropped,
+    * would move the fitted trend the most? Simple regression of daily
+    * revenue (cents) on the [[ScaledWindow.rankCum]] day index gives
+    * the closed forms h_i = 1/n + (x_i−x̄)²/Sxx and
+    * D_i = e_i²h_i / (p·s²·(1−h_i)²), p = 2, s² = RSS/(n−2).
+    * Exactness: the OLS fit is Cramer over five int128 moment sums
+    * (the granger protocol); residuals are micro-rounded to integer
+    * cents BEFORE squaring so RSS is an exact int128 sum; h_i/D_i are
+    * mirrored double expressions; ORDER BY the ROUNDED D (then day) so
+    * a sub-round float wiggle can never flip the emitted top-k. The
+    * day grid is calendar-bounded (2 399 rows at every SF) — the
+    * 1-row fit broadcast is the only join. */
+  private val cooksDistance: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val rnk = ScaledWindow.rankCum(daily, Seq(col("day").asc), None)
+    val base = rnk.df.select(col("day"), col("rk"), col("v"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("rk").cast(dec)).as("sx"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("rk").cast(dec) * col("rk")).as("sxx"),
+      sum(col("rk").cast(dec) * col("v")).as("sxy"))
+    val b1 = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+    val withFit = base.crossJoin(broadcast(fit))
+      .withColumn("b1", b1)
+      .withColumn("b0",
+        (col("sy").cast("double") - col("b1") * col("sx").cast("double"))
+          / col("n"))
+      .withColumn("e",
+        round(col("v") - (col("b0") + col("b1") * col("rk")))
+          .cast("long"))
+    val rss = withFit
+      .agg(sum(col("e").cast(dec) * col("e")).as("rss"))
+    val scored = withFit.crossJoin(broadcast(rss))
+      .withColumn("s2", col("rss").cast("double") / (col("n") - 2))
+      .withColumn("h", lit(1.0) / col("n")
+        + (col("rk") - col("sx").cast("double") / col("n"))
+        * (col("rk") - col("sx").cast("double") / col("n"))
+        / (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n")))
+      .withColumn("cook_d",
+        round(col("e").cast("double") * col("e") * col("h")
+          / (lit(2.0) * col("s2")
+            * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))), 6))
+    scored.select(col("day"), round(col("h"), 6).as("leverage"),
+        col("cook_d"))
+      .orderBy(col("cook_d").desc, col("day").asc)
+      .limit(10)
+  }
+
   /** Kruskal–Wallis rank ANOVA across customer nations — the
     * nonparametric twin of [[anova]] (rank-based, so outliers and
     * skew cannot fake or mask a group difference). Global average
@@ -1845,6 +2032,9 @@ object StatQueries {
     "q_kendall_tau" -> kendallTau,
     "q_theil_index" -> theilIndex,
     "q_anova" -> anova,
+    "q_welch_anova" -> welchAnova,
+    "q_anova_two_way" -> anovaTwoWay,
+    "q_cooks_distance" -> cooksDistance,
     "q_kruskal" -> kruskal,
     "q_jarque_bera" -> jarqueBera,
     "q_tukey_hsd" -> tukeyHsd,
@@ -3078,6 +3268,160 @@ object StatQueries {
          FROM p ORDER BY nation_a, nation_b""",
     // per-nation sums exact int128; each Sg^2/n_g term one mirrored
     // double rounded to cents^2 before the 25-term sum
+    // Welch: exact int128 group sums; w_g micro-rounded to 1e-18
+    // units; each a-/Λ-term one mirrored double rounded before its
+    // k-term exact sum (a-terms pass BIGINT at sf>=0.1 -> HUGEINT)
+    "q_welch_anova" ->
+      """WITH oc AS (SELECT c_nationkey AS g,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         grp AS (SELECT g, count(*) AS ng, sum(x) AS sg,
+                        sum(CAST(x AS HUGEINT) * x) AS sgg
+                 FROM oc GROUP BY 1),
+         gm AS (SELECT ng,
+                       CAST(sg AS DOUBLE) / ng AS m,
+                       (CAST(sgg AS DOUBLE)
+                         - round(CAST(sg * sg AS DOUBLE) / ng))
+                         / (ng - 1) AS s2
+                FROM grp),
+         gw AS (SELECT ng, m, s2,
+                       CAST(round(1e18 * ng / s2) AS BIGINT) AS wi
+                FROM gm),
+         gt AS (SELECT ng, m, wi,
+                       CAST(round(wi * m) AS HUGEINT) AS twm
+                FROM gw),
+         s1 AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(wi) AS BIGINT) AS w,
+                       sum(twm) AS swm
+                FROM gt),
+         s1g AS (SELECT k, n, w, CAST(swm AS DOUBLE) / w AS grand
+                 FROM s1),
+         terms AS (SELECT
+                     sum(CAST(round(wi * (m - grand) * (m - grand))
+                       AS HUGEINT)) AS sa,
+                     sum(CAST(round(1e15
+                       * (1.0 - CAST(wi AS DOUBLE) / w)
+                       * (1.0 - CAST(wi AS DOUBLE) / w)
+                       / (ng - 1)) AS BIGINT)) AS sc
+                   FROM gt, s1g),
+         fin AS (SELECT k, n,
+                        CAST(sa AS DOUBLE) / 1e18 AS a_sum,
+                        CAST(sc AS DOUBLE) / 1e15 AS lam
+                 FROM s1g, terms)
+         SELECT k AS n_groups, n AS n_orders,
+                round((a_sum / (k - 1))
+                  / (1.0 + 2.0 * (k - 2) / (k * k - 1) * lam), 4)
+                  AS f_stat,
+                round(CAST(k * k - 1 AS DOUBLE) / (3.0 * lam), 2)
+                  AS df2,
+                ((a_sum / (k - 1))
+                  / (1.0 + 2.0 * (k - 2) / (k * k - 1) * lam)) > 1.55
+                  AS reject_equal_means
+         FROM fin""",
+    // Type-I regression SS; FWL closed-form partial slope for the
+    // binary factor; every quadratic the q_anova round-to-int idiom
+    "q_anova_two_way" ->
+      """WITH oc AS (SELECT o_orderpriority AS a,
+                            CAST(c_acctbal > 0 AS INTEGER) AS b,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT a, b, count(*) AS nc, sum(x) AS sc,
+                          sum(CAST(x AS HUGEINT) * x) AS sxxc
+                   FROM oc GROUP BY 1, 2),
+         cc AS (SELECT a, b, nc, sc, sxxc,
+                       CAST(round(CAST(sc * sc AS DOUBLE) / nc)
+                         AS HUGEINT) AS cc
+                FROM cells),
+         bya0 AS (SELECT a, CAST(sum(nc) AS BIGINT) AS ng,
+                         sum(sc) AS sg,
+                         CAST(sum(CASE WHEN b = 1 THEN nc ELSE 0 END)
+                           AS BIGINT) AS n1,
+                         sum(CASE WHEN b = 1 THEN sc
+                             ELSE CAST(0 AS HUGEINT) END) AS s1
+                  FROM cc GROUP BY 1),
+         bya1 AS (SELECT
+                    CAST(round(CAST(sg * sg AS DOUBLE) / ng)
+                      AS HUGEINT) AS cg,
+                    CAST(round(CAST(s1 AS DOUBLE)
+                      - n1 * CAST(sg AS DOUBLE) / ng) AS BIGINT)
+                      AS numt,
+                    CAST(round(1e6 * (CAST(n1 AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) * n1 / ng)) AS BIGINT)
+                      AS dent
+                  FROM bya0),
+         bya AS (SELECT count(*) AS ka, sum(cg) AS ma,
+                        CAST(sum(numt) AS BIGINT) AS snum,
+                        CAST(sum(dent) AS BIGINT) AS sden
+                 FROM bya1),
+         tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n, sum(sc) AS sx,
+                        sum(sxxc) AS sxx, sum(cc) AS mc,
+                        count(*) AS kc
+                 FROM cc),
+         tc AS (SELECT n, sx, sxx, mc, kc,
+                       CAST(round(CAST(sx * sx AS DOUBLE) / n)
+                         AS HUGEINT) AS corr
+                FROM tot),
+         fin AS (SELECT n, kc, ka,
+                        CAST(snum AS DOUBLE) * 1e6 / sden AS bb,
+                        CAST(ma - corr AS DOUBLE) AS ssa,
+                        (CAST(snum AS DOUBLE) * 1e6 / sden)
+                          * (CAST(snum AS DOUBLE) * 1e6 / sden)
+                          * (CAST(sden AS DOUBLE) / 1e6) AS ssb,
+                        CAST(mc - corr AS DOUBLE) AS sscells,
+                        CAST(sxx - mc AS DOUBLE) AS sserr
+                 FROM tc, bya)
+         SELECT n AS n_orders, kc AS n_cells,
+                round(bb / 100.0, 4) AS b_posbal_dollars,
+                round((ssa / (ka - 1)) / (sserr / (n - kc)), 4)
+                  AS f_priority,
+                round(ssb / (sserr / (n - kc)), 4) AS f_posbal,
+                round(((sscells - ssa - ssb) / (ka - 1))
+                  / (sserr / (n - kc)), 4) AS f_interaction
+         FROM fin""",
+    // Cramer fit over exact moment sums; residuals micro-rounded to
+    // cents before squaring; ORDER BY the rounded D so float wiggle
+    // can never flip the top-k
+    "q_cooks_distance" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT day, row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         fit AS (SELECT count(*) AS n,
+                        sum(CAST(rk AS HUGEINT)) AS sx,
+                        sum(CAST(v AS HUGEINT)) AS sy,
+                        sum(CAST(rk AS HUGEINT) * rk) AS sxx,
+                        sum(CAST(rk AS HUGEINT) * v) AS sxy
+                 FROM ix),
+         cf AS (SELECT n, sx, sy, sxx, sxy,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) AS b1
+                FROM fit),
+         cf2 AS (SELECT n, sx, sxx, b1,
+                        (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                          / n AS b0
+                 FROM cf),
+         res AS (SELECT day, rk, n, sx, sxx, b0, b1,
+                        CAST(round(v - (b0 + b1 * rk)) AS BIGINT) AS e
+                 FROM ix, cf2),
+         rs AS (SELECT sum(CAST(e AS HUGEINT) * e) AS rss FROM res),
+         sc AS (SELECT day, e,
+                       CAST(rss AS DOUBLE) / (n - 2) AS s2,
+                       1.0 / n + (rk - CAST(sx AS DOUBLE) / n)
+                         * (rk - CAST(sx AS DOUBLE) / n)
+                         / (CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / n) AS h
+                FROM res, rs)
+         SELECT day, round(h, 6) AS leverage,
+                round(CAST(e AS DOUBLE) * e * h
+                  / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cook_d
+         FROM sc
+         ORDER BY cook_d DESC, day ASC
+         LIMIT 10""",
     "q_anova" ->
       """WITH oc AS (SELECT c_nationkey AS g,
                             CAST(round(o_totalprice * 100) AS BIGINT)

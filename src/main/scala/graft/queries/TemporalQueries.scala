@@ -1297,6 +1297,71 @@ object TemporalQueries {
       (f > lit(3.842)).as("x_causes_y"))
   }
 
+  /** Engle–Granger two-step cointegration between daily revenue and
+    * daily order count — the "do these series share a long-run
+    * equilibrium" test that completes the bivariate family ([[ccf]]
+    * reads co-movement, [[granger]] short-run lead/lag; EG asks
+    * whether a LEVEL relationship y = β₀ + β₁x has stationary
+    * residuals, i.e. deviations mean-revert). Step 1: the cointegrating
+    * OLS y ~ 1 + x in closed form over five exact int128 moment sums;
+    * residuals micro-rounded to integer cents. Step 2: Dickey–Fuller
+    * on the residual series — Δe_t = γ·e_{t−1} + u (no drift: OLS
+    * residuals are mean-zero by construction) — where γ̂, its t, and
+    * the RSS all collapse to THREE exact int128 sums (Σe²ₗ, Σeₗ·Δe,
+    * ΣΔe²) with the divisions/sqrt at emission. t is compared to the
+    * Engle–Granger 5% critical value −3.37 (2 variables, no trend;
+    * MacKinnon 1991) — NOT the plain DF table, because step 1's fit
+    * biases t downward. Day-grid bounded; the 1-row fit rides a
+    * reviewed broadcast. */
+  private val engleGranger: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val base = rnk.df.select(col("rk"), col("cnt"), col("v"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("cnt").cast(dec)).as("sx"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("cnt").cast(dec) * col("cnt")).as("sxx"),
+      sum(col("cnt").cast(dec) * col("v")).as("sxy"))
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("b1",
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))
+      .withColumn("b0",
+        (col("sy").cast("double") - col("b1") * col("sx").cast("double"))
+          / col("n"))
+      .select(col("rk"), col("n"), col("b1"),
+        round(col("v") - (col("b0") + col("b1") * col("cnt")))
+          .cast("long").as("e"))
+    val cur = resid.select(col("rk"), col("n"), col("b1"), col("e"))
+    val prev = resid.select((col("rk") + 1).as("rk"), col("e").as("el"))
+    val p = cur.join(prev, "rk")
+      .select(col("n"), col("b1"), col("el"),
+        (col("e") - col("el")).as("de"))
+      .groupBy("n", "b1")
+      .agg(count(lit(1)).as("m"),
+        sum(col("el").cast(dec) * col("el")).as("sll"),
+        sum(col("el").cast(dec) * col("de")).as("sld"),
+        sum(col("de").cast(dec) * col("de")).as("sdd"))
+    val gam = col("sld").cast("double") / col("sll").cast("double")
+    val rss = col("sdd").cast("double") -
+      col("sld").cast("double") * col("sld").cast("double") /
+        col("sll").cast("double")
+    val tStat = gam /
+      sqrt(rss / (col("m") - 1) / col("sll").cast("double"))
+    p.select(col("n").as("n_days"), col("m").as("n_pairs"),
+      round(col("b1"), 6).as("hedge_ratio"),
+      round(gam, 6).as("gamma"),
+      round(tStat, 4).as("adf_t"),
+      (tStat < lit(-3.37)).as("cointegrated"))
+  }
+
   /** Durbin–Watson autocorrelation test on AR(1) revenue residuals —
     * the regression-diagnostic twin of [[acf]] (ACF reads the raw
     * series; DW asks whether serial correlation SURVIVES the lag-1
@@ -1677,6 +1742,7 @@ object TemporalQueries {
     "q_rolling_corr" -> rollingCorr,
     "q_durbin_watson" -> durbinWatson,
     "q_granger" -> granger,
+    "q_engle_granger" -> engleGranger,
     "q_hurst_rs" -> hurstRs,
     "q_ccf" -> ccf,
     "q_acf" -> acf,
@@ -1991,6 +2057,55 @@ object TemporalQueries {
          FROM r WHERE n = 30 ORDER BY day""",
     // residuals micro-rounded to integer cents before squaring, so
     // both quadratic sums are exact int128; one mirrored division
+    // step-1 OLS Cramer over int128 sums; residuals micro-rounded to
+    // cents; step-2 DF stat from THREE exact sums; EG 5% crit -3.37
+    "q_engle_granger" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             count(*) AS cnt,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, cnt, v
+                FROM dly),
+         fit AS (SELECT count(*) AS n,
+                        sum(CAST(cnt AS HUGEINT)) AS sx,
+                        sum(CAST(v AS HUGEINT)) AS sy,
+                        sum(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+                        sum(CAST(cnt AS HUGEINT) * v) AS sxy
+                 FROM ix),
+         cf AS (SELECT n, sx, sy,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) AS b1
+                FROM fit),
+         cf2 AS (SELECT n, b1,
+                        (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                          / n AS b0
+                 FROM cf),
+         res AS (SELECT rk, n, b1,
+                        CAST(round(v - (b0 + b1 * cnt)) AS BIGINT) AS e
+                 FROM ix, cf2),
+         p AS (SELECT a.n, a.b1, count(*) AS m,
+                      sum(CAST(b.e AS HUGEINT) * b.e) AS sll,
+                      sum(CAST(b.e AS HUGEINT) * (a.e - b.e)) AS sld,
+                      sum(CAST(a.e - b.e AS HUGEINT) * (a.e - b.e))
+                        AS sdd
+               FROM res a JOIN res b ON a.rk = b.rk + 1
+               GROUP BY 1, 2),
+         fin AS (SELECT n, m, b1,
+                        CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE)
+                          AS gam,
+                        CAST(sdd AS DOUBLE)
+                          - CAST(sld AS DOUBLE) * CAST(sld AS DOUBLE)
+                            / CAST(sll AS DOUBLE) AS rss,
+                        CAST(sll AS DOUBLE) AS slld
+                 FROM p)
+         SELECT n AS n_days, m AS n_pairs,
+                round(b1, 6) AS hedge_ratio,
+                round(gam, 6) AS gamma,
+                round(gam / sqrt(rss / (m - 1) / slld), 4) AS adf_t,
+                (gam / sqrt(rss / (m - 1) / slld)) < -3.37
+                  AS cointegrated
+         FROM fin""",
     "q_durbin_watson" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100)

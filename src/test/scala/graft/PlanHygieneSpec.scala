@@ -111,7 +111,14 @@ class PlanHygieneSpec extends SparkSpec {
     // pacf crosses the 1-row series-mean frame (the q_acf shape);
     // seasonal MK crosses its 1-row variance/tie frames and
     // broadcasts the day grid under the same-month pair join
-    "q_pacf", "q_seasonal_mk")
+    "q_pacf", "q_seasonal_mk",
+    // round 14: welch crosses its 1-row stage-1 weighted-total frame
+    // onto the 25-row group grid then its 1-row term sums; the
+    // two-way anova crosses the 1-row totals with the 1-row by-A
+    // frame; cook's distance / engle-granger cross their 1-row OLS
+    // fit (and RSS) frames onto the day grid (the durbin_watson shape)
+    "q_welch_anova", "q_anova_two_way", "q_cooks_distance",
+    "q_engle_granger")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —

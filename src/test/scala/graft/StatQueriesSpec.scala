@@ -576,6 +576,124 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getDouble(4) <= 1.0 + 1e-9, "ICC bounded above by 1")
   }
 
+  test("welch anova matches a sequential unrounded recompute") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2.toDouble)).toSeq
+    val k = groups.length
+    val stats = groups.map { xs =>
+      val n = xs.length
+      val m = xs.sum / n
+      val s2 = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, n / s2) // (n_g, mean, w_g)
+    }
+    val bigW = stats.map(_._3).sum
+    val grand = stats.map(t => t._3 * t._2).sum / bigW
+    val a = stats.map(t => t._3 * (t._2 - grand) * (t._2 - grand)).sum /
+      (k - 1)
+    val lam = stats.map(t =>
+      (1.0 - t._3 / bigW) * (1.0 - t._3 / bigW) / (t._1 - 1)).sum
+    val fw = a / (1.0 + 2.0 * (k - 2) / (k.toDouble * k - 1) * lam)
+    val df2 = (k.toDouble * k - 1) / (3.0 * lam)
+    val r = StatQueries.queries("q_welch_anova")(spark, sf).collect().head
+    assert(r.getLong(0) == k.toLong && r.getLong(1) == rows.length.toLong)
+    // the engine micro-rounds w_g to 1e-18 units; tolerance covers it
+    assert(math.abs(r.getDouble(2) - fw) < 1e-3 * (1.0 + fw))
+    assert(math.abs(r.getDouble(3) - df2) < 1e-2 * (1.0 + df2))
+    assert(r.getBoolean(4) == (r.getDouble(2) > 1.55))
+    assert(r.getDouble(2) >= 0.0, "Welch F is nonnegative")
+  }
+
+  test("two-way anova SS decomposition sums to SST; FWL slope minimizes RSS") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority"),
+        (col("c_acctbal") > 0).cast("int"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2).toDouble))
+    val n = rows.length
+    val grand = rows.map(_._3).sum / n
+    val sst = rows.map(r => (r._3 - grand) * (r._3 - grand)).sum
+    val byA = rows.groupBy(_._1)
+    val ssA = byA.values.map { xs =>
+      val m = xs.map(_._3).sum / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    // FWL closed form for the binary factor, recomputed unrounded
+    val num = byA.values.map { xs =>
+      val s1 = xs.filter(_._2 == 1).map(_._3).sum
+      val n1 = xs.count(_._2 == 1)
+      s1 - n1.toDouble * xs.map(_._3).sum / xs.length
+    }.sum
+    val den = byA.values.map { xs =>
+      val n1 = xs.count(_._2 == 1).toDouble
+      n1 - n1 * n1 / xs.length
+    }.sum
+    val bB = num / den
+    // bB must MINIMIZE the additive-model RSS (independent check of
+    // the closed form): profile alpha_g out and perturb the slope
+    def rss(b: Double): Double = byA.values.map { xs =>
+      val ag = (xs.map(_._3).sum - b * xs.count(_._2 == 1)) / xs.length
+      xs.map(r => { val e = r._3 - ag - b * r._2; e * e }).sum
+    }.sum
+    assert(rss(bB) <= rss(bB * 1.01) + 1e-6 && rss(bB) <= rss(bB * 0.99) + 1e-6,
+      "closed-form slope must minimize the additive-model RSS")
+    val ssB = bB * bB * den
+    val cells = rows.groupBy(r => (r._1, r._2))
+    val ssCells = cells.values.map { xs =>
+      val m = xs.map(_._3).sum / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssAB = ssCells - ssA - ssB
+    val ssErr = sst - ssCells
+    val kA = byA.size; val kc = cells.size
+    val mse = ssErr / (n - kc)
+    val r = StatQueries.queries("q_anova_two_way")(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == kc.toLong)
+    assert(math.abs(r.getDouble(2) - bB / 100.0) < 1e-3 * (1.0 + math.abs(bB / 100.0)))
+    assert(math.abs(r.getDouble(3) - (ssA / (kA - 1)) / mse) < 1e-3 * (1.0 + r.getDouble(3).abs))
+    assert(math.abs(r.getDouble(4) - ssB / mse) < 1e-3 * (1.0 + r.getDouble(4).abs))
+    assert(math.abs(r.getDouble(5) - (ssAB / (kA - 1)) / mse) < 1e-3 * (1.0 + r.getDouble(5).abs))
+    // decomposition closes: SS_A + SS_B|A + SS_AB + SS_err = SST
+    assert(math.abs((ssA + ssB + ssAB + ssErr - sst) / sst) < 1e-9)
+  }
+
+  test("cook's distance top-k matches a sequential OLS influence recompute") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0), r.getLong(1).toDouble))
+    val n = daily.length
+    val xs = (1 to n).map(_.toDouble)
+    val ys = daily.map(_._2)
+    val xbar = xs.sum / n; val ybar = ys.sum / n
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val b1 = xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum / sxx
+    val b0 = ybar - b1 * xbar
+    val es = xs.zip(ys).map { case (x, y) => math.round(y - (b0 + b1 * x)).toDouble }
+    val s2 = es.map(e => e * e).sum / (n - 2)
+    val scored = daily.zipWithIndex.map { case ((day, _), i) =>
+      val h = 1.0 / n + (xs(i) - xbar) * (xs(i) - xbar) / sxx
+      val dI = es(i) * es(i) * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+      (day.toString,
+        math.rint(h * 1e6) / 1e6, math.rint(dI * 1e6) / 1e6)
+    }.sortBy(t => (-t._3, t._1)).take(10)
+    val got = StatQueries.queries("q_cooks_distance")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.zip(scored).foreach { case (g, e) =>
+      assert(g._1 == e._1, s"top-k day order: got ${g._1}, want ${e._1}")
+      assert(math.abs(g._2 - e._2) < 2e-6)
+      assert(math.abs(g._3 - e._3) < 1e-4 * (1.0 + e._3))
+      assert(g._2 > 0.0 && g._2 < 1.0, "leverage in (0,1)")
+    }
+  }
+
   test("kruskal-wallis matches a sequential rank recompute; H >= 0") {
     val rows = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))

@@ -621,6 +621,39 @@ class TemporalQueriesSpec extends SparkSpec {
       s"F ${got.getDouble(3)} vs brute $f")
   }
 
+  test("engle-granger matches a brute-force two-step cointegration recompute") {
+    val s = dailySeries()
+    val n = s.length.toDouble
+    val xs = s.map(_._1.toDouble); val ys = s.map(_._2.toDouble)
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = (sy - b1 * sx) / n
+    // residuals micro-rounded to integer cents, like the engine
+    val e = xs.zip(ys).map { case (x, y) => math.round(y - (b0 + b1 * x)) }
+    val pairs = e.zip(e.tail) // (e_{t-1}, e_t)
+    val sll = pairs.map(p => BigInt(p._1) * p._1).sum
+    val sld = pairs.map(p => BigInt(p._1) * (p._2 - p._1)).sum
+    val sdd = pairs.map(p => BigInt(p._2 - p._1) * (p._2 - p._1)).sum
+    val gam = sld.toDouble / sll.toDouble
+    val rss = sdd.toDouble - sld.toDouble * sld.toDouble / sll.toDouble
+    val t = gam / math.sqrt(rss / (pairs.length - 1) / sll.toDouble)
+    val got = TemporalQueries.queries("q_engle_granger")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == s.length.toLong)
+    assert(got.getLong(1) == pairs.length.toLong)
+    assert(math.abs(got.getDouble(2) - b1) < math.abs(b1) * 1e-6 + 1e-6,
+      "hedge ratio")
+    assert(math.abs(got.getDouble(3) - gam) < 1e-4 + 1e-9, "gamma")
+    assert(math.abs(got.getDouble(4) - t) < math.abs(t) * 1e-3 + 1e-3,
+      s"ADF t ${got.getDouble(4)} vs brute $t")
+    assert(got.getBoolean(5) == (t < -3.37))
+    // OLS residuals of a stationary-vs-trend pair mean-revert hard:
+    // gamma must be negative (Δe leans against e)
+    assert(gam < 0.0, "residual changes must lean against the level")
+  }
+
   test("durbin-watson matches a brute-force AR(1) residual recompute") {
     val s = dailySeries()
     val rows = (1 until s.length).map(i => (s(i)._2, s(i - 1)._2))
