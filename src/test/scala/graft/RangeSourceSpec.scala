@@ -116,6 +116,48 @@ class RangeSourceSpec extends SparkSpec {
     assert(joined.count() == 100)
   }
 
+  test("count/min/max push COMPLETELY: readers generate zero base rows") {
+    graft.sources.RangeSource.rowsRead.set(0)
+    val r = ranged(5, 10005, 8)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+        count("id").as("nid"))
+      .collect().head
+    assert(r.getLong(0) == 10000L && r.getLong(1) == 5L &&
+      r.getLong(2) == 10004L && r.getLong(3) == 10000L)
+    assert(graft.sources.RangeSource.rowsRead.get() == 0,
+      "closed-form aggregates must not generate base rows")
+    // the plan carries the pushed aggregation, not a scan aggregate
+    val plan = ranged(5, 10005, 8).agg(count(lit(1)), min("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") || plan.contains("RangeAggScan"),
+      s"plan must show the pushed aggregation:\n$plan")
+  }
+
+  test("aggregate pushdown composes with pushed id filters") {
+    graft.sources.RangeSource.rowsRead.set(0)
+    val r = ranged(0, 1000, 4).filter(col("id") >= 900 && col("id") < 950)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 900L && r.getLong(2) == 949L)
+    assert(graft.sources.RangeSource.rowsRead.get() == 0,
+      "filter-narrowed closed forms still need no base rows")
+    // empty surviving range: count 0, min/max NULL — one row
+    val e = ranged(0, 100, 4).filter(col("id") > 1000)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("non-closed-form aggregates fall back to full generation, correct") {
+    // avg(val) and GROUP BY are not translatable: the connector must
+    // decline and Spark aggregates the generated rows normally
+    graft.sources.RangeSource.rowsRead.set(0)
+    val r = ranged(0, 100, 4).agg(avg("val")).collect().head
+    assert(math.abs(r.getDouble(0) - 24.75) < 1e-12)
+    assert(graft.sources.RangeSource.rowsRead.get() == 100,
+      "non-pushable aggregate must generate the range")
+    val g = ranged(0, 100, 4).groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(g.collect().map(_.getLong(1)).forall(_ == 10L))
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
