@@ -377,13 +377,11 @@ object SimilarityQueries {
         .reduce(_ + _).as("simhash"))
   }
 
-  private val dedupSimhash: Q = (s, d) => {
-    val sim = simhashSignatures(s, d)
-    val bands = sim.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS LONG))"))
-        .as(Seq("band", "chunk")))
-    val maxHamming = 3
+  /** Banded candidate self-join + exact Hamming verify over a
+    * (doc_id, simhash, band, chunk) frame — split out so the salted
+    * skew variant can share the verify verbatim. */
+  private[graft] def simhashBandPairs(bands: DataFrame,
+      maxHamming: Int = 3): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -394,8 +392,50 @@ object SimilarityQueries {
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
-      .orderBy("d1", "d2")
+
+  /** SALTED banded candidate join — the skew-proof path for a
+    * DEGENERATE corpus (boilerplate-heavy: one 16-bit band bucket can
+    * collect a huge share of the docs, and a shuffle join puts every
+    * row of a key in ONE task). The q_join_salted device applied to a
+    * SELF-join: side A carries a deterministic doc-hash salt in
+    * [0, shards); side B replicates each row `shards` times, so the
+    * pair (x, y) meets exactly once — in the shard of salt(x). A hot
+    * bucket of m docs becomes `shards` tasks of m/shards × m pairs
+    * instead of one m² task; per-task input AND output shrink by the
+    * shard factor (pinned by SkewSpec's key-grain assertion, with
+    * output row-for-row equal to [[simhashBandPairs]]). The price is
+    * shards× replication of the tiny (32-byte) band rows — the
+    * standard salt trade, paid only when a skew audit says so. */
+  private[graft] def simhashBandPairsSalted(bands: DataFrame,
+      shards: Int, maxHamming: Int = 3): DataFrame = {
+    val a = bands.select(col("doc_id"), col("simhash"),
+      col("band"), col("chunk"),
+      pmod(xxhash64(col("doc_id")), lit(shards.toLong)).as("salt"))
+    val b = bands.select(col("doc_id").as("doc_id_b"),
+        col("simhash").as("simhash_b"),
+        col("band").as("band_b"), col("chunk").as("chunk_b"))
+      .withColumn("salt_b",
+        explode(sequence(lit(0L), lit(shards.toLong - 1))))
+    a.join(b,
+        col("band") === col("band_b") && col("chunk") === col("chunk_b") &&
+          col("salt") === col("salt_b") && col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"),
+        col("simhash").as("h1"), col("simhash_b").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
   }
+
+  /** The 4×16-bit pigeonhole band frame of [[simhashSignatures]]. */
+  private[graft] def simhashBands(s: SparkSession, d: String): DataFrame =
+    simhashSignatures(s, d).select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS LONG))"))
+        .as(Seq("band", "chunk")))
+
+  private val dedupSimhash: Q = (s, d) =>
+    simhashBandPairs(simhashBands(s, d)).orderBy("d1", "d2")
 
   /** DuckDB-replayable SimHash twin — the [[dedupMinhashOracle]]
     * precedent applied to the simhash family: same pipeline shape as

@@ -193,4 +193,42 @@ class SkewSpec extends SparkSpec {
     assert(uncapped == 1100L * 1099 / 2 + 1,
       s"expected the full m^2/2 pair explosion without the cap, got $uncapped")
   }
+
+  test("salted simhash band join bounds hot-bucket task grain, output unchanged") {
+    import graft.queries.SimilarityQueries
+    val ss = spark
+    import ss.implicits._
+    // degenerate boilerplate corpus: 240 docs share ONE simhash (every
+    // band bucket is hot: 240 rows per (band, chunk) key -> the plain
+    // self-join does ~240^2/2 pair work in ONE task per band); 40 docs
+    // carry distinct spread hashes
+    val shards = 8
+    val hot = (0L until 240L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+    val rest = (240L until 280L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+    val bands = (hot ++ rest).toDF("doc_id", "simhash")
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS LONG))"))
+          .as(Seq("band", "chunk")))
+    val plain = SimilarityQueries.simhashBandPairs(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = SimilarityQueries.simhashBandPairsSalted(bands, shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == plain,
+      s"salting must not change results (plain ${plain.size}, salted ${salted.size})")
+    assert(plain.size >= 240 * 239 / 2, "the hot bucket must near-dup fully")
+    // task-grain bound: a shuffle join lands ALL rows of one key in one
+    // task. Plain key = (band, chunk): the hot bucket is 240 deep.
+    // Salted key = (band, chunk, salt): no shard may exceed a fair
+    // share of the hot bucket (binomial slack ~3 sigma over 240/8)
+    val plainMax = bands.groupBy("band", "chunk").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val saltedMax = bands
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(shards.toLong)))
+      .groupBy("band", "chunk", "salt").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(plainMax == 240L, s"fixture must be hot, got $plainMax")
+    assert(saltedMax <= plainMax / shards + 16,
+      s"salted key grain must shrink ~${shards}x: $saltedMax vs $plainMax")
+  }
 }
