@@ -303,6 +303,37 @@ object TextQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Mojibake / encoding-damage screen — the curation gate a 100 TB
+    * web pipeline runs before any text model sees a byte: flags the
+    * three classic damage signatures with pure codegen'd per-row
+    * regex counts (zero shuffle):
+    *  - U+FFFD replacement characters (a decoder already gave up);
+    *  - UTF-8-read-as-Latin-1/cp1252 digraphs — é becomes "Ã©",
+    *    ’ becomes "â€™", NBSP becomes "Â " (the Ã/â€/Â markers);
+    *  - stray C0 control bytes outside \t\n\r.
+    * `enc_suspect` needs ≥2 mojibake hits (a single Ã can be a legit
+    * capital in e.g. Portuguese names) but ANY replacement/control
+    * char. Ships as a LIBRARY operator with a fixture spec, not a
+    * timed corpus query: the synthetic corpus is pure ASCII, so a
+    * corpus oracle would verify an all-zero column — the fixture
+    * exercises the actual signatures (EncodingScreenSpec). */
+  private[graft] def encodingScreen(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\ufffd"), lit(0)))
+        .as("n_replacement"),
+      // \u00c3+continuation (C3 xx read as Latin-1), \u00e2\u20ac+any
+      // (E2 80 xx punctuation family), \u00c2+high-byte-or-space
+      // (C2 xx, the NBSP signature); escapes keep this source ASCII
+      size(regexp_extract_all(col("text"),
+        lit("\u00c3[\u0080-\u00bf]|\u00e2\u20ac.|\u00c2[\u0080-\u00bf ]"),
+        lit(0))).as("n_mojibake"),
+      size(regexp_extract_all(col("text"),
+        lit("[\u0000-\u0008\u000b\u000c\u000e-\u001f]"), lit(0)))
+        .as("n_ctrl"))
+      .withColumn("enc_suspect",
+        col("n_replacement") > 0 || col("n_mojibake") >= 2 ||
+          col("n_ctrl") > 0)
+
   /** Quality scoring: length band, punctuation density, stopword
     * presence — integer score 0-3 (no float-rounding ambiguity). */
   private val qualityScore: Q = (s, d) =>
