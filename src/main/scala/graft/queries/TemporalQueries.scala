@@ -1572,11 +1572,17 @@ object TemporalQueries {
     * whether VARIANCE does (turbulent days following turbulent days),
     * the diagnostic that decides between homoscedastic and
     * GARCH-class models. Stage 1 is [[durbinWatson]]'s AR(1) fit
-    * verbatim (exact int128 moment sums, residuals micro-rounded to
-    * integer cents); stage 2 regresses e²_t on e²_{t−1} — squared
-    * residuals are exact int128, their cross-products exact
-    * DECIMAL(38,0) — and emits LM = n·R² with R² a mirrored double.
-    * χ²(1) 5% critical 3.841. */
+    * verbatim (exact int128 moment sums); stage 2 residuals are
+    * micro-rounded to integer DOLLARS — not cents — before squaring:
+    * Σ(e²)² in cents⁴ approaches the 38-digit DECIMAL ceiling around
+    * sf1 (Spark non-ANSI would NULL the overflow silently while the
+    * DuckDB HUGEINT oracle errors — a silent gate divergence); the
+    * dollar grain buys 8 digits of headroom (Σ(e²)² ≲ 1e31 at sf1,
+    * in range beyond sf100) and costs under 1e-5 of R² — the
+    * rounding-unit-vs-headroom trade every int128 sum here makes,
+    * just one notch coarser. Stage 2 regresses e²_t on e²_{t−1} with
+    * exact DECIMAL(38,0) cross-products and emits LM = n·R², R² a
+    * mirrored double. χ²(1) 5% critical 3.841. */
   private val archLm: Q = (s, d) => {
     val dec = DecimalType(38, 0)
     val dly = Tables.orders(s, d)
@@ -1606,7 +1612,7 @@ object TemporalQueries {
         .as("b1"))
     val e = CacheRegistry.register(pairs.crossJoin(broadcast(fit))
       .select(col("rk"),
-        round(col("y") - (col("b0") + col("b1") * col("yl")))
+        round((col("y") - (col("b0") + col("b1") * col("yl"))) / 100)
           .cast("long").as("e"))
       .persist())
     val e2a = e.select(col("rk"), (col("e").cast(dec) * col("e")).as("x2"))
@@ -1814,7 +1820,8 @@ object TemporalQueries {
                   1.0 - var_pop(resid) / var_pop(rr)), 4)
                   AS seasonal_strength
          FROM j""",
-    // stage 1 is the q_durbin_watson AR(1) replay verbatim; stage 2's
+    // stage 1 is the q_durbin_watson AR(1) replay; stage 2 squares
+    // DOLLAR-rounded residuals (cents^4 nears 38 digits at sf1) and its
     // squared-residual sums are exact HUGEINTs, R²/LM mirrored doubles
     "q_arch_lm" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1840,7 +1847,8 @@ object TemporalQueries {
                   / (CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)
                     - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)) AS b1
                  FROM s),
-         e AS (SELECT rk, CAST(round(y - (b0 + b1 * yl)) AS BIGINT)
+         e AS (SELECT rk, CAST(round((y - (b0 + b1 * yl)) / 100)
+                   AS BIGINT)
                  AS e
                FROM p, fit),
          e2 AS (SELECT rk, CAST(e AS HUGEINT) * e AS x2 FROM e),

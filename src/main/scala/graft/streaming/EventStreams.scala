@@ -230,8 +230,11 @@ object EventStreams {
         val s = batch.sparkSession
         val bucketsPath = s"$stateDir/buckets"
         val b = minhashBandBuckets(batch.toDF()).persist()
+        // Hadoop-FS existence, not java.io.File (see dedupSpansIncremental)
+        val hBuckets = new org.apache.hadoop.fs.Path(bucketsPath)
+        val bucketsFs = hBuckets.getFileSystem(s.sparkContext.hadoopConfiguration)
         val stateHit =
-          if (new java.io.File(bucketsPath).exists())
+          if (bucketsFs.exists(hBuckets))
             b.join(s.read.parquet(bucketsPath), Seq("band", "bucket"), "left_semi")
               .select("doc_id")
           else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
@@ -286,8 +289,15 @@ object EventStreams {
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("span")
         val kept0 = sp.join(dupInBatch, Seq("span"), "left_anti")
+        // state existence resolved through the session's Hadoop
+        // FileSystem, NOT java.io.File: a java.io check is always
+        // false for hdfs://-s3a:// state dirs, which would silently
+        // ignore earlier batches' spans and let duplicates through —
+        // off local disk this must work or fail loudly, never degrade
+        val hPath = new org.apache.hadoop.fs.Path(spansPath)
+        val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val kept =
-          if (new java.io.File(spansPath).exists())
+          if (fs.exists(hPath))
             kept0.join(s.read.parquet(spansPath), Seq("span"), "left_anti")
           else kept0
         graft.queries.TextQueries

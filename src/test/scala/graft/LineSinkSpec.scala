@@ -31,6 +31,32 @@ class LineSinkSpec extends SparkSpec {
     }
   }
 
+  test("hostile string values round-trip through the escaped line format") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-esc").toString
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "line\nbreak and\rreturn"),
+      (4L, "back\\slash and \\, pre-escaped"),
+      (5L, ""))
+    hostile.toDF("id", "s").repartition(1)
+      .write.format("graft.sources.LineSink")
+      .mode("append").option("path", dir).save()
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val lines = scala.io.Source.fromFile(part).getLines().toSeq
+    // embedded \n in a value must NOT add physical lines
+    assert(lines.length == hostile.length,
+      s"escaping must keep one physical line per row, got ${lines.length}")
+    val decoded = lines.map(graft.sources.LineSink.unescapeLine)
+      .map(f => f(0).toLong -> f(1)).toMap
+    hostile.foreach { case (id, s) =>
+      assert(decoded(id) == s, s"row $id failed to round-trip: '${decoded(id)}'")
+    }
+  }
+
   test("task abort leaves nothing observable; job abort clears staging") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-abort")
       .toString

@@ -788,7 +788,8 @@ class TemporalQueriesSpec extends SparkSpec {
     val syyl = pairs.map(p => p._1.toDouble * p._2).sum
     val b1 = (n * syyl - syl * sy) / (n * syl2 - syl * syl)
     val b0 = (sy * syl2 - syl * syyl) / (n * syl2 - syl * syl)
-    val e = pairs.map { case (y, yl) => math.round(y - (b0 + b1 * yl)) }
+    // dollar-rounded residuals (the engine's DECIMAL-headroom grain)
+    val e = pairs.map { case (y, yl) => math.round((y - (b0 + b1 * yl)) / 100) }
     val x2 = e.map(x => x.toDouble * x)
     val lp = (1 until x2.length).map(i => (x2(i), x2(i - 1)))
     val m = lp.length.toDouble
