@@ -941,6 +941,126 @@ object StatQueries {
       .limit(10)
   }
 
+  /** Breusch–Pagan heteroscedasticity test on the daily-revenue trend
+    * fit — the diagnostic that decides whether [[cooksDistance]]'s s²
+    * (and every OLS standard error) can be trusted as ONE number:
+    * regress the squared residuals on the regressor; LM = n·R² ~ χ²(1)
+    * under homoscedasticity (the Koenker studentized form, robust to
+    * non-normal errors). Stage 1 is [[cooksDistance]]'s Cramer fit
+    * verbatim; residuals micro-round to integer DOLLARS before
+    * squaring (the q_arch_lm headroom rule: cents⁴ sums approach the
+    * 38-digit DECIMAL ceiling at sf1); stage 2's moment sums over
+    * (rk, e²) are exact int128 with R² a mirrored double at emission.
+    * Day-grid bounded, two aggregates + a 1-row broadcast. */
+  private val breuschPagan: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val rnk = ScaledWindow.rankCum(daily, Seq(col("day").asc), None)
+    val base = rnk.df.select(col("rk"), col("v"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("rk").cast(dec)).as("sx"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("rk").cast(dec) * col("rk")).as("sxx"),
+      sum(col("rk").cast(dec) * col("v")).as("sxy"))
+    val b1 = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+    val e2 = base.crossJoin(broadcast(fit))
+      .withColumn("b1", b1)
+      .withColumn("b0",
+        (col("sy").cast("double") - col("b1") * col("sx").cast("double"))
+          / col("n"))
+      .select(col("rk"),
+        round((col("v") - (col("b0") + col("b1") * col("rk"))) / 100)
+          .cast("long").as("e"))
+      .select(col("rk"), (col("e").cast(dec) * col("e")).as("z"))
+    val st2 = e2.agg(count(lit(1)).as("n2"),
+      sum(col("rk").cast(dec)).as("sx2"),
+      sum(col("z")).as("sz"),
+      sum(col("rk").cast(dec) * col("rk")).as("sxx2"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("rk").cast(dec) * col("z")).as("sxz"))
+    val num = (col("n2").cast(dec) * col("sxz") - col("sx2") * col("sz"))
+      .cast("double")
+    val r2 = num * num /
+      ((col("n2").cast(dec) * col("sxx2") - col("sx2") * col("sx2"))
+        .cast("double") *
+        (col("n2").cast(dec) * col("szz") - col("sz") * col("sz"))
+          .cast("double"))
+    st2.select(col("n2").as("n_days"),
+      round(col("n2").cast("double") * r2, 4).as("lm"),
+      round(r2, 6).as("r2"),
+      (col("n2").cast("double") * r2 > lit(3.841)).as("reject_homosked"))
+  }
+
+  /** Ramsey RESET specification test on the same trend fit — is the
+    * linear form MISSPECIFIED (curvature the line can't express)? Add
+    * the squared fitted value as a regressor and F-test its slope:
+    * y ~ 1 + x + ŷ²; F = (RSS_r − RSS_u)/(RSS_u/(n−3)) ~ F(1, n−3).
+    * The unrestricted fit is [[granger]]'s 3×3 Cramer closed form
+    * over exact moment sums. ŷ is micro-rounded to integer DOLLARS
+    * before squaring (the headroom rule — ŷ² in cents² would put
+    * Σ(ŷ²)² past DECIMAL(38,0) at sf1), so every stage-2 sum is an
+    * exact int128 and the F emission is mirrored doubles. */
+  private val resetTest: Q = (s, d) => {
+    val daily = dailyCents(s, d)
+    val rnk = ScaledWindow.rankCum(daily, Seq(col("day").asc), None)
+    val base = rnk.df.select(col("rk"), col("v"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("rk").cast(dec)).as("sx"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("rk").cast(dec) * col("rk")).as("sxx"),
+      sum(col("rk").cast(dec) * col("v")).as("sxy"))
+    val b1c = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+    // z = round(ŷ/100)² — dollars², an exact long per row
+    val zed = base.crossJoin(broadcast(fit))
+      .withColumn("b1", b1c)
+      .withColumn("b0",
+        (col("sy").cast("double") - col("b1") * col("sx").cast("double"))
+          / col("n"))
+      .withColumn("yhd",
+        round((col("b0") + col("b1") * col("rk")) / 100).cast("long"))
+      .select(col("rk"), col("v"),
+        (col("yhd").cast(dec) * col("yhd")).as("z"))
+    val st = zed.agg(count(lit(1)).as("n"),
+      sum(col("rk").cast(dec)).as("sx"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("z")).as("sz"),
+      sum(col("rk").cast(dec) * col("rk")).as("sxx"),
+      sum(col("rk").cast(dec) * col("v")).as("sxy"),
+      sum(col("rk").cast(dec) * col("z")).as("sxz"),
+      sum(col("v").cast(dec) * col("v")).as("syy"),
+      sum(col("v").cast(dec) * col("z")).as("syz"),
+      sum(col("z") * col("z")).as("szz"))
+    def D(c: String) = col(c).cast("double")
+    val (n, sx, sy, sz) = (D("n"), D("sx"), D("sy"), D("sz"))
+    val (sxx, sxy, sxz) = (D("sxx"), D("sxy"), D("sxz"))
+    val (syy, syz, szz) = (D("syy"), D("syz"), D("szz"))
+    val det = n * (sxx * szz - sxz * sxz) -
+      sx * (sx * szz - sxz * sz) +
+      sz * (sx * sxz - sxx * sz)
+    val b0 = (sy * (sxx * szz - sxz * sxz) -
+      sx * (sxy * szz - sxz * syz) +
+      sz * (sxy * sxz - sxx * syz)) / det
+    val b1 = (n * (sxy * szz - sxz * syz) -
+      sy * (sx * szz - sxz * sz) +
+      sz * (sx * syz - sxy * sz)) / det
+    val b2 = (n * (sxx * syz - sxy * sxz) -
+      sx * (sx * syz - sxy * sz) +
+      sy * (sx * sxz - sxx * sz)) / det
+    val rssU = syy - (b0 * sy + b1 * sxy + b2 * syz)
+    val b1r = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val rssR = (syy - sy * sy / n) - b1r * b1r * (sxx - sx * sx / n)
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    st.select(col("n").as("n_days"),
+      round(b2 * lit(1e12), 6).as("b_yhat2_e12"),
+      round(f, 4).as("f_stat"),
+      (f > lit(3.842)).as("reject_linear"))
+  }
+
   /** Kruskal–Wallis rank ANOVA across customer nations — the
     * nonparametric twin of [[anova]] (rank-based, so outliers and
     * skew cannot fake or mask a group difference). Global average
@@ -2035,6 +2155,8 @@ object StatQueries {
     "q_welch_anova" -> welchAnova,
     "q_anova_two_way" -> anovaTwoWay,
     "q_cooks_distance" -> cooksDistance,
+    "q_breusch_pagan" -> breuschPagan,
+    "q_reset" -> resetTest,
     "q_kruskal" -> kruskal,
     "q_jarque_bera" -> jarqueBera,
     "q_tukey_hsd" -> tukeyHsd,
@@ -3379,6 +3501,131 @@ object StatQueries {
                 round(ssb / (sserr / (n - kc)), 4) AS f_posbal,
                 round(((sscells - ssa - ssb) / (ka - 1))
                   / (sserr / (n - kc)), 4) AS f_interaction
+         FROM fin""",
+    // Koenker BP: stage-1 Cramer fit; residuals dollar-rounded before
+    // squaring (the q_arch_lm headroom rule); stage-2 sums exact
+    "q_breusch_pagan" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         fit AS (SELECT count(*) AS n,
+                        sum(CAST(rk AS HUGEINT)) AS sx,
+                        sum(CAST(v AS HUGEINT)) AS sy,
+                        sum(CAST(rk AS HUGEINT) * rk) AS sxx,
+                        sum(CAST(rk AS HUGEINT) * v) AS sxy
+                 FROM ix),
+         cf AS (SELECT n,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+                       sx, sy
+                FROM fit),
+         cf2 AS (SELECT n, b1,
+                        (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                          / n AS b0
+                 FROM cf),
+         e2 AS (SELECT rk,
+                       CAST(round((v - (b0 + b1 * rk)) / 100)
+                         AS HUGEINT)
+                       * CAST(round((v - (b0 + b1 * rk)) / 100)
+                         AS BIGINT) AS z
+                FROM ix, cf2),
+         st AS (SELECT count(*) AS n2,
+                       sum(CAST(rk AS HUGEINT)) AS sx2,
+                       sum(z) AS sz,
+                       sum(CAST(rk AS HUGEINT) * rk) AS sxx2,
+                       sum(z * z) AS szz,
+                       sum(CAST(rk AS HUGEINT) * z) AS sxz
+                FROM e2),
+         rr AS (SELECT CAST(n2 AS BIGINT) AS n2,
+                       CAST(n2 * sxz - sx2 * sz AS DOUBLE)
+                         * CAST(n2 * sxz - sx2 * sz AS DOUBLE)
+                         / (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                           * CAST(n2 * szz - sz * sz AS DOUBLE)) AS r2
+                FROM st)
+         SELECT n2 AS n_days,
+                round(CAST(n2 AS DOUBLE) * r2, 4) AS lm,
+                round(r2, 6) AS r2,
+                CAST(n2 AS DOUBLE) * r2 > 3.841 AS reject_homosked
+         FROM rr""",
+    // RESET: fitted values dollar-rounded before squaring; 3x3 Cramer
+    // unrestricted fit, F of the yhat^2 slope, mirrored doubles
+    "q_reset" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         fit AS (SELECT count(*) AS n,
+                        sum(CAST(rk AS HUGEINT)) AS sx,
+                        sum(CAST(v AS HUGEINT)) AS sy,
+                        sum(CAST(rk AS HUGEINT) * rk) AS sxx,
+                        sum(CAST(rk AS HUGEINT) * v) AS sxy
+                 FROM ix),
+         cf AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+                       sx, sy, n
+                FROM fit),
+         cf2 AS (SELECT b1,
+                        (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                          / n AS b0
+                 FROM cf),
+         zt AS (SELECT rk, v,
+                       CAST(round((b0 + b1 * rk) / 100) AS HUGEINT)
+                       * CAST(round((b0 + b1 * rk) / 100) AS BIGINT)
+                         AS z
+                FROM ix, cf2),
+         st AS (SELECT count(*) AS n,
+                       sum(CAST(rk AS HUGEINT)) AS sx,
+                       sum(CAST(v AS HUGEINT)) AS sy,
+                       sum(z) AS sz,
+                       sum(CAST(rk AS HUGEINT) * rk) AS sxx,
+                       sum(CAST(rk AS HUGEINT) * v) AS sxy,
+                       sum(CAST(rk AS HUGEINT) * z) AS sxz,
+                       sum(CAST(v AS HUGEINT) * v) AS syy,
+                       sum(CAST(v AS HUGEINT) * z) AS syz,
+                       sum(z * z) AS szz
+                FROM zt),
+         dd AS (SELECT CAST(n AS BIGINT) AS n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                       CAST(sz AS DOUBLE) AS sz, CAST(sxx AS DOUBLE) AS sxx,
+                       CAST(sxy AS DOUBLE) AS sxy, CAST(sxz AS DOUBLE) AS sxz,
+                       CAST(syy AS DOUBLE) AS syy, CAST(syz AS DOUBLE) AS syz,
+                       CAST(szz AS DOUBLE) AS szz
+                FROM st),
+         sol AS (SELECT n, nd, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz,
+                        nd * (sxx * szz - sxz * sxz)
+                          - sx * (sx * szz - sxz * sz)
+                          + sz * (sx * sxz - sxx * sz) AS det
+                 FROM dd),
+         bs AS (SELECT n, nd, sy, sxy, syy, syz, sxx, sx, sz,
+                       (sy * (sxx * szz - sxz * sxz)
+                         - sx * (sxy * szz - sxz * syz)
+                         + sz * (sxy * sxz - sxx * syz)) / det AS b0,
+                       (nd * (sxy * szz - sxz * syz)
+                         - sy * (sx * szz - sxz * sz)
+                         + sz * (sx * syz - sxy * sz)) / det AS b1,
+                       (nd * (sxx * syz - sxy * sxz)
+                         - sx * (sx * syz - sxy * sz)
+                         + sy * (sx * sxz - sxx * sz)) / det AS b2
+                FROM sol),
+         fin AS (SELECT n, b2,
+                        syy - (b0 * sy + b1 * sxy + b2 * syz) AS rssu,
+                        (syy - sy * sy / nd)
+                          - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+                          * ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+                          * (sxx - sx * sx / nd) AS rssr,
+                        nd
+                 FROM bs)
+         SELECT n AS n_days,
+                round(b2 * 1e12, 6) AS b_yhat2_e12,
+                round((rssr - rssu) / (rssu / (nd - 3)), 4) AS f_stat,
+                ((rssr - rssu) / (rssu / (nd - 3))) > 3.842
+                  AS reject_linear
          FROM fin""",
     // Cramer fit over exact moment sums; residuals micro-rounded to
     // cents before squaring; ORDER BY the rounded D so float wiggle

@@ -1362,6 +1362,47 @@ object TemporalQueries {
       (tStat < lit(-3.37)).as("cointegrated"))
   }
 
+  /** Dickey–Fuller unit-root test WITH DRIFT on daily revenue levels —
+    * the stationarity read that precedes any ARMA/trend modeling
+    * ([[engleGranger]] runs the no-drift form on RESIDUALS; this asks
+    * whether the level series itself mean-reverts or random-walks):
+    * Δy_t = a + γ·y_{t−1} + u, H₀ γ = 0 (unit root). γ̂, its SE, and
+    * the t all collapse to the centered closed forms of six exact
+    * int128 moment sums over the lag-paired day grid (one pass);
+    * every emission expression is a mirrored double. 5% critical with
+    * drift −2.86 (MacKinnon); t below it ⇒ stationary. */
+  private val adfDrift: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val rnk = graft.queries.ScaledWindow.rankCum(daily,
+      Seq(col("day").asc), None)
+    val cur = rnk.df.select(col("rk"), col("v"))
+    val prev = rnk.df.select((col("rk") + 1).as("rk"), col("v").as("yl"))
+    val st = cur.join(prev, "rk")
+      .select(col("yl"), (col("v") - col("yl")).as("dy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("yl").cast(dec)).as("sl"),
+        sum(col("dy").cast(dec)).as("sd"),
+        sum(col("yl").cast(dec) * col("yl")).as("sll"),
+        sum(col("yl").cast(dec) * col("dy")).as("sld"),
+        sum(col("dy").cast(dec) * col("dy")).as("sdd"))
+    val sxxC = (col("n").cast(dec) * col("sll") - col("sl") * col("sl"))
+      .cast("double")
+    val sxyC = (col("n").cast(dec) * col("sld") - col("sl") * col("sd"))
+      .cast("double")
+    val syyC = (col("n").cast(dec) * col("sdd") - col("sd") * col("sd"))
+      .cast("double")
+    val gam = sxyC / sxxC
+    val rss = (syyC - gam * sxyC) / col("n")
+    val tStat = gam / sqrt(rss / (col("n") - 2) / (sxxC / col("n")))
+    st.select(col("n").as("n_pairs"),
+      round(gam, 6).as("gamma"),
+      round(tStat, 4).as("adf_t"),
+      (tStat < lit(-2.86)).as("stationary"))
+  }
+
   /** Durbin–Watson autocorrelation test on AR(1) revenue residuals —
     * the regression-diagnostic twin of [[acf]] (ACF reads the raw
     * series; DW asks whether serial correlation SURVIVES the lag-1
@@ -1749,6 +1790,7 @@ object TemporalQueries {
     "q_durbin_watson" -> durbinWatson,
     "q_granger" -> granger,
     "q_engle_granger" -> engleGranger,
+    "q_adf_drift" -> adfDrift,
     "q_hurst_rs" -> hurstRs,
     "q_ccf" -> ccf,
     "q_acf" -> acf,
@@ -2065,6 +2107,40 @@ object TemporalQueries {
          FROM r WHERE n = 30 ORDER BY day""",
     // residuals micro-rounded to integer cents before squaring, so
     // both quadratic sums are exact int128; one mirrored division
+    // centered closed forms of six exact sums; drift crit -2.86
+    "q_adf_drift" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS v
+                      FROM orders GROUP BY 1),
+         ix AS (SELECT row_number() OVER (ORDER BY day) AS rk, v
+                FROM dly),
+         p AS (SELECT b.v AS yl, a.v - b.v AS dy
+               FROM ix a JOIN ix b ON a.rk = b.rk + 1),
+         st AS (SELECT count(*) AS n,
+                       sum(CAST(yl AS HUGEINT)) AS sl,
+                       sum(CAST(dy AS HUGEINT)) AS sd,
+                       sum(CAST(yl AS HUGEINT) * yl) AS sll,
+                       sum(CAST(yl AS HUGEINT) * dy) AS sld,
+                       sum(CAST(dy AS HUGEINT) * dy) AS sdd
+                FROM p),
+         cf AS (SELECT CAST(n AS BIGINT) AS n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(n * sll - sl * sl AS DOUBLE) AS sxxc,
+                       CAST(n * sld - sl * sd AS DOUBLE) AS sxyc,
+                       CAST(n * sdd - sd * sd AS DOUBLE) AS syyc
+                FROM st),
+         fin AS (SELECT n, nd, sxxc,
+                        sxyc / sxxc AS gam,
+                        (syyc - (sxyc / sxxc) * sxyc) / nd AS rss
+                 FROM cf)
+         SELECT n AS n_pairs,
+                round(gam, 6) AS gamma,
+                round(gam / sqrt(rss / (n - 2) / (sxxc / nd)), 4)
+                  AS adf_t,
+                (gam / sqrt(rss / (n - 2) / (sxxc / nd))) < -2.86
+                  AS stationary
+         FROM fin""",
     // step-1 OLS Cramer over int128 sums; residuals micro-rounded to
     // cents; step-2 DF stat from THREE exact sums; EG 5% crit -3.37
     "q_engle_granger" ->

