@@ -158,6 +158,37 @@ class RangeSourceSpec extends SparkSpec {
     assert(g.collect().map(_.getLong(1)).forall(_ == 10L))
   }
 
+  test("runtime (DPP) filtering narrows generation via the build side's keys") {
+    // the fifth V2 rung: the probe-side scan declares id filterable
+    // (SupportsRuntimeV2Filtering); Spark executes the selective build
+    // side first and pushes the observed join keys back as an IN
+    // predicate, which the scan reduces to its [min, max] envelope
+    // BEFORE planning partitions — readers never generate the rest of
+    // the million-row range. useStats=false because the synthetic
+    // range reports flat stats and the benefit heuristic would
+    // otherwise veto pruning that is plainly profitable here.
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val big = ranged(0, 1000000, 8)
+      val small = ranged(500000, 501000, 2)
+        .filter(col("tag") === "t3").select("id")
+      graft.sources.RangeSource.rowsRead.set(0)
+      val j = big.join(small, "id")
+      assert(j.count() == 100)
+      val generated = graft.sources.RangeSource.rowsRead.get()
+      assert(generated < 5000,
+        s"runtime filter must prune generation to the key envelope, got $generated")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"plan must carry the runtime filter:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
