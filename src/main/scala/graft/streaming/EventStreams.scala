@@ -311,6 +311,66 @@ object EventStreams {
       }
       .start()
 
+  case class SourceAdmit(source: String, doc_id: Long, tok: Long,
+      spent_after: Long, admitted: Boolean)
+
+  /** Per-source token-budget admission gate on Spark 4's
+    * `transformWithState` — the arbitrary-state API that replaces
+    * mapGroupsWithState with TYPED, individually-evolvable state
+    * variables (ValueState/ListState/MapState + TTL + timers) behind
+    * a StatefulProcessor lifecycle. The operator is the streaming twin
+    * of the q_source_cap curation rule: each source admits documents
+    * until its token budget is spent, across micro-batches, and every
+    * doc is emitted with its verdict and the running total.
+    *
+    * Determinism: within a batch the rows of a key are buffered and
+    * admitted in doc_id order, so the verdict set is independent of
+    * shuffle arrival order — the same contract the batch rule's
+    * deterministic ordering gives. State is ONE long per source
+    * (bounded by |sources|, not corpus); requires the RocksDB state
+    * store provider, which is where this state lives at 100 TB
+    * anyway. */
+  class SourceBudgetProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), SourceAdmit] {
+    @transient private var spent:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      spent = getHandle.getValueState[Long]("spent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ()
+    }
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SourceAdmit] = {
+      var cur = if (spent.exists()) spent.get() else 0L
+      val out = rows.toSeq.sortBy(_._2).map { case (_, docId, tok) =>
+        val admit = cur + tok <= budget
+        if (admit) cur += tok
+        SourceAdmit(key, docId, tok, cur, admit)
+      }
+      spent.update(cur)
+      out.iterator
+    }
+  }
+
+  /** documents stream → per-source budget admission (see
+    * [[SourceBudgetProcessor]]). */
+  def sourceBudgetAdmission(spark: SparkSession, docs: DataFrame,
+      budget: Long): Dataset[SourceAdmit] = {
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SourceBudgetProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

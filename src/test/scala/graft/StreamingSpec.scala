@@ -454,6 +454,82 @@ class StreamingSpec extends SparkSpec {
       want.collect().map(_.toSeq).toSet)
   }
 
+  test("transformWithState budget admission equals a sequential replay and persists across batches") {
+    val ss = spark
+    import ss.implicits._
+    // transformWithState requires the RocksDB provider (state vars
+    // live there at scale anyway)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val budget = 400L
+      val dir = java.nio.file.Files.createTempDirectory("graft-twsbatch")
+      // batch 1: the real corpus file; batch 2 lands AFTER the first
+      // processAllAvailable, so the spent-counter state must carry over
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("a-documents.parquet"))
+      val schema = Tables.documents(spark, sf).schema
+      val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      val q = EventStreams.sourceBudgetAdmission(spark, stream.toDF(), budget)
+        .toDF().writeStream.format("memory").queryName("t_tws")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val batch1 = spark.table("t_tws").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      // sequential truth: per source, docs in doc_id order admit while
+      // they fit — the processor's declared deterministic contract
+      val docs = Tables.documents(spark, sf)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+        var cur = 0L
+        xs.sortBy(_._2).toSeq.map { case (_, id, tok) =>
+          val ok = cur + tok <= budget
+          if (ok) cur += tok
+          (src, id, ok)
+        }
+      }.toSet
+      assert(batch1.map(t => (t._1, t._2, t._4)).toSet == expect,
+        "stream admission must equal the sequential per-source replay")
+      batch1.groupBy(_._1).foreach { case (src, rows) =>
+        val admitted = rows.filter(_._4).map(_._3).sum
+        assert(admitted <= budget, s"$src overspent: $admitted > $budget")
+      }
+      // batch 2: a second file for one known source — its budget is
+      // already (partially) spent, so admission must resume from the
+      // carried state, not restart at zero
+      val src0 = docs.head._1
+      val spent0 = batch1.filter(r => r._1 == src0 && r._4).map(_._3).sum
+      Seq((900001L, src0, "one two three"),
+          (900002L, src0, ("w " * 500).trim))
+        .toDF("doc_id", "source", "text")
+        .select(col("doc_id"), lit("en").as("lang"), col("source"),
+          col("text"), length(col("text")).as("n_chars"))
+        .select(schema.fieldNames.map(col): _*)
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val batch2 = spark.table("t_tws")
+        .filter(col("doc_id") >= 900000L).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1)
+      assert(batch2.length == 2)
+      val (_, tokSmall, afterSmall, okSmall) = batch2(0)
+      assert(okSmall == (spent0 + tokSmall <= budget),
+        s"cross-batch admission must start from carried spent=$spent0")
+      if (okSmall) assert(afterSmall == spent0 + tokSmall,
+        "running total must include prior batches")
+      assert(!batch2(1)._4, "the 500-token doc must overflow any remaining budget")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation under the RocksDB state store matches the default provider") {
     // at 100 TB keyed state outgrows the default in-memory
     // (HDFSBackedStateStore) provider; RocksDB keeps state on local
