@@ -1256,6 +1256,46 @@ object StatQueries {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** Games–Howell post-hoc screen — [[tukeyHsd]]'s heteroscedastic
+    * twin, completing the [[welchAnova]] family: when the group
+    * variances differ, Tukey's pooled-MSW margin is wrong for exactly
+    * the pairs that matter, so GH gives each PAIR its own standard
+    * error √(s²ᵢ/nᵢ + s²ⱼ/nⱼ) and Welch–Satterthwaite df. Same stated
+    * illustrative critical constant contract as tukeyHsd (√2·|t| vs
+    * q* = 5.0 — critical tables are environment data; the operator
+    * contract is the pairwise mechanics, and the per-pair df is
+    * EMITTED so any table can be applied downstream). Group moments
+    * are mirrored doubles from exact int128 sums; the ≤300-pair
+    * nation grid rides one reviewed broadcast join. */
+  private val gamesHowell: Q = (s, d) => {
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+    val grp = oc.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(col("x").cast(dec)).as("sg"),
+      sum(col("x").cast(dec) * col("x")).as("sgg"))
+    val gm = grp.select(col("g"), col("ng"),
+      (col("sg").cast("double") / col("ng")).as("m"),
+      (((col("sgg").cast("double")
+        - round((col("sg") * col("sg")).cast("double") / col("ng")))
+        / (col("ng") - 1)) / col("ng")).as("s2n"))
+    val b = gm.select(col("g").as("g2"), col("ng").as("ng2"),
+      col("m").as("m2"), col("s2n").as("s2n2"))
+    val se = sqrt(col("s2n") + col("s2n2"))
+    val t = abs(col("m") - col("m2")) / se
+    val dfW = (col("s2n") + col("s2n2")) * (col("s2n") + col("s2n2")) /
+      (col("s2n") * col("s2n") / (col("ng") - 1) +
+        col("s2n2") * col("s2n2") / (col("ng2") - 1))
+    gm.join(broadcast(b), col("g") < col("g2"))
+      .select(col("g").as("nation_a"), col("g2").as("nation_b"),
+        round(abs(col("m") - col("m2")) / lit(100.0), 2).as("gap_usd"),
+        round(t, 4).as("t_stat"),
+        round(dfW, 2).as("df_w"),
+        (t * lit(math.sqrt(2.0)) > lit(5.0)).as("significant"))
+      .orderBy("nation_a", "nation_b")
+  }
+
   /** Benjamini–Hochberg FDR correction — the multiple-testing
     * guardrail every per-segment experiment read-out needs (screen 25
     * nations at α=0.05 and ~1 sham "winner" appears by chance; BH
@@ -2160,6 +2200,7 @@ object StatQueries {
     "q_kruskal" -> kruskal,
     "q_jarque_bera" -> jarqueBera,
     "q_tukey_hsd" -> tukeyHsd,
+    "q_games_howell" -> gamesHowell,
     "q_friedman" -> friedman,
     "q_partial_corr" -> partialCorr,
     "q_weighted_median" -> weightedMedian,
@@ -3502,6 +3543,32 @@ object StatQueries {
                 round(((sscells - ssa - ssb) / (ka - 1))
                   / (sserr / (n - kc)), 4) AS f_interaction
          FROM fin""",
+    // GH: per-pair SE and Welch df from mirrored group moments;
+    // q* = 5.0 stated constant (the q_tukey_hsd contract)
+    "q_games_howell" ->
+      """WITH oc AS (SELECT c_nationkey AS g,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS x
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+         grp AS (SELECT g, count(*) AS ng, sum(x) AS sg,
+                        sum(CAST(x AS HUGEINT) * x) AS sgg
+                 FROM oc GROUP BY 1),
+         gm AS (SELECT g, ng,
+                       CAST(sg AS DOUBLE) / ng AS m,
+                       ((CAST(sgg AS DOUBLE)
+                         - round(CAST(sg * sg AS DOUBLE) / ng))
+                         / (ng - 1)) / ng AS s2n
+                FROM grp)
+         SELECT a.g AS nation_a, b.g AS nation_b,
+                round(abs(a.m - b.m) / 100.0, 2) AS gap_usd,
+                round(abs(a.m - b.m) / sqrt(a.s2n + b.s2n), 4) AS t_stat,
+                round((a.s2n + b.s2n) * (a.s2n + b.s2n)
+                  / (a.s2n * a.s2n / (a.ng - 1)
+                    + b.s2n * b.s2n / (b.ng - 1)), 2) AS df_w,
+                (abs(a.m - b.m) / sqrt(a.s2n + b.s2n)) * sqrt(2) > 5.0
+                  AS significant
+         FROM gm a JOIN gm b ON a.g < b.g
+         ORDER BY nation_a, nation_b""",
     // Koenker BP: stage-1 Cramer fit; residuals dollar-rounded before
     // squaring (the q_arch_lm headroom rule); stage-2 sums exact
     "q_breusch_pagan" ->

@@ -860,6 +860,37 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("games-howell pairs match a sequential per-pair Welch recompute") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1).toDouble))
+    val stats = rows.groupBy(_._1).map { case (g, xs) =>
+      val n = xs.length
+      val m = xs.map(_._2).sum / n
+      val s2 = xs.map(v => (v._2 - m) * (v._2 - m)).sum / (n - 1)
+      g -> ((n, m, s2 / n))
+    }
+    val k = stats.size
+    val got = StatQueries.queries("q_games_howell")(spark, sf).collect()
+    assert(got.length == k * (k - 1) / 2, "one row per unordered pair")
+    got.foreach { r =>
+      val (a, b) = (r.getInt(0), r.getInt(1))
+      assert(a < b, "pairs are canonical a < b")
+      val (na, ma, s2na) = stats(a)
+      val (nb, mb, s2nb) = stats(b)
+      val t = math.abs(ma - mb) / math.sqrt(s2na + s2nb)
+      val df = (s2na + s2nb) * (s2na + s2nb) /
+        (s2na * s2na / (na - 1) + s2nb * s2nb / (nb - 1))
+      assert(math.abs(r.getDouble(3) - t) < 1e-3 * (1.0 + t), s"t for ($a,$b)")
+      assert(math.abs(r.getDouble(4) - df) < 1e-1 * (1.0 + df), s"df for ($a,$b)")
+      assert(r.getBoolean(5) == (t * math.sqrt(2.0) > 5.0))
+      // Welch df is bounded by min(n)-1 below and na+nb-2 above
+      assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6)
+    }
+  }
+
   test("friedman matches a sequential within-block rank recompute") {
     val cells = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
