@@ -296,18 +296,22 @@ object RelationalQueries {
       Tables.lineitem(s, d))
 
   /** E6 grouped form: exact per-group quantiles — the profiling query a
-    * feature store runs per segment. Same single-array-percentile
-    * aggregate as q_quantiles, keyed by group; partials merge across
-    * the shuffle, so parallelism follows the grouping key. */
+    * feature store runs per segment, by GROUPED two-pass histogram
+    * narrowing ([[histogramQuantilesGrouped]]): the q_quantiles
+    * rewrite with the group key carried through both passes. The
+    * per-group `percentile` aggregate this replaces buffers every
+    * group value in one aggregation buffer (the row that dies first
+    * when a segment holds billions of values); the narrowing plan's
+    * heaviest state is a spillable per-(group, candidate-bucket)
+    * window over ~n/2048 rows, and driver traffic is
+    * O(groups × buckets) — segments are bounded (3 here; a profiling
+    * grain is dimension-sized by definition). Order statistics and
+    * the interpolation are exactly the sort's, so the DuckDB
+    * quantile_cont oracle hash is unchanged. */
   private val quantilesByGroup: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))").as("ps"))
-      .select(
-        col("l_returnflag"),
-        round(element_at(col("ps"), 1), 4).as("p25"),
-        round(element_at(col("ps"), 2), 4).as("p50"),
-        round(element_at(col("ps"), 3), 4).as("p75"))
+    histogramQuantilesGrouped(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.50, 0.75), Seq("p25", "p50", "p75"))
       .orderBy("l_returnflag")
 
   /** E6 grouped exact quantiles, SELECTION form — the scale twin of
@@ -504,6 +508,101 @@ object RelationalQueries {
       val hi = found(math.ceil(pos).toLong)
       lo + (hi - lo) * (pos - math.floor(pos))
     })
+  }
+
+  /** GROUPED two-pass histogram narrowing — [[histogramQuantiles]]
+    * with the group key carried through both passes. Pass 1: per-group
+    * (count, min, max) plus per-(group, equal-width-bucket) counts —
+    * codegen aggregates whose driver result is O(groups × buckets)
+    * longs (bounded: a profiling grain is dimension-sized). The driver
+    * locates every wanted order statistic as (group, bucket,
+    * local rank); pass 2 ranks ONLY the candidate (group, bucket)
+    * cells (broadcast semi-join + a window partitioned by group AND
+    * bucket — per-partition state ~n/nBuckets rows) and the driver
+    * interpolates the exact quantile_cont values. Emits one row per
+    * group with `names` columns rounded to 4. */
+  private[graft] def histogramQuantilesGrouped(df: DataFrame,
+      gCol: String, vCol: String, ps: Seq[Double], names: Seq[String],
+      nBuckets: Int = 2048): DataFrame = {
+    require(ps.length == 3 && names.length == 3,
+      "grouped narrowing emits the fixed 3-percentile profiling row")
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    import s.implicits._
+    val rows = df.select(col(gCol).cast("string").as("g"),
+      col(vCol).cast("double").as("xv")).filter(col("xv").isNotNull)
+    val heads = rows.groupBy("g").agg(count(lit(1)).as("n"),
+      min("xv").as("mn"), max("xv").as("mx")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val headsDf = broadcast(heads.toSeq.map { case (g, (n, mn, mx)) =>
+      (g, mn, if (mx > mn) (mx - mn) / nBuckets else 1.0)
+    }.toDF("g", "mn", "w"))
+    val bCol = least(greatest(
+      floor((col("xv") - col("mn")) / col("w")).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val counts = rows.join(headsDf, "g")
+      .groupBy(col("g"), bCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per group: cumulative-below per bucket, then each wanted global
+    // 0-based rank r -> (bucket, 1-based local rank)
+    val wants = heads.toSeq.flatMap { case (g, (n, mn, mx)) =>
+      if (mn == mx) Seq.empty
+      else {
+        val cumBelow = new Array[Long](nBuckets)
+        var acc = 0L; var i = 0
+        while (i < nBuckets) {
+          cumBelow(i) = acc; acc += counts.getOrElse((g, i), 0L); i += 1
+        }
+        val ranks = ps.flatMap(p => { val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong) }).distinct
+        ranks.map { r =>
+          var bi = nBuckets - 1
+          while (bi > 0 && (cumBelow(bi) > r || !counts.contains((g, bi))))
+            bi -= 1
+          (g, bi, r - cumBelow(bi) + 1, r)
+        }
+      }
+    }
+    val found: Map[(String, Long), Double] =
+      if (wants.isEmpty) Map.empty
+      else {
+        val wantsDf = broadcast(wants.toDF("wg", "wb", "lr", "gr"))
+        // restrict to candidate cells with a SEMI join (two wanted
+        // ranks can share a bucket — an inner join here would
+        // duplicate its rows and corrupt the local ranking)
+        val cand = broadcast(wants.map(w => (w._1, w._2)).distinct
+          .toDF("cg", "cb"))
+        rows.join(headsDf, "g").select(col("g"), col("xv"), bCol.as("b"))
+          .join(cand, col("g") === col("cg") && col("b") === col("cb"),
+            "left_semi")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("g", "b").orderBy("xv")))
+          .join(wantsDf,
+            col("g") === col("wg") && col("b") === col("wb") &&
+              col("rn") === col("lr"))
+          .select(col("g"), col("gr"), col("xv"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+          .toMap
+      }
+    val out = heads.toSeq.map { case (g, (n, mn, mx)) =>
+      val cells = ps.map { p =>
+        if (mn == mx) mn
+        else {
+          val pos = p * (n - 1)
+          val lo = found((g, math.floor(pos).toLong))
+          val hi = found((g, math.ceil(pos).toLong))
+          lo + (hi - lo) * (pos - math.floor(pos))
+        }
+      }
+      (g, cells)
+    }
+    out.map { case (g, cs) => (g, cs(0), cs(1), cs(2)) }
+      .toDF(gCol, "c1", "c2", "c3")
+      .select(col(gCol) +: names.zipWithIndex.map { case (nm, ix) =>
+        round(col(s"c${ix + 1}"), 4).as(nm)
+      }: _*)
   }
 
   /** Emit a quantile cell row with the repo's round-4 presentation —
