@@ -120,8 +120,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_welch_anova", "q_anova_two_way", "q_cooks_distance",
     "q_engle_granger",
     // round 14 late: the diagnostics trio crosses its 1-row OLS-fit /
-    // moment frames onto the day grid (the durbin_watson shape)
-    "q_breusch_pagan", "q_reset", "q_adf_drift")
+    // moment frames onto the day grid (the durbin_watson shape);
+    // games-howell pairs the 25-row nation grid (the q_tukey_hsd shape)
+    "q_breusch_pagan", "q_reset", "q_adf_drift", "q_games_howell")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
