@@ -371,6 +371,65 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  case class SourceFlush(source: String, kind: String, n_docs: Long,
+      recent_ids: Seq[Long])
+
+  /** ListState rung of the transformWithState API (the one
+    * [[SourceBudgetProcessor]]'s single counter doesn't exercise):
+    * per source, a sliding last-k doc_id ring in a ListState plus a
+    * running ValueState count, emitted as one progress row per batch —
+    * the landing-zone bookkeeping ("what arrived last, how much
+    * total") a corpus ingest manifest keeps per source. State is k
+    * ids + one long per source, bounded by |sources| regardless of
+    * corpus size. Timers (handleExpiredTimer) are deliberately NOT
+    * used: an always-expired processing-time timer keeps the
+    * micro-batch loop from quiescing (processAllAvailable never
+    * returns), so idle-flush semantics belong to event-time
+    * watermarks, not a unit-testable processing-time loop. */
+  class SourceRingProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), SourceFlush] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var nDocs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nDocs = getHandle.getValueState[Long]("nDocs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ()
+    }
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SourceFlush] = {
+      val ids = rows.map(_._2).toSeq.sorted
+      val n = (if (nDocs.exists()) nDocs.get() else 0L) + ids.length
+      nDocs.update(n)
+      val ring = (recent.get().toSeq ++ ids).takeRight(k)
+      recent.clear()
+      ring.foreach(recent.appendValue)
+      Iterator.single(SourceFlush(key, "progress", n, ring))
+    }
+  }
+
+  /** documents stream → per-source progress rows with the sliding
+    * last-k ring (see [[SourceRingProcessor]]). */
+  def sourceRingProgress(spark: SparkSession, docs: DataFrame,
+      k: Int): Dataset[SourceFlush] = {
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SourceRingProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

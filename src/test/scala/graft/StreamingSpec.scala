@@ -530,6 +530,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState ring slides across batches per source") {
+    val ss = spark
+    import ss.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val dir = java.nio.file.Files.createTempDirectory("graft-twsring")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType)))
+      def land(name: String, rows: Seq[(String, Long)]): Unit =
+        rows.toDF("source", "doc_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve(name).toString)
+      land("b1", Seq(("web", 1L), ("web", 2L), ("crawl", 10L)))
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      val q = EventStreams.sourceRingProgress(spark, stream.toDF(), 2)
+        .toDF().writeStream.format("memory").queryName("t_twsring")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      land("b2", Seq(("web", 3L)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_twsring").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      assert(rows.exists(r => r._1 == "web" && r._3 == 2 &&
+        r._4 == Seq(1L, 2L)), s"web batch-1 progress: ${rows.toSeq}")
+      assert(rows.exists(r => r._1 == "crawl" && r._3 == 1 &&
+        r._4 == Seq(10L)), s"crawl batch-1 progress: ${rows.toSeq}")
+      // batch 2: the ring must carry ListState across batches and
+      // slide (drop 1, keep 2-3); the count must accumulate
+      assert(rows.exists(r => r._1 == "web" && r._3 == 3 &&
+        r._4 == Seq(2L, 3L)),
+        s"the last-k ring must slide across batches: ${rows.toSeq}")
+      // an idle source emits nothing in a batch it didn't send in
+      assert(rows.count(_._1 == "crawl") == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation under the RocksDB state store matches the default provider") {
     // at 100 TB keyed state outgrows the default in-memory
     // (HDFSBackedStateStore) provider; RocksDB keeps state on local
