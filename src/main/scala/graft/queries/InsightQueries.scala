@@ -983,7 +983,10 @@ object InsightQueries {
     val caps = adj.groupBy("cust").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") >= 2 && col("bsz") <= 100)
       .select("cust")
-    val capped = adj.join(caps, "cust")
+    // persisted: THREE consumers (the per-part supports, and both
+    // sides of the co-occurrence self-join) — without the cache the
+    // orders⋈lineitem distinct replays once per consumer
+    val capped = CacheRegistry.register(adj.join(caps, "cust").persist())
     val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
     val b = capped.select(col("cust"), col("part").as("p2"))
     val co = capped.join(b, "cust").filter(col("part") < col("p2"))

@@ -293,17 +293,25 @@ object SimilarityQueries {
     * doc = lexicographic min over shingles of md5("i:" ++ shingle);
     * a band's bucket = md5 of its 4 minima joined with '|'. String
     * minima order identically in both engines (lowercase hex,
-    * bytewise). The xxhash64 family (q_dedup_minhash) stays the scale
-    * path — md5 is ~4× the hash cost and the shingle must travel as a
-    * string — this twin converts the last big test-only dedup operator
-    * into a hash-matched one. */
+    * bytewise). The 32 hash lanes come from EIGHT md5 digests per
+    * shingle, not 32: digest g (g=0..7) is split into four 8-hex-char
+    * slices, lane i = slice i%4 of digest i/4 — each lane is still an
+    * independent 32-bit uniform hash, the digest work drops 4×, and
+    * with 8 bands × 4 rows the four slices of digest g are exactly
+    * band g, so the banding layout is unchanged. The xxhash64 family
+    * (q_dedup_minhash) stays the scale path — md5 is ~4× the hash
+    * cost and the shingle must travel as a string — this twin converts
+    * the last big test-only dedup operator into a hash-matched one. */
   private val dedupMinhashOracle: Q = (s, d) => {
     val k = 32
     val shingles = TextQueries.shingleStringRows(s, d)
-    val minhashes = shingles.groupBy("doc_id").agg(
+    val digests = shingles.select(
+      col("doc_id") +: (0 until k / 4).map(g =>
+        md5(concat_ws(":", lit(g.toString), col("shingle"))).as(s"h$g")): _*)
+    val minhashes = digests.groupBy("doc_id").agg(
       count(lit(1)).as("n_sh"),
       array((0 until k).map(i =>
-        min(md5(concat_ws(":", lit(i.toString), col("shingle"))))): _*).as("mh"))
+        min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8))): _*).as("mh"))
     val bands = minhashes.select(
       col("doc_id"), col("n_sh"),
       posexplode(expr(
@@ -1455,13 +1463,19 @@ object SimilarityQueries {
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
                 FROM toks WHERE len(w) >= 3),
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         hashes AS (SELECT doc_id, i,
-                      min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-                    FROM sh CROSS JOIN range(0, 32) t(i)
-                    GROUP BY doc_id, i),
-         bands AS (SELECT doc_id, i // 4 AS band,
-                     md5(string_agg(h, '|' ORDER BY i)) AS bucket
-                   FROM hashes GROUP BY doc_id, i // 4),
+         hx AS (SELECT doc_id, g,
+                       md5(CAST(g AS VARCHAR) || ':' || shingle) AS h
+                FROM sh CROSS JOIN range(0, 8) t(g)),
+         hashes AS (SELECT doc_id, g,
+                      min(substring(h, 1, 8)) AS m0,
+                      min(substring(h, 9, 8)) AS m1,
+                      min(substring(h, 17, 8)) AS m2,
+                      min(substring(h, 25, 8)) AS m3
+                    FROM hx GROUP BY doc_id, g),
+         bands AS (SELECT doc_id, g AS band,
+                     md5(m0 || '|' || m1 || '|' || m2 || '|' || m3)
+                       AS bucket
+                   FROM hashes),
          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bucket = b.bucket

@@ -36,11 +36,10 @@ object StatQueries {
   private val dec = DecimalType(38, 0)
 
   /** Daily revenue in exact integer cents — the shared series grain of
-    * the trend estimators (same construction as q_cusum/q_acf). */
+    * the trend estimators (same construction as q_cusum/q_acf), served
+    * from the memoized [[OrdersDaily]] grid. */
   private def dailyCents(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    OrdersDaily.cents(s, d)
 
   /** Spearman rank correlation between quantity and price on the fact
     * table — the monotone-association twin of Pearson [[q_agg_corr]]:
@@ -649,10 +648,8 @@ object StatQueries {
     * rides the 2 399-day calendar grid (time-range-bounded, the
     * q_theil_sen broadcast class — NOT data-sized). */
   private val kendallTau: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"),
-        count(lit(1)).as("c"))
+    val daily = OrdersDaily.withCnt(s, d)
+      .select(col("day"), col("v"), col("cnt").as("c"))
     val b = daily.select(col("day").as("d2"), col("v").as("v2"),
       col("c").as("c2"))
     daily.join(broadcast(b), col("day") < col("d2"))
@@ -1680,7 +1677,17 @@ object StatQueries {
     * map-side-combined pass over the customer×replica explode (the
     * q_bootstrap_poisson shape — no global index, no B×n join); each
     * replica's mean difference is the same mirrored double expression
-    * as the observed one, so the ≥ compare can never flip. */
+    * as the observed one, so the ≥ compare can never flip.
+    *
+    * The 200 randomization bits come from FOUR md5 digests per
+    * customer, each packed into a 52-bit long (13 hex chars) BEFORE
+    * the replica explode — replica b reads bit b%50 of chunk b/50.
+    * Versus one md5 per (replica, customer) the digest work drops
+    * 50×, and versus carrying a hex strip through the explode the
+    * duplicated payload is 4 longs, not a 200+-char string; the
+    * per-replica work is pure codegen shift/mask arithmetic. The
+    * derivation stays byte-replayable in DuckDB (lowercase hex,
+    * '0x'-cast prefix, same >> and & semantics on BIGINT). */
   private val permutationTest: Q = (s, d) => {
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
@@ -1694,10 +1701,13 @@ object StatQueries {
       .select((col("s0").cast("double") / col("n0")
         - col("s1").cast("double") / col("n1")).as("d_obs"))
     val perms = rev
-      .withColumn("b", explode(sequence(lit(1), lit(200))))
-      .withColumn("a",
-        pmod(conv(substring(md5(concat(col("b"), lit(":"),
-          col("o_custkey"))), 1, 4), 16, 10).cast("long"), lit(2)))
+      .withColumn("ch", array((1 to 4).map(i =>
+        conv(substring(md5(concat(lit(i.toString), lit(":"),
+          col("o_custkey"))), 1, 13), 16, 10).cast("long")): _*))
+      .withColumn("b", explode(sequence(lit(0), lit(199))))
+      .withColumn("a", expr(
+        "shiftright(element_at(ch, cast(b / 50 as int) + 1), " +
+          "cast(b % 50 as int)) & 1"))
       .groupBy("b")
       .agg(sum(when(col("a") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("a") === 1, 1L).otherwise(0L)).as("n1"),
@@ -2742,11 +2752,20 @@ object StatQueries {
          ob AS (SELECT CAST(s0 AS DOUBLE) / n0
                   - CAST(s1 AS DOUBLE) / n1 AS d_obs
                 FROM obs),
+         rh AS (SELECT o_custkey, r,
+                       [('0x' || substring(md5('1:' || o_custkey),
+                          1, 13))::BIGINT,
+                        ('0x' || substring(md5('2:' || o_custkey),
+                          1, 13))::BIGINT,
+                        ('0x' || substring(md5('3:' || o_custkey),
+                          1, 13))::BIGINT,
+                        ('0x' || substring(md5('4:' || o_custkey),
+                          1, 13))::BIGINT] AS ch
+                FROM rev),
          pa AS (SELECT b,
-                       ('0x' || substring(md5(b || ':' || o_custkey),
-                          1, 4))::BIGINT % 2 AS a, r
-                FROM (SELECT unnest(generate_series(1, 200)) AS b) bs,
-                  rev),
+                       (ch[b // 50 + 1] >> (b % 50)) & 1 AS a, r
+                FROM (SELECT unnest(generate_series(0, 199)) AS b) bs,
+                  rh),
          pg AS (SELECT b,
                        CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
                          AS BIGINT) AS n0,

@@ -534,9 +534,7 @@ object TemporalQueries {
     * the sums are grid-sized. r_k = Σ(vₜ−m)(vₜ₊ₖ−m)/Σ(vₜ−m)²,
     * identical expression shapes in both engines. */
   private val acf: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val daily = OrdersDaily.dollars(s, d)
     val w = Window.orderBy("day")
     val centered = daily
       .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
@@ -561,9 +559,7 @@ object TemporalQueries {
     * Emits the detected changepoint day, the normalized max |S| in
     * dollars, and the day count. */
   private val cusum: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily
@@ -593,9 +589,7 @@ object TemporalQueries {
     * sub-changepoints can never flip on a float bit. */
   private val binseg: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val cumW = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sc = daily
@@ -740,9 +734,7 @@ object TemporalQueries {
     * 1-row aggregate, not a float aggregate) is bit-identical
     * cross-engine. Day-grid windows throughout. */
   private val ljungBox: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val daily = OrdersDaily.dollars(s, d)
     val w = Window.orderBy("day")
     val centered = daily
       .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
@@ -773,9 +765,7 @@ object TemporalQueries {
     * Only full 30-day windows emit. */
   private val rollingSlope: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val w = Window.orderBy("day").rowsBetween(-29, 0)
     val g = daily
       .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
@@ -864,9 +854,7 @@ object TemporalQueries {
     * emission. Weekday keys follow DuckDB's dayofweek convention
     * (0 = Sunday), i.e. Spark's dayofweek − 1. Seven rows out. */
   private val weekdayIndex: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val g = daily.groupBy((dayofweek(col("day")) - 1).cast("long")
       .as("dow"))
       .agg(count(lit(1)).as("n_days"), sum("v").as("rev"))
@@ -929,9 +917,7 @@ object TemporalQueries {
     * is the final USD² scaling. */
   private val haar: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     rnk.df.filter(col("rk") <= 2048)
@@ -968,9 +954,7 @@ object TemporalQueries {
     * days are dropped (the textbook rule). All windows ride the
     * bounded day grid. */
   private val runsTest: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("v").asc, col("day").asc), None)
     val n = rnk.n
@@ -1011,9 +995,7 @@ object TemporalQueries {
     * exact integers. Windows ride the bounded day grid. */
   private val sax: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val tot = daily.agg(count(lit(1)).as("n"),
       sum(col("v").cast(dec)).as("sv"),
       sum(col("v").cast(dec) * col("v")).as("svv"))
@@ -1054,9 +1036,7 @@ object TemporalQueries {
     val gamma = 0.5772156649
     val y12 = -math.log(-math.log(1.0 - 1.0 / 12.0))
     val y120 = -math.log(-math.log(1.0 - 1.0 / 120.0))
-    val monthly = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val monthly = OrdersDaily.cents(s, d)
       .groupBy(trunc(col("day"), "month").as("mth"))
       .agg(max("v").as("mx"))
     val a = monthly.agg(count(lit(1)).as("n"),
@@ -1127,9 +1107,7 @@ object TemporalQueries {
     (0 until 14).map(k => math.pow(0.7, k))
 
   private val adstock: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val w = Window.orderBy("day")
     val terms = adstockLambdas.zipWithIndex.map { case (l, k) =>
       lit(l) * lag(col("v"), k).over(w)
@@ -1158,9 +1136,7 @@ object TemporalQueries {
     * parallel, nothing data-sized in one task. */
   private val hurstRs: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val grid = rnk.df.filter(col("rk") <= 2048)
@@ -1209,10 +1185,7 @@ object TemporalQueries {
     * regardless of SF. */
   private val ccf: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.withCnt(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val a = rnk.df.select(col("rk"), col("cnt"))
@@ -1249,10 +1222,7 @@ object TemporalQueries {
     * dependent). F crit 3.842 = F(1,∞) at α=0.05. */
   private val granger: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.withCnt(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val cur = rnk.df.select(col("rk"), col("v").as("y"))
@@ -1315,10 +1285,7 @@ object TemporalQueries {
     * reviewed broadcast. */
   private val engleGranger: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.withCnt(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val base = rnk.df.select(col("rk"), col("cnt"), col("v"))
@@ -1373,9 +1340,7 @@ object TemporalQueries {
     * drift −2.86 (MacKinnon); t below it ⇒ stationary. */
   private val adfDrift: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val cur = rnk.df.select(col("rk"), col("v"))
@@ -1415,9 +1380,7 @@ object TemporalQueries {
     * 1-row fit rides a reviewed broadcast onto the day grid. */
   private val durbinWatson: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val rnk = graft.queries.ScaledWindow.rankCum(daily,
       Seq(col("day").asc), None)
     val cur = rnk.df.select(col("rk"), col("v").as("y"))
@@ -1467,10 +1430,7 @@ object TemporalQueries {
     * 30th day on (full frames only). */
   private val rollingCorr: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.withCnt(s, d)
     val w30 = Window.orderBy("day").rowsBetween(-29, 0)
     val rolled = daily
       .withColumn("n", count(lit(1)).over(w30))
@@ -1504,9 +1464,7 @@ object TemporalQueries {
     * grid (the q_rolling_corr class, allow-listed). */
   private val drawdown: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val tot = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"))
     val wCum = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1546,9 +1504,7 @@ object TemporalQueries {
     * only; bounded calendar grid. */
   private val bollinger: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val w20 = Window.orderBy("day").rowsBetween(-19, 0)
     val r = daily
       .withColumn("n", count(lit(1)).over(w20))
@@ -1578,9 +1534,7 @@ object TemporalQueries {
     * comparisons; the one division emits the final day's RSI. Full
     * 14-diff frames only; bounded calendar grid. */
   private val rsi: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val daily = OrdersDaily.cents(s, d)
     val diffs = daily
       .withColumn("prev", lag("v", 1).over(Window.orderBy("day")))
       .filter(col("prev").isNotNull)
@@ -1626,9 +1580,7 @@ object TemporalQueries {
     * mirrored double. χ²(1) 5% critical 3.841. */
   private val archLm: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val dly = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val dly = OrdersDaily.cents(s, d)
     val ix = ScaledWindow.rankCum(dly, Seq(col("day").asc), None)
     val a = ix.df.select(col("rk"), col("v"))
     val b = ix.df.select((col("rk") + 1).as("rk"), col("v").as("yl"))
@@ -1684,9 +1636,7 @@ object TemporalQueries {
     * acf construction; every Durbin–Levinson expression is a mirrored
     * double, rounded at emission. */
   private val pacf: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("v"))
+    val daily = OrdersDaily.dollars(s, d)
     val w = Window.orderBy("day")
     val centered = daily
       .crossJoin(broadcast(daily.agg(avg("v").as("m"))))
@@ -1719,9 +1669,8 @@ object TemporalQueries {
     * sigma-distance. */
   private val controlChart: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = OrdersDaily.withCnt(s, d)
+      .select(col("day"), col("cnt").as("c"))
     val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("sc"))
     val g = CacheRegistry.register(daily.crossJoin(broadcast(tot))
       .withColumn("dev", col("n").cast(dec) * col("c") - col("sc"))

@@ -1179,8 +1179,16 @@ class StatQueriesSpec extends SparkSpec {
         a1.map(_._2).sum.toDouble / a1.length
     }
     val dObs = diff(_ % 2)
-    val extreme = (1 to 200).count { b =>
-      math.abs(diff(c => h16(s"$b:$c") % 2)) >= math.abs(dObs)
+    // replica b's bit = bit b%50 of the customer's (b/50+1)-th
+    // 52-bit md5-prefix chunk, mirroring the query's packed-long
+    // derivation
+    val chunks = rev.map { case (c, _) =>
+      c -> (1 to 4).map(i => java.lang.Long.parseLong(
+        md5Hex(s"$i:$c").substring(0, 13), 16))
+    }.toMap
+    val extreme = (0 until 200).count { b =>
+      math.abs(diff(c => (chunks(c)(b / 50) >> (b % 50)) & 1L)) >=
+        math.abs(dObs)
     }
     val got = q("q_permutation_test").collect()(0)
     assert(got.getLong(0) == 200L)
