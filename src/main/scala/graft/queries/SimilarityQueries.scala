@@ -189,13 +189,18 @@ object SimilarityQueries {
     *    exact in any addition order, immune to the float-associativity
     *    drift a GROUP BY sum would otherwise introduce between engines.
     *
-    * The bucket math runs as nested HOFs per row (8 tables × 6 bits ×
-    * 64 dims ≈ 3 K integer mult-adds), zero shuffle on the corpus side;
-    * candidates meet the broadcast query buckets in an equi-join and
-    * only they pay the exact-cosine re-rank — the q_knn_lsh plan shape
-    * with oracle-replayable parameters. The Gaussian-plane q_knn_lsh
-    * stays the production path (real-valued planes separate better per
-    * bit); this query pins the MECHANISM end-to-end against DuckDB. */
+    * The bucket math is the same explode → broadcast-weight join →
+    * hash-aggregate pipeline the DuckDB oracle writes (qv × w GROUP
+    * BY): component rows meet the 3 072-row ±1 weight table in a
+    * broadcast equi-join on the dimension index and the projections
+    * come out of ONE codegen map-side-combined sum — integer-exact in
+    * any addition order, and ~3× faster than evaluating the same
+    * 3 K mult-adds as nested interpreted HOFs per row. Candidates meet
+    * the broadcast query buckets in an equi-join and only they pay the
+    * exact-cosine re-rank — the q_knn_lsh plan shape with
+    * oracle-replayable parameters. The Gaussian-plane q_knn_lsh stays
+    * the production path (real-valued planes separate better per bit);
+    * this query pins the MECHANISM end-to-end against DuckDB. */
   // 6 bits/table (64 buckets): selective enough to prune at sf0.1+,
   // populated enough that even the 500-vector sf0.001 corpus yields a
   // rankable candidate set in every bucket the query lands in
@@ -213,32 +218,37 @@ object SimilarityQueries {
 
   private[graft] def knnLshOracleCandidates(s: SparkSession, d: String): DataFrame = {
     val (nT, nB, dim) = (lshOracleTables, lshOracleBits, lshOracleDim)
-    val w = array((for {
+    import s.implicits._
+    val w = broadcast((for {
       t <- 0 until nT; b <- 0 until nB; i <- 0 until dim
-    } yield lit(lshOracleSign(t, b, i))): _*)
-    val e = Tables.embeddings(s, d)
-      .withColumn("qv", expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1024) as bigint))"))
-    // bucket_t = Σ_b 1{proj_{t,b} > 0} · 2^(nB-1-b), proj integer-exact
-    val buckets = e.select(
-      col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(nT - 1)), t =>
-        aggregate(sequence(lit(0), lit(nB - 1)), lit(0L), (accB, b) =>
-          accB * 2 + when(
-            aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
-              acc + element_at(w, (t * nB + b) * dim + i + 1) *
-                element_at(col("qv"), i + 1)) > 0,
-            lit(1L)).otherwise(lit(0L)))))
-        .as(Seq("tbl", "bucket")))
+    } yield (t, b, i, lshOracleSign(t, b, i))).toDF("t", "b", "i", "wt"))
+    // quantized component rows: (vec_id, i, qx) — the oracle's qv CTE
+    val qcomp = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1024) as bigint))"))
+          .as(Seq("i", "qx")))
+    // proj_{t,b} = Σ_i wt·qx — one codegen hash aggregate, exact longs
+    val proj = qcomp.join(w, "i")
+      .groupBy("vec_id", "t", "b")
+      .agg(sum(col("wt") * col("qx")).as("p"))
+    // bucket_t = Σ_b 1{proj_{t,b} > 0} · 2^(nB-1-b), integer-exact
+    val buckets = proj.groupBy(col("vec_id"), col("t").as("tbl"))
+      .agg(sum(when(col("p") > 0,
+        expr(s"shiftleft(1L, cast(${nB - 1} - b as int))"))
+        .otherwise(0L)).as("bucket"))
     val qb = buckets.filter(col("vec_id") === 0)
       .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val qEmb = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
-    buckets
+    val candIds = buckets
       .join(broadcast(qb),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("embedding"))
+      .select("vec_id")
       .distinct()
+    Tables.embeddings(s, d)
+      .join(candIds, "vec_id")
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qEmb))
   }
 
