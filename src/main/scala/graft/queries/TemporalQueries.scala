@@ -1122,6 +1122,36 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** Simple-exponential-smoothing level (α = 0.3) of daily revenue —
+    * the one-parameter forecast baseline every horizon comparison
+    * starts from (the h-step SES forecast is flat at this level).
+    * The recursion l_t = α·y_t + (1−α)·l_{t−1} with l_1 = y_1 unrolls
+    * to the closed weighted sum l_n = Σ_{t≥2} α(1−α)^{n−t}·y_t +
+    * (1−α)^{n−1}·y_1, so the level is ONE map-side aggregate over the
+    * calendar-bounded day grid instead of a 2 399-step sequential
+    * fold — the same unrolling that makes SES distributable at 100 TB
+    * (per-key levels become one weighted groupBy, no per-key
+    * iteration). Weights beyond ~120 days underflow to exact 0.0 in
+    * both engines (0.7^n), so the sum is effectively recency-bounded;
+    * each term is a mirrored double expression and the cross-engine
+    * addition-order drift (~1e-9 absolute) sits far under the 1e-4
+    * rounding grain. */
+  private val sesForecast: Q = (s, d) => {
+    val alpha = 0.3
+    val daily = OrdersDaily.cents(s, d)
+    val term = (col("v") / lit(100.0)) *
+      when(col("rk") === 1, pow(lit(1 - alpha), col("n") - 1))
+        .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rk")))
+    daily
+      .withColumn("rk", row_number().over(Window.orderBy("day")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("n"), term.as("term"))
+      .agg(max("n").as("n_days"),
+        round(sum("term"), 4).as("ses_level_usd"))
+      .select(col("n_days"), lit(alpha).as("alpha"),
+        col("ses_level_usd"))
+  }
+
   /** Rescaled-range (R/S) spectrum of daily revenue — the Hurst/
     * long-memory diagnostic beside [[haar]] (the wavelet spectrum asks
     * which scale carries VARIANCE; R/S asks whether deviations at a
@@ -1749,6 +1779,7 @@ object TemporalQueries {
     "q_attribution_decay" -> attributionDecay,
     "q_cohort_ltv" -> cohortLtv,
     "q_adstock" -> adstock,
+    "q_ses_forecast" -> sesForecast,
     "q_ljung_box" -> ljungBox,
     "q_rolling_slope" -> rollingSlope,
     "q_interarrival" -> interarrival,
@@ -2677,6 +2708,24 @@ object TemporalQueries {
                 round(ad / 100.0, 4) AS adstock_usd
          FROM a WHERE l13 IS NOT NULL ORDER BY day"""
     },
+    // closed-form SES unroll: mirrored per-term doubles over the day
+    // grid, explicit DOUBLE alpha literal, round 4 over ~1e-9 drift
+    "q_ses_forecast" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         a AS (SELECT v, row_number() OVER (ORDER BY day) AS rk,
+                      count(*) OVER () AS n
+               FROM dly),
+         t AS (SELECT n, (v / 100.0)
+                      * CASE WHEN rk = 1 THEN power(0.7, n - 1)
+                             ELSE 0.3 * power(0.7, n - rk) END AS term
+               FROM a)
+         SELECT CAST(max(n) AS BIGINT) AS n_days,
+                CAST(0.3 AS DOUBLE) AS alpha,
+                round(sum(term), 4) AS ses_level_usd
+         FROM t""",
     // exact long cents through the cohort-partitioned cumulative
     // window; integer epoch-week age arithmetic
     "q_cohort_ltv" ->

@@ -169,6 +169,23 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ses level equals the sequential smoothing recursion") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1))
+    // the definitional form the closed weighted sum must reproduce:
+    // l_1 = y_1; l_t = alpha*y_t + (1-alpha)*l_{t-1}
+    var l = daily.head / 100.0
+    daily.tail.foreach(v => l = 0.3 * (v / 100.0) + 0.7 * l)
+    val got = TemporalQueries.queries("q_ses_forecast")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == daily.length.toLong)
+    assert(got.getDouble(1) == 0.3)
+    assert(math.abs(got.getDouble(2) - l) < 1e-3 + 1e-9,
+      s"closed-form level ${got.getDouble(2)} vs recursion $l")
+  }
+
   test("interarrival matches a sequential per-user gap recompute") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
