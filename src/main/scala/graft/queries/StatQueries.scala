@@ -317,51 +317,6 @@ object StatQueries {
           / (col("vm") / lit(1000000.0)), 4).as("chi2"))
   }
 
-  /** Kaplan–Meier survival curve of customer repeat-purchase
-    * lifetimes — the estimator [[logrank]] COMPARES two of; this emits
-    * the curve itself (the first thing an analyst plots for churn).
-    * Duration = days between a customer's first and last order;
-    * customers whose last order falls in the final dataset months
-    * (≥ 2001-01-01, the [[logrank]] censor rule) are right-CENSORED — they were still active when
-    * observation stopped, so they leave the at-risk set without
-    * counting as events (the definitional point of KM vs a naive
-    * ECDF).
-    *
-    * Grain and exactness: d (events) and n (at-risk, a reverse
-    * cumulative count) are exact longs on the calendar-bounded
-    * distinct-duration axis (≤ 2 399 rows at every SF — the
-    * [[logrank]] grid); S(t) = Π (1 − d/n) is carried as
-    * exp(Σ ln(1 − d/n)) over one ordered cumulative window on the
-    * event rows, each ln a mirrored single double op, the prefix sums
-    * sequential in both engines, and the result rounded to 6 — far
-    * above the ~1e-13 drift a few thousand ln terms can accumulate.
-    * The `greatest(1e-300, ·)` guard keeps a terminal d = n row (whole
-    * risk set dies) finite in both engines: ln would be NULL in Spark
-    * but an ERROR in DuckDB. One customer aggregate, one ≤2 399-row
-    * grid — no data-sized window, no join. */
-  private val kaplanMeier: Q = (s, d) => {
-    val life = Tables.orders(s, d)
-      .groupBy("o_custkey")
-      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
-        max("o_orderdate").as("last"))
-      .select(col("dur"),
-        when(col("last") < lit("2001-01-01").cast("date"), 1L)
-          .otherwise(0L).as("event"))
-    val g = life.groupBy("dur")
-      .agg(sum("event").as("d"), count(lit(1)).as("c"))
-    val atRisk = Window.orderBy("dur")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val surv = Window.orderBy("dur")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.withColumn("n", sum("c").over(atRisk))
-      .filter(col("d") > 0)
-      .withColumn("s", exp(sum(log(greatest(lit(1e-300),
-        lit(1.0) - col("d").cast("double") / col("n")))).over(surv)))
-      .select(col("dur"), col("n").as("n_risk"), col("d").as("n_event"),
-        round(col("s"), 6).as("survival"))
-      .orderBy("dur")
-  }
-
   /** G-test (likelihood-ratio) of independence on the 2×2
     * urgent-priority × finished-status grid — the test an analyst
     * reaches for when chi-square's normal approximation is suspect
@@ -2276,7 +2231,6 @@ object StatQueries {
     "q_tost" -> tost,
     "q_sprt" -> sprt,
     "q_logrank" -> logrank,
-    "q_kaplan_meier" -> kaplanMeier,
     "q_g_test" -> gTest,
     "q_qini" -> qini,
     "q_psm_att" -> psmAtt,
@@ -3117,32 +3071,6 @@ object StatQueries {
                 round(pow(o1 - e1m / 1000000.0, 2) / (vm / 1000000.0), 4)
                   AS chi2
          FROM f""",
-    // exact long d/n on the distinct-duration grid; the survival
-    // product runs as exp of an ordered cumulative ln sum over event
-    // rows only, guarded against a terminal ln(0), rounded to 6
-    "q_kaplan_meier" ->
-      """WITH life AS (SELECT CAST(date_diff('day', min(o_orderdate),
-                                        max(o_orderdate)) AS INTEGER) AS dur,
-                              CASE WHEN max(o_orderdate) < DATE '2001-01-01'
-                                   THEN 1 ELSE 0 END AS event
-                       FROM orders GROUP BY o_custkey),
-         g AS (SELECT dur, CAST(sum(event) AS BIGINT) AS d,
-                      count(*) AS c
-               FROM life GROUP BY dur),
-         r AS (SELECT dur, d,
-                      CAST(sum(c) OVER (ORDER BY dur ROWS BETWEEN
-                        CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-                        AS n
-               FROM g),
-         s AS (SELECT dur, n, d,
-                      exp(sum(ln(greatest(1e-300,
-                          1.0 - CAST(d AS DOUBLE) / n)))
-                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
-                          PRECEDING AND CURRENT ROW)) AS sv
-               FROM r WHERE d > 0)
-         SELECT dur, n AS n_risk, d AS n_event,
-                round(sv, 6) AS survival
-         FROM s ORDER BY dur""",
     // exact long cell counts/margins from one 4-row aggregate; each
     // 2*O*ln(O/E) term micro-rounded before the exact 4-term sum
     "q_g_test" ->

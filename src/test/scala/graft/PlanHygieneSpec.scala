@@ -122,7 +122,10 @@ class PlanHygieneSpec extends SparkSpec {
     // round 14 late: the diagnostics trio crosses its 1-row OLS-fit /
     // moment frames onto the day grid (the durbin_watson shape);
     // games-howell pairs the 25-row nation grid (the q_tukey_hsd shape)
-    "q_breusch_pagan", "q_reset", "q_adf_drift", "q_games_howell")
+    "q_breusch_pagan", "q_reset", "q_adf_drift", "q_games_howell",
+    // round 14 fourth widening: the g-test crosses its 1-row margins
+    // frame onto the 4-row contingency-cell grid
+    "q_g_test")
 
   // reviewed partition-less windows: every entry runs its global
   // window over a provably BOUNDED grain, not a data-sized dimension —
@@ -177,7 +180,10 @@ class PlanHygieneSpec extends SparkSpec {
     // strength's centered MA rides the ~84-row month grid (the
     // q_stl_decompose class)
     "q_drawdown", "q_bollinger", "q_rsi", "q_pacf",
-    "q_seasonal_strength")
+    "q_seasonal_strength",
+    // round 14: the SES closed-form rank/count windows ride the
+    // bounded ~2.4k-row calendar-day grid (the q_rolling_corr class)
+    "q_ses_forecast")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

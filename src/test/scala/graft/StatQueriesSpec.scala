@@ -185,36 +185,6 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - chi2) < 1e-4 + 1e-9)
   }
 
-  test("kaplan-meier curve matches a sequential product recompute") {
-    val life = Tables.orders(spark, sf).groupBy("o_custkey")
-      .agg(datediff(max("o_orderdate"), min("o_orderdate")).as("dur"),
-        max("o_orderdate").as("last"))
-      .select(col("dur"),
-        when(col("last") < lit("2001-01-01").cast("date"), 1L)
-          .otherwise(0L).as("event"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val eventDurs = life.filter(_._2 == 1L).map(_._1).distinct.sorted
-    var sRun = 1.0
-    val expected = eventDurs.map { t =>
-      val dEv = life.count(x => x._1 == t && x._2 == 1L).toLong
-      val n = life.count(_._1 >= t).toLong
-      sRun *= (1.0 - dEv.toDouble / n)
-      (t, n, dEv, sRun)
-    }
-    val got = q("q_kaplan_meier").collect()
-    assert(got.length == expected.length)
-    got.zip(expected).foreach { case (r, (t, n, dEv, sv)) =>
-      assert(r.getInt(0) == t && r.getLong(1) == n && r.getLong(2) == dEv)
-      assert(math.abs(r.getDouble(3) - sv) < 1e-5, s"survival at dur=$t")
-    }
-    // the curve is monotone non-increasing in (0, 1]
-    assert(got.head.getDouble(3) <= 1.0)
-    got.map(_.getDouble(3)).sliding(2).foreach {
-      case Array(a, b) => assert(a >= b - 1e-9)
-      case _ =>
-    }
-  }
-
   test("g-test matches the brute-force 2x2 likelihood ratio") {
     val rows = Tables.orders(spark, sf)
       .select("o_orderpriority", "o_orderstatus").collect()
