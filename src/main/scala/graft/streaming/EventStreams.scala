@@ -430,6 +430,62 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  case class SourceLangMix(source: String, n_docs: Long,
+      langs: Seq[String], counts: Seq[Long])
+
+  /** MapState rung of the transformWithState API — the third typed
+    * state primitive beside [[SourceBudgetProcessor]]'s ValueState
+    * and [[SourceRingProcessor]]'s ListState: per source, a
+    * lang → doc-count histogram in a MapState, emitted each batch as
+    * one manifest row with the full (lang-sorted) mix — the streaming
+    * twin of the batch q_lang_source_share composition read, kept
+    * incrementally as the corpus lands. A MapState is the right
+    * shape here because the key set (languages seen per source) is
+    * unknown upfront and updates are point-wise per language; state
+    * is |langs| longs per source — bounded by the language vocab,
+    * never corpus-sized. RocksDB provider required, like the other
+    * two rungs. */
+  class SourceLangMixProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), SourceLangMix] {
+    @transient private var byLang:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      byLang = getHandle.getMapState[String, Long]("byLang",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ()
+    }
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SourceLangMix] = {
+      rows.foreach { case (_, lang) =>
+        val cur = if (byLang.containsKey(lang)) byLang.getValue(lang)
+          else 0L
+        byLang.updateValue(lang, cur + 1L)
+      }
+      val mix = byLang.iterator().toSeq.sortBy(_._1)
+      Iterator.single(SourceLangMix(key, mix.map(_._2).sum,
+        mix.map(_._1), mix.map(_._2)))
+    }
+  }
+
+  /** documents stream → per-source incremental language-mix manifest
+    * (see [[SourceLangMixProcessor]]). */
+  def sourceLangMix(spark: SparkSession, docs: DataFrame)
+      : Dataset[SourceLangMix] = {
+    import spark.implicits._
+    docs.select(col("source"), col("lang"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SourceLangMixProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** mapGroupsWithState variant: one state row per user per batch

@@ -577,6 +577,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState lang mix accumulates point-wise across batches") {
+    val ss = spark
+    import ss.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val dir = java.nio.file.Files.createTempDirectory("graft-twsmap")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      def land(name: String, rows: Seq[(String, String)]): Unit =
+        rows.toDF("source", "lang")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve(name).toString)
+      land("b1", Seq(("web", "en"), ("web", "en"), ("web", "es"),
+        ("crawl", "zh")))
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      val q = EventStreams.sourceLangMix(spark, stream.toDF())
+        .toDF().writeStream.format("memory").queryName("t_twsmap")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      land("b2", Seq(("web", "zh"), ("web", "es")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_twsmap").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[String](2), r.getSeq[Long](3)))
+      // batch 1: per-source histograms, lang-sorted
+      assert(rows.exists(r => r._1 == "web" && r._2 == 3 &&
+        r._3 == Seq("en", "es") && r._4 == Seq(2L, 1L)),
+        s"web batch-1 mix: ${rows.toSeq}")
+      assert(rows.exists(r => r._1 == "crawl" && r._2 == 1 &&
+        r._3 == Seq("zh") && r._4 == Seq(1L)),
+        s"crawl batch-1 mix: ${rows.toSeq}")
+      // batch 2: existing lang counts bump, a NEW lang key appears in
+      // the carried MapState — point-wise updates, not a rebuild
+      assert(rows.exists(r => r._1 == "web" && r._2 == 5 &&
+        r._3 == Seq("en", "es", "zh") && r._4 == Seq(2L, 2L, 1L)),
+        s"web batch-2 mix must carry and extend state: ${rows.toSeq}")
+      // an idle source emits nothing in a batch it didn't send in
+      assert(rows.count(_._1 == "crawl") == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation under the RocksDB state store matches the default provider") {
     // at 100 TB keyed state outgrows the default in-memory
     // (HDFSBackedStateStore) provider; RocksDB keeps state on local
