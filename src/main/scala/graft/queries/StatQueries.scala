@@ -143,6 +143,87 @@ object StatQueries {
       .select(lit(m).as("n_pairs"), col("slope_usd_day"))
   }
 
+  /** Quantile regression (τ = 0.9) of daily revenue on the day index
+    * via IRLS — the conditional-quantile line beside [[theilSen]]'s
+    * robust median slope (Theil–Sen answers "the typical trend";
+    * τ = 0.9 answers "how the BUSY days trend", the capacity-planning
+    * read OLS can't give). Eight IRLS rounds from an OLS seed,
+    * entirely engine-side: each round's coefficients are a 1-row
+    * frame crossed onto the ≤2 399-row day grid (the durbin_watson
+    * broadcast shape), so the whole fit is ONE lazy plan — no driver
+    * loop, no collect.
+    *
+    * Cross-engine exactness (the q_anova int128 protocol applied to
+    * an ITERATIVE fit): the OLS seed's normal-equation sums are exact
+    * integers; every derived coefficient is round(·, 6) at the
+    * iteration boundary; each IRLS weight w = τ/max(|r|, ε) (or
+    * (1−τ) below the line) is micro-rounded to an exact long
+    * (round(1e9·w)) BEFORE the weighted sums, so all five sums of
+    * w·t·v products are exact int128 in BOTH engines and the
+    * iteration trajectory is bit-replayable in DuckDB — float drift
+    * cannot compound across rounds because no unrounded float ever
+    * crosses an iteration boundary. Weighted sums peak ~1e31 at sf1
+    * (w ≤ 9e14 micro-units · t ≤ 2.4e3 · v ≤ 1e9 · 2.4e3 rows) — 7
+    * digits of DECIMAL(38,0) headroom. Pinball loss is micro-rounded
+    * per row and summed exactly. */
+  private val quantileReg: Q = (s, d) => {
+    val tau = 0.9
+    val grid = dailyCents(s, d)
+      .withColumn("t", row_number().over(Window.orderBy("day"))
+        .cast("long"))
+      .select(col("t"), col("v"))
+    // ONE partition: the grid is ≤2 399 rows and feeds nine global
+    // aggregates — at 32 partitions each round pays a 32-task stage +
+    // exchange; single-partition, each round is one ~ms task
+    val g = CacheRegistry.register(grid.coalesce(1).persist())
+    // coefficient updates run on the DRIVER from each round's 1-row
+    // exact sums (bounded collects — 9 scalars total): the in-plan
+    // 1-row-broadcast chain costs a broadcast exchange per round
+    // (measured 1.7 s); collecting the sums costs one ~ms task per
+    // round. The Scala rounding mirrors Spark's Round expression
+    // exactly (decimal expansion of the double's shortest repr,
+    // HALF_UP) — the same derivation the oracle replays in SQL.
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sr = g.agg(count(lit(1)).as("n"),
+      sum(col("t").cast(dec)).as("st"), sum(col("v").cast(dec)).as("sy"),
+      sum(col("t").cast(dec) * col("t")).as("stt"),
+      sum(col("t").cast(dec) * col("v")).as("sty")).collect()(0)
+    val n = sr.getLong(0)
+    val (st, sy, stt, sty) = (sr.getDecimal(1).doubleValue(),
+      sr.getDecimal(2).doubleValue(), sr.getDecimal(3).doubleValue(),
+      sr.getDecimal(4).doubleValue())
+    var b = rnd6((n.toDouble * sty - st * sy)
+      / (n.toDouble * stt - st * st))
+    var a = rnd6((sy - b * st) / n)
+    for (_ <- 1 to 8) {
+      val r = col("v").cast("double") - lit(a) - lit(b) * col("t")
+      val w = round(lit(1e9)
+        * when(r > 0, lit(tau)).otherwise(lit(1 - tau))
+        / greatest(abs(r), lit(1e-6))).cast(dec)
+      val it = g.select(w.as("w"), col("t"), col("v"))
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * col("t")).as("swt"),
+          sum(col("w") * col("v")).as("swy"),
+          sum(col("w") * col("t") * col("t")).as("swtt"),
+          sum(col("w") * col("t") * col("v")).as("swty")).collect()(0)
+      val (sw, swt, swy, swtt, swty) = (it.getDecimal(0).doubleValue(),
+        it.getDecimal(1).doubleValue(), it.getDecimal(2).doubleValue(),
+        it.getDecimal(3).doubleValue(), it.getDecimal(4).doubleValue())
+      b = rnd6((sw * swty - swt * swy) / (sw * swtt - swt * swt))
+      a = rnd6((swy - b * swt) / sw)
+    }
+    val rFin = col("v").cast("double") - lit(a) - lit(b) * col("t")
+    g.select(round(lit(1e6) * when(rFin > 0, lit(tau) * rFin)
+        .otherwise(lit(tau - 1) * rFin)).cast(dec).as("rho"))
+      .agg(sum("rho").as("rho_sum"))
+      .select(lit(n).as("n_days"), lit(tau).as("tau"),
+        round(lit(a) / 100.0, 4).as("a_usd"),
+        round(lit(b) / 100.0, 4).as("b_usd_per_day"),
+        round(col("rho_sum").cast("double") / 1e8, 2)
+          .as("pinball_usd"))
+  }
+
   /** Leave-one-out smoothed target encoding of market segment — the
     * standard high-cardinality categorical encoder for gradient
     * models, in its LEAKAGE-FREE form: each row's own label is removed
@@ -2261,6 +2342,7 @@ object StatQueries {
     "q_spearman" -> spearman,
     "q_mann_kendall" -> mannKendall,
     "q_theil_sen" -> theilSen,
+    "q_quantile_reg" -> quantileReg,
     "q_target_encode" -> targetEncode,
     "q_calibration" -> calibration,
     "q_cramers_v" -> cramersV,
@@ -4073,6 +4155,81 @@ object StatQueries {
          SELECT CAST(max(m) AS BIGINT) AS n_pairs,
                 round((min(slope) + max(slope)) / 2, 6) AS slope_usd_day
          FROM r WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1""",
+    // the IRLS trajectory replayed exactly: every coefficient is
+    // round(·,6) at its iteration boundary and every weight is an
+    // exact micro-rounded HUGEINT before the weighted sums, so no
+    // unrounded float crosses an iteration. Literals are written as
+    // the same IEEE expressions Spark evaluates ((1 - 0.9), (0.9 - 1))
+    // — NOT 0.1/-0.1, which differ in the last ulp.
+    "q_quantile_reg" -> {
+      def irls(i: Int, prev: String): String =
+        s"""w$i AS (SELECT n, t, v,
+                      CAST(round(1e9 * (CASE WHEN CAST(v AS DOUBLE)
+                                          - a - b * t > 0
+                                        THEN 0.9 ELSE (1 - 0.9) END)
+                        / greatest(abs(CAST(v AS DOUBLE) - a - b * t),
+                            1e-6)) AS HUGEINT) AS w
+               FROM grid, $prev),
+         s$i AS (SELECT max(n) AS n, sum(w) AS sw, sum(w * t) AS swt,
+                      sum(w * v) AS swy, sum(w * t * t) AS swtt,
+                      sum(w * t * v) AS swty
+               FROM w$i),
+         b$i AS (SELECT n, sw, swt, swy,
+                      round((CAST(sw AS DOUBLE) * CAST(swty AS DOUBLE)
+                        - CAST(swt AS DOUBLE) * CAST(swy AS DOUBLE))
+                        / (CAST(sw AS DOUBLE) * CAST(swtt AS DOUBLE)
+                          - CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE)),
+                        6) AS b
+               FROM s$i),
+         c$i AS (SELECT n,
+                      round((CAST(swy AS DOUBLE) - b * CAST(swt AS DOUBLE))
+                        / CAST(sw AS DOUBLE), 6) AS a, b
+               FROM b$i)"""
+      s"""WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         grid AS (SELECT row_number() OVER (ORDER BY day) AS t, v
+                  FROM dly),
+         s0 AS (SELECT count(*) AS n, sum(t) AS st, sum(v) AS sy,
+                       sum(t * t) AS stt, sum(t * v) AS sty
+                FROM grid),
+         b0 AS (SELECT n, st, sy,
+                       round((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                         - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)),
+                         6) AS b
+                FROM s0),
+         c0 AS (SELECT n,
+                       round((CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                         / n, 6) AS a, b
+                FROM b0),
+         ${irls(1, "c0")},
+         ${irls(2, "c1")},
+         ${irls(3, "c2")},
+         ${irls(4, "c3")},
+         ${irls(5, "c4")},
+         ${irls(6, "c5")},
+         ${irls(7, "c6")},
+         ${irls(8, "c7")},
+         rho AS (SELECT n, a, b,
+                        CAST(round(1e6 * (CASE WHEN CAST(v AS DOUBLE)
+                                             - a - b * t > 0
+                                          THEN 0.9 * (CAST(v AS DOUBLE)
+                                            - a - b * t)
+                                          ELSE (0.9 - 1)
+                                            * (CAST(v AS DOUBLE)
+                                              - a - b * t) END))
+                          AS HUGEINT) AS rho
+                 FROM grid, c8)
+         SELECT CAST(max(n) AS BIGINT) AS n_days,
+                CAST(0.9 AS DOUBLE) AS tau,
+                round(max(a) / 100.0, 4) AS a_usd,
+                round(max(b) / 100.0, 4) AS b_usd_per_day,
+                round(CAST(sum(rho) AS DOUBLE) / 1e8, 2) AS pinball_usd
+         FROM rho"""
+    },
     // LOO encoding cleared of the global-mean denominator: both sides
     // of the one division are exact integers
     "q_target_encode" ->

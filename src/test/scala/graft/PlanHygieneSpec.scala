@@ -181,9 +181,10 @@ class PlanHygieneSpec extends SparkSpec {
     // q_stl_decompose class)
     "q_drawdown", "q_bollinger", "q_rsi", "q_pacf",
     "q_seasonal_strength",
-    // round 14: the SES closed-form rank/count windows ride the
-    // bounded ~2.4k-row calendar-day grid (the q_rolling_corr class)
-    "q_ses_forecast")
+    // round 14: the SES closed-form rank/count windows and the
+    // quantile-regression day index ride the bounded ~2.4k-row
+    // calendar-day grid (the q_rolling_corr class)
+    "q_ses_forecast", "q_quantile_reg")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

@@ -185,6 +185,66 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - chi2) < 1e-4 + 1e-9)
   }
 
+  test("quantile regression replays the micro-rounded IRLS trajectory exactly") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = daily.length
+    val ts = (1 to n).map(_.toLong)
+    // mirror Spark's Round: decimal expansion of the double's shortest
+    // repr, HALF_UP
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rndL(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // exact-integer OLS seed
+    val st = ts.sum; val sy = daily.sum
+    val stt = ts.map(t => t * t).sum
+    val sty = ts.zip(daily).map { case (t, v) => t * v }.sum
+    var b = rnd((n.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
+      / (n.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
+    var a = rnd((sy.toDouble - b * st.toDouble) / n, 6)
+    // 8 IRLS rounds on exact micro-rounded weights
+    for (_ <- 1 to 8) {
+      val ws = ts.zip(daily).map { case (t, v) =>
+        val r = v.toDouble - a - b * t
+        val w = rndL(1e9 * (if (r > 0) 0.9 else (1 - 0.9))
+          / math.max(math.abs(r), 1e-6))
+        (BigInt(w), t, v)
+      }
+      val sw = ws.map(_._1).sum
+      val swt = ws.map(x => x._1 * x._2).sum
+      val swy = ws.map(x => x._1 * x._3).sum
+      val swtt = ws.map(x => x._1 * x._2 * x._2).sum
+      val swty = ws.map(x => x._1 * x._2 * x._3).sum
+      val bn = rnd((sw.toDouble * swty.toDouble - swt.toDouble * swy.toDouble)
+        / (sw.toDouble * swtt.toDouble - swt.toDouble * swt.toDouble), 6)
+      a = rnd((swy.toDouble - bn * swt.toDouble) / sw.toDouble, 6)
+      b = bn
+    }
+    val rho = ts.zip(daily).map { case (t, v) =>
+      val r = v.toDouble - a - b * t
+      BigInt(rndL(1e6 * (if (r > 0) 0.9 * r else (0.9 - 1) * r)))
+    }.sum
+    val got = q("q_quantile_reg").collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getDouble(1) == 0.9)
+    assert(math.abs(got.getDouble(2) - rnd(a / 100.0, 4)) < 1e-9,
+      s"a ${got.getDouble(2)} vs ${rnd(a / 100.0, 4)}")
+    assert(math.abs(got.getDouble(3) - rnd(b / 100.0, 4)) < 1e-9,
+      s"b ${got.getDouble(3)} vs ${rnd(b / 100.0, 4)}")
+    assert(math.abs(got.getDouble(4) - rnd(rho.toDouble / 1e8, 2)) < 1e-9)
+    // the tau=0.9 line sits above the OLS/median trend on this data
+    // only if busy days trend differently — just pin the definitional
+    // property: ~90% of days fall on or under the fitted line
+    val under = ts.zip(daily).count { case (t, v) =>
+      v.toDouble <= a + b * t
+    }
+    assert(under >= (n * 0.8).toInt && under <= n,
+      s"tau=0.9 coverage out of band: $under/$n")
+  }
+
   test("g-test matches the brute-force 2x2 likelihood ratio") {
     val rows = Tables.orders(spark, sf)
       .select("o_orderpriority", "o_orderstatus").collect()
