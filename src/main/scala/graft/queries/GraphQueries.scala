@@ -340,14 +340,17 @@ object GraphQueries {
       pairs.select(col("c").as("src"), (-col("sk")).as("dst"))
         .unionAll(pairs.select((-col("sk")).as("src"), col("c").as("dst"))))
     var nodesAfter = Array.empty[Long]
-    (1 to 3).foreach { _ =>
+    (1 to 3).foreach { i =>
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kMin).select("src")
       edges = Checkpoints.cut(
         edges.join(keep, "src")
           .join(keep.withColumnRenamed("src", "dst"), "dst")
           .select("src", "dst"))
-      nodesAfter :+= edges.select("src").distinct().count()
+      // only rounds 2 and 3 feed the emitted n_core/converged pair —
+      // the round-1 survivor count was a wasted distinct+count action
+      nodesAfter :+= (if (i >= 2) edges.select("src").distinct().count()
+        else 0L)
     }
     edges.agg(count(lit(1)).as("ne"))
       .select(lit(kMin).as("k"),
