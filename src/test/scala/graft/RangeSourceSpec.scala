@@ -189,6 +189,26 @@ class RangeSourceSpec extends SparkSpec {
     }
   }
 
+  test("reported output ordering eliminates the per-partition sort on id") {
+    // the scan declares id ASC within every partition, so a
+    // sortWithinPartitions("id") requirement is already satisfied —
+    // no SortExec in the plan; an ordering the scan does NOT provide
+    // (val desc) must still plan one
+    val sorted = ranged(0, 10000, 8).sortWithinPartitions("id")
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "),
+      s"id asc is the scan's declared ordering; plan re-sorts:\n$plan")
+    assert(sorted.count() == 10000)
+    val other = ranged(0, 10000, 8).sortWithinPartitions(col("val").desc)
+    assert(other.queryExecution.executedPlan.toString.contains("Sort "),
+      "an undeclared ordering must still plan a SortExec")
+    // pruning id away must drop the report (an ordering over a pruned
+    // column would be unresolvable) — the sort on val stays
+    val pruned = ranged(0, 10000, 8).select("val")
+      .sortWithinPartitions("val")
+    assert(pruned.queryExecution.executedPlan.toString.contains("Sort "))
+  }
+
   test("partition boundaries cover the range exactly once (uneven split)") {
     val ids = ranged(0, 103, 8).select("id")
       .collect().map(_.getLong(0)).sorted
