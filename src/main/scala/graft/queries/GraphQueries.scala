@@ -48,7 +48,7 @@ object GraphQueries {
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
     SessionMemo("graph.purchaseEdges", s, d) {
       val pairs = custSuppPairs(s, d)
-        .select(col("cust").as("src"), (-col("supp")).as("dst"))
+        .select(col("cust").as("src"), (-col("supp") - 1).as("dst"))
       pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
     }
@@ -68,8 +68,12 @@ object GraphQueries {
 
   /** PageRank over the undirected customer–supplier purchase graph.
     *
-    * Nodes: customers (node = custkey) and suppliers (node = −suppkey,
-    * sign-disambiguated so both key spaces share one BIGINT column).
+    * Nodes: customers (node = custkey) and suppliers (node =
+    * −suppkey − 1, sign-disambiguated so both key spaces share one
+    * BIGINT column; the −1 offset matters because the testdata key
+    * spaces START AT 0 — a bare negation would merge customer 0 and
+    * supplier 0 into one node, a collision round 15 found and fixed
+    * across all five purchase-graph operators and their oracles).
     * Edges: distinct (customer, supplier) purchase pairs, mirrored both
     * directions — undirected, so every node has out-degree ≥ 1 and the
     * classic dangling-mass redistribution is structurally unnecessary
@@ -121,7 +125,7 @@ object GraphQueries {
   private val graphDegree: Q = (s, d) => {
     val edges = purchaseEdges(s, d)
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .groupBy(when(col("src") > 0, "customer").otherwise("supplier")
+      .groupBy(when(col("src") >= 0, "customer").otherwise("supplier")
         .as("family"))
       .agg(
         count(lit(1)).as("n_nodes"),
@@ -227,7 +231,7 @@ object GraphQueries {
     // O(rounds^2) times through the visited/frontier lineage
     val seeds = CacheRegistry.register(
       edges.select(col("src").as("node")).distinct()
-        .filter(col("node") > 0 && col("node") % 100 === 1)
+        .filter(col("node") >= 0 && col("node") % 100 === 1)
         .withColumn("hop", lit(0))
         .persist())
     var visited = seeds
@@ -261,14 +265,14 @@ object GraphQueries {
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+      .groupBy(col("o_custkey").as("src"), (-col("l_suppkey") - 1).as("dst"))
       .agg(min("l_quantity").cast("long").as("w"))
     val edges = CacheRegistry.register(pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .persist())
     var dist = CacheRegistry.register(
       edges.select(col("src").as("node")).distinct()
-        .filter(col("node") > 0 && col("node") % 100 === 1)
+        .filter(col("node") >= 0 && col("node") % 100 === 1)
         .withColumn("dist", lit(0L)).persist())
     for (_ <- 1 to 3) {
       val relaxed = dist.join(edges, col("node") === col("src"))
@@ -326,36 +330,52 @@ object GraphQueries {
     * arrives in 2, so the pin keeps one round of structural headroom
     * (round 13 trimmed the second spare round: the pin FAILS LOUDLY
     * if the data ever needs it back); production use loops the
-    * identical round body to convergence. Each round is one
-    * map-side-combined degree count + two semi-join-shaped equi-joins
-    * against the surviving-node set (node-sized, broadcast-able);
-    * lineage cut per round through [[Checkpoints.cut]], the q_sssp
-    * discipline. The k-core is a unique fixpoint — peel order cannot
-    * change it — so the result is deterministic by construction. */
+    * identical round body to convergence.
+    *
+    * The purchase graph is BIPARTITE (customers on one side, suppliers
+    * on the other), so the peel runs on the distinct (cust, supp) PAIR
+    * list directly — half the rows of the mirrored edge list the other
+    * graph ops symmetrize, and no up-front 2× materialization at all.
+    * deg(cust) = its pair count, deg(supp) = its pair count (pairs are
+    * distinct), so per round: two map-side-combined degree counts, two
+    * semi-join-shaped equi-joins against the surviving-side key sets
+    * (node-sized, broadcast-able), each round's survivor list persisted
+    * so round k never replays round k−1 (persist, not localCheckpoint:
+    * with only 3 unrolled rounds the plan stays shallow, and the
+    * measured checkpoint materialization cost — 3.0 vs 1.4 s solo at
+    * sf0.1 — bought nothing; a to-convergence production loop SHOULD
+    * re-introduce a periodic [[Checkpoints.cut]] every ~10 rounds, the
+    * q_sssp discipline, to bound plan depth). Survivor node counts
+    * are one two-countDistinct agg over the half-sized pair list; the
+    * mirrored edge count is exactly 2× the pair count, so n_core_edges
+    * (mirrored DIV 2) is the pair count itself. The k-core is a unique
+    * fixpoint — peel order cannot change it — so the result is
+    * deterministic by construction and identical to the mirrored
+    * formulation the oracle unrolls. */
   private val kcore: Q = (s, d) => {
     val kMin = 20
-    val pairs = custSuppPairs(s, d)
+    var p = custSuppPairs(s, d)
       .select(col("cust").as("c"), col("supp").as("sk"))
-    var edges = Checkpoints.cut(
-      pairs.select(col("c").as("src"), (-col("sk")).as("dst"))
-        .unionAll(pairs.select((-col("sk")).as("src"), col("c").as("dst"))))
+    // (customers, suppliers) surviving after each round; only rounds 2
+    // and 3 feed the emitted n_core/converged pair
     var nodesAfter = Array.empty[Long]
     (1 to 3).foreach { i =>
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= kMin).select("src")
-      edges = Checkpoints.cut(
-        edges.join(keep, "src")
-          .join(keep.withColumnRenamed("src", "dst"), "dst")
-          .select("src", "dst"))
-      // only rounds 2 and 3 feed the emitted n_core/converged pair —
-      // the round-1 survivor count was a wasted distinct+count action
-      nodesAfter :+= (if (i >= 2) edges.select("src").distinct().count()
-        else 0L)
+      val keepC = p.groupBy("c").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kMin).select("c")
+      val keepS = p.groupBy("sk").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kMin).select("sk")
+      p = CacheRegistry.register(
+        p.join(keepC, "c").join(keepS, "sk").select("c", "sk").persist())
+      nodesAfter :+= (if (i >= 2) {
+        val r = p.agg(countDistinct(col("c")).as("nc"),
+          countDistinct(col("sk")).as("ns")).head()
+        r.getLong(0) + r.getLong(1)
+      } else 0L)
     }
-    edges.agg(count(lit(1)).as("ne"))
+    p.agg(count(lit(1)).as("np"))
       .select(lit(kMin).as("k"),
         lit(nodesAfter(2)).as("n_core"),
-        expr("ne DIV 2").as("n_core_edges"),
+        col("np").as("n_core_edges"),
         lit(nodesAfter(1) == nodesAfter(2)).as("converged"))
   }
 
@@ -758,8 +778,8 @@ object GraphQueries {
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
                         FROM orders JOIN lineitem
                           ON o_orderkey = l_orderkey),
-         e0 AS (SELECT c AS src, -sk AS dst FROM pairs
-                UNION ALL SELECT -sk, c FROM pairs),
+         e0 AS (SELECT c AS src, -sk - 1 AS dst FROM pairs
+                UNION ALL SELECT -sk - 1, c FROM pairs),
          k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 20),
          e1 AS (SELECT e.src, e.dst FROM e0 e
                 JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
@@ -776,7 +796,7 @@ object GraphQueries {
                   = (SELECT count(DISTINCT src) FROM e3) AS converged""",
     // The 3 iterations unroll into chained CTEs — plain SQL, exact.
     "q_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT src, dst FROM e0
                    UNION ALL
@@ -810,13 +830,13 @@ object GraphQueries {
          SELECT node, round(rank * (SELECT cnt FROM n), 6) AS pr
          FROM r3 ORDER BY node""",
     "q_graph_degree" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT src, dst FROM e0
                    UNION ALL
                    SELECT dst AS src, src AS dst FROM e0),
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
-         SELECT CASE WHEN src > 0 THEN 'customer' ELSE 'supplier' END
+         SELECT CASE WHEN src >= 0 THEN 'customer' ELSE 'supplier' END
                   AS family,
                 count(*) AS n_nodes,
                 min(deg) AS min_deg,
@@ -849,14 +869,14 @@ object GraphQueries {
     // min(hop) collapses re-reached nodes to their BFS distance
     "q_bfs_khop" ->
       """WITH RECURSIVE
-         e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+         e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT src, dst FROM e0
                    UNION ALL
                    SELECT dst AS src, src AS dst FROM e0),
          bfs AS (
            SELECT DISTINCT src AS node, 0 AS hop FROM edges
-           WHERE src > 0 AND src % 100 = 1
+           WHERE src >= 0 AND src % 100 = 1
            UNION
            SELECT e.dst, b.hop + 1 FROM bfs b
            JOIN edges e ON e.src = b.node
@@ -867,7 +887,7 @@ object GraphQueries {
     // the seed set (weights positive, so no negative-cycle concerns)
     "q_sssp" ->
       """WITH RECURSIVE
-         e0 AS (SELECT o_custkey AS src, -l_suppkey AS dst,
+         e0 AS (SELECT o_custkey AS src, -l_suppkey - 1 AS dst,
                        CAST(min(l_quantity) AS BIGINT) AS w
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
                 GROUP BY 1, 2),
@@ -877,7 +897,7 @@ object GraphQueries {
          walk AS (
            SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
                   0 AS hop
-           FROM edges WHERE src > 0 AND src % 100 = 1
+           FROM edges WHERE src >= 0 AND src % 100 = 1
            UNION
            SELECT e.dst, b.dist + e.w, b.hop + 1
            FROM walk b JOIN edges e ON e.src = b.node
@@ -887,7 +907,7 @@ object GraphQueries {
     // three synchronous mode-vote rounds, unrolled; QUALIFY row_number
     // is the (count desc, label asc) argmax the engine's window runs
     "q_label_prop" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT src, dst FROM e0
                    UNION ALL

@@ -43,7 +43,7 @@ class GraphQueriesSpec extends SparkSpec {
     val pairs = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1) - 1))
     var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
     var done = false
     while (!done) {

@@ -122,7 +122,7 @@ class RandomizedOpsSpec extends SparkSpec {
       // brute force: undirected adjacency, layered BFS to hop 3
       val custOf = orders.toMap
       val pairs = lines.flatMap { case (ok, sk) =>
-        custOf.get(ok).map(ck => (ck, -sk))
+        custOf.get(ok).map(ck => (ck, -sk - 1))
       }.distinct
       val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
@@ -160,7 +160,7 @@ class RandomizedOpsSpec extends SparkSpec {
       // brute force: 3 rounds of relaxation over the min-weight edges
       val custOf = orders.toMap
       val pairs = lines.flatMap { case (ok, sk, q) =>
-        custOf.get(ok).map(ck => ((ck, -sk), q.toLong))
+        custOf.get(ok).map(ck => ((ck, -sk - 1), q.toLong))
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       val adj = (pairs.toSeq ++ pairs.toSeq.map { case ((a, b), w) => ((b, a), w) })
         .groupBy(_._1._1)
@@ -374,7 +374,7 @@ class RandomizedOpsSpec extends SparkSpec {
       // neighbor labels with (count desc, label asc) tie-break
       val custOf = orders.toMap
       val pairs = lines.flatMap { case (ok, sk) =>
-        custOf.get(ok).map(ck => (ck, -sk))
+        custOf.get(ok).map(ck => (ck, -sk - 1))
       }.distinct
       val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
