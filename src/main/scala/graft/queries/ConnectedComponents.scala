@@ -108,6 +108,13 @@ object ConnectedComponents {
     var converged = cur.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
+      // checkpoint (plan TRUNCATION), not persist: each LS∘SS round
+      // references its input ~6× (sym unions, min-join, two star
+      // projections), so the LOGICAL tree grows ~6^k nodes by round k
+      // and analysis/optimization time explodes even though the data
+      // is cached — measured 52 s (vs 1.3) for q_dedup_cluster_ls when
+      // round 15 tried persist here; fixed shallow loops (pagerank,
+      // k-core) take the cheap persist instead, this one cannot
       cur = cut(smallStar(largeStar(cur)))
       val s2 = signature(cur)
       converged = s2 == sig

@@ -22,9 +22,11 @@ import graft.plans.Checkpoints
   * node-sized — orders of magnitude smaller than the edge list — so
   * Catalyst broadcast-joins it against the edges and the per-iteration
   * cost is a map-side-combined groupBy over contributions. Lineage is
-  * cut every iteration through [[Checkpoints.cut]] (injectable: local
-  * at local[32], reliable `checkpoint()` on a cluster), so plan depth
-  * stays constant regardless of iteration count. Were the node set too
+  * bounded per iteration: fixed-round loops persist each round's
+  * node-sized state (the cheap cut), while unbounded loops run
+  * [[Checkpoints.cut]] periodically (injectable: local at local[32],
+  * reliable `checkpoint()` on a cluster), so plan depth stays bounded
+  * regardless of iteration count. Were the node set too
   * big to broadcast, the same loop holds with edges pre-hash-partitioned
   * by src and the join degrading to co-partitioned shuffle — the
   * iteration structure is unchanged.
@@ -103,13 +105,18 @@ object GraphQueries {
     var ranks = deg.select(col("src").as("node"))
       .withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to Iterations) {
-      ranks = Checkpoints.cut(
+      // persist, not localCheckpoint: at 3 fixed rounds the plan stays
+      // shallow and the checkpoint's eager materialization cost is the
+      // whole q_kcore lesson (3.0 vs 1.4 s solo); a to-convergence
+      // production loop re-introduces Checkpoints.cut every ~10 rounds
+      ranks = CacheRegistry.register(
         withDeg
           .join(ranks, col("src") === col("node"))
           .groupBy(col("dst").as("node2"))
           .agg(sum(col("rank") / col("outdeg")).as("contrib"))
           .select(col("node2").as("node"),
-            (lit(teleport) + lit(Damping) * col("contrib")).as("rank")))
+            (lit(teleport) + lit(Damping) * col("contrib")).as("rank"))
+          .persist())
     }
     val out = ranks
       .select(col("node"), round(col("rank") * n, 6).as("pr"))

@@ -155,16 +155,19 @@ object JoinQueries {
     * key salting — the manual defense for a hot join key when AQE's
     * runtime skew split can't fire (e.g. the skew is downstream of an
     * aggregation boundary, or the engine runs without AQE). The probe
-    * side (lineitem) appends a deterministic salt ∈ [0, 8) hashed from
+    * side (lineitem) appends a deterministic salt ∈ [0, 4) hashed from
     * its row identity; the build side (orders) replicates each row
     * once per salt via `explode(sequence(...))`, so the join key
     * becomes (orderkey, salt) and a key carrying k rows spreads over
-    * 8 partitions at the cost of an 8× build-side blowup — the
-    * textbook trade. Semantics are hash-gated: the oracle is the PLAIN
+    * nSalt partitions at the cost of an nSalt× build-side blowup — the
+    * textbook trade. nSalt is a tuning knob sized to the observed
+    * skew ratio (hottest key ÷ median key), not a semantic: 4 here
+    * demonstrates the mechanics at half the replication cost of the
+    * round-9 original 8 (the oracle gate is nSalt-invariant). Semantics are hash-gated: the oracle is the PLAIN
     * unsalted join, so the salted plan must be row-for-row identical.
     * SkewSpec covers the AQE path; this is the algebraic one. */
   private val joinSalted: Q = (s, d) => {
-    val nSalt = 8L
+    val nSalt = 4L
     val li = Tables.lineitem(s, d)
       .withColumn("salt",
         pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))

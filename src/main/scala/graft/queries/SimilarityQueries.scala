@@ -558,8 +558,18 @@ object SimilarityQueries {
   /** The embedding-LSH near-dup PAIR computation without the
     * presentation sort — shared by q_dedup_embedding_lsh (which orders
     * for its deterministic dump) and the semantic clustering path
-    * (where a sort feeding the edge join would be wasted work). */
-  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
+    * (where a sort feeding the edge join would be wasted work).
+    * Session-memoized (round 15, the [[TextQueries.ngramPairsShared]]
+    * precedent): both consumers re-ran the bucket self-join with its
+    * per-candidate dot products; the pair list itself is near-dup-
+    * sized (≪ corpus), so one persisted copy per (session, dir) is the
+    * materialize-the-dup-pair-artifact-once decision. */
+  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame =
+    graft.queries.SessionMemo("sim.embeddingLshPairs", s, d) {
+      embeddingLshPairsBuild(s, d)
+    }
+
+  private def embeddingLshPairsBuild(s: SparkSession, d: String): DataFrame = {
     val dot = graft.functions.DotF.dotF _
     // norms hoisted below the join, same as dedupEmbedding
     val e = Tables.embeddings(s, d)

@@ -55,6 +55,17 @@ object TextQueries {
 
   /** Distinct (doc_id, shingle) rows for the whole documents table.
     *
+    * Session-memoized (round 15): EIGHT consumers across four files
+    * re-derived this relation per query — each paying the explode +
+    * distinct shuffle three times over (the relation appears under the
+    * rare-filter, the candidate join, AND the size aggregate of every
+    * dedup plan). One persisted copy per (session, dir) is the same
+    * "land the shingle index once" decision a 100 TB curation pipeline
+    * makes offline; [[ngramPairsShared]] already memoizes the level
+    * ABOVE this, so the memo only adds sharing for the paths that
+    * consume raw shingles (incremental/prefix/containment dedup,
+    * decontamination, corpus stats).
+    *
     * Shingle IDENTITY is its xxhash64 — the string never leaves the
     * scan stage, so the distinct, the document-frequency count, and
     * the candidate self-join all shuffle 8-byte longs instead of
@@ -66,11 +77,13 @@ object TextQueries {
     * integer-threshold near-dup detector already accepts (MinHash
     * banding is orders of magnitude noisier). */
   def shingleRows(s: SparkSession, d: String): DataFrame =
-    docsWithWords(s, d)
-      .select(col("doc_id"),
-        explode(expr(shingleArraySql)).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
-      .distinct()
+    SessionMemo("text.shingleRows", s, d) {
+      docsWithWords(s, d)
+        .select(col("doc_id"),
+          explode(expr(shingleArraySql)).as("sh_str"))
+        .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
+        .distinct()
+    }
 
   /** Distinct (doc_id, shingle STRING) rows — the form the md5-family
     * MinHash twin (q_dedup_minhash_oracle) needs: its hash must see
@@ -994,6 +1007,13 @@ object TextQueries {
     val shingles = allShingles.join(rare, "shingle")
     val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val newSide = shingles.filter(pmod(col("doc_id"), lit(5)) === 4)
+    // At 100 TB the corpus side would first be pruned by a broadcast
+    // semi-join (or runtime bloom filter) on the batch's distinct
+    // shingle keys, so the candidate shuffle carries only the batch-
+    // overlapping corpus rows. NOT done here: measured at sf0.1 the
+    // prune removes ~12% of a 260k-row side while adding a distinct +
+    // broadcast-build stage — this query is stage-overhead-bound at
+    // test scale, and the prune's crossover is far above it.
     val inter = shingles.as("a")
       .join(newSide.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -1128,6 +1148,10 @@ object TextQueries {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
+      // checkpoint, not persist: labels is referenced twice per round
+      // (propagation join + union), so the logical tree doubles per
+      // round without truncation — the round-15 persist experiment
+      // read 4.9 s vs 1.05 from optimizer time alone
       labels = graft.plans.Checkpoints.cut(
         labels.union(prop).groupBy("node")
           .agg(min("label").as("label")))
