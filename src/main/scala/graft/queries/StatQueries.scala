@@ -147,7 +147,14 @@ object StatQueries {
     * via IRLS — the conditional-quantile line beside [[theilSen]]'s
     * robust median slope (Theil–Sen answers "the typical trend";
     * τ = 0.9 answers "how the BUSY days trend", the capacity-planning
-    * read OLS can't give). Eight IRLS rounds from an OLS seed,
+    * read OLS can't give). NOTE — construction is EAGER, a documented
+    * exception to the build-returns-a-lazy-plan Q contract: the OLS
+    * seed, the scale pre-pass, and each IRLS round collect one bounded
+    * 1-row sum (10 driver scalars total) and register a persisted
+    * cache, because the in-plan 1-row-broadcast alternative measured
+    * 1.7 s vs 0.77 s. Plan-only consumers (sweep tooling, plan audits)
+    * should skip instantiating this entry. Eight IRLS rounds from an
+    * OLS seed,
     * entirely engine-side: each round's coefficients are a 1-row
     * frame crossed onto the ≤2 399-row day grid (the durbin_watson
     * broadcast shape), so the whole fit is ONE lazy plan — no driver
@@ -157,15 +164,26 @@ object StatQueries {
     * an ITERATIVE fit): the OLS seed's normal-equation sums are exact
     * integers; every derived coefficient is round(·, 6) at the
     * iteration boundary; each IRLS weight w = τ/max(|r|, ε) (or
-    * (1−τ) below the line) is micro-rounded to an exact long
-    * (round(1e9·w)) BEFORE the weighted sums, so all five sums of
-    * w·t·v products are exact int128 in BOTH engines and the
-    * iteration trajectory is bit-replayable in DuckDB — float drift
-    * cannot compound across rounds because no unrounded float ever
-    * crosses an iteration boundary. Weighted sums peak ~1e31 at sf1
-    * (w ≤ 9e14 micro-units · t ≤ 2.4e3 · v ≤ 1e9 · 2.4e3 rows) — 7
-    * digits of DECIMAL(38,0) headroom. Pinball loss is micro-rounded
-    * per row and summed exactly. */
+    * (1−τ) below the line) is computed on the SCALE-NORMALIZED
+    * residual ratio |r|/scale (scale = mean |OLS residual|, one exact
+    * pre-pass) and micro-rounded to an exact long (round(1e9·w))
+    * BEFORE the weighted sums, so all five sums of w·t·v products are
+    * exact int128 in BOTH engines and the iteration trajectory is
+    * replayable in DuckDB — float drift cannot compound across rounds
+    * because no unrounded float ever crosses an iteration boundary.
+    * The normalization makes the quantization grain SF-invariant:
+    * ratios sit near 1 at every scale, where the raw-residual form
+    * rounded sf1's ~1e10-cent below-line weights to 0 and silently
+    * dropped the (1−τ) loss side. Weighted sums peak ~5e32 at sf1
+    * (w ≤ 9e14 micro-units · t ≤ 2.4e3 · v ≤ 1e10 cents · 2.4e3
+    * rows) — 5 digits of DECIMAL(38,0) headroom. Accepted-risk
+    * caveat: sums above 2^53 convert int128→double with one rounding
+    * in the JVM (correctly-rounded BigDecimal) and two in DuckDB
+    * (upper·2⁶⁴ + lower), so a 1-ulp divergence is possible there;
+    * round(·, 6) at the iteration boundary absorbs it except on an
+    * exact half-ulp knife edge, which the 359-oracle suite has never
+    * produced. Pinball loss is micro-rounded per row and summed
+    * exactly. */
   private val quantileReg: Q = (s, d) => {
     val tau = 0.9
     val grid = dailyCents(s, d)
@@ -196,11 +214,23 @@ object StatQueries {
     var b = rnd6((n.toDouble * sty - st * sy)
       / (n.toDouble * stt - st * st))
     var a = rnd6((sy - b * st) / n)
+    // Residual-scale pre-pass (round 15): IRLS weights quantize the
+    // RATIO |r|/scale, not the absolute residual — at sf1+ typical
+    // below-line residuals are ~1e10 cents and round(1e9·0.1/|r|)
+    // would collapse to 0, silently deleting the (1−τ) side of the
+    // loss. scale = mean |r₀| of the OLS seed (unit-grain rounded per
+    // row so the sum is an exact integer ≤ ~2e12·n — well under 2^53,
+    // so both engines convert it to double EXACTLY), floored at one
+    // cent for a perfectly-linear corpus.
+    val r0 = col("v").cast("double") - lit(a) - lit(b) * col("t")
+    val scRow = g.select(round(abs(r0)).cast(dec).as("ar"))
+      .agg(sum("ar").as("sar")).collect()(0)
+    val scale = math.max(rnd6(scRow.getDecimal(0).doubleValue() / n), 1.0)
     for (_ <- 1 to 8) {
       val r = col("v").cast("double") - lit(a) - lit(b) * col("t")
       val w = round(lit(1e9)
         * when(r > 0, lit(tau)).otherwise(lit(1 - tau))
-        / greatest(abs(r), lit(1e-6))).cast(dec)
+        / greatest(abs(r) / lit(scale), lit(1e-6))).cast(dec)
       val it = g.select(w.as("w"), col("t"), col("v"))
         .agg(sum(col("w")).as("sw"),
           sum(col("w") * col("t")).as("swt"),
@@ -210,7 +240,15 @@ object StatQueries {
       val (sw, swt, swy, swtt, swty) = (it.getDecimal(0).doubleValue(),
         it.getDecimal(1).doubleValue(), it.getDecimal(2).doubleValue(),
         it.getDecimal(3).doubleValue(), it.getDecimal(4).doubleValue())
-      b = rnd6((sw * swty - swt * swy) / (sw * swtt - swt * swt))
+      // Unreachable after normalization (|r|/scale ≤ max/mean ≤ n, so
+      // every row's weight ≥ round(1e8/n) ≥ 1 and weight mass spreads
+      // over all t) — but a degenerate system must fail LOUD here, not
+      // as rnd6(NaN)'s NumberFormatException three lines later.
+      val den = sw * swtt - swt * swt
+      require(sw != 0.0 && den != 0.0,
+        "quantile_reg: degenerate IRLS system (zero weight mass or " +
+          "weight concentrated on one day)")
+      b = rnd6((sw * swty - swt * swy) / den)
       a = rnd6((swy - b * swt) / sw)
     }
     val rFin = col("v").cast("double") - lit(a) - lit(b) * col("t")
@@ -4163,25 +4201,26 @@ object StatQueries {
     // — NOT 0.1/-0.1, which differ in the last ulp.
     "q_quantile_reg" -> {
       def irls(i: Int, prev: String): String =
-        s"""w$i AS (SELECT n, t, v,
+        s"""w$i AS (SELECT n, scale, t, v,
                       CAST(round(1e9 * (CASE WHEN CAST(v AS DOUBLE)
                                           - a - b * t > 0
                                         THEN 0.9 ELSE (1 - 0.9) END)
-                        / greatest(abs(CAST(v AS DOUBLE) - a - b * t),
-                            1e-6)) AS HUGEINT) AS w
+                        / greatest(abs(CAST(v AS DOUBLE) - a - b * t)
+                            / scale, 1e-6)) AS HUGEINT) AS w
                FROM grid, $prev),
-         s$i AS (SELECT max(n) AS n, sum(w) AS sw, sum(w * t) AS swt,
+         s$i AS (SELECT max(n) AS n, max(scale) AS scale,
+                      sum(w) AS sw, sum(w * t) AS swt,
                       sum(w * v) AS swy, sum(w * t * t) AS swtt,
                       sum(w * t * v) AS swty
                FROM w$i),
-         b$i AS (SELECT n, sw, swt, swy,
+         b$i AS (SELECT n, scale, sw, swt, swy,
                       round((CAST(sw AS DOUBLE) * CAST(swty AS DOUBLE)
                         - CAST(swt AS DOUBLE) * CAST(swy AS DOUBLE))
                         / (CAST(sw AS DOUBLE) * CAST(swtt AS DOUBLE)
                           - CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE)),
                         6) AS b
                FROM s$i),
-         c$i AS (SELECT n,
+         c$i AS (SELECT n, scale,
                       round((CAST(swy AS DOUBLE) - b * CAST(swt AS DOUBLE))
                         / CAST(sw AS DOUBLE), 6) AS a, b
                FROM b$i)"""
@@ -4205,7 +4244,12 @@ object StatQueries {
                        round((CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
                          / n, 6) AS a, b
                 FROM b0),
-         ${irls(1, "c0")},
+         sc AS (SELECT max(n) AS n, max(a) AS a, max(b) AS b,
+                       greatest(round(CAST(sum(CAST(round(abs(
+                           CAST(v AS DOUBLE) - a - b * t)) AS HUGEINT))
+                         AS DOUBLE) / max(n), 6), 1.0) AS scale
+                FROM grid, c0),
+         ${irls(1, "sc")},
          ${irls(2, "c1")},
          ${irls(3, "c2")},
          ${irls(4, "c3")},

@@ -1131,8 +1131,10 @@ object TemporalQueries {
     * calendar-bounded day grid instead of a 2 399-step sequential
     * fold — the same unrolling that makes SES distributable at 100 TB
     * (per-key levels become one weighted groupBy, no per-key
-    * iteration). Weights beyond ~120 days underflow to exact 0.0 in
-    * both engines (0.7^n), so the sum is effectively recency-bounded;
+    * iteration). Weights decay below the output's rounding grain
+    * after ~120 days (0.7^120 ≈ 2.6e-19, far under the 1e-4 grain;
+    * true underflow to 0.0 only past ~2000 days), so the sum is
+    * effectively recency-bounded and cross-engine safe;
     * each term is a mirrored double expression and the cross-engine
     * addition-order drift (~1e-9 absolute) sits far under the 1e-4
     * rounding grain. */

@@ -205,12 +205,17 @@ class StatQueriesSpec extends SparkSpec {
     var b = rnd((n.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
       / (n.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
     var a = rnd((sy.toDouble - b * st.toDouble) / n, 6)
-    // 8 IRLS rounds on exact micro-rounded weights
+    // residual-scale pre-pass: mean |OLS residual|, unit-grain exact
+    val sar = ts.zip(daily).map { case (t, v) =>
+      BigInt(rndL(math.abs(v.toDouble - a - b * t)))
+    }.sum
+    val scale = math.max(rnd(sar.toDouble / n, 6), 1.0)
+    // 8 IRLS rounds on exact micro-rounded SCALE-NORMALIZED weights
     for (_ <- 1 to 8) {
       val ws = ts.zip(daily).map { case (t, v) =>
         val r = v.toDouble - a - b * t
         val w = rndL(1e9 * (if (r > 0) 0.9 else (1 - 0.9))
-          / math.max(math.abs(r), 1e-6))
+          / math.max(math.abs(r) / scale, 1e-6))
         (BigInt(w), t, v)
       }
       val sw = ws.map(_._1).sum
