@@ -124,6 +124,58 @@ object GraphQueries {
     out
   }
 
+  /** Personalized PageRank from the q_bfs_khop seed set (customers
+    * with custkey ≡ 1 mod 100) — the recommender-adjacent PageRank
+    * variant: teleport mass returns to the SEEDS instead of spreading
+    * uniformly, so rank measures proximity to a user cohort ("which
+    * suppliers matter to THESE customers"), the relevance primitive
+    * behind personalized recommendations and trust propagation.
+    *
+    * rank₀ = 1/|S| on seeds (0 elsewhere, represented SPARSELY — the
+    * state starts seed-sized and grows only to reached nodes);
+    * rankᵢ₊₁(n) = 0.15·1{n∈S}/|S| + 0.85·Σ_{(m,n)∈E} rankᵢ(m)/deg(m).
+    * Per iteration: the same edge⋈rank join + map-side-combined
+    * contribution aggregate as [[pageRank]], then a union with the
+    * seed teleport vector folded by a second groupBy whose per-node
+    * input is ≤2 rows (one contribution row + one teleport row), so
+    * that outer sum is EXACT float addition of two doubles — only the
+    * inner contribution sum is order-free, and the final round(·, 6)
+    * absorbs its ~1e-12 drift exactly as q_pagerank's does. Output is
+    * scaled by the TOTAL node count (the pagerank presentation
+    * convention) and rounded to 6. Each round persists its node-sized
+    * vector (the fixed-3-round persist discipline, not
+    * localCheckpoint). The oracle unrolls the same three rounds. */
+  private val pageRankPersonalized: Q = (s, d) => {
+    val edges = purchaseEdges(s, d)
+    val deg = CacheRegistry.register(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    val n = deg.count()
+    require(n > 0, "ppr: empty edge list (no orders⋈lineitem rows)")
+    val seeds = CacheRegistry.register(
+      deg.filter(col("src") >= 0 && col("src") % 100 === 1)
+        .select(col("src").as("node")).persist())
+    val nS = seeds.count()
+    require(nS > 0, "ppr: empty seed set (no custkey ≡ 1 mod 100)")
+    val withDeg = edges.join(deg, "src")
+    var ranks = seeds.withColumn("rank", lit(1.0 / nS))
+    for (_ <- 1 to Iterations) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg((lit(Damping) * sum(col("rank") / col("outdeg"))).as("r"))
+        .select(col("node2").as("node"), col("r"))
+      ranks = CacheRegistry.register(
+        contrib
+          .unionByName(seeds.select(col("node"),
+            lit(0.15 / nS).as("r")))
+          .groupBy("node").agg(sum("r").as("rank"))
+          .persist())
+    }
+    ranks
+      .select(col("node"), round(col("rank") * n, 6).as("ppr"))
+      .orderBy("node")
+  }
+
   /** Degree profile of the same purchase graph: per-family (customer /
     * supplier) node count, degree min/max/mean, and the top hub by
     * degree. One edge-list aggregate + one 2-row reduce — the cheap
@@ -613,6 +665,7 @@ object GraphQueries {
     "q_kcore" -> kcore,
     "q_link_predict" -> linkPredict,
     "q_pagerank" -> pageRank,
+    "q_pagerank_personalized" -> pageRankPersonalized,
     "q_graph_degree" -> graphDegree,
     "q_triangles" -> triangles,
     "q_bfs_khop" -> bfsKhop,
@@ -801,6 +854,40 @@ object GraphQueries {
                 (SELECT count(*) FROM e3) // 2 AS n_core_edges,
                 (SELECT count(DISTINCT src) FROM e2)
                   = (SELECT count(DISTINCT src) FROM e3) AS converged""",
+    // same 3-round unroll as q_pagerank, teleport restricted to seeds;
+    // the outer per-node sum folds <= 2 rows (contribution + teleport)
+    "q_pagerank_personalized" -> {
+      def rr(i: Int, prev: String): String =
+        s"""r$i AS (SELECT node, sum(r) AS rank FROM (
+                 SELECT e.dst AS node,
+                        CAST(0.85 AS DOUBLE) * sum(r.rank / d.outdeg) AS r
+                 FROM edges e
+                 JOIN $prev r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst
+                 UNION ALL
+                 SELECT node, CAST(0.15 AS DOUBLE) / (SELECT cnt FROM ns)
+                 FROM seeds)
+               GROUP BY node)"""
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL
+                   SELECT dst AS src, src AS dst FROM e0),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         n AS (SELECT count(DISTINCT src) AS cnt FROM edges),
+         seeds AS (SELECT DISTINCT src AS node FROM edges
+                   WHERE src >= 0 AND src % 100 = 1),
+         ns AS (SELECT count(*) AS cnt FROM seeds),
+         r0 AS (SELECT node,
+                       CAST(1.0 AS DOUBLE) / (SELECT cnt FROM ns) AS rank
+                FROM seeds),
+         ${rr(1, "r0")},
+         ${rr(2, "r1")},
+         ${rr(3, "r2")}
+         SELECT node, round(rank * (SELECT cnt FROM n), 6) AS ppr
+         FROM r3 ORDER BY node"""
+    },
     // The 3 iterations unroll into chained CTEs — plain SQL, exact.
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst

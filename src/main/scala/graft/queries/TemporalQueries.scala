@@ -1154,6 +1154,75 @@ object TemporalQueries {
         col("ses_level_usd"))
   }
 
+  /** Holt–Winters additive triple smoothing (α=0.3, β=0.1, γ=0.2,
+    * period m=7) of daily revenue — the level+trend+seasonality step
+    * up from [[sesForecast]] every demand-planning pipeline reaches
+    * for next. Recursions over the observed-day grid index
+    * (t = row_number over day; "weekly" seasonality reads literally
+    * only where the grid is calendar-dense, which it is at sf0.01+):
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+    * with the classic init l_m = mean(y_{1..m}), b_m =
+    * (mean(y_{m+1..2m}) − mean(y_{1..m}))/m, s_i = y_i − l_m.
+    *
+    * Cross-engine exactness — the q_quantile_reg iterative protocol
+    * applied to a SEQUENTIAL fold: every state component (l, b, each
+    * seasonal index) is round(·, 6)-ed at every step boundary, so no
+    * unrounded float ever crosses a step and the 2 399-step trajectory
+    * is replayed exactly by the oracle's recursive CTE (which computes
+    * the SAME rounded l_t once per row and derives b_t/s_t from it).
+    * The seed sums are explicit left-associated 7-term additions in
+    * both engines — never an engine sum() whose order is free.
+    *
+    * Scale shape: the fold is Spark's `aggregate` HOF over ONE
+    * array-collected row — the grid is the calendar-bounded ≤2 399-day
+    * relation (SF-invariant, the OrdersDaily contract), so the single
+    * task is O(grid), never O(orders). At 100 TB the same shape holds
+    * PER KEY: groupBy(sku).agg(sort_array(collect_list(...)))
+    * distributes the per-key folds across the cluster — sequential
+    * smoothing parallelizes over series, not within one, which is why
+    * the state is bounded by the calendar and not the corpus. */
+  private val holtWinters: Q = (s, d) => {
+    val daily = OrdersDaily.cents(s, d)
+    // lnew appears once as 'l' and twice more inside b/s updates — the
+    // repeats are the IDENTICAL expression, so every occurrence yields
+    // the same double (the oracle computes it once per row; same math)
+    val lnew = "round(0.3D * (y - element_at(acc.s, 1))" +
+      " + 0.7D * (acc.l + acc.b), 6)"
+    val fold =
+      s"""aggregate(
+           slice(ys, 8, size(ys) - 7),
+           named_struct(
+             'l', l0, 'b', b0,
+             's', transform(slice(ys, 1, 7), x -> round(x - l0, 6))),
+           (acc, y) -> named_struct(
+             'l', $lnew,
+             'b', round(0.1D * ($lnew - acc.l) + 0.9D * acc.b, 6),
+             's', concat(slice(acc.s, 2, 6),
+                    array(round(0.2D * (y - $lnew)
+                      + 0.8D * element_at(acc.s, 1), 6)))))"""
+    val sum7a = (1 to 7).map(i => s"element_at(ys, $i)").mkString(" + ")
+    val sum7b = (8 to 14).map(i => s"element_at(ys, $i)").mkString(" + ")
+    daily
+      .withColumn("rk", row_number().over(Window.orderBy("day")))
+      .select(col("rk"), (col("v") / lit(100.0)).as("y"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("y")))).as("a"),
+        count(lit(1)).as("n"))
+      .select(col("n"), expr("transform(a, x -> x.y)").as("ys"))
+      .select(col("n"), col("ys"),
+        expr(s"round(($sum7a) / 7.0D, 6)").as("l0"),
+        expr(s"round((($sum7b) - ($sum7a)) / 49.0D, 6)").as("b0"))
+      .select(col("n"), expr(fold).as("hw"))
+      .select(col("n").as("n_days"),
+        lit(0.3).as("alpha"), lit(0.1).as("beta"), lit(0.2).as("gamma"),
+        expr("round(hw.l, 4)").as("level_usd"),
+        expr("round(hw.b, 4)").as("trend_usd"),
+        expr("round(hw.l + hw.b + element_at(hw.s, 1), 4)").as("fc_1d_usd"),
+        expr("round(hw.l + 7.0D * hw.b + element_at(hw.s, 7), 4)")
+          .as("fc_7d_usd"))
+  }
+
   /** Rescaled-range (R/S) spectrum of daily revenue — the Hurst/
     * long-memory diagnostic beside [[haar]] (the wavelet spectrum asks
     * which scale carries VARIANCE; R/S asks whether deviations at a
@@ -1782,6 +1851,7 @@ object TemporalQueries {
     "q_cohort_ltv" -> cohortLtv,
     "q_adstock" -> adstock,
     "q_ses_forecast" -> sesForecast,
+    "q_holt_winters" -> holtWinters,
     "q_ljung_box" -> ljungBox,
     "q_rolling_slope" -> rollingSlope,
     "q_interarrival" -> interarrival,
@@ -2712,6 +2782,48 @@ object TemporalQueries {
     },
     // closed-form SES unroll: mirrored per-term doubles over the day
     // grid, explicit DOUBLE alpha literal, round 4 over ~1e-9 drift
+    // the recursive CTE replays the SAME per-step round(.,6)-ed
+    // trajectory; lnew is computed once per row in the inner subquery
+    "q_holt_winters" ->
+      s"""WITH RECURSIVE dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         grid AS (SELECT row_number() OVER (ORDER BY day) AS t,
+                         CAST(v AS DOUBLE) / 100.0 AS y
+                  FROM dly),
+         nn AS (SELECT max(t) AS n FROM grid),
+         p AS (SELECT max(CASE WHEN t = 1 THEN y END) AS y1, max(CASE WHEN t = 2 THEN y END) AS y2, max(CASE WHEN t = 3 THEN y END) AS y3, max(CASE WHEN t = 4 THEN y END) AS y4, max(CASE WHEN t = 5 THEN y END) AS y5, max(CASE WHEN t = 6 THEN y END) AS y6, max(CASE WHEN t = 7 THEN y END) AS y7, max(CASE WHEN t = 8 THEN y END) AS y8, max(CASE WHEN t = 9 THEN y END) AS y9, max(CASE WHEN t = 10 THEN y END) AS y10, max(CASE WHEN t = 11 THEN y END) AS y11, max(CASE WHEN t = 12 THEN y END) AS y12, max(CASE WHEN t = 13 THEN y END) AS y13, max(CASE WHEN t = 14 THEN y END) AS y14
+               FROM grid WHERE t <= 14),
+         c AS (SELECT round((y1+y2+y3+y4+y5+y6+y7) / 7.0, 6) AS l0,
+                      round(((y8+y9+y10+y11+y12+y13+y14) - (y1+y2+y3+y4+y5+y6+y7)) / 49.0, 6) AS b0,
+                      y1, y2, y3, y4, y5, y6, y7
+               FROM p),
+         c2 AS (SELECT l0, b0,
+                       [round(y1 - l0, 6), round(y2 - l0, 6), round(y3 - l0, 6), round(y4 - l0, 6), round(y5 - l0, 6), round(y6 - l0, 6), round(y7 - l0, 6)] AS s
+                FROM c),
+         holt AS (
+           SELECT 7 AS t, l0 AS l, b0 AS b, s FROM c2
+           UNION ALL
+           SELECT x.t, x.lnew,
+                  round(0.1 * (x.lnew - x.l) + 0.9 * x.b, 6),
+                  x.s[2:7] || [round(0.2 * (x.y - x.lnew)
+                    + 0.8 * x.s[1], 6)]
+           FROM (SELECT h.t + 1 AS t, h.l, h.b, h.s, g.y,
+                        round(0.3 * (g.y - h.s[1])
+                          + 0.7 * (h.l + h.b), 6) AS lnew
+                 FROM holt h JOIN grid g ON g.t = h.t + 1
+                 WHERE h.t < (SELECT n FROM nn)) x
+         )
+         SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+                CAST(0.3 AS DOUBLE) AS alpha,
+                CAST(0.1 AS DOUBLE) AS beta,
+                CAST(0.2 AS DOUBLE) AS gamma,
+                round(l, 4) AS level_usd,
+                round(b, 4) AS trend_usd,
+                round(l + b + s[1], 4) AS fc_1d_usd,
+                round(l + 7.0 * b + s[7], 4) AS fc_7d_usd
+         FROM holt WHERE t = (SELECT n FROM nn)""",
     "q_ses_forecast" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -38,6 +38,44 @@ class GraphQueriesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("personalized pagerank matches a sequential 3-round replay") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1) - 1))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val n = deg.size
+    val seeds = deg.keySet.filter(v => v >= 0 && v % 100 == 1)
+    assert(seeds.nonEmpty)
+    var rank = seeds.map(_ -> 1.0 / seeds.size).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.flatMap { case (src, dst) =>
+        rank.get(src).map(r => dst -> r / deg(src))
+      }.groupBy(_._1).map { case (node, xs) =>
+        node -> 0.85 * xs.map(_._2).sum
+      }
+      rank = (contrib.keySet ++ seeds).map { node =>
+        node -> (contrib.getOrElse(node, 0.0)
+          + (if (seeds(node)) 0.15 / seeds.size else 0.0))
+      }.toMap
+    }
+    val got = GraphQueries.queries("q_pagerank_personalized")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == rank.size, s"${got.size} vs ${rank.size} nodes")
+    // inner contribution sums are order-free doubles in both the
+    // engine and this model; compare at the rounding grain
+    rank.foreach { case (node, r) =>
+      assert(math.abs(got(node) - r * n) < 1e-4 + 1e-9,
+        s"node $node: ${got(node)} vs ${r * n}")
+    }
+    // teleport personalization: total mass stays 1 (undirected graph,
+    // no dangling nodes), and seeds hold extra mass vs q_pagerank's
+    // uniform teleport
+    val mass = rank.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+  }
+
   test("k-core matches a sequential peel to fixpoint; core degrees >= k") {
     import org.apache.spark.sql.functions._
     val pairs = Tables.orders(spark, sf)

@@ -184,7 +184,10 @@ class PlanHygieneSpec extends SparkSpec {
     // round 14: the SES closed-form rank/count windows and the
     // quantile-regression day index ride the bounded ~2.4k-row
     // calendar-day grid (the q_rolling_corr class)
-    "q_ses_forecast", "q_quantile_reg")
+    "q_ses_forecast", "q_quantile_reg",
+    // round 15: the Holt-Winters day-index rank rides the same
+    // bounded ~2.4k-row calendar-day grid
+    "q_holt_winters")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

@@ -186,6 +186,41 @@ class TemporalQueriesSpec extends SparkSpec {
       s"closed-form level ${got.getDouble(2)} vs recursion $l")
   }
 
+  test("holt-winters equals the sequential triple-smoothing recursion") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1) / 100.0)
+    val n = daily.length
+    def rnd(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // seeds: explicit left-associated 7-term sums, like both engines
+    val sum7a = daily.slice(0, 7).reduceLeft(_ + _)
+    val sum7b = daily.slice(7, 14).reduceLeft(_ + _)
+    var l = rnd(sum7a / 7.0, 6)
+    var b = rnd((sum7b - sum7a) / 49.0, 6)
+    var sidx = daily.slice(0, 7).map(y => rnd(y - l, 6)).toVector
+    daily.drop(7).foreach { y =>
+      val sOld = sidx.head
+      val lNew = rnd(0.3 * (y - sOld) + 0.7 * (l + b), 6)
+      val bNew = rnd(0.1 * (lNew - l) + 0.9 * b, 6)
+      val sNew = rnd(0.2 * (y - lNew) + 0.8 * sOld, 6)
+      l = lNew; b = bNew; sidx = sidx.tail :+ sNew
+    }
+    val got = TemporalQueries.queries("q_holt_winters")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getDouble(1) == 0.3 && got.getDouble(2) == 0.1
+      && got.getDouble(3) == 0.2)
+    assert(got.getDouble(4) == rnd(l, 4), s"level ${got.getDouble(4)} vs $l")
+    assert(got.getDouble(5) == rnd(b, 4), s"trend ${got.getDouble(5)} vs $b")
+    assert(got.getDouble(6) == rnd(l + b + sidx(0), 4), "fc_1d")
+    assert(got.getDouble(7) == rnd(l + 7.0 * b + sidx(6), 4), "fc_7d")
+    // definitional sanity: the one-step forecast sits within the
+    // observed revenue range (a wildly diverging trend would not)
+    assert(got.getDouble(6) > 0.0 && got.getDouble(6) < daily.max * 2)
+  }
+
   test("interarrival matches a sequential per-user gap recompute") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
