@@ -453,10 +453,13 @@ object RelationalQueries {
     * short-circuits before the window), and joins the broadcast wanted
     * ranks. Interpolation is the exact quantile_cont formula on the
     * same order statistics a full sort would yield — results and
-    * oracle hashes identical to SQL `percentile`. At 100 TB a skewed
-    * column can still concentrate one bucket; the documented recursion
-    * is to re-histogram inside that bucket (one extra pass), which
-    * this single-level form trades away for simplicity. */
+    * oracle hashes identical to SQL `percentile`. A skewed column
+    * that concentrates one bucket triggers the ONE-LEVEL RECURSION
+    * below: the overfull bucket is re-histogrammed inside its actual
+    * [min, max] (an all-one-value bucket short-circuits with no
+    * pass-2 rows at all), keeping pass-2 window partitions
+    * O(n/nBuckets); sub-skew inside a sub-bucket is the remaining
+    * (documented) single-level trade. */
   private[graft] def histogramQuantiles(df: DataFrame, column: String,
       ps: Seq[Double], nBuckets: Int = 2048): Option[Seq[Double]] = {
     import org.apache.spark.sql.expressions.Window
@@ -493,22 +496,137 @@ object RelationalQueries {
     }
     val s = df.sparkSession
     import s.implicits._
-    val wantsDf = wants.toDF("wb", "lr", "gr")
-    val candBuckets = wants.map(_._1).distinct
-    val found = rows.select(col("xv"), bCol.as("b"))
-      .filter(col("b").isin(candBuckets: _*))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("b").orderBy("xv")))
-      .join(broadcast(wantsDf),
-        col("b") === col("wb") && col("rn") === col("lr"))
-      .select(col("gr"), col("xv"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // --- One-level skew recursion (round 15): a candidate bucket far
+    // above the uniform share is re-histogrammed INSIDE its actual
+    // [min, max] (one extra bounded pass) before ranking, so pass 2's
+    // window partitions stay O(n/nBuckets) on skewed columns too. The
+    // 99%-duplicates corpus is even cheaper: its hot bucket's actual
+    // min == max, so every rank in it resolves DIRECTLY from the
+    // bounds pass with zero pass-2 rows. Residual sub-skew inside a
+    // sub-bucket is the documented one-level trade.
+    val cutoff = skewCutoff(n, nBuckets)
+    val byBucket = wants.groupBy(_._1)
+    val overfull = byBucket.keys.toSeq
+      .filter(b => counts.getOrElse(b, 0L) > cutoff).sorted
+    val direct = scala.collection.mutable.Map.empty[Long, Double]
+    val subWants =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    var splittable = Seq.empty[(Int, Double, Double)]
+    if (overfull.nonEmpty) {
+      val bounds = rows.select(bCol.as("b"), col("xv"))
+        .filter(col("b").isin(overfull: _*))
+        .groupBy("b").agg(min("xv").as("bmn"), max("xv").as("bmx"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      overfull.foreach { b =>
+        val (bmn, bmx) = bounds(b)
+        if (bmn == bmx)
+          byBucket(b).foreach { case (_, _, gr) => direct(gr) = bmn }
+      }
+      splittable = overfull.flatMap { b =>
+        val (bmn, bmx) = bounds(b)
+        if (bmn < bmx) Some((b, bmn, (bmx - bmn) / nBuckets)) else None
+      }
+      if (splittable.nonEmpty) {
+        val subCounts = rows.select(bCol.as("b"), col("xv"))
+          .filter(col("b").isin(splittable.map(_._1): _*))
+          .groupBy(col("b"), subBucketCol(splittable, nBuckets).as("sb"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        splittable.foreach { case (b, _, _) =>
+          val cumSub = new Array[Long](nBuckets)
+          var acc2 = 0L; var j = 0
+          while (j < nBuckets) {
+            cumSub(j) = acc2; acc2 += subCounts.getOrElse((b, j), 0L); j += 1
+          }
+          byBucket(b).foreach { case (_, lr, gr) =>
+            val r0 = lr - 1 // 0-based rank within the bucket
+            var sj = nBuckets - 1
+            while (sj > 0 && (cumSub(sj) > r0 || !subCounts.contains((b, sj))))
+              sj -= 1
+            subWants += ((b, sj, r0 - cumSub(sj) + 1, gr))
+          }
+        }
+      }
+    }
+    val normalBuckets = byBucket.keys.toSeq
+      .filterNot(overfull.contains).sorted
+    val foundNormal: Map[Long, Double] =
+      if (normalBuckets.isEmpty) Map.empty
+      else {
+        val normalWants = wants.filter(wn => normalBuckets.contains(wn._1))
+        rows.select(col("xv"), bCol.as("b"))
+          .filter(col("b").isin(normalBuckets: _*))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b").orderBy("xv")))
+          .join(broadcast(normalWants.toDF("wb", "lr", "gr")),
+            col("b") === col("wb") && col("rn") === col("lr"))
+          .select(col("gr"), col("xv"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+    val foundSub: Map[Long, Double] =
+      if (subWants.isEmpty) Map.empty
+      else {
+        // candidate (bucket, sub-bucket) CELLS only — combined-key isin
+        // so pass-2 input is literally the narrowed cells
+        val cellKeys: Seq[Long] = subWants.toSeq.map { case (b, sb, _, _) =>
+          b.toLong * nBuckets + sb
+        }.distinct
+        rows.select(col("xv"), bCol.as("b"))
+          .filter(col("b").isin(splittable.map(_._1): _*))
+          .withColumn("sb", subBucketCol(splittable, nBuckets))
+          .filter((col("b").cast("long") * nBuckets + col("sb"))
+            .isin(cellKeys: _*))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b", "sb").orderBy("xv")))
+          .join(broadcast(subWants.toSeq.toDF("wb", "wsb", "lr", "gr")),
+            col("b") === col("wb") && col("sb") === col("wsb") &&
+              col("rn") === col("lr"))
+          .select(col("gr"), col("xv"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+    val found = foundNormal ++ foundSub ++ direct
     Some(positions.map { pos =>
       val lo = found(math.floor(pos).toLong)
       val hi = found(math.ceil(pos).toLong)
       lo + (hi - lo) * (pos - math.floor(pos))
     })
   }
+
+  /** A candidate bucket is re-histogrammed when it holds ≥16× the
+    * uniform share (and enough absolute rows for a window partition
+    * to matter) — below that, pass 2's per-bucket partitions are
+    * already the O(n/nBuckets) the narrowing promises. */
+  private def skewCutoff(n: Long, nBuckets: Int): Long =
+    math.max(4096L, 16L * (n / nBuckets + 1))
+
+  /** Equal-width sub-bucket index INSIDE a splittable bucket's actual
+    * [min, max] — a CASE chain over the (few, ≤2·|ps|) splittable
+    * buckets; monotone in xv within each bucket, so sub-buckets hold
+    * contiguous bucket-local rank ranges (the same argument that makes
+    * the top-level histogram rank-addressable). */
+  private def subBucketCol(splittable: Seq[(Int, Double, Double)],
+      nBuckets: Int): Column =
+    splittable.foldLeft(lit(0): Column) { case (acc, (b, bmn, w)) =>
+      when(col("b") === b,
+        least(greatest(floor((col("xv") - lit(bmn)) / lit(w)).cast("int"),
+          lit(0)), lit(nBuckets - 1))).otherwise(acc)
+    }
+
+
+  /** [[subBucketCol]] with the group key in the CASE chain; emits −1
+    * for rows outside every splittable (group, bucket) cell so callers
+    * can filter them before aggregating. */
+  private def subBucketColGrouped(
+      splittable: Seq[((String, Int), Double, Double)],
+      nBuckets: Int): Column =
+    splittable.foldLeft(lit(-1): Column) {
+      case (acc, ((g, b), bmn, w)) =>
+        when(col("g") === g && col("b") === b,
+          least(greatest(floor((col("xv") - lit(bmn)) / lit(w)).cast("int"),
+            lit(0)), lit(nBuckets - 1))).otherwise(acc)
+    }
 
   /** GROUPED two-pass histogram narrowing — [[histogramQuantiles]]
     * with the group key carried through both passes. Pass 1: per-group
@@ -565,14 +683,74 @@ object RelationalQueries {
         }
       }
     }
-    val found: Map[(String, Long), Double] =
-      if (wants.isEmpty) Map.empty
+    // one-level skew recursion per (group, bucket) cell — the global
+    // form's discipline with the group key carried through: an
+    // overfull cell re-histograms inside its actual [min, max]; an
+    // all-one-value cell resolves directly from the bounds pass
+    val byCell = wants.groupBy(w => (w._1, w._2))
+    val overfullCells = byCell.keys.toSeq.filter { case (g, b) =>
+      counts.getOrElse((g, b), 0L) > skewCutoff(heads(g)._1, nBuckets)
+    }.sorted
+    val direct = scala.collection.mutable.Map.empty[(String, Long), Double]
+    val subWants = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Int, Int, Long, Long)]
+    var splittable = Seq.empty[((String, Int), Double, Double)]
+    if (overfullCells.nonEmpty) {
+      val ofDf = broadcast(overfullCells.toDF("cg", "cb"))
+      val bounds = rows.join(headsDf, "g")
+        .select(col("g"), col("xv"), bCol.as("b"))
+        .join(ofDf, col("g") === col("cg") && col("b") === col("cb"),
+          "left_semi")
+        .groupBy("g", "b").agg(min("xv").as("bmn"), max("xv").as("bmx"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1))
+          -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      overfullCells.foreach { case cell @ (g, b) =>
+        val (bmn, bmx) = bounds(cell)
+        if (bmn == bmx)
+          byCell(cell).foreach { case (_, _, _, gr) => direct((g, gr)) = bmn }
+      }
+      splittable = overfullCells.flatMap { cell =>
+        val (bmn, bmx) = bounds(cell)
+        if (bmn < bmx) Some((cell, bmn, (bmx - bmn) / nBuckets)) else None
+      }
+      if (splittable.nonEmpty) {
+        val subCounts = rows.join(headsDf, "g")
+          .select(col("g"), col("xv"), bCol.as("b"))
+          .withColumn("sb", subBucketColGrouped(splittable, nBuckets))
+          .filter(col("sb") >= 0)
+          .groupBy("g", "b", "sb").agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2))
+            -> r.getLong(3)).toMap
+        splittable.foreach { case (cell @ (g, b), _, _) =>
+          val cumSub = new Array[Long](nBuckets)
+          var acc2 = 0L; var j = 0
+          while (j < nBuckets) {
+            cumSub(j) = acc2
+            acc2 += subCounts.getOrElse((g, b, j), 0L); j += 1
+          }
+          byCell(cell).foreach { case (_, _, lr, gr) =>
+            val r0 = lr - 1
+            var sj = nBuckets - 1
+            while (sj > 0 &&
+                (cumSub(sj) > r0 || !subCounts.contains((g, b, sj))))
+              sj -= 1
+            subWants += ((g, b, sj, r0 - cumSub(sj) + 1, gr))
+          }
+        }
+      }
+    }
+    val normalWants = wants.filterNot(w =>
+      overfullCells.contains((w._1, w._2)))
+    val foundNormal: Map[(String, Long), Double] =
+      if (normalWants.isEmpty) Map.empty
       else {
-        val wantsDf = broadcast(wants.toDF("wg", "wb", "lr", "gr"))
+        val wantsDf = broadcast(normalWants.toDF("wg", "wb", "lr", "gr"))
         // restrict to candidate cells with a SEMI join (two wanted
         // ranks can share a bucket — an inner join here would
         // duplicate its rows and corrupt the local ranking)
-        val cand = broadcast(wants.map(w => (w._1, w._2)).distinct
+        val cand = broadcast(normalWants.map(w => (w._1, w._2)).distinct
           .toDF("cg", "cb"))
         rows.join(headsDf, "g").select(col("g"), col("xv"), bCol.as("b"))
           .join(cand, col("g") === col("cg") && col("b") === col("cb"),
@@ -586,6 +764,26 @@ object RelationalQueries {
           .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
           .toMap
       }
+    val foundSub: Map[(String, Long), Double] =
+      if (subWants.isEmpty) Map.empty
+      else {
+        val swDf = broadcast(subWants.toSeq.toDF("wg", "wb", "wsb", "lr", "gr"))
+        val cells = broadcast(subWants.map(w => (w._1, w._2, w._3)).distinct
+          .toSeq.toDF("cg", "cb", "csb"))
+        rows.join(headsDf, "g").select(col("g"), col("xv"), bCol.as("b"))
+          .withColumn("sb", subBucketColGrouped(splittable, nBuckets))
+          .join(cells, col("g") === col("cg") && col("b") === col("cb") &&
+            col("sb") === col("csb"), "left_semi")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("g", "b", "sb").orderBy("xv")))
+          .join(swDf,
+            col("g") === col("wg") && col("b") === col("wb") &&
+              col("sb") === col("wsb") && col("rn") === col("lr"))
+          .select(col("g"), col("gr"), col("xv"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+          .toMap
+      }
+    val found = foundNormal ++ foundSub ++ direct
     val out = heads.toSeq.map { case (g, (n, mn, mx)) =>
       val cells = ps.map { p =>
         if (mn == mx) mn
