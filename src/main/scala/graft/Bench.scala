@@ -110,6 +110,12 @@ object Bench {
     // for the same reason (q_knn_ivf_pq should time the ADC scan, not a
     // cold per-subspace KMeans fit on a machine with no cached artifact)
     warm("pq codebooks")(graft.queries.PqIndex.codebooks(spark, sfDir))
+    // OPQ rotation + rotated codebooks: same offline-artifact rationale
+    warm("opq artifacts") {
+      graft.queries.OpqIndex.rotation(spark, sfDir)
+      graft.queries.OpqIndex.codebooks(spark, sfDir)
+      ()
+    }
     // the lang-partitioned corpus layout is the same kind of offline
     // artifact (in production the corpus LANDS partitioned):
     // q_corpus_scan_pruned should time the pruned scan, not the rewrite
