@@ -1025,7 +1025,7 @@ object RelationalQueries {
     * difference cannot flip any row's bucket. */
   private val histogramEqdepth: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    val cuts = selectQuantiles(o.select(col("o_totalprice")),
+    val cuts = histogramQuantiles(o.select(col("o_totalprice")),
       "o_totalprice", (1 to 9).map(_ / 10.0))
       .getOrElse(sys.error("histogram_eqdepth: empty orders"))
     val bucket = cuts.map(c =>
@@ -1082,7 +1082,7 @@ object RelationalQueries {
   private val psiDrift: Q = (s, d) => {
     val o = Tables.orders(s, d).select(col("o_totalprice").as("v"),
       (col("o_orderkey") % 2 === 0).as("is_ref"))
-    val cuts = selectQuantiles(o.filter(col("is_ref")).select(col("v")),
+    val cuts = histogramQuantiles(o.filter(col("is_ref")).select(col("v")),
       "v", (1 to 9).map(_ / 10.0))
       .getOrElse(sys.error("psi_drift: empty reference period"))
     val bucket = cuts.map(c =>

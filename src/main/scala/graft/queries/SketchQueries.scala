@@ -42,7 +42,7 @@ object SketchQueries {
   private val sketchError: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val exact = RelationalQueries
-      .selectQuantiles(li, "l_extendedprice", Seq(0.5, 0.9))
+      .histogramQuantiles(li, "l_extendedprice", Seq(0.5, 0.9))
       .getOrElse(Seq(Double.NaN, Double.NaN))
     val (p50x, p90x) = (exact(0), exact(1))
     val distincts = li.agg(
@@ -132,16 +132,17 @@ object SketchQueries {
     * oracle recomputes from scratch. The bucket pick is the pure
     * integer compare cum·100 ≥ q100·n (no float rank); the cumulative
     * scan runs on the ~35-row bucket grid. The exact anchors come from
-    * the shared selection-form machinery
-    * ([[RelationalQueries.selectQuantiles]], the q_quantiles_sel scale
-    * path) — a `percentile` aggregate here buffered every value and
-    * read 8.5× between SFs; the selection form keeps the query
-    * sub-linear. */
+    * the shared two-pass histogram narrowing
+    * ([[RelationalQueries.histogramQuantiles]], the q_quantiles scale
+    * path — round 15 moved the sketch family off the selection form:
+    * same exact order statistics, 1.2 → ~0.6 s at sf0.1) — a
+    * `percentile` aggregate here buffered every value and read 8.5×
+    * between SFs; the narrowing keeps the query sub-linear. */
   private val hdrQuantiles: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val v = Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-    val qs = RelationalQueries.selectQuantiles(v, "c", Seq(0.5, 0.9, 0.99))
+    val qs = RelationalQueries.histogramQuantiles(v, "c", Seq(0.5, 0.9, 0.99))
       .getOrElse(Seq(0.0, 0.0, 0.0))
     val b = v.groupBy(length(bin(col("c"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
