@@ -543,8 +543,13 @@ object GraphQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
       .distinct()
     val b = adj.select(col("ok"), col("part").as("p2"))
-    val edges = adj.join(b, "ok").filter(col("part") < col("p2"))
-      .select(col("part").as("s1"), col("p2").as("s2")).distinct()
+    // persisted: THREE consumers below (degree count + both ends of
+    // the directed join) would each replay the basket self-join +
+    // distinct — the clusteringCoeff persist discipline
+    val edges = CacheRegistry.register(
+      adj.join(b, "ok").filter(col("part") < col("p2"))
+        .select(col("part").as("s1"), col("p2").as("s2")).distinct()
+        .persist())
     val deg = edges.select(col("s1").as("u"))
       .union(edges.select(col("s2").as("u")))
       .groupBy("u").agg(count(lit(1)).as("dg"))

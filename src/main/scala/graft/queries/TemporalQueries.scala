@@ -1486,7 +1486,10 @@ object TemporalQueries {
       Seq(col("day").asc), None)
     val cur = rnk.df.select(col("rk"), col("v").as("y"))
     val prev = rnk.df.select((col("rk") + 1).as("rk"), col("v").as("yl"))
-    val pairs = cur.join(prev, "rk")
+    // persisted: the lag self-join grid feeds BOTH the AR(1) fit and
+    // the residual projection, and the residual frame below feeds
+    // three consumers — unpersisted, each replays the rank window
+    val pairs = CacheRegistry.register(cur.join(prev, "rk").persist())
     val fit = pairs.agg(count(lit(1)).as("n"),
       sum(col("y").cast(dec)).as("sy"),
       sum(col("yl").cast(dec)).as("syl"),
@@ -1503,10 +1506,10 @@ object TemporalQueries {
           (col("n").cast("double") * col("syl2").cast("double") -
             col("syl").cast("double") * col("syl").cast("double")))
           .as("b1"))
-    val e = pairs.crossJoin(broadcast(fit))
+    val e = CacheRegistry.register(pairs.crossJoin(broadcast(fit))
       .select(col("rk"),
         round(col("y") - (col("b0") + col("b1") * col("yl")))
-          .cast("long").as("e"))
+          .cast("long").as("e")).persist())
     val se2 = e.agg(count(lit(1)).as("n_resid"),
       sum(col("e").cast(dec) * col("e")).as("se2"))
     val el = e.select((col("rk") + 1).as("rk"), col("e").as("ep"))
