@@ -30,6 +30,9 @@ class PlanHygieneSpec extends SparkSpec {
     // round 9: the recall-pin queries wrap knn_exact + the ANN path, so
     // they inherit the same 1-row query-vector broadcast
     "q_knn_ivf_recall", "q_knn_ivf_pq_recall", "q_knn_batch_ivf_recall",
+    // round 15: the OPQ pair inherits the identical 1-row query-vector
+    // broadcast for the exact re-rank stage
+    "q_knn_ivf_opq", "q_knn_ivf_opq_recall",
     // round 9: 1-row aggregate broadcasts (sketch pins, graph scalars)
     "q_sketch_error", "q_triangles",
     // round 9 late: 1-row exact-quantile-cutoff broadcasts (the rfm /
