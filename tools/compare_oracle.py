@@ -106,6 +106,7 @@ def main(sf_dir, out_dir):
         "q_cluster_cap", "q_compression_ratio", "q_dedup_minhash",
         "q_dedup_minhash_mllib", "q_dedup_simhash", "q_doc_fingerprint",
         "q_doc_winnow", "q_knn_batch_ivf", "q_knn_ivf", "q_knn_ivf_pq",
+        "q_knn_ivf_opq",
         "q_knn_lsh", "q_knn_lsh_multi", "q_pca_project",
         "q_quantiles_approx",
     }
