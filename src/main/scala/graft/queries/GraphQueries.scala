@@ -462,7 +462,10 @@ object GraphQueries {
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select(col("cust"),
         round(lit(1000000.0) / log(col("deg"))).cast("long").as("w"))
-    val adj = pairs.join(w, "cust")
+    // persisted: the self-join's two sides project DIFFERENT columns
+    // from this relation, so exchange reuse can't fire — unpersisted,
+    // the pairs⋈w weight join executed once per side
+    val adj = CacheRegistry.register(pairs.join(w, "cust").persist())
     val b = adj.select(col("cust"), col("supp").as("s2"))
     adj.join(b, "cust").filter(col("supp") < col("s2"))
       .groupBy(col("supp").as("s1"), col("s2"))
@@ -488,7 +491,9 @@ object GraphQueries {
     val caps = adj.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
       .select("cust")
-    val capped = adj.join(caps, "cust")
+    // persisted for the same two-projection self-join reason as
+    // linkPredict's adj
+    val capped = CacheRegistry.register(adj.join(caps, "cust").persist())
     val b = capped.select(col("cust"), col("supp").as("s2"))
     val edges = capped.join(b, "cust").filter(col("supp") < col("s2"))
       .groupBy(col("supp").as("s1"), col("s2"))
