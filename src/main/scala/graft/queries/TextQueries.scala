@@ -90,9 +90,11 @@ object TextQueries {
     * byte-identical input in both engines, so the shingle cannot be
     * collapsed to the xxhash64 identity [[shingleRows]] ships at scale. */
   def shingleStringRows(s: SparkSession, d: String): DataFrame =
-    docsWithWords(s, d)
-      .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
-      .distinct()
+    SessionMemo("text.shingleStringRows", s, d) {
+      docsWithWords(s, d)
+        .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
+        .distinct()
+    }
 
   /** Per (lang, source) corpus statistics. */
   private val textStats: Q = (s, d) =>
