@@ -41,6 +41,84 @@ object StatQueries {
   private def dailyCents(s: SparkSession, d: String): DataFrame =
     OrdersDaily.cents(s, d)
 
+
+  /** RANSAC robust line fit of daily revenue on the day index — the
+    * consensus-based robust regressor beside [[theilSen]] (Theil–Sen
+    * medians ALL pairwise slopes; RANSAC fits the largest CONSENSUS
+    * SET, the right tool when a minority of days are corrupt rather
+    * than merely heavy-tailed). 24 md5-seeded candidate day pairs,
+    * inlier band = mean daily revenue / 10; winner by (inlier count
+    * desc, candidate id asc); final coefficients are the exact-OLS
+    * Cramer closed form on the winning consensus set.
+    *
+    * Fully oracle-replayable — no randomness and no floats until the
+    * last division: candidate indices come from the repo's md5-draw
+    * protocol (conv(substring(md5(seed),1,8)) ≡ DuckDB
+    * ('0x'||…)::BIGINT), and the inlier test for the line through
+    * integer points (t₁,v₁),(t₂,v₂) is cross-multiplied to
+    * |（v−v₁)·dt − (v₂−v₁)·(t−t₁)| ≤ thr·|dt| — all int128, so both
+    * engines count IDENTICAL consensus sets. Both seed points are
+    * inliers of their own candidate by construction, so the winning
+    * set has ≥2 distinct t and the refit denominator cannot
+    * degenerate. Scale shape: the candidate table is 24 rows crossed
+    * onto the calendar-bounded grid (broadcast, grid-sized work), the
+    * refit one exact aggregate. */
+  private val ransacLine: Q = (s, d) => {
+    // the day-index rank rides the bounded ~2.4k-row calendar grid
+    // (the q_ses_forecast/q_holt_winters window class, allow-listed);
+    // n/Σv are two bounded driver scalars off the same cached grid
+    val grid = CacheRegistry.register(dailyCents(s, d)
+      .select(row_number().over(Window.orderBy("day")).cast("long").as("t"),
+        col("v")).persist())
+    val head = grid.agg(count(lit(1)).as("n"), sum("v").as("sv")).head()
+    val n = head.getLong(0)
+    val sv = head.getLong(1)
+    val thr = sv / (10L * n)
+    def h(salt: String) = conv(substring(md5(
+      concat(lit("ransac:"), col("k").cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    val cands = grid.sparkSession.range(1).toDF("z")
+      .select(explode(expr("sequence(1L, 24L)")).as("k"))
+      .select(col("k"),
+        (lit(1L) + pmod(h(":a"), lit(n))).as("i1"),
+        (lit(1L) + pmod(h(":b"), lit(n))).as("i2raw"))
+      .select(col("k"), col("i1"),
+        when(col("i2raw") === col("i1"),
+          pmod(col("i2raw"), lit(n)) + 1).otherwise(col("i2raw")).as("i2"))
+    val withPts = cands
+      .join(grid.select(col("t").as("i1"), col("v").as("v1")), Seq("i1"))
+      .join(grid.select(col("t").as("i2"), col("v").as("v2")), Seq("i2"))
+    val inlier = abs((col("v") - col("v1")).cast(dec) * (col("i2") - col("i1"))
+        - (col("v2") - col("v1")).cast(dec) * (col("t") - col("i1"))) <=
+      abs(lit(thr).cast(dec) * (col("i2") - col("i1")))
+    val best = grid.crossJoin(broadcast(withPts))
+      .groupBy("k", "i1", "i2", "v1", "v2")
+      .agg(sum(when(inlier, 1L).otherwise(0L)).as("n_in"))
+      .orderBy(desc("n_in"), asc("k"))
+      .limit(1)
+    grid.crossJoin(broadcast(best))
+      .filter(inlier)
+      .agg(count(lit(1)).as("ni"),
+        sum(col("t").cast(dec)).as("st"), sum(col("v").cast(dec)).as("sy"),
+        sum(col("t").cast(dec) * col("t")).as("stt"),
+        sum(col("t").cast(dec) * col("v")).as("sty"),
+        max("k").as("best_k"))
+      // b rounded FIRST, a derived from the ROUNDED b (the
+      // q_quantile_reg boundary-rounding discipline, so the oracle
+      // replays the identical two-step derivation)
+      .withColumn("b6",
+        round((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
+            .cast("double")
+          / (col("ni").cast(dec) * col("stt") - col("st") * col("st"))
+            .cast("double"), 6))
+      .withColumn("a6",
+        round((col("sy").cast("double") - col("b6") * col("st").cast("double"))
+          / col("ni").cast("double"), 6))
+      .select(lit(n).as("n_days"), col("best_k"), col("ni").as("n_inliers"),
+        round(col("a6") / 100.0, 4).as("a_usd"),
+        round(col("b6") / 100.0, 4).as("b_usd_per_day"))
+  }
+
   /** Spearman rank correlation between quantity and price on the fact
     * table — the monotone-association twin of Pearson [[q_agg_corr]]:
     * immune to outliers and nonlinearity because it correlates RANKS.
@@ -2380,6 +2458,7 @@ object StatQueries {
     "q_spearman" -> spearman,
     "q_mann_kendall" -> mannKendall,
     "q_theil_sen" -> theilSen,
+    "q_ransac_line" -> ransacLine,
     "q_quantile_reg" -> quantileReg,
     "q_target_encode" -> targetEncode,
     "q_calibration" -> calibration,
@@ -4177,6 +4256,72 @@ object StatQueries {
          FROM p, nr, ties""",
     // median pairwise slope by exact order statistic; each slope is one
     // double division of exact integers
+    // md5-seeded candidates replay verbatim (('0x'||hex)::BIGINT ==
+    // conv(hex,16,10)); the inlier test is cross-multiplied int128,
+    // so both engines count identical consensus sets; b rounds before
+    // a is derived from it (the q_quantile_reg discipline)
+    "q_ransac_line" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders GROUP BY 1),
+         grid AS (SELECT row_number() OVER (ORDER BY day) AS t, v FROM dly),
+         nn AS (SELECT count(*) AS n, sum(v) AS sv,
+                       sum(v) // (10 * count(*)) AS thr
+                FROM grid),
+         ks AS (SELECT unnest(generate_series(1, 24)) AS k),
+         c0 AS (SELECT k,
+                       1 + ('0x' || substring(md5('ransac:' || k || ':a'),
+                         1, 8))::BIGINT % (SELECT n FROM nn) AS i1,
+                       1 + ('0x' || substring(md5('ransac:' || k || ':b'),
+                         1, 8))::BIGINT % (SELECT n FROM nn) AS i2raw
+                FROM ks),
+         c1 AS (SELECT k, i1,
+                       CASE WHEN i2raw = i1
+                            THEN i2raw % (SELECT n FROM nn) + 1
+                            ELSE i2raw END AS i2
+                FROM c0),
+         cp AS (SELECT c.k, c.i1, c.i2, g1.v AS v1, g2.v AS v2
+                FROM c1 c JOIN grid g1 ON g1.t = c.i1
+                          JOIN grid g2 ON g2.t = c.i2),
+         scored AS (SELECT cp.k, cp.i1, cp.i2, cp.v1, cp.v2,
+                           sum(CASE WHEN abs(
+                                 CAST(g.v - cp.v1 AS HUGEINT)
+                                   * (cp.i2 - cp.i1)
+                                 - CAST(cp.v2 - cp.v1 AS HUGEINT)
+                                   * (g.t - cp.i1))
+                               <= abs(CAST((SELECT thr FROM nn) AS HUGEINT)
+                                 * (cp.i2 - cp.i1))
+                               THEN 1 ELSE 0 END) AS n_in
+                    FROM grid g, cp
+                    GROUP BY 1, 2, 3, 4, 5),
+         best AS (SELECT * FROM scored
+                  ORDER BY n_in DESC, k LIMIT 1),
+         fit AS (SELECT count(*) AS ni, max(b.k) AS best_k,
+                        sum(CAST(g.t AS HUGEINT)) AS st,
+                        sum(CAST(g.v AS HUGEINT)) AS sy,
+                        sum(CAST(g.t AS HUGEINT) * g.t) AS stt,
+                        sum(CAST(g.t AS HUGEINT) * g.v) AS sty
+                 FROM grid g, best b
+                 WHERE abs(CAST(g.v - b.v1 AS HUGEINT) * (b.i2 - b.i1)
+                     - CAST(b.v2 - b.v1 AS HUGEINT) * (g.t - b.i1))
+                   <= abs(CAST((SELECT thr FROM nn) AS HUGEINT)
+                     * (b.i2 - b.i1))),
+         bb AS (SELECT ni, best_k, st, sy,
+                       round((CAST(ni AS DOUBLE) * sty
+                           - CAST(st AS DOUBLE) * sy)
+                         / (CAST(ni AS DOUBLE) * stt
+                           - CAST(st AS DOUBLE) * st), 6) AS b6
+                FROM fit),
+         aa AS (SELECT ni, best_k, b6,
+                       round((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
+                         / ni, 6) AS a6
+                FROM bb)
+         SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days, best_k,
+                CAST(ni AS BIGINT) AS n_inliers,
+                round(a6 / 100.0, 4) AS a_usd,
+                round(b6 / 100.0, 4) AS b_usd_per_day
+         FROM aa""",
     "q_theil_sen" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100) AS BIGINT))

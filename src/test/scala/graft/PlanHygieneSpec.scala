@@ -33,6 +33,9 @@ class PlanHygieneSpec extends SparkSpec {
     // round 15: the OPQ pair inherits the identical 1-row query-vector
     // broadcast for the exact re-rank stage
     "q_knn_ivf_opq", "q_knn_ivf_opq_recall",
+    // round 15: RANSAC crosses the bounded day grid with its 24-row
+    // candidate table and the 1-row winner (reviewed broadcasts)
+    "q_ransac_line",
     // round 9: 1-row aggregate broadcasts (sketch pins, graph scalars)
     "q_sketch_error", "q_triangles",
     // round 9 late: 1-row exact-quantile-cutoff broadcasts (the rfm /
@@ -188,9 +191,9 @@ class PlanHygieneSpec extends SparkSpec {
     // quantile-regression day index ride the bounded ~2.4k-row
     // calendar-day grid (the q_rolling_corr class)
     "q_ses_forecast", "q_quantile_reg",
-    // round 15: the Holt-Winters day-index rank rides the same
-    // bounded ~2.4k-row calendar-day grid
-    "q_holt_winters")
+    // round 15: the Holt-Winters and RANSAC day-index ranks ride the
+    // same bounded ~2.4k-row calendar-day grid
+    "q_holt_winters", "q_ransac_line")
 
   test("partition-less WindowExec appears only on bounded-grain inputs") {
     import graft.scale.PlanAudit

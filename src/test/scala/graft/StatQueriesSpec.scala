@@ -185,6 +185,58 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - chi2) < 1e-4 + 1e-9)
   }
 
+  test("ransac line fit matches a sequential replay") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = daily.length
+    val sv = daily.sum
+    val thr = sv / (10L * n)
+    def md5int(x: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val cands = (1 to 24).map { k =>
+      val i1 = 1L + md5int(s"ransac:$k:a") % n
+      val i2raw = 1L + md5int(s"ransac:$k:b") % n
+      val i2 = if (i2raw == i1) i2raw % n + 1 else i2raw
+      (k, i1, i2)
+    }
+    def consensus(i1: Long, i2: Long): Seq[Int] = {
+      val v1 = daily(i1.toInt - 1); val v2 = daily(i2.toInt - 1)
+      val dt = i2 - i1
+      (1 to n).filter { t =>
+        (BigInt(daily(t - 1) - v1) * dt
+          - BigInt(v2 - v1) * (t - i1)).abs <= (BigInt(thr) * dt).abs
+      }
+    }
+    val scored = cands.map { case (k, i1, i2) => (k, i1, i2, consensus(i1, i2)) }
+    val (bk, _, _, in) = scored.minBy { case (k, _, _, c) => (-c.size, k) }
+    def rnd(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ni = in.size
+    val st = in.map(BigInt(_)).sum
+    val sy = in.map(t => BigInt(daily(t - 1))).sum
+    val stt = in.map(t => BigInt(t) * t).sum
+    val sty = in.map(t => BigInt(t) * daily(t - 1)).sum
+    val b6 = rnd((ni.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
+      / (ni.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
+    val a6 = rnd((sy.toDouble - b6 * st.toDouble) / ni, 6)
+    val got = q("q_ransac_line").collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getLong(1) == bk.toLong, s"best_k ${got.getLong(1)} vs $bk")
+    assert(got.getLong(2) == ni.toLong, s"n_inliers ${got.getLong(2)} vs $ni")
+    assert(got.getDouble(3) == rnd(a6 / 100.0, 4), "a_usd")
+    assert(got.getDouble(4) == rnd(b6 / 100.0, 4), "b_usd_per_day")
+    // definitional: a real consensus BAND exists (the mean/10 band is
+    // deliberately thin — it selects the densest linear corridor, not
+    // a majority; 13-18% of days at the test SFs) and it includes far
+    // more than the 2 seed points
+    assert(ni >= n / 20 && ni > 2, s"consensus only $ni of $n")
+  }
+
   test("quantile regression replays the micro-rounded IRLS trajectory exactly") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))
