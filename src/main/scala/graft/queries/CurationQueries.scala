@@ -47,7 +47,7 @@ object CurationQueries {
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dfq = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
     val corpus = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(words.agg(count(lit(1)).as("n_words")))
+      .crossJoin(broadcast(words.agg(count(lit(1)).as("n_words"))))
       .select(col("n_docs"),
         (col("n_words").cast("double") / col("n_docs")).as("avgdl"))
     val scored = tf.join(dl, "doc_id").join(dfq, "word")

@@ -68,6 +68,14 @@ object GraphQueries {
         .distinct()
     }
 
+  /** Materialize this module's session memos (Bench warm phase — see
+    * [[SharedMemos]]). purchaseEdges derives from custSuppPairs, so
+    * counting it materializes both. */
+  private[graft] def warmMemos(s: SparkSession, d: String): Unit = {
+    purchaseEdges(s, d).count()
+    ()
+  }
+
   /** PageRank over the undirected customer–supplier purchase graph.
     *
     * Nodes: customers (node = custkey) and suppliers (node =

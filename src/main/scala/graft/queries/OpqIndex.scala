@@ -103,6 +103,15 @@ object OpqIndex {
     val rows = Tables.embeddings(s, d).select("embedding").rdd
       .map(r => OldVectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
     val svd = new RowMatrix(rows).computeSVD(64, computeU = false)
+    // On a rank-deficient corpus Spark returns FEWER than 64 singular
+    // vectors; the loop below would then leave trailing rows of the
+    // rotation all-zero — silently non-orthonormal, and rotateCol
+    // would drop vector components with no error. Fail loudly instead
+    // (the advisor's round-15 note): a degenerate embedding corpus is
+    // a data problem the caller must see, not a quality cliff.
+    require(svd.s.size == 64 && svd.V.numCols == 64,
+      s"OPQ rotation needs full rank 64; embeddings yielded ${svd.s.size} " +
+        "singular vectors (rank-deficient corpus — fix the embedding source)")
     val v = svd.V // 64×64; column j = j-th right singular vector
     val energy = svd.s.toArray.map(x => x * x)
     // deal directions (energy desc) to the subspace with the smallest

@@ -119,6 +119,97 @@ object StatQueries {
         round(col("b6") / 100.0, 4).as("b_usd_per_day"))
   }
 
+  /** PER-KEY RANSAC — [[ransacLine]]'s consensus fit distributed over
+    * nations (round-15 verdict #7: the grouped generalization, same
+    * argument as the grouped Holt–Winters). Everything the global form
+    * holds as driver scalars (n, Σv, the inlier threshold) becomes a
+    * per-key COLUMN: per-nation day grids (t = row_number within the
+    * key), per-key thr = Σv DIV (10·n) (exact integer division in both
+    * engines), 24 md5-seeded candidate pairs PER KEY (the seed string
+    * carries the nation so draws differ per series and the oracle
+    * replays them), per-key winner by (inlier count desc, k asc) via a
+    * key-partitioned rank, per-key exact-OLS refit on the winning
+    * consensus set. All inlier tests stay int128 cross-multiplied —
+    * both engines count identical sets per key.
+    *
+    * Scale shape: the candidate table is keys×24 rows (broadcast);
+    * scoring joins each key's calendar-bounded grid to its own 24
+    * candidates (≤24× the keyed grid, partitioned by key — nothing
+    * data-sized in one task); the winner rank runs over keys×24 rows.
+    * At 100 TB the nation key becomes store/SKU and the shape holds:
+    * RANSAC parallelizes over SERIES. Keys need n ≥ 2 grid days (the
+    * i2 cyclic fix-up then guarantees two distinct seed days, so the
+    * refit denominator cannot degenerate); sparser keys are skipped
+    * in both engines. */
+  private val ransacGrouped: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    // persisted: the keyed grid feeds the stats, the candidate-point
+    // lookups, the scoring join, and the refit (5 consumers)
+    val grid = CacheRegistry.register(daily
+      .select(col("nation"),
+        row_number().over(Window.partitionBy("nation").orderBy("day"))
+          .cast("long").as("t"),
+        col("v")).persist())
+    val stats = grid.groupBy("nation")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .filter(col("n") >= 2)
+      .select(col("nation"), col("n"), expr("sv DIV (10 * n)").as("thr"))
+    def h(salt: String) = conv(substring(md5(
+      concat(lit("ransac:"), col("nation").cast("string"), lit(":"),
+        col("k").cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
+    val cands = stats
+      .select(col("nation"), col("n"), col("thr"),
+        explode(expr("sequence(1L, 24L)")).as("k"))
+      .select(col("nation"), col("n"), col("thr"), col("k"),
+        (lit(1L) + pmod(h(":a"), col("n"))).as("i1"),
+        (lit(1L) + pmod(h(":b"), col("n"))).as("i2raw"))
+      .select(col("nation"), col("n"), col("thr"), col("k"), col("i1"),
+        when(col("i2raw") === col("i1"),
+          pmod(col("i2raw"), col("n")) + 1).otherwise(col("i2raw")).as("i2"))
+    val withPts = cands
+      .join(grid.select(col("nation"), col("t").as("i1"),
+        col("v").as("v1")), Seq("nation", "i1"))
+      .join(grid.select(col("nation"), col("t").as("i2"),
+        col("v").as("v2")), Seq("nation", "i2"))
+    val inlier = abs((col("v") - col("v1")).cast(dec) * (col("i2") - col("i1"))
+        - (col("v2") - col("v1")).cast(dec) * (col("t") - col("i1"))) <=
+      abs(col("thr").cast(dec) * (col("i2") - col("i1")))
+    val scored = grid.join(broadcast(withPts), Seq("nation"))
+      .groupBy("nation", "n", "thr", "k", "i1", "i2", "v1", "v2")
+      .agg(sum(when(inlier, 1L).otherwise(0L)).as("n_in"))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nation").orderBy(desc("n_in"), asc("k"))))
+      .filter(col("rk") === 1).drop("rk")
+    grid.join(broadcast(best), Seq("nation"))
+      .filter(inlier)
+      .groupBy("nation")
+      .agg(max("n").as("n_days"), max("k").as("best_k"),
+        count(lit(1)).as("ni"),
+        sum(col("t").cast(dec)).as("st"), sum(col("v").cast(dec)).as("sy"),
+        sum(col("t").cast(dec) * col("t")).as("stt"),
+        sum(col("t").cast(dec) * col("v")).as("sty"))
+      .withColumn("b6",
+        round((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
+            .cast("double")
+          / (col("ni").cast(dec) * col("stt") - col("st") * col("st"))
+            .cast("double"), 6))
+      .withColumn("a6",
+        round((col("sy").cast("double") - col("b6") * col("st").cast("double"))
+          / col("ni").cast("double"), 6))
+      .select(col("nation"), col("n_days"), col("best_k"),
+        col("ni").as("n_inliers"),
+        round(col("a6") / 100.0, 4).as("a_usd"),
+        round(col("b6") / 100.0, 4).as("b_usd_per_day"))
+      .orderBy("nation")
+  }
+
   /** Spearman rank correlation between quantity and price on the fact
     * table — the monotone-association twin of Pearson [[q_agg_corr]]:
     * immune to outliers and nonlinearity because it correlates RANKS.
@@ -2459,6 +2550,7 @@ object StatQueries {
     "q_mann_kendall" -> mannKendall,
     "q_theil_sen" -> theilSen,
     "q_ransac_line" -> ransacLine,
+    "q_ransac_grouped" -> ransacGrouped,
     "q_quantile_reg" -> quantileReg,
     "q_target_encode" -> targetEncode,
     "q_calibration" -> calibration,
@@ -4260,6 +4352,84 @@ object StatQueries {
     // conv(hex,16,10)); the inlier test is cross-multiplied int128,
     // so both engines count identical consensus sets; b rounds before
     // a is derived from it (the q_quantile_reg discipline)
+    // the global RANSAC oracle parameterized per key: every scalar
+    // subquery becomes a joined per-nation column; the md5 seed
+    // carries the nation; winner + refit per key
+    "q_ransac_grouped" ->
+      """WITH dly AS (SELECT c.c_nationkey AS nation,
+                             CAST(o.o_orderdate AS DATE) AS day,
+                             sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                               AS v
+                      FROM orders o
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      GROUP BY 1, 2),
+         grid AS (SELECT nation,
+                         row_number() OVER (PARTITION BY nation
+                                            ORDER BY day) AS t, v
+                  FROM dly),
+         nn AS (SELECT nation, count(*) AS n, sum(v) AS sv,
+                       sum(v) // (10 * count(*)) AS thr
+                FROM grid GROUP BY 1 HAVING count(*) >= 2),
+         ks AS (SELECT unnest(generate_series(1, 24)) AS k),
+         c0 AS (SELECT s.nation, s.n, s.thr, ks.k,
+                       1 + ('0x' || substring(md5('ransac:' || s.nation
+                         || ':' || ks.k || ':a'), 1, 8))::BIGINT % s.n AS i1,
+                       1 + ('0x' || substring(md5('ransac:' || s.nation
+                         || ':' || ks.k || ':b'), 1, 8))::BIGINT % s.n
+                         AS i2raw
+                FROM nn s CROSS JOIN ks),
+         c1 AS (SELECT nation, n, thr, k, i1,
+                       CASE WHEN i2raw = i1 THEN i2raw % n + 1
+                            ELSE i2raw END AS i2
+                FROM c0),
+         cp AS (SELECT c.nation, c.n, c.thr, c.k, c.i1, c.i2,
+                       g1.v AS v1, g2.v AS v2
+                FROM c1 c
+                JOIN grid g1 ON g1.nation = c.nation AND g1.t = c.i1
+                JOIN grid g2 ON g2.nation = c.nation AND g2.t = c.i2),
+         scored AS (SELECT cp.nation, cp.n, cp.thr, cp.k, cp.i1, cp.i2,
+                           cp.v1, cp.v2,
+                           sum(CASE WHEN abs(
+                                 CAST(g.v - cp.v1 AS HUGEINT)
+                                   * (cp.i2 - cp.i1)
+                                 - CAST(cp.v2 - cp.v1 AS HUGEINT)
+                                   * (g.t - cp.i1))
+                               <= abs(CAST(cp.thr AS HUGEINT)
+                                 * (cp.i2 - cp.i1))
+                               THEN 1 ELSE 0 END) AS n_in
+                    FROM grid g JOIN cp ON g.nation = cp.nation
+                    GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+         best AS (SELECT * FROM (
+                    SELECT scored.*,
+                           row_number() OVER (PARTITION BY nation
+                             ORDER BY n_in DESC, k) AS rk
+                    FROM scored) WHERE rk = 1),
+         fit AS (SELECT g.nation, max(b.n) AS n_days, max(b.k) AS best_k,
+                        count(*) AS ni,
+                        sum(CAST(g.t AS HUGEINT)) AS st,
+                        sum(CAST(g.v AS HUGEINT)) AS sy,
+                        sum(CAST(g.t AS HUGEINT) * g.t) AS stt,
+                        sum(CAST(g.t AS HUGEINT) * g.v) AS sty
+                 FROM grid g JOIN best b ON g.nation = b.nation
+                 WHERE abs(CAST(g.v - b.v1 AS HUGEINT) * (b.i2 - b.i1)
+                     - CAST(b.v2 - b.v1 AS HUGEINT) * (g.t - b.i1))
+                   <= abs(CAST(b.thr AS HUGEINT) * (b.i2 - b.i1))
+                 GROUP BY 1),
+         bb AS (SELECT nation, n_days, best_k, ni, st, sy,
+                       round((CAST(ni AS DOUBLE) * sty
+                           - CAST(st AS DOUBLE) * sy)
+                         / (CAST(ni AS DOUBLE) * stt
+                           - CAST(st AS DOUBLE) * st), 6) AS b6
+                FROM fit),
+         aa AS (SELECT nation, n_days, best_k, ni, b6,
+                       round((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
+                         / ni, 6) AS a6
+                FROM bb)
+         SELECT nation, CAST(n_days AS BIGINT) AS n_days, best_k,
+                CAST(ni AS BIGINT) AS n_inliers,
+                round(a6 / 100.0, 4) AS a_usd,
+                round(b6 / 100.0, 4) AS b_usd_per_day
+         FROM aa ORDER BY nation""",
     "q_ransac_line" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100) AS BIGINT))

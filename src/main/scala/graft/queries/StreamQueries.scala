@@ -157,9 +157,41 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.clickPurchaseJoin]]
+    * — the stream-stream watermarked interval join's oracle-gated
+    * form: each click joins same-user purchases within the PRECEDING
+    * hour. Timestamps are compared as integer epoch-micros (the house
+    * q_funnel convention — the events parquet has shipped as
+    * TIMESTAMP(NANOS), and a ns-grain engine comparing raw timestamps
+    * could flip an interval boundary a µs-grain engine keeps).
+    * Scale shape: an equi-join on user_id with a residual interval
+    * predicate — shuffles both sides once on the key; the streaming
+    * twin bounds the SAME join's state with 10-minute watermarks
+    * (StreamingSpec pins stream ≡ this batch form, and asserts the
+    * join state is watermark-bounded, the reason the operator is
+    * usable on an unbounded stream at all). */
+  private val joinStreamInterval: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("value").as("p_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_us") >= col("click_us") - lit(3600000000L) &&
+        col("purchase_us") <= col("click_us"))
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        col("purchase_us"), round(col("p_value"), 2).as("purchase_value"))
+      .orderBy("click_id", "purchase_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_retention" -> retention,
     "q_funnel" -> funnel,
+    "q_join_stream_interval" -> joinStreamInterval,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindow,
@@ -186,6 +218,21 @@ object StreamQueries {
        ORDER BY user_id, s_start_us"""
 
   val oracles: Map[String, String] = Map(
+    // integer epoch-micros on both sides of the interval predicate
+    // (the q_funnel convention) — raw TIMESTAMP(NANOS) comparisons
+    // could flip a boundary between a ns- and a µs-grain engine
+    "q_join_stream_interval" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS click_us,
+                           event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS p_user, epoch_us(ts) AS purchase_us,
+                      value FROM events WHERE event_type = 'purchase')
+         SELECT c.click_id, c.user_id, c.click_us, p.purchase_us,
+                round(p.value, 2) AS purchase_value
+         FROM c JOIN p ON c.user_id = p.p_user
+           AND p.purchase_us >= c.click_us - 3600000000
+           AND p.purchase_us <= c.click_us
+         ORDER BY click_id, purchase_us""",
     "q_retention" ->
       """WITH days AS (SELECT DISTINCT user_id,
                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),

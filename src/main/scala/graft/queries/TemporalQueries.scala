@@ -1168,10 +1168,12 @@ object TemporalQueries {
     *
     * Cross-engine exactness — the q_quantile_reg iterative protocol
     * applied to a SEQUENTIAL fold: every state component (l, b, each
-    * seasonal index) is round(·, 6)-ed at every step boundary, so no
-    * unrounded float ever crosses a step and the 2 399-step trajectory
-    * is replayed exactly by the oracle's recursive CTE (which computes
-    * the SAME rounded l_t once per row and derives b_t/s_t from it).
+    * seasonal index) is quantized to the 1e-6 grain at every step
+    * boundary via the mirrored floor construction [[hwRnd]] (NOT the
+    * engine round() — see hwRnd's midpoint note), so no unquantized
+    * float ever crosses a step and the 2 399-step trajectory is
+    * replayed exactly by the oracle's recursive CTE (which computes
+    * the SAME quantized l_t once per row and derives b_t/s_t from it).
     * The seed sums are explicit left-associated 7-term additions in
     * both engines — never an engine sum() whose order is free.
     *
@@ -1183,44 +1185,130 @@ object TemporalQueries {
     * distributes the per-key folds across the cluster — sequential
     * smoothing parallelizes over series, not within one, which is why
     * the state is bounded by the calendar and not the corpus. */
+  // Holt–Winters fold machinery, shared by the global [[holtWinters]]
+  // and the per-key [[holtWintersGrouped]] forms — the SAME rounded
+  // step expressions, so the two can never drift apart.
+  //
+  // Step rounding is the mirrored IEEE construction
+  // floor(x·1e6 + 0.5)/1e6, NOT the engine round(x, 6) (round 16):
+  // library rounding differs AT DOUBLE-REPRESENTATION MIDPOINTS —
+  // Spark rounds the double's shortest decimal repr HALF_UP, DuckDB
+  // rounds the scaled double half-away-from-zero — and over
+  // 25 keys × ~550 rounded steps the grouped form hit those midpoints
+  // (11 of 25 nations drifted in the 1e-6 digit; the single global
+  // series had been passing on luck). floor of bit-identical doubles
+  // is bit-identical in every IEEE engine, so the trajectory replay is
+  // exact by construction, not by rounding-mode coincidence.
+  private[queries] def hwRnd(x: String): String =
+    s"(floor(($x) * 1000000.0D + 0.5D) / 1000000.0D)"
+  private[queries] def hwRnd4(x: String): String =
+    s"(floor(($x) * 10000.0D + 0.5D) / 10000.0D)"
+  // the identical construction in DuckDB spelling (float literals have
+  // no D suffix there); floor of bit-identical doubles is engine-free
+  private[queries] def duckRnd(x: String): String =
+    s"(floor(($x) * 1000000.0 + 0.5) / 1000000.0)"
+  private[queries] def duckRnd4(x: String): String =
+    s"(floor(($x) * 10000.0 + 0.5) / 10000.0)"
+  // lnew appears once as 'l' and twice more inside b/s updates — the
+  // repeats are the IDENTICAL expression, so every occurrence yields
+  // the same double (the oracle computes it once per row; same math)
+  private val hwLnew = hwRnd(
+    "0.3D * (y - element_at(acc.s, 1)) + 0.7D * (acc.l + acc.b)")
+  private val hwFold =
+    s"""aggregate(
+         slice(ys, 8, size(ys) - 7),
+         named_struct(
+           'l', l0, 'b', b0,
+           's', transform(slice(ys, 1, 7), x -> ${hwRnd("x - l0")})),
+         (acc, y) -> named_struct(
+           'l', $hwLnew,
+           'b', ${hwRnd(s"0.1D * ($hwLnew - acc.l) + 0.9D * acc.b")},
+           's', concat(slice(acc.s, 2, 6),
+                  array(${hwRnd(s"0.2D * (y - $hwLnew)" +
+                    " + 0.8D * element_at(acc.s, 1)")}))))"""
+  private val hwSum7a =
+    (1 to 7).map(i => s"element_at(ys, $i)").mkString(" + ")
+  private val hwSum7b =
+    (8 to 14).map(i => s"element_at(ys, $i)").mkString(" + ")
+
   private val holtWinters: Q = (s, d) => {
     val daily = OrdersDaily.cents(s, d)
-    // lnew appears once as 'l' and twice more inside b/s updates — the
-    // repeats are the IDENTICAL expression, so every occurrence yields
-    // the same double (the oracle computes it once per row; same math)
-    val lnew = "round(0.3D * (y - element_at(acc.s, 1))" +
-      " + 0.7D * (acc.l + acc.b), 6)"
-    val fold =
-      s"""aggregate(
-           slice(ys, 8, size(ys) - 7),
-           named_struct(
-             'l', l0, 'b', b0,
-             's', transform(slice(ys, 1, 7), x -> round(x - l0, 6))),
-           (acc, y) -> named_struct(
-             'l', $lnew,
-             'b', round(0.1D * ($lnew - acc.l) + 0.9D * acc.b, 6),
-             's', concat(slice(acc.s, 2, 6),
-                    array(round(0.2D * (y - $lnew)
-                      + 0.8D * element_at(acc.s, 1), 6)))))"""
-    val sum7a = (1 to 7).map(i => s"element_at(ys, $i)").mkString(" + ")
-    val sum7b = (8 to 14).map(i => s"element_at(ys, $i)").mkString(" + ")
+    val fold = hwFold
+    val sum7a = hwSum7a
+    val sum7b = hwSum7b
     daily
       .withColumn("rk", row_number().over(Window.orderBy("day")))
       .select(col("rk"), (col("v") / lit(100.0)).as("y"))
       .agg(sort_array(collect_list(struct(col("rk"), col("y")))).as("a"),
         count(lit(1)).as("n"))
       .select(col("n"), expr("transform(a, x -> x.y)").as("ys"))
+      // loud precondition (advisor, round 15): the init needs two full
+      // seasonal periods — on a <14-day grid the slice/element_at
+      // below would fail opaquely (or emit NULLs under non-ANSI). The
+      // guard rides INSIDE l0 (a consumed column) so column pruning
+      // cannot drop it; raise_error's NullType coerces into the CASE.
       .select(col("n"), col("ys"),
-        expr(s"round(($sum7a) / 7.0D, 6)").as("l0"),
-        expr(s"round((($sum7b) - ($sum7a)) / 49.0D, 6)").as("b0"))
+        expr(s"""CASE WHEN n < 14
+                 THEN raise_error('holtWinters needs >= 2*m = 14 grid days')
+                 ELSE ${hwRnd(s"($sum7a) / 7.0D")} END""").as("l0"),
+        expr(hwRnd(s"(($sum7b) - ($sum7a)) / 49.0D")).as("b0"))
       .select(col("n"), expr(fold).as("hw"))
+      // emission uses the same mirrored floor construction at the 1e-4
+      // grain (an engine round(state_6dec, 4) re-creates the midpoint
+      // class the fold just eliminated)
       .select(col("n").as("n_days"),
         lit(0.3).as("alpha"), lit(0.1).as("beta"), lit(0.2).as("gamma"),
-        expr("round(hw.l, 4)").as("level_usd"),
-        expr("round(hw.b, 4)").as("trend_usd"),
-        expr("round(hw.l + hw.b + element_at(hw.s, 1), 4)").as("fc_1d_usd"),
-        expr("round(hw.l + 7.0D * hw.b + element_at(hw.s, 7), 4)")
+        expr(hwRnd4("hw.l")).as("level_usd"),
+        expr(hwRnd4("hw.b")).as("trend_usd"),
+        expr(hwRnd4("hw.l + hw.b + element_at(hw.s, 1)")).as("fc_1d_usd"),
+        expr(hwRnd4("hw.l + 7.0D * hw.b + element_at(hw.s, 7)"))
           .as("fc_7d_usd"))
+  }
+
+  /** PER-KEY Holt–Winters — [[holtWinters]]'s smoothing distributed
+    * over nations (round-15 verdict #3: the scale claim "the same
+    * shape holds PER KEY" turned into a query). Per-nation daily
+    * revenue (orders ⋈ broadcast customer dim), then ONE
+    * groupBy(nation) collects each key's calendar-bounded day grid
+    * and the SAME rounded fold ([[hwFold]] — shared strings, the two
+    * forms cannot drift) runs once per key. This is exactly how
+    * sequential smoothing scales on a cluster: parallel over SERIES
+    * (one task per key group, state O(days-per-key), never O(orders)),
+    * not within one series — at 100 TB the nation key becomes
+    * SKU/store and the shape is unchanged. Keys with fewer than two
+    * seasonal periods (n < 14) are SKIPPED, not errors — the grouped
+    * contract (a sparse key is normal data here, unlike the global
+    * form's single mandatory series, which keeps its loud guard). */
+  private val holtWintersGrouped: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    daily
+      .select(col("nation"), col("day"), (col("v") / lit(100.0)).as("y"))
+      .groupBy("nation")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("a"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 14)
+      .select(col("nation"), col("n"),
+        expr("transform(a, x -> x.y)").as("ys"))
+      .select(col("nation"), col("n"), col("ys"),
+        expr(hwRnd(s"($hwSum7a) / 7.0D")).as("l0"),
+        expr(hwRnd(s"(($hwSum7b) - ($hwSum7a)) / 49.0D")).as("b0"))
+      .select(col("nation"), col("n"), expr(hwFold).as("hw"))
+      // l/b emit as raw floor-6 state; the forecast sums re-round with
+      // the same mirrored floor construction (see hwRnd's midpoint
+      // note — engine round() must never touch a state value)
+      .select(col("nation"), col("n").as("n_days"),
+        expr("hw.l").as("level_usd"),
+        expr("hw.b").as("trend_usd"),
+        expr(hwRnd("hw.l + hw.b + element_at(hw.s, 1)")).as("fc_1d_usd"),
+        expr(hwRnd("hw.l + 7.0D * hw.b + element_at(hw.s, 7)"))
+          .as("fc_7d_usd"))
+      .orderBy("nation")
   }
 
   /** Rescaled-range (R/S) spectrum of daily revenue — the Hurst/
@@ -1855,6 +1943,7 @@ object TemporalQueries {
     "q_adstock" -> adstock,
     "q_ses_forecast" -> sesForecast,
     "q_holt_winters" -> holtWinters,
+    "q_holt_winters_grouped" -> holtWintersGrouped,
     "q_ljung_box" -> ljungBox,
     "q_rolling_slope" -> rollingSlope,
     "q_interarrival" -> interarrival,
@@ -2798,23 +2887,21 @@ object TemporalQueries {
          nn AS (SELECT max(t) AS n FROM grid),
          p AS (SELECT max(CASE WHEN t = 1 THEN y END) AS y1, max(CASE WHEN t = 2 THEN y END) AS y2, max(CASE WHEN t = 3 THEN y END) AS y3, max(CASE WHEN t = 4 THEN y END) AS y4, max(CASE WHEN t = 5 THEN y END) AS y5, max(CASE WHEN t = 6 THEN y END) AS y6, max(CASE WHEN t = 7 THEN y END) AS y7, max(CASE WHEN t = 8 THEN y END) AS y8, max(CASE WHEN t = 9 THEN y END) AS y9, max(CASE WHEN t = 10 THEN y END) AS y10, max(CASE WHEN t = 11 THEN y END) AS y11, max(CASE WHEN t = 12 THEN y END) AS y12, max(CASE WHEN t = 13 THEN y END) AS y13, max(CASE WHEN t = 14 THEN y END) AS y14
                FROM grid WHERE t <= 14),
-         c AS (SELECT round((y1+y2+y3+y4+y5+y6+y7) / 7.0, 6) AS l0,
-                      round(((y8+y9+y10+y11+y12+y13+y14) - (y1+y2+y3+y4+y5+y6+y7)) / 49.0, 6) AS b0,
+         c AS (SELECT ${duckRnd("(y1+y2+y3+y4+y5+y6+y7) / 7.0")} AS l0,
+                      ${duckRnd("((y8+y9+y10+y11+y12+y13+y14) - (y1+y2+y3+y4+y5+y6+y7)) / 49.0")} AS b0,
                       y1, y2, y3, y4, y5, y6, y7
                FROM p),
          c2 AS (SELECT l0, b0,
-                       [round(y1 - l0, 6), round(y2 - l0, 6), round(y3 - l0, 6), round(y4 - l0, 6), round(y5 - l0, 6), round(y6 - l0, 6), round(y7 - l0, 6)] AS s
+                       [${(1 to 7).map(i => duckRnd(s"y$i - l0")).mkString(", ")}] AS s
                 FROM c),
          holt AS (
            SELECT 7 AS t, l0 AS l, b0 AS b, s FROM c2
            UNION ALL
            SELECT x.t, x.lnew,
-                  round(0.1 * (x.lnew - x.l) + 0.9 * x.b, 6),
-                  x.s[2:7] || [round(0.2 * (x.y - x.lnew)
-                    + 0.8 * x.s[1], 6)]
+                  ${duckRnd("0.1 * (x.lnew - x.l) + 0.9 * x.b")},
+                  x.s[2:7] || [${duckRnd("0.2 * (x.y - x.lnew) + 0.8 * x.s[1]")}]
            FROM (SELECT h.t + 1 AS t, h.l, h.b, h.s, g.y,
-                        round(0.3 * (g.y - h.s[1])
-                          + 0.7 * (h.l + h.b), 6) AS lnew
+                        ${duckRnd("0.3 * (g.y - h.s[1]) + 0.7 * (h.l + h.b)")} AS lnew
                  FROM holt h JOIN grid g ON g.t = h.t + 1
                  WHERE h.t < (SELECT n FROM nn)) x
          )
@@ -2822,11 +2909,64 @@ object TemporalQueries {
                 CAST(0.3 AS DOUBLE) AS alpha,
                 CAST(0.1 AS DOUBLE) AS beta,
                 CAST(0.2 AS DOUBLE) AS gamma,
-                round(l, 4) AS level_usd,
-                round(b, 4) AS trend_usd,
-                round(l + b + s[1], 4) AS fc_1d_usd,
-                round(l + 7.0 * b + s[7], 4) AS fc_7d_usd
+                ${duckRnd4("l")} AS level_usd,
+                ${duckRnd4("b")} AS trend_usd,
+                ${duckRnd4("l + b + s[1]")} AS fc_1d_usd,
+                ${duckRnd4("l + 7.0 * b + s[7]")} AS fc_7d_usd
          FROM holt WHERE t = (SELECT n FROM nn)""",
+    // the global recursive CTE parameterized per key: the recursion
+    // carries nation and advances every key's series in lockstep
+    // (one UNION ALL level per grid step, joined back on (nation, t));
+    // keys with under two seasonal periods are filtered out in both
+    // engines. Same per-step round(.,6) trajectory, same lnew-once
+    // discipline as q_holt_winters.
+    "q_holt_winters_grouped" ->
+      s"""WITH RECURSIVE dly AS (
+             SELECT c.c_nationkey AS nation,
+                    CAST(o.o_orderdate AS DATE) AS day,
+                    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY 1, 2),
+         grid AS (SELECT nation,
+                         row_number() OVER (PARTITION BY nation
+                                            ORDER BY day) AS t,
+                         CAST(v AS DOUBLE) / 100.0 AS y
+                  FROM dly),
+         nn AS (SELECT nation, max(t) AS n FROM grid
+                GROUP BY 1 HAVING max(t) >= 14),
+         p AS (SELECT g.nation, ${(1 to 14).map(i =>
+               s"max(CASE WHEN t = $i THEN y END) AS y$i").mkString(", ")}
+               FROM grid g JOIN nn ON g.nation = nn.nation
+               WHERE t <= 14 GROUP BY g.nation),
+         c AS (SELECT nation,
+                      ${duckRnd("(y1+y2+y3+y4+y5+y6+y7) / 7.0")} AS l0,
+                      ${duckRnd("((y8+y9+y10+y11+y12+y13+y14) - (y1+y2+y3+y4+y5+y6+y7)) / 49.0")} AS b0,
+                      y1, y2, y3, y4, y5, y6, y7
+               FROM p),
+         c2 AS (SELECT nation, l0, b0,
+                       [${(1 to 7).map(i =>
+                         duckRnd(s"y$i - l0")).mkString(", ")}] AS s
+                FROM c),
+         holt AS (
+           SELECT nation, 7 AS t, l0 AS l, b0 AS b, s FROM c2
+           UNION ALL
+           SELECT x.nation, x.t, x.lnew,
+                  ${duckRnd("0.1 * (x.lnew - x.l) + 0.9 * x.b")},
+                  x.s[2:7] || [${duckRnd("0.2 * (x.y - x.lnew) + 0.8 * x.s[1]")}]
+           FROM (SELECT h.nation, h.t + 1 AS t, h.l, h.b, h.s, g.y,
+                        ${duckRnd("0.3 * (g.y - h.s[1]) + 0.7 * (h.l + h.b)")} AS lnew
+                 FROM holt h
+                 JOIN grid g ON g.nation = h.nation AND g.t = h.t + 1
+                 JOIN nn ON nn.nation = h.nation
+                 WHERE h.t < nn.n) x
+         )
+         SELECT h.nation, CAST(nn.n AS BIGINT) AS n_days,
+                h.l AS level_usd,
+                h.b AS trend_usd,
+                ${duckRnd("h.l + h.b + h.s[1]")} AS fc_1d_usd,
+                ${duckRnd("h.l + 7.0 * h.b + h.s[7]")} AS fc_7d_usd
+         FROM holt h JOIN nn ON h.nation = nn.nation AND h.t = nn.n
+         ORDER BY h.nation""",
     "q_ses_forecast" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
                              sum(CAST(round(o_totalprice * 100) AS BIGINT))

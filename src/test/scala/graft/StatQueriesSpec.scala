@@ -237,6 +237,66 @@ class StatQueriesSpec extends SparkSpec {
     assert(ni >= n / 20 && ni > 2, s"consensus only $ni of $n")
   }
 
+  test("grouped ransac matches a per-key sequential replay") {
+    def md5int(x: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def rnd(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byNation = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (key, rows) => key -> rows.sortBy(_._2).map(_._3).toArray }
+    val expected = byNation.collect { case (key, daily) if daily.length >= 2 =>
+      val n = daily.length
+      val sv = daily.sum
+      val thr = sv / (10L * n)
+      val cands = (1 to 24).map { k =>
+        val i1 = 1L + md5int(s"ransac:$key:$k:a") % n
+        val i2raw = 1L + md5int(s"ransac:$key:$k:b") % n
+        val i2 = if (i2raw == i1) i2raw % n + 1 else i2raw
+        (k, i1, i2)
+      }
+      def consensus(i1: Long, i2: Long): Seq[Int] = {
+        val v1 = daily(i1.toInt - 1); val v2 = daily(i2.toInt - 1)
+        val dt = i2 - i1
+        (1 to n).filter { t =>
+          (BigInt(daily(t - 1) - v1) * dt
+            - BigInt(v2 - v1) * (t - i1)).abs <= (BigInt(thr) * dt).abs
+        }
+      }
+      val scored = cands.map { case (k, i1, i2) => (k, consensus(i1, i2)) }
+      val (bk, in) = scored.minBy { case (k, c) => (-c.size, k) }
+      val ni = in.size
+      val st = in.map(BigInt(_)).sum
+      val sy = in.map(t => BigInt(daily(t - 1))).sum
+      val stt = in.map(t => BigInt(t) * t).sum
+      val sty = in.map(t => BigInt(t) * daily(t - 1)).sum
+      val b6 = rnd((ni.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
+        / (ni.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
+      val a6 = rnd((sy.toDouble - b6 * st.toDouble) / ni, 6)
+      key -> (n.toLong, bk.toLong, ni.toLong,
+        rnd(a6 / 100.0, 4), rnd(b6 / 100.0, 4))
+    }
+    val got = q("q_ransac_grouped").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet,
+      s"key sets differ: ${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (key, e) =>
+      assert(got(key) == e, s"nation $key: ${got(key)} vs $e")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("quantile regression replays the micro-rounded IRLS trajectory exactly") {
     val daily = Tables.orders(spark, sf)
       .groupBy(to_date(col("o_orderdate")).as("day"))

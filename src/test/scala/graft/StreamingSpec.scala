@@ -280,6 +280,60 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_(3) == null), "fixture has no unmatched clicks")
   }
 
+  test("stream-stream join state is watermark-bounded") {
+    // THE reason watermarks exist at 100 TB: without them a
+    // stream-stream join buffers every row ever seen. Land the real
+    // events, then two far-future dummy batches that push BOTH sides'
+    // watermarks past every real event — after processing, the join's
+    // state store must hold (almost) none of the real rows.
+    val root = java.nio.file.Files.createTempDirectory("graft-ssstate")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def bump(days: Int) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(days.toLong * 86400L * 1000000000L)
+      case _ => col("ts") + expr(s"INTERVAL $days DAYS")
+    }
+    Seq((20, "d1"), (40, "d2")).foreach { case (days, tag) =>
+      val scratch = root.resolve(s"scratch-$tag")
+      raw.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("event_id")))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("ts", bump(days))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, in.resolve(s"$tag.parquet"))
+    }
+    val stream = EventStreams.clickPurchaseJoin(
+      EventStreams.readEvents(spark, in.toString))
+    val q = stream.writeStream.format("memory")
+      .queryName("t_ssjoin_state").outputMode("append").start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    val cpRows = raw
+      .filter(col("event_type").isin("click", "purchase")).count()
+    // strict bound: the watermark horizon (10 min + 1 h interval) holds
+    // only the tail of each side — orders of magnitude under "all rows
+    // ever seen", which is what state would be without watermarks
+    assert(stateRows < cpRows / 4,
+      s"join state $stateRows rows vs $cpRows click/purchase inputs — " +
+        "watermark is not bounding state")
+    // and the join still produced the batch-equivalent output
+    assert(spark.table("t_ssjoin_state")
+      .filter(col("user_id") =!= -1L).count() > 0)
+  }
+
   test("rate source generates the events shape deterministically") {
     val q = EventStreams.rateEvents(spark, rowsPerBatch = 50)
       .writeStream.format("memory").queryName("t_rate").outputMode("append")

@@ -192,8 +192,12 @@ class TemporalQueriesSpec extends SparkSpec {
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
       .orderBy("day").collect().map(_.getLong(1) / 100.0)
     val n = daily.length
-    def rnd(x: Double, sc: Int) =
-      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the mirrored floor construction of the query (hwRnd/hwRnd4):
+    // identical IEEE ops, not a library rounding mode
+    def rnd(x: Double, sc: Int) = {
+      val m = if (sc == 6) 1000000.0 else 10000.0
+      math.floor(x * m + 0.5) / m
+    }
     // seeds: explicit left-associated 7-term sums, like both engines
     val sum7a = daily.slice(0, 7).reduceLeft(_ + _)
     val sum7b = daily.slice(7, 14).reduceLeft(_ + _)
@@ -219,6 +223,57 @@ class TemporalQueriesSpec extends SparkSpec {
     // definitional sanity: the one-step forecast sits within the
     // observed revenue range (a wildly diverging trend would not)
     assert(got.getDouble(6) > 0.0 && got.getDouble(6) < daily.max * 2)
+  }
+
+  test("grouped holt-winters equals the per-key sequential recursion") {
+    // the query's mirrored floor construction (see hwRnd's midpoint note)
+    def rnd(x: Double, sc: Int) = {
+      val m = if (sc == 6) 1000000.0 else 10000.0
+      math.floor(x * m + 0.5) / m
+    }
+    // per-nation daily series, recomputed independently of the query
+    val byNation = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_._2).map(_._3 / 100.0).toVector
+      }
+    val expected = byNation.collect { case (k, daily) if daily.length >= 14 =>
+      val sum7a = daily.slice(0, 7).reduceLeft(_ + _)
+      val sum7b = daily.slice(7, 14).reduceLeft(_ + _)
+      var l = rnd(sum7a / 7.0, 6)
+      var b = rnd((sum7b - sum7a) / 49.0, 6)
+      var sidx = daily.slice(0, 7).map(y => rnd(y - l, 6)).toVector
+      daily.drop(7).foreach { y =>
+        val sOld = sidx.head
+        val lNew = rnd(0.3 * (y - sOld) + 0.7 * (l + b), 6)
+        val bNew = rnd(0.1 * (lNew - l) + 0.9 * b, 6)
+        val sNew = rnd(0.2 * (y - lNew) + 0.8 * sOld, 6)
+        l = lNew; b = bNew; sidx = sidx.tail :+ sNew
+      }
+      // emission grain is the state's own floor-6 (see the query's
+      // midpoint note); l/b are already floor-6 state values
+      k -> (daily.length.toLong, l, b,
+        rnd(l + b + sidx(0), 6), rnd(l + 7.0 * b + sidx(6), 6))
+    }
+    val got = TemporalQueries.queries("q_holt_winters_grouped")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet,
+      s"key sets differ: ${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"nation $k: ${got(k)} vs $e")
+    }
+    // every key with >= 14 grid days made it through (none silently
+    // dropped by the fold), and keys are distinct rows
+    assert(got.size == expected.size && got.nonEmpty)
   }
 
   test("interarrival matches a sequential per-user gap recompute") {
