@@ -50,6 +50,25 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Median per-query ratio of `vals` vs `committed` over queries with
+    * a stable committed value (≥ `floor` seconds — below that,
+    * scheduler jitter dominates the ratio) → (median, n_compared);
+    * (−1, 0) with nothing comparable. The whole-window drift signal:
+    * a clean window reads ~1.0, the round-15 driver window read 1.21
+    * uniformly — a shape no per-query re-time inside the same window
+    * can repair, only a time-separated second pass can. */
+  private[graft] def windowRatio(vals: Map[String, Double],
+      committed: Map[String, Double], floor: Double = 0.05)
+      : (Double, Int) = {
+    val ratios = vals.toSeq.flatMap { case (n, v) =>
+      committed.get(n) match {
+        case Some(c) if v >= 0 && c >= floor => Some(v / c)
+        case _                               => None
+      }
+    }.sorted
+    if (ratios.isEmpty) (-1.0, 0) else (ratios(ratios.size / 2), ratios.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -226,15 +245,8 @@ object Bench {
     // window-shopping: the trigger, the cool-down, and the merge rule
     // are mechanical and every input to the decision is stamped in
     // the artifact (window_ratio / passes / first_pass).
-    def medianRatioVsCommitted(vals: Map[String, Double]): (Double, Int) = {
-      val ratios = vals.toSeq.flatMap { case (n, v) =>
-        committed.get(n) match {
-          case Some(c) if v >= 0 && c >= 0.05 => Some(v / c)
-          case _                              => None
-        }
-      }.sorted
-      if (ratios.isEmpty) (-1.0, 0) else (ratios(ratios.size / 2), ratios.size)
-    }
+    def medianRatioVsCommitted(vals: Map[String, Double]): (Double, Int) =
+      windowRatio(vals, committed)
     val driftThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT", "1.15").toDouble
     val cooldownS =
