@@ -51,30 +51,62 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Median per-query ratio of `vals` vs `committed` over queries with
-    * a stable committed value (≥ `floor` seconds — below that,
-    * scheduler jitter dominates the ratio) → (median, n_compared);
-    * (−1, 0) with nothing comparable. The whole-window drift signal:
-    * a clean window reads ~1.0, the round-15 driver window read 1.21
-    * uniformly — a shape no per-query re-time inside the same window
-    * can repair, only a time-separated second pass can. */
+    * a stable value ON BOTH SIDES (≥ `floor` seconds — below that,
+    * scheduler jitter dominates the ratio; round-16 advice: a jittery
+    * sub-floor current value over a stable committed one is just as
+    * much noise as the reverse) → (median, n_compared); (−1, 0) with
+    * nothing comparable. Even-sized inputs average the two middle
+    * elements (true median, not the upper-middle). The whole-window
+    * drift signal: a clean window reads ~1.0, the round-15 driver
+    * window read 1.21 uniformly — a shape no per-query re-time inside
+    * the same window can repair, only a time-separated second pass
+    * can. */
   private[graft] def windowRatio(vals: Map[String, Double],
       committed: Map[String, Double], floor: Double = 0.05)
       : (Double, Int) = {
     val ratios = vals.toSeq.flatMap { case (n, v) =>
       committed.get(n) match {
-        case Some(c) if v >= 0 && c >= floor => Some(v / c)
-        case _                               => None
+        case Some(c) if v >= floor && c >= floor => Some(v / c)
+        case _                                   => None
       }
     }.sorted
-    if (ratios.isEmpty) (-1.0, 0) else (ratios(ratios.size / 2), ratios.size)
+    val sz = ratios.size
+    if (sz == 0) (-1.0, 0)
+    else if (sz % 2 == 1) (ratios(sz / 2), sz)
+    else ((ratios(sz / 2 - 1) + ratios(sz / 2)) / 2.0, sz)
   }
+
+  /** Per-query min across two reading maps; −1/absent entries lose to
+    * any real reading. The CLEAN_ANCHOR merge rule: a slower reading
+    * can never RAISE an anchor value, so a hot-window recording that
+    * gets committed cannot deaden the drift detector (the round-16
+    * ratchet flaw: anchoring to the LATEST committed artifact let an
+    * +18%-inflated recording become the reference, and the next run
+    * read "drift-free" at 1.112 while sitting 1.35× above the last
+    * clean window). New queries enter at their first recorded value. */
+  private[graft] def minMerge(a: Map[String, Double],
+      b: Map[String, Double]): Map[String, Double] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      val vs = (a.get(k) ++ b.get(k)).filter(_ >= 0)
+      k -> (if (vs.isEmpty) -1.0 else vs.min)
+    }.filter(_._2 >= 0).toMap
+
+  /** The drift/re-sweep anchor: per-query min over ALL committed
+    * full-surface recordings — the CLEAN_ANCHOR.json ledger (written
+    * by every full run as a min-merge, so it only ratchets DOWN)
+    * min-merged with the current committed BENCH_FULL.json (which
+    * covers a fresh clone where the ledger predates new queries). */
+  private[graft] def anchorBench(): Map[String, Double] =
+    minMerge(committedBench("CLEAN_ANCHOR.json"), committedBench())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // committed per-query reference for the outlier re-sweep — read
-    // before the sweep so this run's own artifact write can't shadow it
-    val committed = committedBench()
+    // clean-anchor per-query reference for the outlier re-sweep and
+    // the drift signal — the min-over-committed-history ledger, NEVER
+    // the latest artifact alone (round-16 ratchet flaw) — read before
+    // the sweep so this run's own artifact writes can't shadow it
+    val committed = anchorBench()
     // measured before the SparkSession exists so our own executors can't
     // count against it; >10% busy machine means the recording will race
     val (busyCpu, load1) = preflightRace()
@@ -348,7 +380,46 @@ object Bench {
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $path write failed: ${e.getMessage}") }
     writeArtifact(perRun)
-    if (only.isEmpty) writeArtifact("BENCH_FULL.json")
+    // BENCH_FULL.json (the committable clean-window reference) only
+    // refreshes from a full-surface run whose FINAL window ratio is
+    // within the drift threshold vs the clean anchor — a recording the
+    // tool itself classifies as inflated must not become the reference
+    // (round-16 advice: the committed r16 recording was stamped
+    // window_ratio_final 1.182 by its own detector). ratio −1 (no
+    // anchor yet) or < 100 comparables commits unconditionally;
+    // SPARK_GRAFT_BENCH_FORCE=1 overrides with the stamp still in-file.
+    val refClean = ratioFinal < 0 || ratioN < 100 ||
+      ratioFinal <= driftThreshold || sys.env.contains("SPARK_GRAFT_BENCH_FORCE")
+    // reference artifacts only refresh at the RECORDED scale (sf0.1,
+    // BASELINE.md's bench contract): a full-surface iteration run at
+    // sf0.01 must not clobber BENCH_FULL.json with 10×-smaller numbers
+    // — and, fatally, must never min-merge them into the CLEAN_ANCHOR
+    // ledger (a min only ratchets down; one sf0.01 run would poison
+    // every future drift comparison)
+    val recordedScale = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val refresh = only.isEmpty && recordedScale
+    if (refresh && refClean) writeArtifact("BENCH_FULL.json")
+    else if (refresh) System.err.println(
+      f"[bench] NOT refreshing BENCH_FULL.json: window_ratio_final " +
+        f"$ratioFinal%.3f vs clean anchor exceeds $driftThreshold%.2f — " +
+        s"recording kept at $perRun only (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
+    // the CLEAN_ANCHOR ledger min-merges every full-surface run AT THE
+    // RECORDED SCALE (safe there: a hot reading can never lower a min;
+    // a faster reading is by definition a cleaner window for that
+    // query; new queries enter at their first recorded value)
+    if (refresh) {
+      val ledger = minMerge(committed,
+        results.filter { case (_, v) => v >= 0 })
+      val lq = ledger.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("CLEAN_ANCHOR.json"),
+        (s"""{"note":"per-query min over committed full-surface recordings; """ +
+          s"""only ratchets down — see Bench.scala anchorBench","last_rec":"$recId",""" +
+          s""""queries":$lq}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] CLEAN_ANCHOR.json write failed: ${e.getMessage}") }
+    }
     val budget = 1700 - head.length
     val slowestFirst = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s""""$k":${fmt(v)}""" }

@@ -278,6 +278,77 @@ object CurationQueries {
     trainBpe(docs, nMerges).toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** Fast BPE training: ONE corpus-sized Spark pass (the word-
+    * frequency aggregation), then the merge loop on the DRIVER over
+    * the collected dictionary — the architecture every production
+    * tokenizer trainer uses (subword-nmt's learn_bpe and HF tokenizers
+    * both train on an aggregated word-count dict on one node; the
+    * corpus-sized work is exactly the one distributed aggregation).
+    * [[trainBpe]] keeps the fully-distributed per-round form — it is
+    * the right shape when the dict itself cannot fit one machine, and
+    * BpeSpec pins the two paths merge-for-merge equal, the strongest
+    * cross-check either has.
+    *
+    * The collect is VOCAB-sized, not corpus-sized (distinct words,
+    * round-16 verdict's bounded-collect discipline): ~10⁵ entries at
+    * sf0.1. At 100 TB of noisy web text the dict is pruned by
+    * `minFreq` first — the standard practice (a pair made of freq-1
+    * typo words can never win a merge that matters) — keeping the
+    * driver state in the tens of millions of entries at worst; the
+    * default 1 changes nothing at test scales.
+    *
+    * Same contract as [[trainBpe]]: per-round argmax over freq-
+    * weighted adjacent pair counts, ties (freq desc, left, right),
+    * greedy left-to-right merge, early stop when no pair remains. */
+  private[graft] def trainBpeDict(docs: DataFrame, nMerges: Int,
+      minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
+    val dict = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // distinct words split injectively, so the initial dict has no
+    // colliding sequences; after each merge equal sequences re-group
+    var freq: Map[List[String], Long] = dict.iterator.map { case (w, f) =>
+      (w.map(_.toString).toList :+ "</w>") -> f
+    }.toMap
+    def mergeSeq(seq: List[String], l: String, r: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      for (x <- seq)
+        if (buf.nonEmpty && buf.last == l && x == r) {
+          buf.remove(buf.size - 1); buf += (l + r)
+        } else buf += x
+      buf.toList
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var k = 1
+    var done = false
+    while (k <= nMerges && !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), pf) = pc.toSeq
+          .sortBy { case ((a, b), f) => (-f, a, b) }.head
+        out += ((k, l, r, pf))
+        freq = freq.groupMapReduce { case (seq, _) =>
+          mergeSeq(seq, l, r)
+        }(_._2)(_ + _)
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private[graft] def bpeMergesDict(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainBpeDict(docs, nMerges).toDF("rank", "left", "right", "pair_freq")
+  }
+
   /** Trained-tokenizer artifact cache, keyed by data version — the
     * IVF-index precedent (SimilarityQueries.buildIvfIndex): a tokenizer
     * is trained once per corpus drop offline, never inside every encode
@@ -288,12 +359,17 @@ object CurationQueries {
   private[graft] def trainedBpe(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     val f = new java.io.File(s"$d/documents.parquet")
     bpeCache.computeIfAbsent((d, f.lastModified(), f.length()),
-      _ => trainBpe(Tables.documents(s, d), 10))
+      _ => trainBpeDict(Tables.documents(s, d), 10))
   }
 
-  /** 10 rounds over the documents corpus (uncached — the TRAINING cost
-    * is the measured quantity; encode reuses the cached artifact). */
-  private val bpe: Q = (s, d) => bpeMerges(Tables.documents(s, d), 10)
+  /** 10 training rounds over the documents corpus via the dict path
+    * (uncached — the TRAINING cost is the measured quantity; encode
+    * reuses the cached artifact). Round-17 buy-back: the previous
+    * fully-distributed form paid 10 Spark jobs of scheduler latency
+    * for a vocab-sized dict (2.78 s, the top bench anchor three
+    * rounds running); one corpus pass + the driver dict loop is the
+    * production-tokenizer architecture and ~5× cheaper. */
+  private val bpe: Q = (s, d) => bpeMergesDict(Tables.documents(s, d), 10)
 
   /** Tokenize the corpus with the trained BPE — the ENCODE path, and
     * the shape that matters at 100 TB: the merge fold runs over the

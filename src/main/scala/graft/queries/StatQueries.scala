@@ -106,17 +106,26 @@ object StatQueries {
       // b rounded FIRST, a derived from the ROUNDED b (the
       // q_quantile_reg boundary-rounding discipline, so the oracle
       // replays the identical two-step derivation)
+      // floor-quantized (the hwRnd house protocol, round-16 advice):
+      // engine round(x, 6) differs across engines at double-
+      // representation midpoints, and the NUMERATORS here are exact
+      // integer differences both sides (decimal(38,0) here, HUGEINT in
+      // the oracle) cast to double AFTER differencing — never double
+      // products of ~1e17 that cancel catastrophically
       .withColumn("b6",
-        round((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
+        floor((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
             .cast("double")
           / (col("ni").cast(dec) * col("stt") - col("st") * col("st"))
-            .cast("double"), 6))
+            .cast("double") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
       .withColumn("a6",
-        round((col("sy").cast("double") - col("b6") * col("st").cast("double"))
-          / col("ni").cast("double"), 6))
+        floor((col("sy").cast("double") - col("b6") * col("st").cast("double"))
+          / col("ni").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0))
       .select(lit(n).as("n_days"), col("best_k"), col("ni").as("n_inliers"),
-        round(col("a6") / 100.0, 4).as("a_usd"),
-        round(col("b6") / 100.0, 4).as("b_usd_per_day"))
+        (floor(col("a6") / 100.0 * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("a_usd"),
+        (floor(col("b6") / 100.0 * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("b_usd_per_day"))
   }
 
   /** PER-KEY RANSAC — [[ransacLine]]'s consensus fit distributed over
@@ -195,18 +204,27 @@ object StatQueries {
         sum(col("t").cast(dec)).as("st"), sum(col("v").cast(dec)).as("sy"),
         sum(col("t").cast(dec) * col("t")).as("stt"),
         sum(col("t").cast(dec) * col("v")).as("sty"))
+      // floor-quantized (the hwRnd house protocol, round-16 advice):
+      // engine round(x, 6) differs across engines at double-
+      // representation midpoints, and the NUMERATORS here are exact
+      // integer differences both sides (decimal(38,0) here, HUGEINT in
+      // the oracle) cast to double AFTER differencing — never double
+      // products of ~1e17 that cancel catastrophically
       .withColumn("b6",
-        round((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
+        floor((col("ni").cast(dec) * col("sty") - col("st") * col("sy"))
             .cast("double")
           / (col("ni").cast(dec) * col("stt") - col("st") * col("st"))
-            .cast("double"), 6))
+            .cast("double") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
       .withColumn("a6",
-        round((col("sy").cast("double") - col("b6") * col("st").cast("double"))
-          / col("ni").cast("double"), 6))
+        floor((col("sy").cast("double") - col("b6") * col("st").cast("double"))
+          / col("ni").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0))
       .select(col("nation"), col("n_days"), col("best_k"),
         col("ni").as("n_inliers"),
-        round(col("a6") / 100.0, 4).as("a_usd"),
-        round(col("b6") / 100.0, 4).as("b_usd_per_day"))
+        (floor(col("a6") / 100.0 * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("a_usd"),
+        (floor(col("b6") / 100.0 * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("b_usd_per_day"))
       .orderBy("nation")
   }
 
@@ -4416,19 +4434,19 @@ object StatQueries {
                    <= abs(CAST(b.thr AS HUGEINT) * (b.i2 - b.i1))
                  GROUP BY 1),
          bb AS (SELECT nation, n_days, best_k, ni, st, sy,
-                       round((CAST(ni AS DOUBLE) * sty
-                           - CAST(st AS DOUBLE) * sy)
-                         / (CAST(ni AS DOUBLE) * stt
-                           - CAST(st AS DOUBLE) * st), 6) AS b6
+                       (floor(CAST(ni * sty - st * sy AS DOUBLE)
+                            / CAST(ni * stt - st * st AS DOUBLE)
+                          * 1000000.0 + 0.5) / 1000000.0) AS b6
                 FROM fit),
          aa AS (SELECT nation, n_days, best_k, ni, b6,
-                       round((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
-                         / ni, 6) AS a6
+                       (floor((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
+                          / ni * 1000000.0 + 0.5) / 1000000.0) AS a6
                 FROM bb)
          SELECT nation, CAST(n_days AS BIGINT) AS n_days, best_k,
                 CAST(ni AS BIGINT) AS n_inliers,
-                round(a6 / 100.0, 4) AS a_usd,
-                round(b6 / 100.0, 4) AS b_usd_per_day
+                (floor(a6 / 100.0 * 10000.0 + 0.5) / 10000.0) AS a_usd,
+                (floor(b6 / 100.0 * 10000.0 + 0.5) / 10000.0)
+                  AS b_usd_per_day
          FROM aa ORDER BY nation""",
     "q_ransac_line" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
@@ -4478,19 +4496,19 @@ object StatQueries {
                    <= abs(CAST((SELECT thr FROM nn) AS HUGEINT)
                      * (b.i2 - b.i1))),
          bb AS (SELECT ni, best_k, st, sy,
-                       round((CAST(ni AS DOUBLE) * sty
-                           - CAST(st AS DOUBLE) * sy)
-                         / (CAST(ni AS DOUBLE) * stt
-                           - CAST(st AS DOUBLE) * st), 6) AS b6
+                       (floor(CAST(ni * sty - st * sy AS DOUBLE)
+                            / CAST(ni * stt - st * st AS DOUBLE)
+                          * 1000000.0 + 0.5) / 1000000.0) AS b6
                 FROM fit),
          aa AS (SELECT ni, best_k, b6,
-                       round((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
-                         / ni, 6) AS a6
+                       (floor((CAST(sy AS DOUBLE) - b6 * CAST(st AS DOUBLE))
+                          / ni * 1000000.0 + 0.5) / 1000000.0) AS a6
                 FROM bb)
          SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days, best_k,
                 CAST(ni AS BIGINT) AS n_inliers,
-                round(a6 / 100.0, 4) AS a_usd,
-                round(b6 / 100.0, 4) AS b_usd_per_day
+                (floor(a6 / 100.0 * 10000.0 + 0.5) / 10000.0) AS a_usd,
+                (floor(b6 / 100.0 * 10000.0 + 0.5) / 10000.0)
+                  AS b_usd_per_day
          FROM aa""",
     "q_theil_sen" ->
       """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,

@@ -185,7 +185,10 @@ object StreamQueries {
         col("purchase_us") <= col("click_us"))
       .select(col("click_id"), col("user_id"), col("click_us"),
         col("purchase_us"), round(col("p_value"), 2).as("purchase_value"))
-      .orderBy("click_id", "purchase_us")
+      // purchase_value joins the sort so the output is a TOTAL order:
+      // two same-user purchases in the same microsecond would otherwise
+      // tie on (click_id, purchase_us) and hash engine-dependently
+      .orderBy("click_id", "purchase_us", "purchase_value")
   }
 
   val queries: Map[String, Q] = Map(
@@ -232,7 +235,7 @@ object StreamQueries {
          FROM c JOIN p ON c.user_id = p.p_user
            AND p.purchase_us >= c.click_us - 3600000000
            AND p.purchase_us <= c.click_us
-         ORDER BY click_id, purchase_us""",
+         ORDER BY click_id, purchase_us, purchase_value""",
     "q_retention" ->
       """WITH days AS (SELECT DISTINCT user_id,
                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),

@@ -45,6 +45,71 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.windowRatio(Map.empty, Map("x" -> 1.0)) == (-1.0, 0))
   }
 
+  test("windowRatio averages the two middle ratios for even sizes") {
+    val committed = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    val vals = Map("a" -> 1.0, "b" -> 1.1, "c" -> 1.3, "d" -> 9.9)
+    val (r, n) = Bench.windowRatio(vals, committed)
+    assert(n == 4)
+    assert(math.abs(r - 1.2) < 1e-12, s"expected (1.1+1.3)/2, got $r")
+  }
+
+  test("windowRatio applies the stability floor to BOTH sides") {
+    // a sub-floor CURRENT reading over a stable committed value is
+    // scheduler jitter too (round-16 advice) — no ratio either way
+    val committed = Map("a" -> 1.0, "b" -> 2.0)
+    val vals = Map("a" -> 0.04, "b" -> 2.0)
+    val (r, n) = Bench.windowRatio(vals, committed)
+    assert(n == 1 && r == 1.0)
+  }
+
+  test("minMerge keeps per-query mins; -1 and absent entries lose") {
+    val a = Map("x" -> 1.0, "y" -> -1.0, "z" -> 3.0)
+    val b = Map("x" -> 1.5, "y" -> 2.0, "w" -> 0.5)
+    assert(Bench.minMerge(a, b) ==
+      Map("x" -> 1.0, "y" -> 2.0, "z" -> 3.0, "w" -> 0.5))
+  }
+
+  test("a hot committed recording cannot deaden the drift detector " +
+      "(round-16 ratchet scenario)") {
+    // clean anchor: 150 queries at 1.0 s. A +18%-inflated recording
+    // got committed (the exact round-16 event). The next window runs
+    // uniformly at 1.31× clean — vs the inflated artifact alone that
+    // reads 1.11 (under the 1.15 trigger, detector blinded); vs the
+    // min-merged anchor it MUST still read 1.31 and trigger.
+    val clean = (1 to 150).map(i => s"q$i" -> 1.0).toMap
+    val inflated = clean.map { case (k, v) => k -> v * 1.18 }
+    val current = clean.map { case (k, v) => k -> v * 1.31 }
+    val (blind, _) = Bench.windowRatio(current, inflated)
+    assert(math.abs(blind - 1.31 / 1.18) < 1e-9) // the flaw, documented
+    val anchor = Bench.minMerge(clean, inflated)
+    assert(anchor == clean, "min-merge must refuse the inflated values")
+    val (r, n) = Bench.windowRatio(current, anchor)
+    assert(n == 150)
+    assert(math.abs(r - 1.31) < 1e-9, s"detector must see 1.31, got $r")
+    assert(r > 1.15, "the 1.15 trigger must fire on this window")
+  }
+
+  test("minMerge admits new queries at their first recorded value") {
+    val anchor = Map("old" -> 1.0)
+    val run = Map("old" -> 1.2, "new" -> 0.7)
+    assert(Bench.minMerge(anchor, run) == Map("old" -> 1.0, "new" -> 0.7))
+  }
+
+  test("the live CLEAN_ANCHOR ledger never sits above the committed " +
+      "recording (anchor invariant)") {
+    // runs from the repo root: both files exist in a checked-out tree.
+    // anchorBench = minMerge(ledger, BENCH_FULL) must be <= BENCH_FULL
+    // per query wherever both are defined.
+    val full = Bench.committedBench()
+    val anchor = Bench.anchorBench()
+    if (full.nonEmpty && anchor.nonEmpty) {
+      val above = full.collect {
+        case (q, v) if v >= 0 && anchor.getOrElse(q, v) > v + 1e-9 => q
+      }
+      assert(above.isEmpty, s"anchor above committed for: $above")
+    }
+  }
+
   test("committedBench parses the artifact's per-query map") {
     val f = java.nio.file.Files.createTempFile("bench-full", ".json")
     java.nio.file.Files.write(f,

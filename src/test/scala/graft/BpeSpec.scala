@@ -64,6 +64,44 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("dict-path training equals the distributed path merge-for-merge") {
+    // the round-17 fast path (one corpus pass + driver dict loop) vs
+    // the fully-distributed per-round form: independent machinery end
+    // to end — explode/groupBy/argmax jobs vs an in-memory dict loop —
+    // so agreement on real docs pins both
+    val docs = Tables.documents(spark, sf).limit(80).select("text")
+    val dist = CurationQueries.trainBpe(docs, 10)
+    val dict = CurationQueries.trainBpeDict(docs, 10)
+    assert(dict == dist, s"dict $dict\ndist $dist")
+  }
+
+  test("dict-path fixture: low/lower/newest/widest merges in order") {
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val s = spark
+    import s.implicits._
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = CurationQueries.bpeMergesDict(docs, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)))
+  }
+
+  test("dict-path minFreq pruning drops sub-threshold words from training") {
+    val s = spark
+    import s.implicits._
+    // "zq" appears once — at minFreq=2 its chars must not influence
+    // pair counts; at minFreq=1 they do (but never win here)
+    val docs = Seq(("low low low zq")).toDF("text")
+    val all = CurationQueries.trainBpeDict(docs, 2, minFreq = 1L)
+    val pruned = CurationQueries.trainBpeDict(docs, 2, minFreq = 2L)
+    assert(all.map(m => (m._2, m._3)) == pruned.map(m => (m._2, m._3)))
+    assert(pruned.forall { case (_, l, r, _) =>
+      !l.contains("z") && !r.contains("q") })
+  }
+
   test("encode matches the sequential reference tokenization per doc") {
     def mergeSeq(seq: List[String], l: String, r: String): List[String] = {
       val buf = mutable.ListBuffer[String]()

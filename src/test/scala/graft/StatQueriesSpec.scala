@@ -214,22 +214,25 @@ class StatQueriesSpec extends SparkSpec {
     }
     val scored = cands.map { case (k, i1, i2) => (k, i1, i2, consensus(i1, i2)) }
     val (bk, _, _, in) = scored.minBy { case (k, _, _, c) => (-c.size, k) }
-    def rnd(x: Double, sc: Int) =
-      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact BigInt products differenced BEFORE the double cast, then
+    // the mirrored floor(x·10^s + 0.5)/10^s quantization — the engine
+    // protocol (round-16 advice: double products of ~1e17 cancel
+    // catastrophically; engine round() drifts at repr midpoints)
+    def q6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def q4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val ni = in.size
     val st = in.map(BigInt(_)).sum
     val sy = in.map(t => BigInt(daily(t - 1))).sum
     val stt = in.map(t => BigInt(t) * t).sum
     val sty = in.map(t => BigInt(t) * daily(t - 1)).sum
-    val b6 = rnd((ni.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
-      / (ni.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
-    val a6 = rnd((sy.toDouble - b6 * st.toDouble) / ni, 6)
+    val b6 = q6((ni * sty - st * sy).toDouble / (ni * stt - st * st).toDouble)
+    val a6 = q6((sy.toDouble - b6 * st.toDouble) / ni)
     val got = q("q_ransac_line").collect()(0)
     assert(got.getLong(0) == n.toLong)
     assert(got.getLong(1) == bk.toLong, s"best_k ${got.getLong(1)} vs $bk")
     assert(got.getLong(2) == ni.toLong, s"n_inliers ${got.getLong(2)} vs $ni")
-    assert(got.getDouble(3) == rnd(a6 / 100.0, 4), "a_usd")
-    assert(got.getDouble(4) == rnd(b6 / 100.0, 4), "b_usd_per_day")
+    assert(got.getDouble(3) == q4(a6 / 100.0), "a_usd")
+    assert(got.getDouble(4) == q4(b6 / 100.0), "b_usd_per_day")
     // definitional: a real consensus BAND exists (the mean/10 band is
     // deliberately thin — it selects the densest linear corridor, not
     // a majority; 13-18% of days at the test SFs) and it includes far
@@ -243,8 +246,10 @@ class StatQueriesSpec extends SparkSpec {
         .digest(x.getBytes("UTF-8"))
       java.lang.Long.parseLong(dig.take(4).map(b => f"$b%02x").mkString, 16)
     }
-    def rnd(x: Double, sc: Int) =
-      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the mirrored floor-quantization + exact-product protocol (see
+    // the line-fit replay above)
+    def q6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def q4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val byNation = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
         col("o_custkey") === col("c_custkey"))
@@ -280,11 +285,10 @@ class StatQueriesSpec extends SparkSpec {
       val sy = in.map(t => BigInt(daily(t - 1))).sum
       val stt = in.map(t => BigInt(t) * t).sum
       val sty = in.map(t => BigInt(t) * daily(t - 1)).sum
-      val b6 = rnd((ni.toDouble * sty.toDouble - st.toDouble * sy.toDouble)
-        / (ni.toDouble * stt.toDouble - st.toDouble * st.toDouble), 6)
-      val a6 = rnd((sy.toDouble - b6 * st.toDouble) / ni, 6)
+      val b6 = q6((ni * sty - st * sy).toDouble / (ni * stt - st * st).toDouble)
+      val a6 = q6((sy.toDouble - b6 * st.toDouble) / ni)
       key -> (n.toLong, bk.toLong, ni.toLong,
-        rnd(a6 / 100.0, 4), rnd(b6 / 100.0, 4))
+        q4(a6 / 100.0), q4(b6 / 100.0))
     }
     val got = q("q_ransac_grouped").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
