@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.DotF.dotF
 
 /** Corpus- and distribution-profiling operators — the diagnostics a
   * training-data pipeline runs BEFORE committing to a curation recipe:
@@ -337,6 +338,61 @@ object CorpusStatsQueries {
         lit(orthoResidual <= 1e-9).as("ortho_ok"))
   }
 
+  /** Per-component PCA pin — [[pcaVariance]] proves trace +
+    * orthonormality; this closes the remaining gap (round-16 verdict
+    * #6): each kept eigenvalue must equal the DATA variance along its
+    * fitted axis, projections must be centered, and the cumulative
+    * reconstruction error after j components must equal
+    * (n−1)/n · (trace − Σ_{j'≤j} λ_{j'}) — identities that fail loudly
+    * for a mis-converged Jacobi, a wrong eigenvalue/vector pairing, or
+    * a broken transform, none of which the trace can see. All checks
+    * ride the REAL projection path (codegen dot_f per component); the
+    * residual uses ‖x−μ−Σ pcⱼcⱼ‖² = ‖x−μ‖² − Σ pcⱼ² (orthonormal
+    * basis), so the whole audit is one aggregate over one pass.
+    * Tolerances are 1e-4 relative (float-literal noise is ~1e-7;
+    * violations are O(1)). The oracle recomputes n_rows and pins the
+    * booleans TRUE (the q_cluster_cap_pin pattern — SQL has no
+    * eigendecomposition). */
+  private val pcaVarExplained: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ml.Pca.fit(emb, "embedding", 4)
+    val lam = model.variances.take(4)
+    val trace = model.variances.sum
+    val muF = model.mean.map(_.toFloat)
+    val muNorm2 = muF.map(m => m.toDouble * m).sum
+    val xf = col("embedding").cast("array<float>")
+    val base = model.transform(emb, "embedding")
+      .select((1 to 4).map(j => col(s"pc$j")) :+
+        (dotF(xf, xf) - lit(2.0) * dotF(xf, lit(muF)) + lit(muNorm2))
+          .as("csq"): _*)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      (1 to 4).flatMap(j => Seq(
+        var_samp(col(s"pc$j")).as(s"v$j"),
+        avg(col(s"pc$j")).as(s"m$j"),
+        avg(col(s"pc$j") * col(s"pc$j")).as(s"e$j"))) :+
+      avg(col("csq")).as("mcsq")
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n_rows").cast("double")
+    val rows = (1 to 4).map { j =>
+      val lamJ = lam(j - 1)
+      val cumLam = lam.take(j).sum
+      val dataResid = col("mcsq") -
+        (1 to j).map(jj => col(s"e$jj")).reduce(_ + _)
+      val predResid = (nd - lit(1.0)) / nd * lit(trace - cumLam)
+      struct(
+        lit(j).as("component"),
+        col("n_rows").as("n_rows"),
+        (abs(col(s"v$j") - lit(lamJ)) <= lit(lamJ * 1e-4 + 1e-9))
+          .as("var_ok"),
+        (abs(col(s"m$j")) <= lit(math.sqrt(lamJ) * 1e-4 + 1e-9))
+          .as("mean_ok"),
+        (abs(dataResid - predResid) <= lit(trace * 1e-4 + 1e-9))
+          .as("recon_ok"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("component")
+  }
+
   /** Zipf rank-frequency slope — the corpus-health number text
     * pipelines watch: fit log(freq) ~ log(rank) over the top-1000
     * vocabulary and report the slope (natural text ≈ −1; a slope far
@@ -462,6 +518,7 @@ object CorpusStatsQueries {
     "q_heavy_hitters_error" -> heavyHittersError,
     "q_pca_project" -> pcaProject,
     "q_pca_variance" -> pcaVariance,
+    "q_pca_var_explained" -> pcaVarExplained,
     "q_char_entropy" -> charEntropy,
     "q_dup_coverage" -> dupCoverage,
     "q_ngram_novelty" -> ngramNovelty,
@@ -552,6 +609,15 @@ object CorpusStatsQueries {
          FROM (SELECT var_samp(CAST(embedding[i] AS DOUBLE)) AS v
                FROM embeddings, range(1, 65) t(i)
                GROUP BY i)""",
+    // per-component identities (eigenvalue = data variance along the
+    // axis, centered projections, cumulative reconstruction error):
+    // SQL cannot eigendecompose, so the oracle recomputes n_rows and
+    // pins the booleans TRUE (the q_cluster_cap_pin pattern)
+    "q_pca_var_explained" ->
+      """SELECT CAST(i AS INTEGER) AS component,
+                (SELECT count(*) FROM embeddings) AS n_rows,
+                true AS var_ok, true AS mean_ok, true AS recon_ok
+         FROM range(1, 5) t(i) ORDER BY component""",
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, length(text) AS n,
                 list_transform(range(1, length(text) + 1), i -> text[i]) AS cs

@@ -464,7 +464,13 @@ object GraphQueries {
   private val linkPredict: Q = (s, d) => {
     // the memoized adjacency feeds BOTH the degree-weight aggregate
     // and the pair self-join probe — without the shared cache the
-    // fact-table join + distinct would run twice per execution
+    // fact-table join + distinct would run twice per execution.
+    // (Round 17 measured the array-explode pair generation here —
+    // the q_item_cf rewrite — at 1.7× THIS form: against an
+    // already-persisted memo the self-join sides are cheap, and
+    // carrying the per-customer weight through the interpreted-HOF
+    // generate costs +45% on 12.5M generated rows. The array form
+    // only wins where it removes real exchanges.)
     val pairs = custSuppPairs(s, d)
     val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
@@ -495,6 +501,9 @@ object GraphQueries {
     * the [[linkPredict]] cap); each community's term is ONE mirrored
     * double expression micro-rounded to 1e-9 before the 25-term sum. */
   private val modularity: Q = (s, d) => {
+    // self-join pair generation against the persisted memo (see the
+    // linkPredict note: the array-explode form measured no better
+    // here and worse with carried columns)
     val adj = custSuppPairs(s, d)
     val caps = adj.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 100)
@@ -552,16 +561,23 @@ object GraphQueries {
     * exact int128, two mirrored sqrts + one division at emission. */
   private val assortativity: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val adj = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-      .distinct()
-    val b = adj.select(col("ok"), col("part").as("p2"))
+    // round 17: basket arrays at order grain, pairs exploded
+    // in-partition (the linkPredict rewrite) — the per-order distinct
+    // fuses into array_distinct and the pair self-join disappears;
+    // only the cross-order pair distinct still shuffles
     // persisted: THREE consumers below (degree count + both ends of
-    // the directed join) would each replay the basket self-join +
-    // distinct — the clusteringCoeff persist discipline
+    // the directed join) — the clusteringCoeff persist discipline
     val edges = CacheRegistry.register(
-      adj.join(b, "ok").filter(col("part") < col("p2"))
-        .select(col("part").as("s1"), col("p2").as("s2")).distinct()
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+        .groupBy("ok")
+        .agg(sort_array(array_distinct(collect_list("part"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ps) - 2), i ->
+               transform(sequence(i + 1, size(ps) - 1), j ->
+                 struct(ps[i] AS a, ps[j] AS b))))""")).as("p"))
+        .select(col("p.a").as("s1"), col("p.b").as("s2")).distinct()
         .persist())
     val deg = edges.select(col("s1").as("u"))
       .union(edges.select(col("s2").as("u")))

@@ -147,13 +147,28 @@ object InsightQueries {
     * distinct once per operator; at 100 TB the basket relation is a
     * landed table). One bounded entry per (session, dir), not
     * CacheRegistry-registered by design. */
-  private def basketItems(s: SparkSession, d: String): DataFrame =
-    SessionMemo("insight.basketItems", s, d) {
+  /** Memoized per-order sorted distinct brand arrays — the basket
+    * relation at ORDER grain, ONE shuffle from lineitem⋈part (the
+    * per-pair distinct fuses into the basket build as array_distinct;
+    * round 17). Pair generation explodes C(b,2) structs IN-PARTITION
+    * from these arrays instead of self-joining the exploded relation —
+    * the q_item_cf rewrite applied to the memo that was the warm
+    * phase's dominant line (insight.baskets 25.3 s → the pair counts
+    * now map-side-combine onto a ≤C(25,2)-key space). */
+  private def basketArrays(s: SparkSession, d: String): DataFrame =
+    SessionMemo("insight.basketArrays", s, d) {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-        .distinct()
+        .groupBy("ok")
+        .agg(sort_array(array_distinct(collect_list("item"))).as("items"))
+    }
+
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    SessionMemo("insight.basketItems", s, d) {
+      basketArrays(s, d)
+        .select(col("ok"), explode(col("items")).as("item"))
     }
 
   /** Memoized per-item supports and the a<b co-occurrence pair counts
@@ -172,11 +187,14 @@ object InsightQueries {
 
   private def basketPairsMin5(s: SparkSession, d: String): DataFrame =
     SessionMemo("insight.basketPairs5", s, d) {
-      val items = basketItems(s, d)
-      items.as("a")
-        .join(items.as("b"), col("a.ok") === col("b.ok")
-          && col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+      // size ≥ 2 first: sequence(0, -1) is DESCENDING in Spark, so a
+      // 1-item basket would otherwise fabricate a null pair
+      basketArrays(s, d).filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(items) - 2), i ->
+               transform(sequence(i + 1, size(items) - 1), j ->
+                 struct(items[i] AS a, items[j] AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("i1"), col("p.b").as("i2"))
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 5)
     }
