@@ -561,23 +561,20 @@ object GraphQueries {
     * exact int128, two mirrored sqrts + one division at emission. */
   private val assortativity: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // round 17: basket arrays at order grain, pairs exploded
-    // in-partition (the linkPredict rewrite) — the per-order distinct
-    // fuses into array_distinct and the pair self-join disappears;
-    // only the cross-order pair distinct still shuffles
+    // self-join pair generation (see the q_item_cf A/B note: the
+    // array-explode form measured better solo but worse in-sweep —
+    // interpreted-HOF allocation under heap pressure; the codegen
+    // join form is the keeper for timed queries)
+    val adj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct()
+    val b = adj.select(col("ok"), col("part").as("p2"))
     // persisted: THREE consumers below (degree count + both ends of
-    // the directed join) — the clusteringCoeff persist discipline
+    // the directed join) would each replay the basket self-join +
+    // distinct — the clusteringCoeff persist discipline
     val edges = CacheRegistry.register(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-        .groupBy("ok")
-        .agg(sort_array(array_distinct(collect_list("part"))).as("ps"))
-        .filter(size(col("ps")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(ps) - 2), i ->
-               transform(sequence(i + 1, size(ps) - 1), j ->
-                 struct(ps[i] AS a, ps[j] AS b))))""")).as("p"))
-        .select(col("p.a").as("s1"), col("p.b").as("s2")).distinct()
+      adj.join(b, "ok").filter(col("part") < col("p2"))
+        .select(col("part").as("s1"), col("p2").as("s2")).distinct()
         .persist())
     val deg = edges.select(col("s1").as("u"))
       .union(edges.select(col("s2").as("u")))

@@ -1025,30 +1025,29 @@ object InsightQueries {
     * order (score desc, pair asc) is an integer compare that can
     * never flip on a float bit. */
   private val itemCf: Q = (s, d) => {
+    // Round 17 A/B note: the array-explode pair generation (the
+    // basketPairsMin5 memo rewrite) measured BETTER solo (1.65 vs
+    // ~2.0) but WORSE inside the full sweep (2.88 vs 2.35, confirmed
+    // by a minutes-later re-sweep) — the interpreted-HOF explode
+    // allocates a struct array per basket and degrades under the
+    // sweep's heap pressure, while the codegen sort-merge self-join
+    // does not. The memo keeps the array form (built once, fresh
+    // heap); the timed query keeps the join form.
     val adj = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-    // ONE shuffle to customer grain (the per-pair distinct FUSES into
-    // the basket build as array_distinct — no separate (cust, part)
-    // distinct exchange); each capped basket becomes a sorted distinct
-    // part array, and the C(b,2) ordered pairs are generated
-    // IN-PARTITION from the array — round 17: the previous self-join
-    // on cust paid a distinct exchange plus a second basket shuffle
-    // and a sort-merge probe to produce exactly these pairs; the array
-    // form emits them with a single exchange end-to-end, and the
-    // basket-size cap (2 ≤ b ≤ 100, the standard CF hub cap) bounds
-    // the explode at C(100,2) per row
-    val baskets = CacheRegistry.register(adj.groupBy("cust")
-      .agg(sort_array(array_distinct(collect_list("part"))).as("ps"))
-      .filter(size(col("ps")).between(2, 100))
-      .persist())
-    val ni = baskets.select(explode(col("ps")).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("n"))
-    val co = baskets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ps) - 2), i ->
-           transform(sequence(i + 1, size(ps) - 1), j ->
-             struct(ps[i] AS a, ps[j] AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("p1"), col("p.b").as("p2"))
+      .distinct()
+    val caps = adj.groupBy("cust").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") >= 2 && col("bsz") <= 100)
+      .select("cust")
+    // persisted: THREE consumers (the per-part supports, and both
+    // sides of the co-occurrence self-join) — without the cache the
+    // orders⋈lineitem distinct replays once per consumer
+    val capped = CacheRegistry.register(adj.join(caps, "cust").persist())
+    val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
+    val b = capped.select(col("cust"), col("part").as("p2"))
+    val co = capped.join(b, "cust").filter(col("part") < col("p2"))
+      .groupBy(col("part").as("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 2)
     co.join(ni.withColumnRenamed("part", "p1").withColumnRenamed("n", "n1"),
