@@ -99,6 +99,18 @@ object Bench {
   private[graft] def anchorBench(): Map[String, Double] =
     minMerge(committedBench("CLEAN_ANCHOR.json"), committedBench())
 
+  /** The committed recording's own stamped `window_ratio_final` —
+    * −1 when the artifact is absent or predates the drift stamp. */
+  private[graft] def committedRatio(path: String = "BENCH_FULL.json")
+      : Double =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"window_ratio_final":(-?\d+(?:\.\d+)?)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -388,8 +400,22 @@ object Bench {
     // window_ratio_final 1.182 by its own detector). ratio −1 (no
     // anchor yet) or < 100 comparables commits unconditionally;
     // SPARK_GRAFT_BENCH_FORCE=1 overrides with the stamp still in-file.
-    val refClean = ratioFinal < 0 || ratioN < 100 ||
-      ratioFinal <= driftThreshold || sys.env.contains("SPARK_GRAFT_BENCH_FORCE")
+    // keep-the-cleanest (round 17): once a recording with a LOWER
+    // final window ratio is committed, a merely-acceptable (≤
+    // threshold) but hotter later run must not replace it — the
+    // reference only gets cleaner. A changed timed-query SET (surface
+    // growth/rename) refreshes regardless: a stale reference lacking
+    // the new queries is worse than a slightly hotter complete one.
+    val cRatio = committedRatio()
+    val surfaceChanged = {
+      val cq = committedBench().keySet
+      cq.isEmpty || cq != results.keySet
+    }
+    val cleanestKept = surfaceChanged || cRatio < 0 ||
+      ratioFinal < 0 || ratioFinal <= cRatio
+    val refClean = (ratioFinal < 0 || ratioN < 100 ||
+      ratioFinal <= driftThreshold) && cleanestKept ||
+      sys.env.contains("SPARK_GRAFT_BENCH_FORCE")
     // reference artifacts only refresh at the RECORDED scale (sf0.1,
     // BASELINE.md's bench contract): a full-surface iteration run at
     // sf0.01 must not clobber BENCH_FULL.json with 10×-smaller numbers
@@ -401,8 +427,10 @@ object Bench {
     if (refresh && refClean) writeArtifact("BENCH_FULL.json")
     else if (refresh) System.err.println(
       f"[bench] NOT refreshing BENCH_FULL.json: window_ratio_final " +
-        f"$ratioFinal%.3f vs clean anchor exceeds $driftThreshold%.2f — " +
-        s"recording kept at $perRun only (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
+        f"$ratioFinal%.3f vs clean anchor " +
+        (if (!cleanestKept) f"is hotter than the committed recording's $cRatio%.3f"
+         else f"exceeds $driftThreshold%.2f") +
+        s" — recording kept at $perRun only (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
     // the CLEAN_ANCHOR ledger min-merges every full-surface run AT THE
     // RECORDED SCALE (safe there: a hot reading can never lower a min;
     // a faster reading is by definition a cleaner window for that

@@ -110,6 +110,18 @@ class BenchDriftSpec extends AnyFunSuite {
     }
   }
 
+  test("committedRatio reads the drift stamp; -1 when absent") {
+    val f = java.nio.file.Files.createTempFile("bench-ratio", ".json")
+    java.nio.file.Files.write(f,
+      """{"metric":"total","drift":{"window_ratio":1.257,"ratio_n":380,"threshold":1.15,"passes":2,"window_ratio_final":1.182},"queries":{"q_a":1}}"""
+        .getBytes("UTF-8"))
+    assert(math.abs(Bench.committedRatio(f.toString) - 1.182) < 1e-12)
+    assert(Bench.committedRatio("/nonexistent.json") == -1.0)
+    val g = java.nio.file.Files.createTempFile("bench-nostamp", ".json")
+    java.nio.file.Files.write(g, """{"metric":"total","queries":{}}""".getBytes("UTF-8"))
+    assert(Bench.committedRatio(g.toString) == -1.0)
+  }
+
   test("committedBench parses the artifact's per-query map") {
     val f = java.nio.file.Files.createTempFile("bench-full", ".json")
     java.nio.file.Files.write(f,
