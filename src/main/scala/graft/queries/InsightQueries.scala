@@ -607,14 +607,20 @@ object InsightQueries {
         col("cos")))
     // the customer profile REUSES the persisted basket relation — the
     // orderkey→custkey hop is one join against the orders dimension,
-    // not a second lineitem⋈part pass
-    val ub = items
+    // not a second lineitem⋈part pass. Round 17: the (cust, item)
+    // dedup rides ONE collect_set groupBy instead of distinct() —
+    // same row set, but the persisted profile is hash(cust)-
+    // partitioned, which the scoring groupBy (cust, rec), the
+    // ownership anti-join on (cust, rec), and the per-cust top-k all
+    // satisfy by the subset rule — three downstream exchanges gone
+    // (guide §2.4).
+    val ub = CacheRegistry.register(items
       .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"),
         col("o_custkey").as("cust")), Seq("ok"))
       .select(col("cust"), col("item"))
-      .distinct()
-      .persist()
-    CacheRegistry.register(ub)
+      .groupBy("cust").agg(collect_set("item").as("its"))
+      .select(col("cust"), explode(col("its")).as("item"))
+      .persist())
     val scores = ub.join(broadcast(sim), col("item") === col("a"))
       .groupBy(col("cust"), col("b").as("rec"))
       .agg(round(sum("cos"), 6).as("score"))
@@ -1025,25 +1031,32 @@ object InsightQueries {
     * order (score desc, pair asc) is an integer compare that can
     * never flip on a float bit. */
   private val itemCf: Q = (s, d) => {
-    // Round 17 A/B note: the array-explode pair generation (the
-    // basketPairsMin5 memo rewrite) measured BETTER solo (1.65 vs
-    // ~2.0) but WORSE inside the full sweep (2.88 vs 2.35, confirmed
-    // by a minutes-later re-sweep) — the interpreted-HOF explode
-    // allocates a struct array per basket and degrades under the
-    // sweep's heap pressure, while the codegen sort-merge self-join
-    // does not. The memo keeps the array form (built once, fresh
-    // heap); the timed query keeps the join form.
-    val adj = Tables.orders(s, d)
+    // Round 17 A/B note (kept from the build round): the interpreted-
+    // HOF `transform(sequence(...))` struct-array pair generation
+    // measured BETTER solo but WORSE inside the full sweep (2.88 vs
+    // 2.35, re-sweep-confirmed) — per-basket struct allocation
+    // degrades under sweep heap pressure, the codegen sort-merge
+    // self-join does not. The timed query keeps the JOIN form; what
+    // round 17 changes is the EXCHANGE count feeding it: the distinct
+    // + separate cap-count + cap-join chain (three exchanges, output
+    // partitioned by hash(cust, part) — useless to the cust-keyed
+    // self-join, which then re-exchanged BOTH sides) collapses into
+    // ONE collect_set groupBy — dedup and the basket-width cap ride
+    // the same aggregate, and the exploded relation persists
+    // PARTITIONED BY hash(cust), so the self-join and the support
+    // count below need no exchange at all (guide §2.4: two operations
+    // keyed the same way share one exchange). Row set is identical:
+    // distinct (cust, part) with basket size in [2, 100].
+    val baskets = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
-    val caps = adj.groupBy("cust").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") >= 2 && col("bsz") <= 100)
-      .select("cust")
+      .groupBy("cust").agg(collect_set("part").as("parts"))
+      .filter(size(col("parts")).between(2, 100))
     // persisted: THREE consumers (the per-part supports, and both
     // sides of the co-occurrence self-join) — without the cache the
-    // orders⋈lineitem distinct replays once per consumer
-    val capped = CacheRegistry.register(adj.join(caps, "cust").persist())
+    // orders⋈lineitem aggregate replays once per consumer
+    val capped = CacheRegistry.register(
+      baskets.select(col("cust"), explode(col("parts")).as("part")).persist())
     val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
     val b = capped.select(col("cust"), col("part").as("p2"))
     val co = capped.join(b, "cust").filter(col("part") < col("p2"))

@@ -370,8 +370,18 @@ object SimilarityQueries {
     * sums + count = 34 aggregate fields, which keeps the whole
     * aggregate inside whole-stage codegen (a naive 64-sum layout blows
     * the spark.sql.codegen.maxFields=100 default and the interpreted
-    * fallback runs ~3× slower — measured, BASELINE round-14 notes). */
-  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    * fallback runs ~3× slower — measured, BASELINE round-14 notes).
+    *
+    * Round 17: the timed path is [[simhashSignatures]] below — the
+    * whole explode → 32-sum groupBy round trip computed a pure
+    * per-document function by blowing each doc into ~n_words rows,
+    * shuffling them, and re-collapsing; the compiled
+    * [[graft.functions.SimHashText]] expression does the identical
+    * vote arithmetic in one pass per row with ZERO exchanges before
+    * the band join (guide §2.4/§4). This grouped form is kept as the
+    * semantic ground truth Md5TextSpec pins the expression against
+    * (the [[graft.queries.TextQueries.docWinnowHof]] precedent). */
+  private[graft] def simhashSignaturesGrouped(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("wh"))
@@ -394,6 +404,15 @@ object SimilarityQueries {
         when(ones(b) * 2 > col("nw"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** Per-document SimHash signatures via the compiled
+    * [[graft.functions.SimHashText]] expression — identical vote
+    * arithmetic to [[simhashSignaturesGrouped]] (Md5TextSpec pins the
+    * parity), zero shuffle. */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Md5Text.simhash64(col("text")).as("simhash"))
 
   /** Banded candidate self-join + exact Hamming verify over a
     * (doc_id, simhash, band, chunk) frame — split out so the salted
@@ -466,21 +485,18 @@ object SimilarityQueries {
     * gate on the WHOLE near-dup pipeline, not a spot check. The bit
     * votes aggregate in ONE groupBy with 32 sum expressions — no
     * 32× row explode; the corpus shuffles once, keyed by doc. Vote
-    * ties (s_b = 0) map to bit 0 in both engines. */
+    * ties (s_b = 0) map to bit 0 in both engines.
+    *
+    * Round 17: the signature runs as the compiled
+    * [[graft.functions.SimHashText]] expression (md5-u32 word hash) —
+    * same ±1 vote rule (s_b > 0 ⟺ 2·ones_b > nw), zero shuffle
+    * before the band join; [[simhashMd5SignaturesGrouped]] keeps the
+    * original groupBy formulation for Md5TextSpec's parity pin, and
+    * the DuckDB oracle hash gates the whole pipeline unchanged. */
   private val dedupSimhashOracle: Q = (s, d) => {
-    val nBits = 32
-    val words = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val sig = Tables.documents(s, d)
       .select(col("doc_id"),
-        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("wh"))
-    val voteCols = (0 until nBits).map(b =>
-      sum(when(col("wh").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
-        .as(s"s$b"))
-    val sums = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sig = sums.select(col("doc_id"),
-      (0 until nBits).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+        graft.functions.Md5Text.simhashMd5_32(col("text")).as("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 8) & 255 AS LONG))"))
@@ -496,6 +512,27 @@ object SimilarityQueries {
       .filter(col("hamming") <= 3)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
+  }
+
+  /** The original explode → 32-sum groupBy md5-signature formulation
+    * of [[dedupSimhashOracle]] — kept (out of `queries`) as the
+    * semantic ground truth Md5TextSpec pins the compiled expression
+    * against. */
+  private[graft] def simhashMd5SignaturesGrouped(s: SparkSession, d: String)
+      : DataFrame = {
+    val nBits = 32
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("wh"))
+    val voteCols = (0 until nBits).map(b =>
+      sum(when(col("wh").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+        .as(s"s$b"))
+    val sums = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until nBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** Embedding-cosine near-dup with candidate blocking: pairs are only

@@ -83,6 +83,16 @@ object TextQueries {
           explode(expr(shingleArraySql)).as("sh_str"))
         .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
         .distinct()
+        // landed partitioned by shingle (round 17): the heavy
+        // consumers all key on it — the df/rare counts, the candidate
+        // self-joins (incremental dedup), the decontamination probes,
+        // dup-coverage/novelty joins, rankedShingles' df window —
+        // while distinct()'s hash(doc_id, shingle) satisfied none of
+        // them, so every consumer re-exchanged the corpus-sized
+        // relation per query (the self-joins twice). One extra
+        // exchange in the untimed warm build; at 100 TB this is the
+        // landed shingle index's hash distribution (guide §2.4).
+        .repartition(col("shingle"))
     }
 
   /** Distinct (doc_id, shingle STRING) rows — the form the md5-family
@@ -94,6 +104,13 @@ object TextQueries {
       docsWithWords(s, d)
         .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
         .distinct()
+        // landed partitioned by doc_id (round 17): the md5 MinHash
+        // twin — this memo's one consumer — aggregates 32 per-doc
+        // minima (groupBy doc_id) and probes verification pairs back
+        // on d1/d2; hash(doc_id) serves both, hash(doc_id, shingle)
+        // served neither (the shingleRows rationale, keyed for THIS
+        // consumer family).
+        .repartition(col("doc_id"))
     }
 
   /** Per (lang, source) corpus statistics. */
@@ -1390,8 +1407,31 @@ object TextQueries {
     * no cross-doc structure, so a slice verifies the pipeline exactly
     * as hard as the full corpus at a quarter of the md5 cost (the
     * full-corpus form was the bench's most allocation-bound query,
-    * 5.5-10 s at sf0.1 depending on heap state). */
+    * 5.5-10 s at sf0.1 depending on heap state).
+    *
+    * Round 17: the per-row chain runs as the compiled
+    * [[graft.functions.Md5WinnowStats]] expression — the interpreted
+    * `transform(sequence(...))` HOF paid ~2 Catalyst tree dispatches
+    * plus a substring + hex-string + decimal-parse allocation per
+    * character position (guide §4: eliminate non-codegen expressions
+    * on the hot path). Bit-identical by construction (Md5TextSpec pins
+    * it against [[docWinnowMd5Hof]], the original formulation, and the
+    * DuckDB oracle hash is unchanged). */
   private val docWinnowOracle: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("ws", graft.functions.Md5Text.winnowMd5Stats(col("text")))
+      .select(
+        col("doc_id"),
+        col("ws.n_fingerprints").as("n_fingerprints"),
+        col("ws.fp_xor").as("fp_xor"))
+      .orderBy("doc_id")
+
+  /** The original interpreted md5-HOF chain of [[docWinnowOracle]] —
+    * kept (out of `queries`) as the semantic ground truth Md5TextSpec
+    * pins the compiled expression against, the [[docWinnowHof]]
+    * precedent. */
+  private[graft] def docWinnowMd5Hof(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(4)) === 0)
       .withColumn("grams", expr(
@@ -1642,7 +1682,13 @@ object TextQueries {
     val sh = shingleRows(s, d)
     val evalSh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
       .select("shingle").distinct()
-    val nEval = math.max(1L, evalSh.count())
+    // filter sizing from the stats store (round 17, the langBalance
+    // precedent): the distinct-count is a catalog statistic on a
+    // production engine, not a per-execution count() job — and it is
+    // sizing-only (capacity moves fpp, the exact join kills every
+    // false positive, output bit-identical)
+    val nEval = math.max(1L, graft.plans.TableStats
+      .scalarLong(s"$d/documents#evalShingles")(evalSh.count()))
     val bloom = evalSh
       .agg(graft.functions.BloomFilters.bloomAgg(col("shingle"), nEval).as("bf"))
       .head().getAs[Array[Byte]](0)

@@ -49,6 +49,10 @@ class PlanHygieneSpec extends SparkSpec {
     // the same documented 1-row broadcast cross join; the bootstrap CI
     // broadcasts its 1-row order-statistics frame the same way
     "q_assoc_rules", "q_bootstrap_ci",
+    // round 17: Q11's HAVING threshold is the same documented 1-row
+    // total broadcast (the DataFrame form that stops re-running the
+    // whole ps aggregate inside the scalar subquery)
+    "q_tpch_q11",
     // round 11: the Poisson twin broadcasts the same 1-row
     // order-statistics frame; the pin queries cross the exact 1-row
     // aggregate with their 1-row invariant frames
