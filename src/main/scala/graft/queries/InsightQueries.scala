@@ -1054,7 +1054,11 @@ object InsightQueries {
       .filter(size(col("parts")).between(2, 100))
     // persisted: THREE consumers (the per-part supports, and both
     // sides of the co-occurrence self-join) — without the cache the
-    // orders⋈lineitem aggregate replays once per consumer
+    // orders⋈lineitem aggregate replays once per consumer.
+    // (Round 17 A/B: pinning the cached partition count to
+    // spark.sql.shuffle.partitions to defeat AQE coalescing measured
+    // WORSE — the extra repartition exchange costs more than the
+    // added parallelism buys at this scale; not kept.)
     val capped = CacheRegistry.register(
       baskets.select(col("cust"), explode(col("parts")).as("part")).persist())
     val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
