@@ -42,6 +42,11 @@ object SharedMemos {
       t("text.docsWords")(TextQueries.docsWithWords(s, d).count()),
       t("text.shingleRows")(TextQueries.shingleRows(s, d).count()),
       t("text.shingleStringRows")(TextQueries.shingleStringRows(s, d).count()),
+      // per-doc sizes + rare key set (round 17): corpus-wide shingle
+      // aggregates the dedup family consumed per query; warmed before
+      // ngramPairsShared, which now derives from them
+      t("text.shingleSizes")(TextQueries.shingleSizes(s, d).count()),
+      t("text.rareShingles")(TextQueries.rareShingles(s, d).count()),
       t("text.ngramPairsShared")(TextQueries.ngramPairsShared(s, d).count()),
       t("sim.embeddingLshPairs")(SimilarityQueries.embeddingLshPairs(s, d).count()),
       t("temporal.ordersDaily")(OrdersDaily.cents(s, d).count()),

