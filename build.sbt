@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout/stderr RAW instead of through
+// sbt's logger: the harness tail-parses the bench's one-line JSON out
+// of stdout, and the logger's "[info] " prefix has made that parse
+// fail (`parsed: null`) in every round's driver artifact. Raw output
+// makes the line start at column 0. Measurement-infra only — no
+// effect on what runs or how it is timed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

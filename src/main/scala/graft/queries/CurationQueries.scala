@@ -143,9 +143,15 @@ object CurationQueries {
     * side is a broadcast 50-row list, NEVER a len² text blow-up. The
     * doc_id-keyed equi-join is the only corpus shuffle. */
   private val cooccurPmi: Q = (s, d) => {
+    // round 18: the (doc_id, word) dedup is ROW-LOCAL — a word repeats
+    // within one document's split array — so `array_distinct` before
+    // the explode yields the identical relation with ZERO exchange,
+    // where the original's `.distinct()` paid a full corpus-word
+    // shuffle to deduplicate rows that never left their source row
+    // (guide §2.4: remove shuffles outright).
     val dw = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
     val vocab = dw.groupBy("word").agg(count(lit(1)).as("dfw"))
       .orderBy(desc("dfw"), asc("word")).limit(50)
     val dv = dw.join(broadcast(vocab), "word")

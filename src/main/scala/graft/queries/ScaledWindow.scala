@@ -68,11 +68,19 @@ object ScaledWindow {
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the range partitioner SAMPLES its child to pick boundaries, so an
+    // unpersisted input computes TWICE — once for the sample job, once
+    // for the exchange's map stage (guide §1.2 step 1: don't compute
+    // what you throw away). Persisting the input turns that into one
+    // computation + two cache reads; the registry drains it with the
+    // stamped cache after the query materializes. (round 18)
+    val in = CacheRegistry.register(
+      df.persist(StorageLevel.MEMORY_AND_DISK))
     // registered with CacheRegistry (not try/finally-released): the
     // cache must survive past this builder — pass 2 of the returned
     // plan re-reads it when the CALLER materializes the result — so
     // the harness drains it after each query instead
-    val stamped = CacheRegistry.register(df
+    val stamped = CacheRegistry.register(in
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
@@ -90,23 +98,32 @@ object ScaledWindow {
     val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
     val cumOffs: Seq[Array[Long]] = values.indices.map(i =>
       stats.map(_._3(i)).scanLeft(0L)(_ + _))
-    val offsets = stats.zipWithIndex
-      .map { case ((pid, _, _), i) =>
-        (pid, rankOff(i), values.indices.map(j => cumOffs(j)(i)))
-      }
-      .toSeq.toDF("_pid", "_roff", "_coffs")
+    // offsets ride LITERAL arrays indexed by _pid instead of a
+    // broadcast-joined 32-row frame: O(partitions) longs inline in the
+    // plan, which removes a BroadcastExchange + BroadcastHashJoin stage
+    // from every rankCum consumer (round 18; the same bounded-driver-
+    // state contract as the collect above). Partitions the range split
+    // left empty have no rows, so their zero entries are never read.
+    val roffByPid = new Array[Long](parts)
+    val coffByPid: IndexedSeq[Array[Long]] =
+      values.indices.map(_ => new Array[Long](parts))
+    stats.zipWithIndex.foreach { case ((pid, _, _), i) =>
+      roffByPid(pid) = rankOff(i)
+      values.indices.foreach(j => coffByPid(j)(pid) = cumOffs(j)(i))
+    }
     // pass 2: windows partitioned by pid run in parallel on range slices
     val local = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val frame = local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = stamped
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("rk", row_number().over(local).cast("long") + col("_roff"))
+      .withColumn("rk", row_number().over(local).cast("long") +
+        element_at(typedlit(roffByPid.toSeq), col("_pid") + 1))
     val withCums = values.zipWithIndex.foldLeft(ranked) {
       case (acc, ((alias, v), i)) =>
         acc.withColumn(alias,
-          sum(v.cast("long")).over(frame) + col("_coffs").getItem(i))
+          sum(v.cast("long")).over(frame) +
+            element_at(typedlit(coffByPid(i).toSeq), col("_pid") + 1))
     }
-    Ranked(withCums.drop("_pid", "_roff", "_coffs"),
+    Ranked(withCums.drop("_pid"),
       n = rankOff.last,
       totals = values.zipWithIndex
         .map { case ((a, _), i) => a -> cumOffs(i).last }.toMap)

@@ -182,18 +182,27 @@ object TextQueries {
     * is the one the confusion grid reports on. */
   private[graft] def nbPredictions(s: SparkSession, d: String)
       : DataFrame = {
-    val docs = Tables.documents(s, d)
-    val words = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("word"))
-    val dw = words.groupBy("doc_id", "lang", "word")
+    // round 18 (guide §1.2 step 1, §2.3): the original derived FOUR
+    // corpus-word relations independently — each re-scanned the
+    // parquet, re-split the text, and re-exploded (dw, lw, cl, vocab
+    // were four full passes). Now: the split rides the docsWords memo,
+    // ONE explode + ONE shuffle lands the (doc, lang, word) count
+    // grain, and every other statistic is an aggregate of that much
+    // smaller persisted frame — lw/cl as exact sums of c (identical
+    // counts by associativity), vocab as the same countDistinct.
+    val docs = docsWithWords(s, d)
+    val dw = CacheRegistry.register(docs
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("c"))
-    val lw = words.groupBy(col("lang").as("cand"), col("word"))
-      .agg(count(lit(1)).as("clw"))
-    val langs = words.groupBy(col("lang").as("cand"))
-      .agg(count(lit(1)).as("cl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lw = dw.groupBy(col("lang").as("cand"), col("word"))
+      .agg(sum("c").as("clw"))
+    val langs = dw.groupBy(col("lang").as("cand"))
+      .agg(sum("c").as("cl"))
       .join(docs.groupBy(col("lang").as("cand"))
         .agg(count(lit(1)).as("ndl")), "cand")
-      .crossJoin(broadcast(words.agg(countDistinct("word").as("vocab"))))
+      .crossJoin(broadcast(dw.agg(countDistinct("word").as("vocab"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndocs"))))
     val scored = dw.crossJoin(broadcast(langs))
       .join(lw, Seq("cand", "word"), "left")
@@ -566,6 +575,28 @@ object TextQueries {
     * never partition-less) for the island merge. No pair join at any
     * stage — the dup decision is per-window equality. */
   private def dedupSubstr(w: Int): Q = (s, d) => {
+    // round 18: the per-position md5(concat_ws(slice(split(...)))) chain
+    // compiles to ONE pass per document (TokenWindowHashes — the
+    // q_doc_winnow_oracle precedent, guide §4): no slice/concat/hex
+    // allocation per position, and the exploded relation shuffles an
+    // 8-byte long instead of a 32-char digest string (guide §2.3).
+    // `h` is internal (equality-only); the emitted extents are
+    // unchanged — parity with the literal original ([[dedupSubstrHof]])
+    // is pinned by TokenWindowsSpec and the DuckDB oracle at both SFs.
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TokenWindows.tokenWindowHashes(col("text"), w).as("t"))
+      .select(col("doc_id"), col("t.nw").as("nw"),
+        posexplode(col("t.hs")).as(Seq("i", "h")))
+      .select(col("doc_id"), col("nw"), (col("i") + 1).as("p"), col("h"))
+    substrExtents(wins, w)
+  }
+
+  /** The literal pre-round-18 q_dedup_substr window relation —
+    * md5-string hashes from the interpreted slice/concat chain — kept
+    * in-tree as the parity anchor TokenWindowsSpec pins the compiled
+    * form against (the docWinnowMd5Hof precedent). */
+  private[graft] def dedupSubstrHof(w: Int): Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= w)
@@ -575,6 +606,14 @@ object TextQueries {
         expr(s"explode(sequence(1, size(ws) - ${w - 1}))").as("p"))
       .select(col("doc_id"), col("nw"), col("p"),
         md5(concat_ws(" ", slice(col("ws"), col("p"), lit(w)))).as("h"))
+    substrExtents(wins, w)
+  }
+
+  /** Shared downstream of both window relations: repeated-window
+    * detection, the gaps-and-islands merge, and the per-doc extent
+    * roll-up. `wins` carries (doc_id, nw, p, h); `h`'s type is
+    * whatever the hash lane produced — equality is all that is used. */
+  private def substrExtents(wins: DataFrame, w: Int): DataFrame = {
     val dup = wins.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("h")
