@@ -17,6 +17,7 @@ object PlanSweep {
       .master("local[8]")
       .appName("graft-plan-sweep")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -498,8 +498,17 @@ object GraphQueries {
         round(lit(1000000.0) / log(col("deg"))).cast("long").as("w"))
     // persisted: the self-join's two sides project DIFFERENT columns
     // from this relation, so exchange reuse can't fire — unpersisted,
-    // the pairs⋈w weight join executed once per side
-    val adj = CacheRegistry.register(pairs.join(w, "cust").persist())
+    // the pairs⋈w weight join executed once per side.
+    // round 18: landed at an EXPLICIT hash(cust) partition count (the
+    // q_item_cf rationale): with cached partitioning visible to
+    // consumers, the 12.5M-row pair self-join runs AT the cache's
+    // partitioning — exchange-free, which is the point — but the
+    // memo-derived input had been AQE-coalesced to ~1 partition at
+    // test volume, single-threading the explosion.
+    val adj = CacheRegistry.register(pairs.join(w, "cust")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("cust"))
+      .persist())
     val b = adj.select(col("cust"), col("supp").as("s2"))
     adj.join(b, "cust").filter(col("supp") < col("s2"))
       .groupBy(col("supp").as("s1"), col("s2"))

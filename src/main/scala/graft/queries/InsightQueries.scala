@@ -1059,8 +1059,22 @@ object InsightQueries {
     // spark.sql.shuffle.partitions to defeat AQE coalescing measured
     // WORSE — the extra repartition exchange costs more than the
     // added parallelism buys at this scale; not kept.)
+    // round 18: the exploded basket relation lands at an EXPLICIT
+    // hash(cust) partition count (the session's shuffle-partitions
+    // knob). With cached partitioning visible to consumers
+    // (canChangeCachedPlanOutputPartitioning=true), the pair self-join
+    // runs AT the cache's partitioning with no exchange — which is the
+    // point — but AQE had coalesced the groupBy output to ~1 partition
+    // at test volume, so the C(b,2) pair explosion (output >> input,
+    // invisible to AQE's input-byte sizing) ran single-threaded
+    // (measured 1.7 → 5.8 s). Explicit count keeps the join
+    // exchange-free AND parallel; at cluster scale the same conf knob
+    // carries the real partition count.
     val capped = CacheRegistry.register(
-      baskets.select(col("cust"), explode(col("parts")).as("part")).persist())
+      baskets.select(col("cust"), explode(col("parts")).as("part"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("cust"))
+        .persist())
     val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
     val b = capped.select(col("cust"), col("part").as("p2"))
     val co = capped.join(b, "cust").filter(col("part") < col("p2"))

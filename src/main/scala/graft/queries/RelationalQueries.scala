@@ -464,7 +464,14 @@ object RelationalQueries {
       ps: Seq[Double], nBuckets: Int = 2048): Option[Seq[Double]] = {
     import org.apache.spark.sql.expressions.Window
     val x = col(column).cast("double")
+    // round 18 (guide §1.2 step 1): the narrowing's 3-5 passes (moments,
+    // bucket counts, candidate ranking, skew bounds/sub-counts) each
+    // re-ran the upstream; one single-column MEMORY_AND_DISK persist
+    // turns that into one computation + cached reads. Every consumer
+    // collects inside this call, so the cache releases eagerly.
     val rows = df.select(x.as("xv")).filter(col("xv").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val head = rows.agg(count(lit(1)).as("n"),
       min("xv").as("mn"), max("xv").as("mx")).collect()(0)
     val n = head.getLong(0)
@@ -592,6 +599,7 @@ object RelationalQueries {
       val hi = found(math.ceil(pos).toLong)
       lo + (hi - lo) * (pos - math.floor(pos))
     })
+    } finally { rows.unpersist(false); () }
   }
 
   /** A candidate bucket is re-histogrammed when it holds ≥16× the
@@ -647,8 +655,13 @@ object RelationalQueries {
     import org.apache.spark.sql.expressions.Window
     val s = df.sparkSession
     import s.implicits._
+    // round 18: same single-computation persist as the global form —
+    // heads, bucket counts, skew bounds/sub-counts, and both pass-2
+    // rankings each re-ran the upstream otherwise
     val rows = df.select(col(gCol).cast("string").as("g"),
       col(vCol).cast("double").as("xv")).filter(col("xv").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val heads = rows.groupBy("g").agg(count(lit(1)).as("n"),
       min("xv").as("mn"), max("xv").as("mx")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
@@ -801,6 +814,7 @@ object RelationalQueries {
       .select(col(gCol) +: names.zipWithIndex.map { case (nm, ix) =>
         round(col(s"c${ix + 1}"), 4).as(nm)
       }: _*)
+    } finally { rows.unpersist(false); () }
   }
 
   /** Emit a quantile cell row with the repo's round-4 presentation —

@@ -110,7 +110,18 @@ object TextQueries {
         // on d1/d2; hash(doc_id) serves both, hash(doc_id, shingle)
         // served neither (the shingleRows rationale, keyed for THIS
         // consumer family).
-        .repartition(col("doc_id"))
+        // round 18: EXPLICIT partition count (the session's shuffle-
+        // partitions knob, scale-adaptive) instead of the AQE-sized
+        // REPARTITION_BY_COL: with cached-plan partitioning visible to
+        // consumers (canChangeCachedPlanOutputPartitioning=true), the
+        // consumer's 8-md5-digests-per-shingle projection runs AT the
+        // memo's landed partitioning — AQE had coalesced it to ~1
+        // partition at test volume, single-threading the twin's
+        // heaviest per-row stage (measured 1.0 → 2.8 s). A landed
+        // table's bucket count is a capacity decision, not a per-query
+        // volume estimate.
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("doc_id"))
     }
 
   /** Per (lang, source) corpus statistics. */
