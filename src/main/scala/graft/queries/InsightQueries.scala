@@ -1076,15 +1076,21 @@ object InsightQueries {
           col("cust"))
         .persist())
     val ni = capped.groupBy("part").agg(count(lit(1)).as("n"))
+    // (round 18 re-confirmed round 17's A/B: the interpreted-HOF
+    // array pair generation read 10.9 s vs 2.4 in the same window —
+    // the codegen self-join stays.)
     val b = capped.select(col("cust"), col("part").as("p2"))
     val co = capped.join(b, "cust").filter(col("part") < col("p2"))
       .groupBy(col("part").as("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 2)
-    co.join(ni.withColumnRenamed("part", "p1").withColumnRenamed("n", "n1"),
-        "p1")
-      .join(ni.withColumnRenamed("part", "p2").withColumnRenamed("n", "n2"),
-        "p2")
+    // the per-part support map is part-dimension-sized — broadcast it
+    // into both attach joins instead of exchanging the pair frame
+    // twice (round 18, guide §3.1)
+    co.join(broadcast(ni.withColumnRenamed("part", "p1")
+        .withColumnRenamed("n", "n1")), "p1")
+      .join(broadcast(ni.withColumnRenamed("part", "p2")
+        .withColumnRenamed("n", "n2")), "p2")
       .withColumn("score_q6", round(lit(1000000.0) * col("co") /
         (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
         .cast("long"))

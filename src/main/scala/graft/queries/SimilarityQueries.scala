@@ -1391,8 +1391,15 @@ object SimilarityQueries {
     val iters = 3
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val emb = Tables.embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    // persisted (round 18, guide §1.2 step 1): every Lloyd round's
+    // assignment pass AND the final materialization re-read this
+    // projection — unpersisted, the parquet scan + per-row float→
+    // double array transform ran 4× (3 centroid updates + the emitted
+    // assignment)
+    val emb = graft.queries.CacheRegistry.register(
+      Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .persist())
     // seeds: k lowest vec_ids, rounded onto the protocol grain
     var cent: Array[(Int, Array[Double])] =
       emb.orderBy("vec_id").limit(k).select("e").collect()

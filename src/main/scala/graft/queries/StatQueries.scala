@@ -254,8 +254,15 @@ object StatQueries {
     // the x rank map is DOMAIN-bounded (distinct l_quantity values,
     // ~50 at every SF) — broadcast it explicitly so attaching x-ranks
     // never exchanges the fact table (round 17, guide §3.1); the
-    // y map (price grain, data-sized) keeps the shuffle join
-    val sums = t.join(broadcast(rx), "x").join(ry, "y").agg(
+    // y map (price grain, DATA-sized) is pinned to the sort-merge
+    // join: round 18's literal-offset rankCum shrank its size
+    // estimate below the auto-broadcast threshold and the planner
+    // started broadcasting the whole pass-2 window output — measured
+    // 1.5× slower at sf0.1 (collect+broadcast of the data-sized map
+    // every rep) and scale-unsafe at 100 TB, where the distinct-price
+    // grain grows with the data (guide §3.1: pick the strategy
+    // deliberately when estimates mislead)
+    val sums = t.join(broadcast(rx), "x").join(ry.hint("merge"), "y").agg(
       sum(col("dx").cast(dec)).as("sx"),
       sum(col("dy").cast(dec)).as("sy"),
       sum(col("dx").cast(dec) * col("dx")).as("sxx"),

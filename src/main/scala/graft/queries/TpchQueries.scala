@@ -245,14 +245,25 @@ object TpchQueries {
         .as("revenue"))
   }
 
-  /** The correlated-subquery weight class (Q2/Q17/Q18/Q20/Q21) enters
-    * through the SQL text front-end: correlated scalar/EXISTS subqueries
-    * are a parser-level construct, and routing them through `spark.sql`
-    * exercises the decorrelation rewrites (RewriteCorrelatedScalarSubquery,
+  /** The correlated-subquery weight class enters through the SQL text
+    * front-end: correlated scalar/EXISTS subqueries are a parser-level
+    * construct, and routing them through `spark.sql` exercises the
+    * decorrelation rewrites (RewriteCorrelatedScalarSubquery,
     * RewritePredicateSubquery, PullupCorrelatedPredicates) that the
     * DataFrame-built plans never touch. TpchDecorrelationSpec asserts the
     * optimized plans carry no residual correlated subquery expression —
     * i.e. nothing executes a per-row subplan.
+    *
+    * Round 18 moved the expensive members (Q2/Q15/Q17/Q18/Q20/Q21) to
+    * single-computation DataFrame plans — the q11 round-17 precedent:
+    * the decorrelated SQL forms re-aggregated the fact table once per
+    * subquery (see each qNDf scaladoc for the measured duplicate
+    * subtree). The decorrelation rung itself stays exercised through
+    * q4 (correlated EXISTS), q16 (null-aware NOT IN), q22 (scalar AVG
+    * + NOT EXISTS) and the q_sql_subquery/q_sql_exists/q_sql_lateral
+    * family; every oracle below still replays the ORIGINAL subquery
+    * SQL verbatim in DuckDB, so the rewrites are hash-gated
+    * row-for-row.
     *
     * The driver schema has no partsupp table and lineitem carries no
     * receipt/commit dates, so Q2/Q20/Q21 keep their exact correlation
@@ -286,6 +297,44 @@ object TpchQueries {
              AND r2.r_name = 'EUROPE')
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, supply_price
        LIMIT 100"""
+
+  /** The Spark-side Q2 plan (round 18; the q11Df precedent): the
+    * decorrelated scalar MIN re-ran the whole
+    * lineitem⋈supplier⋈nation⋈region chain over EVERY part (the inner
+    * query has no p_size filter, and Catalyst does not push the outer
+    * correlation key's filter below the subquery aggregate). Both the
+    * outer rows and the per-part minimum are functions of ONE
+    * relation — size-15 parts' EUROPE-supplier line rows — computed
+    * once, persisted, and re-read for the min aggregate (a few
+    * hundred partkeys, broadcast back). MIN is an element of the set,
+    * so the equality compares exact doubles. DuckDB replays [[q2Sql]]
+    * verbatim. */
+  private val q2Df: Q = (s, d) => {
+    val pf = Tables.part(s, d).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_type"))
+    val sn = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val li = graft.queries.CacheRegistry.register(
+      Tables.lineitem(s, d)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_type"), col("l_extendedprice"),
+          col("s_acctbal"), col("s_name"), col("n_name"))
+        .persist())
+    val mn = li.groupBy(col("p_partkey")).agg(min("l_extendedprice").as("minp"))
+      .withColumnRenamed("p_partkey", "mpk")
+    li.join(broadcast(mn), col("p_partkey") === col("mpk") &&
+        col("l_extendedprice") === col("minp"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"),
+        col("l_extendedprice").as("supply_price"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey"), asc("supply_price"))
+      .limit(100)
+  }
 
   /** Q17 small-quantity revenue: nested aggregate in the predicate —
     * l_quantity compared against 0.2×avg(quantity) of the SAME part.
@@ -430,6 +479,35 @@ object TpchQueries {
       .orderBy(desc("part_value"), col("p_key"))
   }
 
+  /** The Spark-side Q15 plan (round 18; the q11Df precedent): Spark
+    * has no CTE materialization, so the SQL form computed the filtered
+    * revenue aggregate TWICE — once as the join input and once under
+    * the scalar MAX subquery (two lineitem scans, two exchanges; the
+    * before plan shows the whole aggregate duplicated). The rounded
+    * per-supplier revenue relation is computed ONCE and persisted; the
+    * maximum rides back as a 1-row broadcast and the surviving
+    * supplier rows (usually one) broadcast into the dimension join.
+    * Same 2-decimal rounding at the CTE boundary, so the equality
+    * against the max compares the identical engine-stable values; the
+    * DuckDB oracle still replays [[q15Sql]] verbatim. */
+  private val q15Df: Q = (s, d) => {
+    val rev = graft.queries.CacheRegistry.register(
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= "1997-01-01" &&
+          to_date(col("l_shipdate")) < "1997-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+        .persist())
+    val mx = rev.agg(max("total_revenue").as("mx"))
+    val top = rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+    Tables.supplier(s, d)
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Q15 top supplier: revenue CTE consumed twice — once as the join
     * input, once inside the scalar MAX subquery. Revenue is rounded at
     * the CTE boundary so the equality join on the maximum compares
@@ -465,6 +543,153 @@ object TpchQueries {
        GROUP BY p_brand, p_type, p_size
        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
+  /** The Spark-side Q16 text (round 18): the derived table's DISTINCT
+    * deduplicated (l_partkey, l_suppkey) over the FULL fact table — a
+    * whole-lineitem exchange — before the part filter could drop ~87%
+    * of the rows, and `count(DISTINCT l_suppkey)` re-deduplicates
+    * within each (brand, type, size) group anyway, so the pre-DISTINCT
+    * changes no count (duplicate pairs collapse in the grouped
+    * distinct-aggregate's first phase). Dropping it lets the broadcast
+    * part join + the null-aware NOT IN anti join run per-row on the
+    * scan, and the first exchange carries only part-filtered
+    * (group, suppkey) partials (guide §2.3: shuffle fewer bytes; the
+    * before/after plans show the full-lineitem Exchange
+    * hashpartitioning(l_partkey, l_suppkey) disappearing). The
+    * null-aware anti-join rung stays exercised; DuckDB still replays
+    * [[q16Sql]] verbatim. */
+  private val q16SparkSql =
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT ps.l_suppkey) AS supplier_cnt
+       FROM (SELECT l_partkey, l_suppkey FROM lineitem) ps, part
+       WHERE p_partkey = ps.l_partkey
+         AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** The Spark-side Q17 plan (round 18; the q11Df precedent): the
+    * decorrelated SQL form aggregated the per-part quantity average
+    * over the ENTIRE fact table (one full-lineitem exchange) although
+    * only Brand#13/PROMO parts can survive the outer join — Catalyst
+    * does not push a join's key filter below the subquery's aggregate.
+    * Here the brand-filtered line rows land in ONE persisted
+    * projection; the per-part 0.2·avg threshold (a few hundred rows)
+    * is computed from it and broadcast back onto it. The average is
+    * over the identical row multiset per part — integer-valued
+    * quantities make the sums exact, so the threshold doubles are
+    * bit-identical to the subquery's. DuckDB replays [[q17Sql]]
+    * verbatim. */
+  private val q17Df: Q = (s, d) => {
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13" && col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val li = graft.queries.CacheRegistry.register(
+      Tables.lineitem(s, d)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .persist())
+    val th = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("thresh"))
+      .withColumnRenamed("l_partkey", "pk")
+    li.join(broadcast(th), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** The Spark-side Q18 plan (round 18): the IN-subquery's HAVING
+    * aggregate and the outer query's sum(l_quantity) are the SAME
+    * per-orderkey sum — the SQL form computed it twice (two lineitem
+    * scans, two full exchanges) and then re-aggregated the joined rows.
+    * One aggregate + HAVING filter produces both the qualifying
+    * orderkeys and their sum_qty; orders and customer attach by key
+    * (orderkey is unique in orders, custkey in customer, so each
+    * qualifying order contributes exactly one row — the outer GROUP BY
+    * collapses). DuckDB replays [[q18Sql]] verbatim. */
+  private val q18Df: Q = (s, d) => {
+    val qual = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    qual.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("int").as("o_date_days"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** The Spark-side Q20 plan (round 18): the two correlated scalar
+    * subqueries each re-aggregated the FULL fact table per
+    * (part, supplier) — and the decorrelated form kept both aggregates
+    * over unfiltered lineitem although only red parts can reach the
+    * comparison. Here the red-part broadcast filter lands ONCE on the
+    * scan and a single aggregate carries both sides of the threshold:
+    * qty_97 as a conditional sum (NULL when the pair has no 1997
+    * shipment — exactly the groups the SQL derived table never forms,
+    * and NULL comparisons drop them identically) and the pair's
+    * lifetime total. Integer-valued quantities keep both sums exact,
+    * so `qty_97 > 0.5·total` and `qty_97 < total` compare the
+    * identical doubles. The surviving suppkeys semi-join the supplier
+    * dimension. DuckDB replays [[q20Sql]] verbatim. */
+  private val q20Df: Q = (s, d) => {
+    val red = Tables.part(s, d).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val in97 = to_date(col("l_shipdate")) >= "1997-01-01" &&
+      to_date(col("l_shipdate")) < "1998-01-01"
+    val ps = Tables.lineitem(s, d)
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(in97, col("l_quantity"))).as("qty_97"),
+        sum("l_quantity").as("qty_all"))
+      .filter(col("qty_97") > lit(0.5) * col("qty_all") &&
+        col("qty_97") < col("qty_all"))
+    Tables.supplier(s, d)
+      .join(ps.select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  /** The Spark-side Q21 plan (round 18): the EXISTS / NOT EXISTS pair
+    * decorrelated into a left-semi plus a left-anti join — each a
+    * separate shuffle of the fact table against l1. Both predicates
+    * are functions of ONE per-order statistic pair: EXISTS another
+    * supplier ⇔ the order has ≥ 2 distinct suppliers, and NOT EXISTS
+    * another FAILING supplier ⇔ the order's 'R' lines all belong to
+    * l1's supplier ⇔ exactly one distinct supplier has an 'R' line
+    * (l1 itself is one). A two-level aggregate (distinct
+    * (order, supplier, has_r) grain, then per-order counts — both
+    * map-side combined) replaces both subquery joins; l1 keeps its
+    * own filters and attaches by orderkey. Counts are exact; DuckDB
+    * replays [[q21Sql]] verbatim. */
+  private val q21Df: Q = (s, d) => {
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val perOrder = perSupp.groupBy("ok")
+      .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_rsupp"))
+      .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
+      .select("ok")
+    val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_9")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(100)
+  }
+
   /** Q22 global sales opportunity: an uncorrelated scalar AVG subquery
     * plus a correlated NOT EXISTS anti join in the same predicate.
     * Country code := c_nationkey % 5 (no phone column); "no orders" is
@@ -499,15 +724,15 @@ object TpchQueries {
     "q_tpch_q13" -> q13,
     "q_tpch_q14" -> q14,
     "q_tpch_q19" -> q19,
-    "q_tpch_q2" -> sqlQ(q2Sql),
+    "q_tpch_q2" -> q2Df,
     "q_tpch_q4" -> sqlQ(q4Sql),
     "q_tpch_q11" -> q11Df,
-    "q_tpch_q15" -> sqlQ(q15Sql),
-    "q_tpch_q16" -> sqlQ(q16Sql),
-    "q_tpch_q17" -> sqlQ(q17Sql),
-    "q_tpch_q18" -> sqlQ(q18Sql("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")),
-    "q_tpch_q20" -> sqlQ(q20Sql),
-    "q_tpch_q21" -> sqlQ(q21Sql),
+    "q_tpch_q15" -> q15Df,
+    "q_tpch_q16" -> sqlQ(q16SparkSql),
+    "q_tpch_q17" -> q17Df,
+    "q_tpch_q18" -> q18Df,
+    "q_tpch_q20" -> q20Df,
+    "q_tpch_q21" -> q21Df,
     "q_tpch_q22" -> sqlQ(q22Sql),
   )
 
